@@ -1,0 +1,114 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed loaders for the driver test tables (see /root/repo/FIXTURES.md §B).
+  *
+  * Schemas are explicit — production paths never infer (the reference's one
+  * Spark job also declares its schema by hand: a 3-field `StructType` at
+  * `streaming_processing/features_engineering.py:23-27`). Passing the schema
+  * to the parquet reader skips footer-merge schema inference on the driver,
+  * which matters when a table is thousands of files at 100 TB.
+  */
+object Tables {
+
+  val regionSchema = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** Stand-in for the stock tick stream: ts/user_id/value ≙
+    * timestamp/symbol/close (`data_collection/fetch_stock.py:54-58`);
+    * `props` exercises `from_json` like `features_engineering.py:38`.
+    *
+    * The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * as TimestampType ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos
+    * (LongType + `nanosAsLong`) and converted to µs TimestampType in
+    * [[events]]. Integer `div` — ns-since-epoch ≈ 1.7e18 exceeds 2^53, so
+    * double division would corrupt the low bits. */
+  val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def load(spark: SparkSession, dir: String, name: String,
+                   schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region", regionSchema)
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation", nationSchema)
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer", customerSchema)
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier", supplierSchema)
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part", partSchema)
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem", lineitemSchema)
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events", eventsRawSchema)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings", embeddingsSchema)
+}
