@@ -18,7 +18,9 @@ object SparkEntry {
   /** All query packs, in build order (SURVEY.md §7). */
   private def packs: Seq[QueryPack] = Seq(
     CoreQueries,
-    RelationalQueries
+    RelationalQueries,
+    StockQueries,
+    TimeSeriesQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,114 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators the reference's `features_engineering.py` promises
+  * by name but never implements (SURVEY.md §2.5): bar resampling, rolling
+  * features, and stream alignment. All are single-shuffle-by-key designs —
+  * at 100 TB the only shuffle is the hash partition on the series key, and
+  * per-key work is a sorted window pass (Spark sorts within partitions,
+  * spilling as needed; no per-key materialization except [[ema]]).
+  */
+object TimeSeries {
+
+  /** Resample ticks into fixed-width OHLCV bars per key — the event-time
+    * window the reference's streaming job was meant to produce
+    * (`features_engineering.py:30-46` parses and prints but computes no
+    * features). `orderCol` breaks ties deterministically (monotone ids).
+    * Batch twin of `groupBy(window(ts, width), key)` — identical semantics
+    * to the streaming version in graft.streaming. */
+  def resampleBars(df: DataFrame, key: String, ts: String, value: String,
+                   orderCol: String, width: String): DataFrame =
+    df.groupBy(col(key), window(col(ts), width).as("w"))
+      .agg(
+        min_by(col(value), col(orderCol)).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), col(orderCol)).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col(key), col("w.start").as("bar_start"), col("open"),
+        col("high"), col("low"), col("close"), col("n_ticks"))
+
+  /** Simple moving average over the last `n` rows per key. */
+  def sma(df: DataFrame, key: String, orderCol: String, value: Column,
+          n: Int, out: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol)).rowsBetween(-(n - 1), 0)
+    df.withColumn(out, sum(value).over(w) / count(lit(1)).over(w))
+  }
+
+  /** Exponential moving average per key: e_t = α·v_t + (1−α)·e_{t−1},
+    * seeded with the first value.
+    *
+    * EMA is inherently sequential per key, so this is the one operator
+    * here that materializes a group: `groupByKey → flatMapGroups` with an
+    * in-memory sort. That is the right scale trade-off for series keyed by
+    * symbol/user (bounded per-key history); for unbounded keys, resample
+    * first. */
+  def ema(df: DataFrame, key: String, orderCol: String, value: String,
+          alpha: Double, out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    df.select(col(key).cast("long"), col(orderCol).cast("long"),
+        col(value).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var e = 0.0
+        var first = true
+        sorted.iterator.map { case (_, o, v) =>
+          e = if (first) { first = false; v } else alpha * v + beta * e
+          (k, o, v, e)
+        }
+      }
+      .toDF(key, orderCol, value, out)
+  }
+
+  /** As-of join: for each left row, the latest right row of the same key
+    * with `right.ts <= left.ts` (backward-looking alignment of two symbol
+    * streams, SURVEY.md §2.3).
+    *
+    * Implementation is the union+last-window composition rather than a
+    * cross/range join: one shuffle on `key`, one sorted window pass, O(n)
+    * per partition — survives 100× scale-up where a per-key cross join
+    * would not. Right rows sort before left rows at equal ts (<= semantics);
+    * `rightOrder` breaks right-side ties.
+    *
+    * Right payload columns arrive nulled for left rows with no prior right
+    * row (left-outer semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, payload: Seq[String],
+               rightOrder: String): DataFrame = {
+    val pay = struct((payload :+ rightOrder).map(col): _*)
+    val r2 = right.select(col(key), col(rightTs).as("__t"),
+      col(rightOrder).as("__ro"), pay.as("__pay")).withColumn("__side", lit(0))
+    val l2 = left.withColumn("__t", col(leftTs))
+      .withColumn("__ro", lit(null).cast(r2.schema("__ro").dataType))
+      .withColumn("__side", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = u.withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val withPayload = payload.foldLeft(joined) { (d, p) =>
+      d.withColumn(p, col("__asof").getField(p))
+    }
+    withPayload.drop("__t", "__ro", "__side", "__pay", "__asof")
+  }
+
+  /** Range join: all (left, right) pairs of the same key whose timestamps
+    * fall within `tolerance`. Spark plans this as a key-equi join with a
+    * range residual — the equi part shuffles/broadcasts as usual and the
+    * residual filters pairs, so skew is bounded by per-key×window density. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, tolerance: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $tolerance") &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance"))
+      .drop(right(key))
+}
