@@ -20,7 +20,10 @@ object SparkEntry {
     CoreQueries,
     RelationalQueries,
     StockQueries,
-    TimeSeriesQueries
+    TimeSeriesQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.text.TextAnalysis
+
+/** Deduplication operators for the training-data pipeline (north star):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. Shuffle discipline at
+  * 100 TB:
+  *   - exact dedup: one shuffle on the fingerprint;
+  *   - MinHash LSH: signatures computed in the scan (no shuffle), one
+  *     shuffle on (band, bandHash), bucket-local pair generation with a
+  *     bucket-size cap so a degenerate bucket cannot go quadratic;
+  *   - verification joins are by doc id against the (much smaller)
+  *     candidate-pair set.
+  */
+object Dedup {
+
+  /** k-token shingles of a document, as a distinct set. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Exact dedup: group on the md5 fingerprint of the normal form, keep
+    * the lowest id (the reference's "first seen wins" semantics of P3
+    * generalized to content identity). Returns the kept rows. */
+  def exactDedup(docs: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(id))
+    docs.withColumn("__fp", TextAnalysis.md5Fingerprint(col(text)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__fp", "fingerprint")
+  }
+
+  /** MinHash-LSH candidate pairs: signature → bands → bucket join.
+    * `numHashes = bands * rowsPerBand`. `maxBucket` drops degenerate
+    * buckets (stopword-like shingle sets) instead of letting one bucket
+    * produce O(n²) pairs — at 100 TB this cap is what keeps the stage
+    * bounded; dropped buckets are by construction near-universal content
+    * whose pairs the Jaccard verifier would reject anyway. */
+  def minhashCandidatePairs(docs: DataFrame, id: String, text: String,
+                            k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                            maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(col(id).as("doc"),
+      HashFunctions.minhash_signature(shingles(col(text), k), numHashes).as("sig"))
+    val banded = sig.select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc"), col("pos").as("band"),
+        HashFunctions.fnv1a(concat_ws(",", col("col"))).as("bucket"))
+    val sized = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucket)
+    val a = sized.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val b = sized.select(col("band"), col("bucket"), col("doc").as("doc_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Verify candidate pairs against exact shingle Jaccard; keeps pairs with
+    * similarity >= threshold. Joins the (small) pair set back to the
+    * shingle sets by id — two broadcast-friendly joins, no re-shuffle of
+    * the corpus. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, id: String,
+                    text: String, k: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(id).as("__vid"), shingles(col(text), k).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__vid", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("__vid", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash per document. Near-dups have small Hamming distance. */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      HashFunctions.simhash64(TextAnalysis.tokens(col(text))).as("simhash"))
+
+  /** SimHash near-dup pairs: block on 16-bit prefix (cheap LSH for
+    * Hamming space), verify with bit_count(xor) <= maxHamming. */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+                   maxHamming: Int): DataFrame = {
+    val sh = simhash(docs, id, text)
+      .select(col(id).as("doc"), col("simhash"),
+        shiftrightunsigned(col("simhash"), 48).as("block"))
+    val a = sh.select(col("block"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("block"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking partition (for bounded
+    * groups; the LSH path above is the unbounded-scale variant). */
+  def blockedJaccardPairs(docs: DataFrame, id: String, text: String,
+                          blockCols: Seq[String], k: Int,
+                          threshold: Double): DataFrame = {
+    val sh = docs.select(
+      struct(blockCols.map(col): _*).as("__blk"),
+      col(id).as("doc"), shingles(col(text), k).as("sh"))
+    val a = sh.select(col("__blk"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("__blk"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("__blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/dedup operators (SURVEY.md §4:
+  * custom Catalyst work only where built-ins can't express the semantics —
+  * rolling hashes and signature computation are per-row loops that a chain
+  * of HOF lambdas would evaluate orders of magnitude slower).
+  *
+  * All hashes are classic public algorithms (polynomial mod-prime rolling
+  * hash; FNV-1a 64-bit) — deterministic, seedable, engine-independent.
+  */
+object Hashing {
+  final val PolyMod = 1000000007L
+  final val PolyBase = 31L
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over UTF-8 bytes. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 — used to derive per-plane/per-hash constants from an index. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Rolling polynomial hash over a string's UTF-16 code units:
+  * `acc = (acc*31 + c) mod 1e9+7`. Document fingerprinting primitive
+  * (north-star text analysis); whole-stage-codegen'd.
+  *
+  * The DuckDB oracle twin is a `list_reduce` over `unicode(char)` —
+  * identical for the BMP text in the fixtures (surrogate pairs would
+  * differ; acceptable for a fingerprint). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * Hashing.PolyBase + s.charAt(i)) % Hashing.PolyMod
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * ${Hashing.PolyBase}L + $s.charAt($i)) % ${Hashing.PolyMod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** FNV-1a 64-bit of a string's UTF-8 bytes, as a column. */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.fnv1a64(input.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long $h = ${Hashing.FnvOffset}L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h ^= ($b[$i] & 0xffL);
+         |  $h *= ${Hashing.FnvPrime}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of tokens: per-token FNV-1a, each bit
+  * votes ±1, sign of the vote is the output bit. Near-dup fingerprint
+  * whose Hamming distance tracks token-multiset similarity. */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < arr.numElements()) {
+      if (!arr.isNullAt(t)) {
+        val h = Hashing.fnv1a64(arr.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a token/shingle set: `numHashes` universal-hash
+  * minima over per-element FNV-1a values, h_i(x) = a_i·x + b_i (odd a_i
+  * from splitmix64(i)). One pass over the set per row, O(|set|·H). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i + 1))
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < arr.numElements()) {
+      if (!arr.isNullAt(t)) {
+        val x = Hashing.fnv1a64(arr.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < numHashes) {
+          val v = as(i) * x + bs(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Column-level API for the expressions above (Spark 4 wraps expressions
+  * via the classic ExpressionUtils bridge). */
+object HashFunctions {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+  def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
+  def fnv1a(c: Column): Column = column(Fnv1a64(expression(c)))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhash_signature(tokens: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(tokens), numHashes))
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.tables.Tables
+import graft.text.TextAnalysis
+
+/** Dedup queries over `documents` (north-star training-data ops).
+  * q36/q37 carry DuckDB oracles; q38/q39 use engine-specific hash
+  * signatures (FNV/MinHash/SimHash Catalyst expressions) that ANSI SQL
+  * cannot replicate → rows-only driver check, cross-validated against the
+  * oracle-checked q37 in unit tests. */
+object DedupQueries extends QueryPack {
+
+  /** Exact dedup via content fingerprint. The fixture has no exact dups,
+    * so a copy of every 10th doc (id+1,000,000) is unioned in first —
+    * dedup must collapse each copy onto its original id. */
+  private def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    withDups
+      .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "fingerprint", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs, blocked by (lang, source). */
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(Tables.documents(spark, dir),
+        id = "doc_id", text = "text", blockCols = Seq("lang", "source"),
+        k = 3, threshold = 0.3)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash+LSH near-dup pairs, Jaccard-verified (the unbounded-scale
+    * path: signature → band buckets → bucket join → verify). */
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val candidates = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 4)
+    Dedup.verifyJaccard(candidates, docs, "doc_id", "text", k = 3,
+        threshold = 0.3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 16-bit prefix blocks, Hamming <= 16. */
+  private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 16)
+      .orderBy("doc_a", "doc_b")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_exact_dedup" -> exactDedup,
+    "q37_ngram_jaccard_pairs" -> ngramJaccard,
+    "q38_minhash_pairs" -> minhashPairs,
+    "q39_simhash_pairs" -> simhashPairs
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q36_exact_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id,
+        |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |       count(*) AS n_copies
+        |FROM u GROUP BY 2 ORDER BY 1""".stripMargin,
+    "q37_ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |FROM s a JOIN s b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.text.TextAnalysis
+import graft.text.TextAnalysis._
+
+/** Text-analysis queries over `documents` (north-star training-data ops). */
+object TextQueries extends QueryPack {
+
+  /** Tokenization stats: whitespace + BPE-ish counts, mean token length. */
+  private def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        length(col("text")).as("len_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword/punct ratios + composite score. */
+  private def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        stopwordCount(col("text")).as("n_stopwords"),
+        punctCount(col("text")).as("n_punct"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID distribution: claimed label vs heuristic prediction. */
+  private def langIdDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("predicted", langId(col("text")))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Fingerprints: md5 of the normal form + rolling polynomial hash
+    * (custom codegen'd Catalyst expression, graft.functions.PolyHash). */
+  private def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")).as("md5_fp"),
+        TextAnalysis.rollingFingerprint(col("text")).as("poly_fp"))
+      .orderBy("doc_id")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_token_stats" -> tokenStats,
+    "q33_quality_scores" -> qualityScores,
+    "q34_langid_dist" -> langIdDist,
+    "q35_fingerprints" -> fingerprints
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q32_token_stats" ->
+      """SELECT doc_id,
+        |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+        |       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |                                    x -> len(x))) AS DOUBLE)
+        |         / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+        |       length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_quality_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_punct,
+        |         len(toks) AS n,
+        |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_stop AS n_stopwords, n_punct,
+        |       (least(CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |        + least(CAST(n_stop AS DOUBLE) * CAST(10.0 AS DOUBLE) / n, CAST(1.0 AS DOUBLE)))
+        |       / CAST(2.0 AS DOUBLE) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q34_langid_dist" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |         len(list_filter(toks, x -> x IN ('the','a','of'))) AS c_en,
+        |         len(list_filter(toks, x -> x IN ('el','la','los'))) AS c_es,
+        |         len(list_filter(toks, x -> x IN ('der','die','und'))) AS c_de,
+        |         len(list_filter(toks, x -> x IN ('le','et','les'))) AS c_fr
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |         CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) AND c_en > 0 THEN 'en'
+        |              WHEN c_es = greatest(c_en,c_es,c_de,c_fr) AND c_es > 0 THEN 'es'
+        |              WHEN c_de = greatest(c_en,c_es,c_de,c_fr) AND c_de > 0 THEN 'de'
+        |              WHEN c_fr = greatest(c_en,c_es,c_de,c_fr) AND c_fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS predicted
+        |  FROM c)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q35_fingerprints" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |       md5(norm) AS md5_fp,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(regexp_split_to_array(norm, ''),
+        |                          c -> CAST(unicode(c) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp
+        |FROM n ORDER BY doc_id""".stripMargin
+  )
+}
