@@ -23,7 +23,10 @@ object SparkEntry {
     TimeSeriesQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    StreamingQueries,
+    MlQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

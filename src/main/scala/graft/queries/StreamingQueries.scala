@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Pipelines
+import graft.tables.Tables
+
+/** Streaming-layer queries. q43 is the E1 wire roundtrip as a batch frame
+  * (from_json is identical in batch and streaming plans); q44/q45 execute
+  * REAL Structured Streaming queries — file source → windowed agg /
+  * dedup → memory sink, drained synchronously — and return the sink
+  * table, so the driver's oracle checks genuine streaming output. */
+object StreamingQueries extends QueryPack {
+
+  /** E1 (F2+F3): project to the wire schema, encode to_json, parse back
+    * with the declared StructType (`features_engineering.py:38-40`),
+    * aggregate the parsed stream. */
+  private def wireRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir).select(
+      to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        col("user_id").cast("string").as("symbol"),
+        col("value").as("close_price"))).as("value"))
+    Pipelines.parseWire(wire, Pipelines.tickSchema)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        min("close_price").as("min_close"),
+        max("close_price").as("max_close"))
+      .orderBy("symbol")
+  }
+
+  /** Streaming events file source → hourly bars per event type. */
+  private def streamingBars(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val bars = raw
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("n_ticks"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bar_start_str"),
+        col("event_type"), col("low"), col("high"), col("n_ticks"))
+    val name = "bars_" + UUID.randomUUID().toString.replace("-", "")
+    val q = bars.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("event_type", "bar_start_str")
+  }
+
+  /** Streaming dedup (T4): duplicated stream (self-union) →
+    * dropDuplicates on the id → per-type counts equal the distinct batch
+    * counts. */
+  private def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+    val dup = src.unionByName(src)
+    val counts = dup.dropDuplicates("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_wire_roundtrip" -> wireRoundtrip,
+    "q44_streaming_bars" -> streamingBars,
+    "q45_streaming_dedup" -> streamingDedup
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q43_wire_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS symbol, count(*) AS n,
+        |       min(value) AS min_close, max(value) AS max_close
+        |FROM events GROUP BY 1 ORDER BY symbol""".stripMargin,
+    "q44_streaming_bars" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start_str,
+        |       event_type, min(value) AS low, max(value) AS high,
+        |       count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bar_start_str""".stripMargin,
+    "q45_streaming_dedup" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines reproducing the reference's E1/E2 flows
+  * (SURVEY.md §3) with the reliability the reference lacks: checkpoints
+  * (T3), watermark dedup instead of driver-local state (T4/P3), and
+  * event-time windows (T6).
+  *
+  * All transforms are source-agnostic — they take any streaming DataFrame
+  * with the wire schema, so tests drive them from MemoryStream/file
+  * sources and production wires them to Kafka. */
+object Pipelines {
+
+  /** Wire schema of the close-only tick message
+    * (`data_collection/fetch_stock.py:54-58`, declared StructType at
+    * `streaming_processing/features_engineering.py:23-27`). */
+  val tickSchema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType),
+    StructField("symbol", StringType),
+    StructField("close_price", DoubleType)))
+
+  /** Full OHLCV wire schema (`data_collection/kafka_producer.py:79-87`). */
+  val ohlcvSchema: StructType = StructType(Seq(
+    StructField("timestamp", TimestampType),
+    StructField("symbol", StringType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", LongType)))
+
+  /** E1 parse stage (`features_engineering.py:38-40`): raw `value` string →
+    * from_json(schema) → flattened columns. Identical for batch and
+    * streaming frames. */
+  def parseWire(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("data"))
+      .select("data.*")
+
+  /** Kafka source for E1 (`features_engineering.py:30-35`). Requires the
+    * spark-sql-kafka connector on the classpath (present in the
+    * reference's deployment, not in this test container). */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Kafka JSON sink (S3/S4: `fetch_stock.py:33-36`, `kafka_producer.py:
+    * 12-21`): struct(*) → to_json → value. */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** T4 replacement for P3's in-memory dedup state (`fetch_stock.py:43`):
+    * exactly-once per (key, ts) within the watermark, durable across
+    * restarts via checkpoint. Stricter than the reference, which re-sends
+    * duplicates after a crash (divergence noted in SURVEY.md §7). */
+  def watermarkDedup(stream: DataFrame, ts: String, key: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .dropDuplicatesWithinWatermark(Seq(key, ts))
+
+  /** T6: event-time tumbling bars per key (what `features_engineering.py`
+    * promises). Append mode + watermark → emits each bar once, when it
+    * can no longer change. */
+  def windowedBars(stream: DataFrame, ts: String, key: String, value: String,
+                   width: String, watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .groupBy(window(col(ts), width), col(key))
+      .agg(
+        min(col(value)).as("low"),
+        max(col(value)).as("high"),
+        count(lit(1)).as("n_ticks"),
+        sum(col(value)).as("sum_value"))
+      .select(col("window.start").as("bar_start"), col(key), col("low"),
+        col("high"), col("n_ticks"), col("sum_value"))
+
+  /** E2 routing split (P7, `mongo_stream_etl.py:34-39`) as a foreachBatch
+    * sink: one pass, two partitioned parquet outputs. `partitionBy(key)`
+    * mirrors the reference's per-symbol collections (S10). */
+  def routeToSinks(stream: DataFrame, source: String, key: String,
+                   historyPath: String, realtimePath: String,
+                   checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.where(col(source) === "history")
+          .write.mode("append").partitionBy(key).parquet(historyPath)
+        b.where(col(source) =!= "history" || col(source).isNull)
+          .write.mode("append").partitionBy(key).parquet(realtimePath)
+        b.unpersist()
+        ()
+      }
+
+  /** Per-key high-watermark state (T5): the distributed, fault-tolerant
+    * form of the reference's `last_timestamps` dict (`fetch_stock.py:43,
+    * 57,64`) — emits only rows strictly newer than the key's max seen
+    * event time, carrying state across micro-batches. */
+  def highWatermarkFilter(spark: SparkSession, stream: DataFrame,
+                          key: String, ts: String): DataFrame = {
+    import spark.implicits._
+    val typed = stream.select(col(key).cast("string"), col(ts).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val hwm = state.getOption.getOrElse(Long.MinValue)
+          val fresh = rows.map(_._2).filter(_ > hwm).toSeq.sorted
+          if (fresh.nonEmpty) state.update(math.max(hwm, fresh.max))
+          fresh.iterator.map(t => (k, t))
+      }
+      .toDF(key, ts)
+  }
+
+  /** The reference's 60-second cadence (T1: `fetch_stock.py:47`). */
+  val ReferenceTrigger: Trigger = Trigger.ProcessingTime("60 seconds")
+}

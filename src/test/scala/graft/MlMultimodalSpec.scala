@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.TrendModel
+import graft.multimodal.Multimodal
+import graft.tables.Tables
+
+class MlMultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val bars =
+    TrendModel.dailyBars(Tables.events(spark, "/root/testdata/sf0.001")).cache()
+
+  test("dailyBars produce OHLCV + movement label per (symbol,user,day)") {
+    val row = bars.where(col("volume") > 1).limit(1).collect()(0)
+    val (o, h, l, c) = (row.getAs[Double]("open"), row.getAs[Double]("high"),
+      row.getAs[Double]("low"), row.getAs[Double]("close"))
+    assert(h >= o && h >= c && l <= o && l <= c)
+    assert(row.getAs[Double]("movement") == (if (c > o) 1.0 else 0.0))
+  }
+
+  test("per-symbol RF trains on every symbol and beats coin-flip on training data (A3/A4)") {
+    val models = TrendModel.trainPerSymbol(bars)
+    assert(models.keySet == Set("click", "error", "purchase", "signup", "view"))
+    val acc = TrendModel.trainingAccuracy(models, bars)
+      .select("accuracy").as[Double].collect()
+    // train==eval (the reference's own protocol, predict_from_vm4.py:36,38)
+    assert(acc.forall(_ > 0.5), s"accuracies: ${acc.toSeq}")
+  }
+
+  test("model save/load roundtrip (S11: joblib.dump → MLlib persistence)") {
+    val models = TrendModel.trainPerSymbol(bars)
+    val dir = Files.createTempDirectory("model").toString
+    val one = models("click")
+    one.write.overwrite().save(s"$dir/click")
+    val back = PipelineModel.load(s"$dir/click")
+    val sample = bars.where(col("symbol") === "click").limit(20)
+    val a = one.transform(sample).select("prediction").as[Double].collect().toSeq
+    val b = back.transform(sample).select("prediction").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("scoreBatch guards untrained symbols and emits the reference output shape (P8+F6)") {
+    val models = TrendModel.trainPerSymbol(bars)
+    val withUnknown = bars.unionByName(
+      bars.limit(3).withColumn("symbol", lit("UNTRAINED")))
+    val scored = TrendModel.scoreBatch(withUnknown, models)
+    assert(scored.where(col("symbol") === "UNTRAINED").isEmpty)
+    assert(scored.columns.toSet ==
+      Set("symbol", "user_id", "day", "prediction", "change_pct"))
+    assert(scored.count() == bars.count())
+  }
+
+  test("multimodal: synthesized media carries typed meta and binary payload") {
+    val media = Multimodal.synthesizeFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val r = media.filter(_.media_id == 0L).collect()(0)
+    assert(r.kind == "image" && r.bytes.nonEmpty && r.meta.format == "raw")
+  }
+
+  test("multimodal: batched feature extraction preserves cardinality and determinism") {
+    val media = Multimodal.synthesizeFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, batchSize = 64).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == media.count())
+    // batch size must not change results (mapInPandas contract analog)
+    assert(f1.map(_.byte_mean).toSeq == f2.map(_.byte_mean).toSeq)
+    assert(f1.forall(_.feature.length == 16))
+  }
+
+  test("multimodal: frame sampling emits only video, resize rewrites meta") {
+    val media = Multimodal.synthesizeFromDocuments(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val frames = Multimodal.sampleFrames(media, everyN = 50)
+    assert(frames.collect().forall(_.kind == "video"))
+    val resized = Multimodal.resize(media, 224, 224).collect()
+    assert(resized.forall(r => r.meta.width == 224 && r.meta.height == 224))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Pipelines
+
+/** MemoryStream-driven tests of the E1/E2 pipelines (SURVEY.md §5.4). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame,
+                          mode: String): String = {
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    name
+  }
+
+  test("E1: wire JSON parses through the declared schema (features_engineering.py:38-40)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    input.addData(
+      """{"timestamp": "2025-07-24 15:59:00", "symbol": "AAPL", "close_price": 226.31}""",
+      """{"timestamp": "2025-07-24 16:00:00", "symbol": "MSFT", "close_price": 512.80}""",
+      """not json at all""")
+    val parsed = Pipelines.parseWire(input.toDF().withColumnRenamed("value", "value"),
+      Pipelines.tickSchema)
+    val name = runToMemory(parsed, "append")
+    val rows = spark.table(name).collect()
+    assert(rows.length == 3)
+    val bySymbol = spark.table(name).where(col("symbol").isNotNull)
+      .select("symbol", "close_price").as[(String, Double)].collect().toMap
+    assert(bySymbol == Map("AAPL" -> 226.31, "MSFT" -> 512.8))
+    // malformed record → all-null row, the from_json contract
+    assert(spark.table(name).where(col("symbol").isNull).count() == 1)
+  }
+
+  test("high-watermark state persists across micro-batches (fetch_stock.py:43,57)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("symbol", "t")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+      .withColumn("ts", unix_timestamp(col("ts")))
+    val filtered = Pipelines.highWatermarkFilter(spark, stream, "symbol", "ts")
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = filtered.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(("AAPL", 100L), ("AAPL", 200L))
+      q.processAllAvailable()
+      // batch 2: 150 is behind the watermark (200) → dropped; 250 passes
+      input.addData(("AAPL", 150L), ("AAPL", 250L), ("MSFT", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[(String, Long)].collect().toSet
+    assert(got == Set(("AAPL", 100L), ("AAPL", 200L), ("AAPL", 250L), ("MSFT", 10L)))
+  }
+
+  test("E2 routing writes history and realtime sinks partitioned by key (mongo_stream_etl.py:34-39)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, String, Double)]
+    val stream = input.toDF().toDF("source", "symbol", "close")
+    val out = Files.createTempDirectory("route").toString
+    val q = Pipelines.routeToSinks(stream, "source", "symbol",
+      s"$out/history", s"$out/realtime", s"$out/ckpt").start()
+    try {
+      input.addData(("history", "AAPL", 1.0), ("realtime", "AAPL", 2.0),
+        ("history", "MSFT", 3.0), ("whatever", "MSFT", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.read.parquet(s"$out/history")
+    val rt = spark.read.parquet(s"$out/realtime")
+    assert(hist.count() == 2 && rt.count() == 2)
+    // partitionBy(symbol) → directory per key, the reference's per-symbol collections
+    assert(new java.io.File(s"$out/history/symbol=AAPL").exists())
+  }
+
+  test("watermark dedup drops in-watermark duplicates (T4)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("symbol", "t")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val deduped = Pipelines.watermarkDedup(stream, "ts", "symbol", "10 minutes")
+    val name = runToMemoryWith(input, deduped,
+      Seq(("AAPL", 100L), ("AAPL", 100L), ("AAPL", 160L)))
+    assert(spark.table(name).count() == 2)
+  }
+
+  private def runToMemoryWith(input: MemoryStream[(String, Long)],
+                              df: org.apache.spark.sql.DataFrame,
+                              data: Seq[(String, Long)]): String = {
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { input.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    name
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.timeseries.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ema: seeded with first value, then alpha-blended") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (2L, 1L, 5.0))
+      .toDF("k", "o", "v")
+    val got = TimeSeries.ema(df, "k", "o", "v", alpha = 0.5, out = "ema")
+      .orderBy("k", "o").select("ema").as[Double].collect()
+    // k=1: 10, 0.5*20+0.5*10=15, 0.5*30+0.5*15=22.5 ; k=2: 5
+    assert(got.toSeq == Seq(10.0, 15.0, 22.5, 5.0))
+  }
+
+  test("asofJoin: picks latest right <= left ts per key, null when none") {
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "t", "tag").withColumn("ts", timestamp_seconds(col("t")))
+    val right = Seq((1L, 90L, 9.0, 1L), (1L, 150L, 15.0, 2L), (1L, 200L, 20.0, 3L))
+      .toDF("k", "t", "payload", "rid").withColumn("ts", timestamp_seconds(col("t")))
+    val got = TimeSeries.asofJoin(left, right, "k", "ts", "ts",
+        payload = Seq("payload"), rightOrder = "rid")
+      .select(col("tag"), col("payload")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // l1@100 → right@90; l2@200 → right@200 (<= semantics); l3 key 2 → none
+    assert(got == Map("l1" -> Some(9.0), "l2" -> Some(20.0), "l3" -> None))
+  }
+
+  test("sma over last-n window") {
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 6.0)).toDF("k", "o", "v")
+    val got = TimeSeries.sma(df, "k", "o", col("v"), n = 2, out = "s")
+      .orderBy("o").select("s").as[Double].collect()
+    assert(got.toSeq == Seq(2.0, 3.0, 5.0))
+  }
+
+  test("resampleBars: OHLC by first/last order within the window") {
+    val df = Seq(
+      ("A", 10L, 1L, 5.0), ("A", 20L, 2L, 9.0), ("A", 30L, 3L, 1.0),
+      ("A", 3700L, 4L, 7.0))
+      .toDF("k", "t", "oid", "v").withColumn("ts", timestamp_seconds(col("t")))
+    val got = TimeSeries.resampleBars(df, "k", "ts", "v", "oid", "1 hour")
+      .orderBy("bar_start")
+      .select("open", "high", "low", "close", "n_ticks")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(got.toSeq == Seq((5.0, 9.0, 1.0, 1.0, 3L), (7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("rangeJoin pairs within tolerance only") {
+    val l = Seq((1L, 1000L, "a")).toDF("k", "t", "ltag")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val r = Seq((1L, 1500L, "near"), (1L, 5000L, "far")).toDF("k", "rt", "rtag")
+      .withColumn("rts", timestamp_seconds(col("rt")))
+    val got = TimeSeries.rangeJoin(l, r, "k", "ts", "rts", "10 MINUTES")
+      .select("rtag").as[String].collect()
+    assert(got.toSeq == Seq("near"))
+  }
+}
