@@ -19,13 +19,10 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  /** k-token shingles of a document, as a distinct set. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** k-token shingles of a document, as a distinct set (one-pass custom
+    * expression — see graft.functions.WordShingles for why not HOFs). */
+  def shingles(text: Column, k: Int): Column =
+    HashFunctions.word_shingles(text, k)
 
   /** Exact dedup: group on the md5 fingerprint of the normal form, keep
     * the lowest id (the reference's "first seen wins" semantics of P3
@@ -56,14 +53,16 @@ object Dedup {
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("doc"), col("pos").as("band"),
         HashFunctions.fnv1a(concat_ws(",", col("col"))).as("bucket"))
-    val sized = banded.withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("__n") <= maxBucket)
-    val a = sized.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-    val b = sized.select(col("band"), col("bucket"), col("doc").as("doc_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // One shuffle: gather each bucket's members, generate ordered pairs
+    // inside the array (i<j), explode. No self-join, no window pass.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("doc")).as("docs"))
+      .where(size(col("docs")).between(2, maxBucket))
+      .select(array_sort(col("docs")).as("ds"))
+    buckets.select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -108,19 +107,32 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** All-pairs n-gram Jaccard within a blocking partition (for bounded
-    * groups; the LSH path above is the unbounded-scale variant). */
+  /** n-gram Jaccard pairs within a blocking partition, via the
+    * explode-and-count formulation: explode shingles, equi-join on
+    * (block, shingle), count shared shingles per pair, then
+    * |A∩B| / (|A|+|B|−|A∩B|). Pairs sharing no shingle never materialize,
+    * and no quadratic array-intersect runs — this is the formulation that
+    * survives wide blocks at 100 TB (vs. a per-pair array intersect which
+    * is O(pairs × shingle²)). */
   def blockedJaccardPairs(docs: DataFrame, id: String, text: String,
                           blockCols: Seq[String], k: Int,
                           threshold: Double): DataFrame = {
     val sh = docs.select(
-      struct(blockCols.map(col): _*).as("__blk"),
-      col(id).as("doc"), shingles(col(text), k).as("sh"))
-    val a = sh.select(col("__blk"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("__blk"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("__blk"))
+        struct(blockCols.map(col): _*).as("__blk"),
+        col(id).as("doc"), shingles(col(text), k).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = sh.select(col("__blk"), col("doc"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    val a = ex.select(col("__blk"), col("s"), col("doc").as("doc_a"),
+      col("n_sh").as("na"))
+    val b = ex.select(col("__blk"), col("s"), col("doc").as("doc_b"),
+      col("n_sh").as("nb"))
+    a.join(b, Seq("__blk", "s"))
       .where(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -171,4 +171,85 @@ object HashFunctions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(tokens), numHashes))
+  def dot_d(a: Column, b: Column): Column =
+    column(DotProductD(expression(a), expression(b)))
+  def word_shingles(text: Column, k: Int): Column =
+    column(WordShingles(expression(text), k))
+}
+
+/** Sequential-fold dot product of two double arrays, codegen'd. Bitwise
+  * identical to `aggregate(zip_with(a,b,*), 0.0, +)` and to DuckDB's
+  * `list_sum` over the element products — but one tight loop instead of
+  * per-element HOF lambda dispatch (the similarity-search hot path). */
+case class DotProductD(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductD = copy(left = newLeft, right = newRight)
+}
+
+/** Distinct k-token shingles of a string in one pass: whitespace-tokenize
+  * (trim + runs of whitespace, the `split(trim(s), "\\s+")` semantics),
+  * slide a k-window, join with single spaces, keep first occurrences.
+  *
+  * Replaces the HOF formulation `array_distinct(transform(sequence(...),
+  * i => concat_ws(" ", slice(toks, i, k))))`, whose per-position slice
+  * copies made shingling O(tokens²) per document — the profiled hot spot
+  * of the dedup pipeline. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.trim.split("\\s+")
+    if (toks.length < k || (toks.length == 1 && toks(0).isEmpty)) {
+      new GenericArrayData(Array.empty[Any])
+    } else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder()
+      while (i + k <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }

@@ -12,7 +12,10 @@ import graft.tables.Tables
 object MlQueries extends QueryPack {
 
   private def rfAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val bars = TrendModel.dailyBars(Tables.events(spark, dir)).cache()
+    // Bars are tiny relative to the tick scan (one row per key×day);
+    // coalesce before the 5 sequential MLlib fits so each tree job runs a
+    // handful of tasks instead of 32.
+    val bars = TrendModel.dailyBars(Tables.events(spark, dir)).coalesce(8).cache()
     try {
       val models = TrendModel.trainPerSymbol(bars)
       TrendModel.trainingAccuracy(models, bars).orderBy("symbol")

@@ -146,11 +146,14 @@ object RelationalQueries extends QueryPack {
   private def orderCounts(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
-    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(
-        count(col("o_orderkey")).as("n_orders"),
-        round(coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0, 2).as("total_spent"))
+    // Pre-aggregate the fact side to one row per key BEFORE the join — the
+    // join then moves |customers| + |custkeys| rows instead of every order.
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"), sum(cents(col("o_totalprice"))).as("__s"))
+    cust.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("__n"), lit(0L)).as("n_orders"),
+        round(coalesce(col("__s"), lit(0L)) / 100.0, 2).as("total_spent"))
       .orderBy("c_custkey")
   }
 

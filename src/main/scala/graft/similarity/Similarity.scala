@@ -4,25 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashFunctions
+
 /** Vector similarity / ANN over an embedding column (`array<float>`),
   * north-star "similarity search".
   *
-  * Vector math is pure higher-order column expressions (zip_with +
-  * aggregate) — no UDF, stays inside codegen. Elements are cast to double
-  * first: float→double widening is exact, and the sequential left-fold sum
-  * then matches any engine that sums a list in order (the DuckDB oracle).
-  */
+  * Vector math: elements are cast to double once (float→double widening is
+  * exact), dot products run in the codegen'd [[graft.functions.DotProductD]]
+  * expression — a tight loop whose sequential fold is bit-identical to the
+  * HOF `aggregate(zip_with(...))` formulation and to DuckDB's `list_sum`,
+  * but ~an order of magnitude faster on the pair-scoring hot path.
+  * Norms are computed once per vector BEFORE any pair join, so an n·m
+  * scoring stage does one dot per pair instead of three. */
 object Similarity {
 
   def vecDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product (codegen'd). */
+  def dot(a: Column, b: Column): Column = HashFunctions.dot_d(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** id, double vector, precomputed norm — the per-vector frame every
+    * pair stage starts from. */
+  private def withNorm(df: DataFrame, id: String, vec: String,
+                       idOut: String, vecOut: String, normOut: String): DataFrame =
+    df.select(col(id).as(idOut), vecDouble(col(vec)).as(vecOut))
+      .withColumn(normOut, norm(col(vecOut)))
 
   /** Exact top-k neighbors for a (small) query set: broadcast the queries
     * against the corpus scan, rank per query. One shuffle of
@@ -31,18 +41,17 @@ object Similarity {
     * [[lshTopK]] is the scale path. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), vecDouble(col(vec)).as("qv"))
-    val c = corpus.select(col(id).as("neighbor_id"), vecDouble(col(vec)).as("cv"))
+    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
+    val c = withNorm(corpus, id, vec, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded splitmix64 via
-    * scala.util.Random) for sign-LSH bucketing. */
+  /** Deterministic random hyperplanes (seeded) for sign-LSH bucketing. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
@@ -63,13 +72,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val q = queries.select(col(id).as("query_id"), vecDouble(col(vec)).as("qv"))
+    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
       .withColumn("bucket", lshBucket(col("qv"), planes))
-    val c = corpus.select(col(id).as("neighbor_id"), vecDouble(col(vec)).as("cv"))
+    val c = withNorm(corpus, id, vec, "neighbor_id", "cv", "cn")
       .withColumn("bucket", lshBucket(col("cv"), planes))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -81,12 +90,15 @@ object Similarity {
   def blockedCosinePairs(df: DataFrame, id: String, vec: String,
                          blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(blockCol).as("__blk"), col(id).as("vid"),
-      vecDouble(col(vec)).as("dv"))
-    val a = v.select(col("__blk"), col("vid").as("id_a"), col("dv").as("v_a"))
-    val b = v.select(col("__blk"), col("vid").as("id_b"), col("dv").as("v_b"))
+        vecDouble(col(vec)).as("dv"))
+      .withColumn("nrm", norm(col("dv")))
+    val a = v.select(col("__blk"), col("vid").as("id_a"), col("dv").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = v.select(col("__blk"), col("vid").as("id_b"), col("dv").as("v_b"),
+      col("nrm").as("n_b"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
