@@ -26,7 +26,8 @@ object SparkEntry {
     SimilarityQueries,
     StreamingQueries,
     MlQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    ExtendedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

