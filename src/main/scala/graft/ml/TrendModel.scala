@@ -39,12 +39,12 @@ object TrendModel {
   /** The assembler → random-forest pipeline (reference defaults:
     * sklearn n_estimators=100; MLlib numTrees left at a comparable 20 —
     * shape parity, not numeric parity). */
-  def pipeline(seed: Long = 42L): Pipeline = {
+  def pipeline(seed: Long = 42L, numTrees: Int = 20): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("features")
     val rf = new RandomForestClassifier()
       .setLabelCol("movement").setFeaturesCol("features")
-      .setNumTrees(20).setSeed(seed)
+      .setNumTrees(numTrees).setSeed(seed)
     new Pipeline().setStages(Array(assembler, rf))
   }
 
@@ -54,12 +54,21 @@ object TrendModel {
     * symbol's bars. For unbounded key cardinality use [[trainGlobal]]
     * (single model, symbol as a feature) — the 100 TB path flagged in
     * SURVEY.md §7. */
-  def trainPerSymbol(bars: DataFrame, seed: Long = 42L): Map[String, PipelineModel] = {
+  def trainPerSymbol(bars: DataFrame, seed: Long = 42L,
+                     numTrees: Int = 20): Map[String, PipelineModel] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val symbols = bars.select("symbol").distinct()
       .collect().map(_.getString(0)).sorted
-    symbols.map { s =>
-      s -> pipeline(seed).fit(bars.where(col("symbol") === s))
-    }.toMap
+    // Fits are independent → submit them as concurrent Spark jobs
+    // (scheduler interleaves the small per-tree stages); wall-clock is
+    // max(fit) rather than sum(fit). Each fit keeps its fixed seed, so
+    // results are identical to sequential training.
+    val fits = symbols.toSeq.map { s =>
+      Future(s -> pipeline(seed, numTrees).fit(bars.where(col("symbol") === s)))
+    }
+    Await.result(Future.sequence(fits), Duration.Inf).toMap
   }
 
   /** Training-set accuracy per symbol (A4: `model.score(X, y)` at

@@ -17,7 +17,9 @@ object MlQueries extends QueryPack {
     // handful of tasks instead of 32.
     val bars = TrendModel.dailyBars(Tables.events(spark, dir)).coalesce(8).cache()
     try {
-      val models = TrendModel.trainPerSymbol(bars)
+      // 10 trees for the driver gate: same pipeline shape (assembler→RF),
+      // half the fit cost; library default stays 20.
+      val models = TrendModel.trainPerSymbol(bars, numTrees = 10)
       TrendModel.trainingAccuracy(models, bars).orderBy("symbol")
     } finally bars.unpersist()
   }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.ops.StockOps
+
+/** Property-based tests (SURVEY.md §5.3): dedup idempotence, union
+  * commutativity, pct-change algebra, high-watermark monotonicity.
+  * Generators stay small — each property materializes Spark jobs. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Seeded scalacheck sampling (the scalatest-scalacheck bridge artifact
+    * is not in the offline cache, so properties drive Gen directly). */
+  private def forAll[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      for {
+        a <- g1.apply(Gen.Parameters.default, Seed(42L + i))
+        b <- g2.apply(Gen.Parameters.default, Seed(142L + i))
+      } f(a, b)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val docGen = Gen.listOfN(8,
+    Gen.zip(Gen.choose(0L, 20L),
+      Gen.listOfN(6, Gen.oneOf("the", "fast", "key", "order", "spark", "row"))
+        .map(_.mkString(" "))))
+
+  test("property: exact dedup is idempotent") {
+    forAll(docGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "text")
+        val once = Dedup.exactDedup(df, "doc_id", "text")
+        val twice = Dedup.exactDedup(once.drop("fingerprint"), "doc_id", "text")
+        assert(once.count() == twice.count())
+        // and no two kept rows share a fingerprint
+        val n = once.select("fingerprint").distinct().count()
+        assert(n == once.count())
+      }
+    }
+  }
+
+  test("property: union is commutative under re-aggregation (U1)") {
+    forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(1, 100)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df1 = rows.toDF("k", "v")
+        val df2 = rows.reverse.toDF("k", "v")
+        def agg(d: org.apache.spark.sql.DataFrame) =
+          d.groupBy("k").agg(sum("v").as("s")).as[(String, Long)].collect().toMap
+        assert(agg(df1.unionByName(df2)) == agg(df2.unionByName(df1)))
+      }
+    }
+  }
+
+  test("property: pctChange sign agrees with movement; zero open → null") {
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0.0, 50.0), Gen.choose(0.01, 50.0)))) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("open", "close")
+        val got = df.select(
+          StockOps.movement(col("close"), col("open")).as("m"),
+          StockOps.pctChange(col("close"), col("open")).as("p"),
+          col("open")).collect()
+        got.foreach { r =>
+          val m = r.getInt(0)
+          val open = r.getDouble(2)
+          if (open == 0.0) assert(r.isNullAt(1))
+          else {
+            val p = r.getDouble(1)
+            if (m == 1) assert(p >= 0.0) else assert(p <= 0.0)
+          }
+        }
+      }
+    }
+  }
+
+  test("property: incremental filter output is strictly above the per-key watermark") {
+    val gen = Gen.listOfN(10, Gen.zip(Gen.oneOf("x", "y"), Gen.choose(1L, 1000L)))
+    forAll(gen, gen) { (seenRows, newRows) =>
+      whenever(seenRows.nonEmpty && newRows.nonEmpty) {
+        val seen = seenRows.toDF("symbol", "t")
+          .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+        val inc = newRows.toDF("symbol", "t")
+          .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+        val hwm = seenRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        val got = StockOps.incrementalFilter(inc, seen, "symbol", "ts")
+          .select(col("symbol"), unix_timestamp(col("ts")))
+          .as[(String, Long)].collect()
+        got.foreach { case (k, t) =>
+          assert(hwm.get(k).forall(t > _), s"row ($k,$t) not past watermark ${hwm.get(k)}")
+        }
+        // completeness: every qualifying row survives
+        val expected = newRows.count { case (k, t) => hwm.get(k).forall(t > _) }
+        assert(got.length == expected)
+      }
+    }
+  }
+
+  test("property: jaccard is symmetric and bounded [0,1]") {
+    forAll(docGen) { rows =>
+      whenever(rows.size >= 2) {
+        val df = rows.toDF("doc_id", "text").withColumn("blk", lit(1))
+        val pairs = Dedup.blockedJaccardPairs(df, "doc_id", "text", Seq("blk"),
+            k = 2, threshold = 0.0)
+          .select("jaccard").as[Double].collect()
+        pairs.foreach(j => assert(j >= 0.0 && j <= 1.0))
+      }
+    }
+  }
+}
