@@ -27,7 +27,8 @@ object SparkEntry {
     StreamingQueries,
     MlQueries,
     MultimodalQueries,
-    ExtendedQueries
+    ExtendedQueries,
+    AdvancedQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,83 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.tables.Tables
+
+/** Advanced surface: stream-stream joins and the SQL face of the custom
+  * Catalyst expressions (SparkSessionExtensions / function registry). */
+object AdvancedQueries extends QueryPack {
+
+  /** Stream-stream inner join with event-time range bounds and watermarks
+    * on both sides (signup↔purchase within 30 minutes) — the streaming
+    * twin of q31, checked against the same batch SQL. */
+  private def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+    val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
+  }
+
+  /** Custom expressions through the SQL surface: functions registered on
+    * the live session (GraftExtensions covers the builder path). */
+  private def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT doc_id,
+        |       poly_hash(text) AS poly_fp,
+        |       size(word_shingles(text, 3)) AS n_shingles
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_stream_stream_join" -> streamStreamJoin,
+    "q57_sql_custom_functions" -> sqlCustomFunctions
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q56_stream_stream_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+        |FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts - INTERVAL 30 MINUTE
+        | AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q57_sql_custom_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(regexp_split_to_array(text, ''),
+        |                          c -> CAST(unicode(c) AS BIGINT))),
+        |         (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp,
+        |       len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                          for i in range(1, len(toks) - 1)])) AS n_shingles
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

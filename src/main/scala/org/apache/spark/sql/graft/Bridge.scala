@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Temp-function registration on a live session (the FunctionRegistry is
+    * `private[sql]` too). For build-time registration prefer
+    * `graft.functions.GraftExtensions` via spark.sql.extensions. */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+                           name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

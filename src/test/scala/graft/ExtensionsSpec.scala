@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, HashFunctions}
+
+/** SQL-surface registration of the custom Catalyst expressions. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("registered SQL functions agree with the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("hello world spark", 1L)).toDF("t", "id").createOrReplaceTempView("ext_t")
+    val viaSql = spark.sql(
+      """SELECT poly_hash(t) AS p, fnv1a64(t) AS f,
+        |       size(word_shingles(t, 2)) AS s,
+        |       dot_d(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+        |FROM ext_t""".stripMargin).collect()(0)
+    val viaCol = spark.table("ext_t").select(
+      HashFunctions.poly_hash(col("t")),
+      HashFunctions.fnv1a(col("t")),
+      size(HashFunctions.word_shingles(col("t"), 2)),
+      HashFunctions.dot_d(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(viaSql.getInt(2) == viaCol.getInt(2))
+    assert(viaSql.getDouble(3) == 11.0 && viaCol.getDouble(3) == 11.0)
+  }
+
+  test("word_shingles rejects a non-literal k with a clear error") {
+    GraftFunctions.register(spark)
+    Seq(("a b c", 2)).toDF("t", "k").createOrReplaceTempView("ext_k")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, k) FROM ext_k").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("GraftExtensions registers via a fresh session builder") {
+    // newSession shares state; validate the extensions class wiring by
+    // invoking it against a fresh SparkSessionExtensions instance.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // no exception = all builders valid; function count matches
+    assert(GraftFunctions.builders.map(_._1).distinct.size ==
+      GraftFunctions.builders.size)
+  }
+}
