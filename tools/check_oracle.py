@@ -17,12 +17,15 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+ORDERED = os.environ.get("CHECK_ORDERED", "") == "1"
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    if not ORDERED:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 def main():
