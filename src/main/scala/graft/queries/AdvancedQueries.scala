@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.model.TypedOps
 import graft.tables.Tables
 
 /** Advanced surface: stream-stream joins and the SQL face of the custom
@@ -51,9 +52,21 @@ object AdvancedQueries extends QueryPack {
         |FROM documents_v ORDER BY doc_id""".stripMargin)
   }
 
+  /** Typed Dataset surface: case-class ticks → groupByKey → custom
+    * Aggregator[Tick, BarBuf, Bar] (one-pass OHLC; same semantics and
+    * oracle shape as the untyped resample). */
+  private def typedOhlc(spark: SparkSession, dir: String): DataFrame =
+    TypedOps.dailyBars(Tables.events(spark, dir))
+      .toDF("key", "bar")
+      .select(col("key._1").as("user_id"), col("key._2").as("day"),
+        col("bar.open"), col("bar.high"), col("bar.low"), col("bar.close"),
+        col("bar.n_ticks"))
+      .orderBy("user_id", "day")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stream_stream_join" -> streamStreamJoin,
-    "q57_sql_custom_functions" -> sqlCustomFunctions
+    "q57_sql_custom_functions" -> sqlCustomFunctions,
+    "q58_typed_ohlc" -> typedOhlc
   )
 
   override def oracles: Map[String, String] = Map(
@@ -78,6 +91,15 @@ object AdvancedQueries extends QueryPack {
         |         (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp,
         |       len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
         |                          for i in range(1, len(toks) - 1)])) AS n_shingles
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q58_typed_ohlc" ->
+      """SELECT user_id,
+        |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       arg_min(value, event_id) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       arg_max(value, event_id) AS close,
+        |       count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
