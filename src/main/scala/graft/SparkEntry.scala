@@ -28,7 +28,8 @@ object SparkEntry {
     MlQueries,
     MultimodalQueries,
     ExtendedQueries,
-    AdvancedQueries
+    AdvancedQueries,
+    ReshapeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
