@@ -75,19 +75,17 @@ object TrendModel {
     * `predict_from_vm4.py:38` — same-data score, matching the reference's
     * train==eval choice). */
   def trainingAccuracy(models: Map[String, PipelineModel],
-                       bars: DataFrame): DataFrame = {
-    val spark = bars.sparkSession
-    val rows = models.toSeq.sortBy(_._1).map { case (s, m) =>
-      val scored = m.transform(bars.where(col("symbol") === s))
-      val agg = scored.agg(
-        count(lit(1)).as("n_obs"),
+                       bars: DataFrame): DataFrame =
+    // One lazy plan: per-symbol scored frames unioned, aggregated in a
+    // single job — not one collect per model.
+    models.toSeq.sortBy(_._1).map { case (s, m) =>
+      m.transform(bars.where(col("symbol") === s))
+        .select(col("symbol"), col("movement"), col("prediction"))
+    }.reduce(_ unionByName _)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_obs"),
         avg((col("prediction") === col("movement")).cast("double")).as("accuracy"))
-        .collect()(0)
-      (s, agg.getLong(0), agg.getDouble(1))
-    }
-    import spark.implicits._
-    rows.toDF("symbol", "n_obs", "accuracy")
-  }
+      .orderBy("symbol")
 
   /** Scale path: one model over all symbols (symbol index as a feature). */
   def trainGlobal(bars: DataFrame, seed: Long = 42L): PipelineModel = {
