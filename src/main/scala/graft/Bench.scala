@@ -15,15 +15,21 @@ object Bench {
     // so the first timed query isn't charged for it.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Deterministic execution order (Map iteration order is not).
+    // The noop sink forces FULL materialization of every projected column
+    // and keeps the final sort — `count()` would let Catalyst prune both,
+    // under-billing projection-heavy queries.
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => failed ::= s"$name:${e.getClass.getSimpleName}" }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,8 +37,13 @@ object SparkEntry {
     CoreQueries.dailyMovement(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate query name across packs: " +
+        all.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

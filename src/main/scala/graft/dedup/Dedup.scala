@@ -91,17 +91,42 @@ object Dedup {
     docs.select(col(id),
       HashFunctions.simhash64(TextAnalysis.tokens(col(text))).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 16-bit prefix (cheap LSH for
-    * Hamming space), verify with bit_count(xor) <= maxHamming. */
+  /** SimHash near-dup pairs: multi-band Hamming LSH. The 64-bit simhash
+    * is split into `bands` 16-bit blocks; a pair is a candidate if ANY
+    * band matches (union of bands in one shuffle via explode), then
+    * verified with bit_count(xor) <= maxHamming.
+    *
+    * Single-band prefix blocking fails twice at 100 TB: a hot prefix goes
+    * O(n²) (no cap) and near-dups differing anywhere in the block's bits
+    * are silently missed. Here every band gets a chance (recall: a pair
+    * with <= bands-1 differing bands collides in at least one band), and
+    * `maxBucket` bounds any degenerate bucket exactly as in
+    * [[minhashCandidatePairs]] — bucket-local pair-gen, no self-join. */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-                   maxHamming: Int): DataFrame = {
-    val sh = simhash(docs, id, text)
-      .select(col(id).as("doc"), col("simhash"),
-        shiftrightunsigned(col("simhash"), 48).as("block"))
-    val a = sh.select(col("block"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("block"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("block"))
-      .where(col("doc_a") < col("doc_b"))
+                   maxHamming: Int, bands: Int = 4,
+                   maxBucket: Int = 256): DataFrame = {
+    require(bands >= 1 && bands <= 4, "simhash64 splits into at most 4 16-bit bands")
+    val sh = simhash(docs, id, text).select(col(id).as("doc"), col("simhash"))
+    val bandStructs = array((0 until bands).map(i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("block"))): _*)
+    val banded = sh
+      .select(col("doc"), col("simhash"), explode(bandStructs).as("bb"))
+      .select(col("doc"), col("simhash"), col("bb.band"), col("bb.block"))
+    // One shuffle on (band, block); ordered pair-gen inside each bucket.
+    val buckets = banded.groupBy("band", "block")
+      .agg(collect_list(struct(col("doc"), col("simhash"))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+      .select(array_sort(col("ms")).as("ms"))
+    buckets.select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          b => struct(a.getField("doc").as("doc_a"),
+            b.getField("doc").as("doc_b"),
+            a.getField("simhash").as("sh_a"),
+            b.getField("simhash").as("sh_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sh_a"), col("p.sh_b"))
+      .distinct() // a pair may collide in several bands — emit once
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -47,7 +47,8 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs: 16-bit prefix blocks, Hamming <= 16. */
+  /** SimHash near-dup pairs: 4×16-bit band blocks (any-band collision,
+    * capped buckets), Hamming <= 16. */
   private def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
         maxHamming = 16)

@@ -1,14 +1,28 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ml.TrendModel
 import graft.tables.Tables
 
-/** ML-layer query (E3). RandomForest training-set accuracy per symbol —
-  * rows-only driver check (RF split selection is not SQL-expressible);
-  * the spec suite asserts accuracy > majority-class baseline. */
+/** ML-layer queries (E3).
+  *
+  * q46: RandomForest training-set accuracy per symbol — rows-only driver
+  * check (RF split selection is not SQL-expressible); the spec suite
+  * asserts accuracy > majority-class baseline.
+  *
+  * q63: the deterministic half of the training query — per-symbol bar
+  * counts and up-movement base rate, fully oracle-checked (this is the
+  * label distribution the RF trains against).
+  *
+  * q64: the realtime leg end-to-end — stream → micro-batch bars →
+  * trained-symbol guard (P8) → RF predict + change(%)
+  * (`ml_model/predict_from_vm4.py:44-65`), scored batches appended to a
+  * parquet sink (S10 analog). Rows-only; the guard semantics are asserted
+  * in MlMultimodalSpec. */
 object MlQueries extends QueryPack {
 
   private def rfAccuracy(spark: SparkSession, dir: String): DataFrame = {
@@ -24,9 +38,64 @@ object MlQueries extends QueryPack {
     } finally bars.unpersist()
   }
 
+  /** Per-symbol training-set shape: bar count + up-movement base rate.
+    * Deterministic (no RF involved) → full DuckDB oracle. */
+  private def trainingBaseRate(spark: SparkSession, dir: String): DataFrame =
+    TrendModel.dailyBars(Tables.events(spark, dir))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("movement").cast("long")).as("n_up"))
+      .select(col("symbol"), col("n_obs"), col("n_up"),
+        (col("n_up").cast("double") / col("n_obs")).as("up_rate"))
+      .orderBy("symbol")
+
+  /** E3 realtime leg: train on all symbols but the last (so the P8 guard
+    * has something to drop), then stream the events source and score each
+    * micro-batch's bars through the per-symbol models, appending to a
+    * parquet sink — the reference's change-stream → predict → insert loop
+    * (`predict_from_vm4.py:44-65`) with durable sinks. */
+  private def streamingInference(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val allBars = TrendModel.dailyBars(Tables.events(spark, dir)).coalesce(8).cache()
+    try {
+      val symbols = allBars.select("symbol").distinct()
+        .collect().map(_.getString(0)).sorted
+      val trained = symbols.dropRight(1) // holdout: last symbol untrained
+      val models = TrendModel.trainPerSymbol(
+        allBars.where(col("symbol").isin(trained: _*)), numTrees = 10)
+      val raw = spark.readStream.schema(Tables.eventsRawSchema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val out = Files.createTempDirectory("graft_infer_").toString
+      val q = raw.writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft_infer_ckpt_").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TrendModel.scoreBatch(TrendModel.dailyBars(batch), models)
+            .write.mode("append").parquet(out)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).orderBy("symbol", "user_id", "day")
+    } finally allBars.unpersist()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_rf_accuracy" -> rfAccuracy
+    "q46_rf_accuracy" -> rfAccuracy,
+    "q63_training_base_rate" -> trainingBaseRate,
+    "q64_streaming_inference" -> streamingInference
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  override def oracles: Map[String, String] = Map(
+    "q63_training_base_rate" ->
+      """WITH bars AS (
+        |  SELECT event_type AS symbol, user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |         arg_min(value, event_id) AS open,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT symbol, count(*) AS n_obs,
+        |       CAST(sum(CASE WHEN close > open THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |       CAST(sum(CASE WHEN close > open THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS up_rate
+        |FROM bars GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -475,7 +475,7 @@ object RelationalQueries extends QueryPack {
         |FROM events ORDER BY value DESC, event_id ASC LIMIT 20""".stripMargin,
     "q17_json_extract_agg" ->
       """SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         |       count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -26,18 +26,37 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  /** Sign-LSH bucketed ANN (8 hyperplanes): the 100 TB path. */
+  /** Sign-LSH bucketed ANN, 2 hyperplanes × 8 OR-ed tables: the 100 TB
+    * path — multi-table amplification recovers the recall a single hash
+    * table loses, candidates deduped before scoring. Tuning: per-plane
+    * collision p = 1-θ/π ≈ 0.6 for this corpus's true top-5 neighbors
+    * (cosine 0.26–0.49), so recall = 1-(1-p²)^8 ≈ 0.95; planes shrink
+    * buckets (2^planes per table), tables buy back recall — asserted
+    * ≥ 0.9 vs the exact q41 in DedupSimilaritySpec. */
   private def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
-        id = "vec_id", vec = "embedding", k = 5, numPlanes = 8, dim = 64)
+        id = "vec_id", vec = "embedding", k = 5, numPlanes = 2, dim = 64,
+        numTables = 8)
       .orderBy("query_id", "rank")
   }
+
+  /** LSH-blocked cosine near-dup (the unbounded-block-size path): block
+    * key = (label, table, sign-LSH bucket), 2 planes × 8 OR-ed tables.
+    * Precision is exact (every candidate re-verified by true cosine);
+    * recall is probabilistic → rows-only driver check, recall vs the
+    * exact q40 asserted in DedupSimilaritySpec. */
+  private def lshCosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(Tables.embeddings(spark, dir),
+        id = "vec_id", vec = "embedding", blockCol = "label",
+        threshold = 0.45, numPlanes = 2, dim = 64, numTables = 8)
+      .orderBy("id_a", "id_b")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
     "q41_cosine_topk" -> bruteForceTopK,
-    "q42_ann_lsh_topk" -> lshTopK
+    "q42_ann_lsh_topk" -> lshTopK,
+    "q62_lsh_cosine_neardup" -> lshCosineNearDup
   )
 
   override def oracles: Map[String, String] = Map(

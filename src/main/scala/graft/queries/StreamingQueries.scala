@@ -51,16 +51,25 @@ object StreamingQueries extends QueryPack {
     spark.table(name).orderBy("event_type", "bar_start_str")
   }
 
-  /** Streaming dedup (T4): duplicated stream (self-union) →
-    * dropDuplicates on the id → per-type counts equal the distinct batch
-    * counts. */
-  private def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming dedup (T4): duplicated stream (self-union) → watermarked
+    * dropDuplicatesWithinWatermark on the id → per-type counts equal the
+    * distinct batch counts. The watermark bounds dedup state (an
+    * unwatermarked dropDuplicates keeps every id forever — the classic
+    * streaming scale-killer at 100 TB). */
+  /** The q45 streaming frame, exposed so StreamingSpec can assert the
+    * plan carries an event-time watermark (bounded dedup state). */
+  private[graft] def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
     val dup = src.unionByName(src)
-    val counts = dup.dropDuplicates("event_id")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Pipelines.watermarkDedup(dup, ts = "ts", key = "event_id")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  private def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = dedupStream(spark, dir)
     val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
     val q = counts.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()

@@ -65,19 +65,40 @@ object Similarity {
       when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The per-table (tableId, bucket) structs for a vector, computed in one
+    * pass over the scan — explode turns them into rows for the bucket
+    * shuffle. OR-amplification: a pair is a candidate if it collides in
+    * ANY table. */
+  private def tableBuckets(vec: Column, tables: Array[Array[Array[Double]]]): Column =
+    array(tables.zipWithIndex.map { case (p, t) =>
+      struct(lit(t).as("tbl"), lshBucket(vec, p).as("bucket"))
+    }: _*)
+
   /** ANN via sign-LSH: bucket both sides on `numPlanes` hyperplane signs,
     * rank only within buckets. At scale this turns the all-pairs score
     * into per-bucket joins — one shuffle on the bucket id; recall is
-    * tuned by numPlanes (fewer planes → bigger buckets → higher recall). */
+    * tuned by numPlanes (fewer planes → bigger buckets → higher recall)
+    * and `numTables` (independent seeded plane sets, OR-ed: a true
+    * neighbor missed by one table is caught by another — recall
+    * 1-(1-p^planes)^tables, the standard LSH amplification). Candidate
+    * (query, neighbor) pairs are deduped before scoring so each pair is
+    * scored once regardless of how many tables it collides in. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
-      .withColumn("bucket", lshBucket(col("qv"), planes))
-    val c = withNorm(corpus, id, vec, "neighbor_id", "cv", "cn")
-      .withColumn("bucket", lshBucket(col("cv"), planes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+              vec: String, k: Int, numPlanes: Int, dim: Int,
+              numTables: Int = 1, seed: Long = 42L): DataFrame = {
+    val tables = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
+    def bucketed(df: DataFrame, idOut: String, vecOut: String, normOut: String) =
+      withNorm(df, id, vec, idOut, vecOut, normOut)
+        .select(col(idOut), col(vecOut), col(normOut),
+          explode(tableBuckets(col(vecOut), tables)).as("bb"))
+        .select(col(idOut), col(vecOut), col(normOut),
+          col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val q = bucketed(queries, "query_id", "qv", "qn")
+    val c = bucketed(corpus, "neighbor_id", "cv", "cn")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -86,18 +107,58 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column (label,
-    * LSH bucket, …): all block-local pairs above a cosine threshold. */
+    * LSH bucket, …): all block-local pairs above a cosine threshold.
+    *
+    * EXACT within a block, so blocks must be bounded: `maxBlock` excludes
+    * any block whose size would make in-block all-pairs quadratic (at
+    * 100 TB a low-cardinality block column puts millions of vectors in
+    * one block). Oversized blocks are dropped, not silently truncated —
+    * route them through [[lshCosinePairs]], the probabilistic path whose
+    * block key includes an LSH bucket. */
   def blockedCosinePairs(df: DataFrame, id: String, vec: String,
-                         blockCol: String, threshold: Double): DataFrame = {
+                         blockCol: String, threshold: Double,
+                         maxBlock: Int = 4096): DataFrame = {
     val v = df.select(col(blockCol).as("__blk"), col(id).as("vid"),
         vecDouble(col(vec)).as("dv"))
       .withColumn("nrm", norm(col("dv")))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy("__blk")))
+      .where(col("__bn") <= maxBlock)
     val a = v.select(col("__blk"), col("vid").as("id_a"), col("dv").as("v_a"),
       col("nrm").as("n_a"))
     val b = v.select(col("__blk"), col("vid").as("id_b"), col("dv").as("v_b"),
       col("nrm").as("n_b"))
     a.join(b, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Near-dup cosine pairs at unbounded block sizes: the block key is
+    * (blockCol, table, signLshBucket), so no block is ever all-pairs over
+    * the full column value — the LSH bucket splits it ~2^numPlanes ways.
+    * OR-ed over `numTables` seeded tables for recall (candidates deduped,
+    * each surviving pair verified by exact cosine >= threshold, so
+    * precision is exact; only recall is probabilistic). */
+  def lshCosinePairs(df: DataFrame, id: String, vec: String,
+                     blockCol: String, threshold: Double,
+                     numPlanes: Int, dim: Int, numTables: Int = 4,
+                     seed: Long = 42L): DataFrame = {
+    val tables = Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t))
+    val v = df.select(col(blockCol).as("__blk"), col(id).as("vid"),
+        vecDouble(col(vec)).as("dv"))
+      .withColumn("nrm", norm(col("dv")))
+      .select(col("__blk"), col("vid"), col("dv"), col("nrm"),
+        explode(tableBuckets(col("dv"), tables)).as("bb"))
+      .select(col("__blk"), col("bb.tbl").as("__tbl"), col("bb.bucket").as("__bkt"),
+        col("vid"), col("dv"), col("nrm"))
+    val a = v.select(col("__blk"), col("__tbl"), col("__bkt"),
+      col("vid").as("id_a"), col("dv").as("v_a"), col("nrm").as("n_a"))
+    val b = v.select(col("__blk"), col("__tbl"), col("__bkt"),
+      col("vid").as("id_b"), col("dv").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("__blk", "__tbl", "__bkt"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -41,30 +41,34 @@ object TimeSeries {
   /** Exponential moving average per key: e_t = α·v_t + (1−α)·e_{t−1},
     * seeded with the first value.
     *
-    * EMA is inherently sequential per key, so this is the one operator
-    * here that materializes a group: `groupByKey → flatMapGroups` with an
-    * in-memory sort. That is the right scale trade-off for series keyed by
-    * symbol/user (bounded per-key history); for unbounded keys, resample
-    * first. */
+    * EMA is inherently sequential per key, but nothing is materialized:
+    * `groupByKey → flatMapSortedGroups` secondary-sorts within the single
+    * key shuffle (Spark sorts partitions, spilling as needed) and the fold
+    * streams the iterator — O(1) memory per key, any key cardinality or
+    * series length. Keys group on their string form (works for symbol
+    * strings and numeric ids alike) and the output key column is cast back
+    * to the input key type. */
   def ema(df: DataFrame, key: String, orderCol: String, value: String,
           alpha: Double, out: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val keyType = df.schema(key).dataType
     val beta = 1.0 - alpha
-    df.select(col(key).cast("long"), col(orderCol).cast("long"),
-        col(value).cast("double"))
-      .as[(Long, Long, Double)]
+    df.select(col(key).cast("string").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(value).cast("double").as("v"))
+      .as[(String, Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Double)]) =>
-        val sorted = it.toArray.sortBy(_._2)
+      .flatMapSortedGroups($"o") { (k: String, it: Iterator[(String, Long, Double)]) =>
         var e = 0.0
         var first = true
-        sorted.iterator.map { case (_, o, v) =>
+        it.map { case (_, o, v) =>
           e = if (first) { first = false; v } else alpha * v + beta * e
           (k, o, v, e)
         }
       }
       .toDF(key, orderCol, value, out)
+      .withColumn(key, col(key).cast(keyType))
   }
 
   /** As-of join: for each left row, the latest right row of the same key

@@ -84,4 +84,94 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
   }
+
+  private def fixtureDocs = graft.tables.Tables
+    .documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
+
+  test("simhash multi-band candidates = exactly the any-band-collision pairs (fixture)") {
+    val got = Dedup.simhashPairs(fixtureDocs, "doc_id", "text", maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhash(fixtureDocs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 16
+      if (0 until 4).exists(i => ((ha >>> (i * 16)) & 0xFFFFL) == ((hb >>> (i * 16)) & 0xFFFFL))
+    } yield (a, b)).toSet
+    assert(got == expected)
+  }
+
+  test("simhash multi-band recall dominates single-band (band union is monotone)") {
+    val one = Dedup.simhashPairs(fixtureDocs, "doc_id", "text",
+        maxHamming = 16, bands = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val four = Dedup.simhashPairs(fixtureDocs, "doc_id", "text",
+        maxHamming = 16, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(four))
+  }
+
+  test("simhash bucket cap bounds degenerate buckets (no O(n²) blowup path)") {
+    val same = Seq.tabulate(20)(i =>
+      (i.toLong, "the very same text in every single document here")).toDF("doc_id", "text")
+    // 20 identical simhashes → every band bucket has 20 members > cap 10 → dropped
+    assert(Dedup.simhashPairs(same, "doc_id", "text", maxHamming = 64,
+      bands = 4, maxBucket = 10).isEmpty)
+    // raise the cap → all 190 ordered pairs emerge
+    assert(Dedup.simhashPairs(same, "doc_id", "text", maxHamming = 64,
+      bands = 4, maxBucket = 64).count() == 190L)
+  }
+
+  test("blockedCosinePairs maxBlock excludes oversized blocks, keeps bounded ones") {
+    val blocked = vecs.withColumn("label", lit(0))
+    // block of 4 > maxBlock 3 → excluded entirely
+    assert(Similarity.blockedCosinePairs(blocked, "vec_id", "embedding",
+      "label", threshold = 0.9, maxBlock = 3).isEmpty)
+    // cap at the block size → unchanged exact result
+    val got = Similarity.blockedCosinePairs(blocked, "vec_id", "embedding",
+        "label", threshold = 0.9, maxBlock = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  private def fixtureEmb = graft.tables.Tables
+    .embeddings(spark, "/root/testdata/sf0.01")
+
+  test("lshTopK multi-table recall >= 0.9 vs exact top-5 (q42 config)") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+        numPlanes = 2, dim = 64, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("lshTopK recall is monotone in the number of tables (OR-amplification)") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Int): Double = {
+      val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+          numPlanes = 2, dim = 64, numTables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & ann).size.toDouble / exact.size
+    }
+    // table 0 uses the same seed in both configs → candidate set only grows
+    assert(recall(8) >= recall(1))
+  }
+
+  test("lshCosinePairs: exact precision, recalls the exact near-dups (q62 config)") {
+    val exact = Similarity.blockedCosinePairs(fixtureEmb, "vec_id", "embedding",
+        "label", threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCosinePairs(fixtureEmb, "vec_id", "embedding",
+        "label", threshold = 0.45, numPlanes = 2, dim = 64, numTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // every emitted pair is verified by true cosine
+    assert(lsh == exact, s"missed: ${exact -- lsh}") // seeded tables recover all pairs here
+  }
 }

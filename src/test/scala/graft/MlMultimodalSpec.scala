@@ -57,6 +57,32 @@ class MlMultimodalSpec extends AnyFunSuite {
     assert(scored.count() == bars.count())
   }
 
+  test("q64 streaming inference: P8 guard drops the holdout symbol end-to-end") {
+    val scored = SparkEntry.queries("q64_streaming_inference")(
+      spark, "/root/testdata/sf0.001")
+    assert(scored.count() > 0)
+    val symbols = scored.select("symbol").distinct()
+      .as[String].collect().toSet
+    // holdout = last symbol in sorted order, never scored (predict_from_vm4.py:53-55)
+    assert(symbols == Set("click", "error", "purchase", "signup"), symbols)
+    assert(scored.columns.toSet ==
+      Set("symbol", "user_id", "day", "prediction", "change_pct"))
+  }
+
+  test("q63 training base rate matches the label distribution dailyBars produces") {
+    val got = SparkEntry.queries("q63_training_base_rate")(
+      spark, "/root/testdata/sf0.001")
+    val byHand = bars.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum(col("movement")).as("up"))
+      .select(col("symbol"), col("n"), col("up").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, u) => s -> (n, u) }.toMap
+    val rows = got.select("symbol", "n_obs", "n_up")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, u) => assert(byHand(s) == (n, u), s) }
+  }
+
   test("multimodal: synthesized media carries typed meta and binary payload") {
     val media = Multimodal.synthesizeFromDocuments(
       Tables.documents(spark, "/root/testdata/sf0.001"))

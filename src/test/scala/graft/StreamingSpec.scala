@@ -98,4 +98,12 @@ class StreamingSpec extends AnyFunSuite {
     try { input.addData(data: _*); q.processAllAvailable() } finally q.stop()
     name
   }
+
+  test("q45's streaming dedup plan carries an event-time watermark (bounded state)") {
+    val plan = graft.queries.StreamingQueries
+      .dedupStream(spark, "/root/testdata/sf0.001")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan)
+    assert(plan.contains("DeduplicateWithinWatermark"), plan)
+  }
 }
