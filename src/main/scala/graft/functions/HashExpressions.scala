@@ -103,8 +103,7 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
 /** 64-bit SimHash over an array of tokens: per-token FNV-1a, each bit
   * votes ±1, sign of the vote is the output bit. Near-dup fingerprint
   * whose Hamming distance tracks token-multiset similarity. */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -126,6 +125,37 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val t = ctx.freshName("t")
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $t = 0; $t < $c.numElements(); $t++) {
+         |  if (!$c.isNullAt($t)) {
+         |    byte[] $bytes = $c.getUTF8String($t).getBytes();
+         |    long $h = ${Hashing.FnvOffset}L;
+         |    for (int $j = 0; $j < $bytes.length; $j++) {
+         |      $h ^= ($bytes[$j] & 0xffL);
+         |      $h *= ${Hashing.FnvPrime}L;
+         |    }
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -134,7 +164,7 @@ case class SimHash64(child: Expression) extends UnaryExpression
   * minima over per-element FNV-1a values, h_i(x) = a_i·x + b_i (odd a_i
   * from splitmix64(i)). One pass over the set per row, O(|set|·H). */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   @transient private lazy val as: Array[Long] =
     Array.tabulate(numHashes)(i => Hashing.splitmix64(2L * i) | 1L)
@@ -158,6 +188,37 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val asRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val mins = ctx.freshName("mins")
+      val t = ctx.freshName("t")
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $c.numElements(); $t++) {
+         |  if (!$c.isNullAt($t)) {
+         |    byte[] $bytes = $c.getUTF8String($t).getBytes();
+         |    long $h = ${Hashing.FnvOffset}L;
+         |    for (int $j = 0; $j < $bytes.length; $j++) {
+         |      $h ^= ($bytes[$j] & 0xffL);
+         |      $h *= ${Hashing.FnvPrime}L;
+         |    }
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $v = $asRef[$i] * $h + $bsRef[$i];
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }

@@ -19,6 +19,13 @@ object TrendModel {
 
   val FeatureCols: Seq[String] = Seq("open", "high", "low", "close", "volume")
 
+  /** The reference's forest width — sklearn `n_estimators=100`
+    * (`ml_model/predict_from_vm4.py:35`). The library default (20) trades
+    * width for fit cost since numeric parity with sklearn is impossible
+    * anyway; pass `numTrees = ReferenceNumTrees` for full width parity
+    * (exercised in MlMultimodalSpec). */
+  val ReferenceNumTrees: Int = 100
+
   /** Daily OHLCV bars per (symbol, user, day) from the tick stand-in —
     * the engine's equivalent of the reference's per-symbol history
     * collections. */

@@ -34,6 +34,17 @@ class MlMultimodalSpec extends AnyFunSuite {
     assert(acc.forall(_ > 0.5), s"accuracies: ${acc.toSeq}")
   }
 
+  test("reference-width forest (n_estimators=100 parity) trains and scores one symbol") {
+    val clickBars = bars.where(col("symbol") === "click")
+    val m = TrendModel.pipeline(numTrees = TrendModel.ReferenceNumTrees).fit(clickBars)
+    val rf = m.stages(1).asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel]
+    assert(rf.getNumTrees == 100)
+    val acc = m.transform(clickBars)
+      .select(avg((col("prediction") === col("movement")).cast("double")))
+      .as[Double].collect()(0)
+    assert(acc > 0.5)
+  }
+
   test("model save/load roundtrip (S11: joblib.dump → MLlib persistence)") {
     val models = TrendModel.trainPerSymbol(bars)
     val dir = Files.createTempDirectory("model").toString
