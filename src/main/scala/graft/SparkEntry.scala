@@ -29,7 +29,8 @@ object SparkEntry {
     MultimodalQueries,
     ExtendedQueries,
     AdvancedQueries,
-    ReshapeQueries
+    ReshapeQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -21,4 +21,23 @@ object Salting {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(out), sum(col("__n")).as(s"${out}_n"))
   }
+
+  /** Skew-resilient inner equi-join: the (possibly skewed) `left` side
+    * scatters each row into one of `buckets` salted sub-keys, and `right`
+    * replicates every row to all buckets, so a hot key's rows land on
+    * `buckets` shuffle partitions instead of one. Join semantics are
+    * exactly the plain inner equi-join (the oracle checks that).
+    *
+    * Use when the dim is too big to broadcast but a few keys dominate the
+    * fact side; replication cost = |right| × buckets. (With AQE on,
+    * `spark.sql.adaptive.skewJoin` does this re-plan automatically — this
+    * operator is the explicit, deterministic form.) */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltSource: String, buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.ops.{Merge, Salting}
+import graft.tables.Tables
+import graft.text.TextAnalysis
+
+/** Maintenance / scale-pattern queries (round 2 widening): latest-wins
+  * merge, skew-salted join, stream-static enrichment, mergeable sketches,
+  * and corpus term statistics. All but the sketch estimates are fully
+  * oracle-checked; the sketch queries use the deterministic-tolerance
+  * pattern (exact value + bound-check boolean, oracle asserts TRUE). */
+object PipelineQueries extends QueryPack {
+
+  /** q65: SCD-1 latest-wins upsert. Updates double the value and arrive
+    * one hour later for every 10th event; merge must keep exactly those
+    * versions (oracle = same union + window in SQL). */
+  private def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value", "ts")
+    val base = ev.withColumn("src", lit(0))
+    val updates = ev.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("src", lit(1))
+    Merge.upsertLatest(base, updates, key = "event_id",
+        version = "ts", tiebreak = "src")
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .orderBy("event_id")
+  }
+
+  /** q66: salted skew join lineitem ⋈ supplier — result must equal the
+    * plain equi-join (the oracle IS the unsalted SQL). */
+  private def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_quantity", "l_orderkey")
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    Salting.saltedJoin(li, sup, key = "l_suppkey",
+        saltSource = "l_orderkey", buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
+          .as("total_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  /** q67: stream-static enrichment — the events stream joined to the
+    * broadcast customer dim (no shuffle of the stream, no state), windowless
+    * running aggregate to a memory sink. */
+  private def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val agg = raw.join(broadcast(dim), raw("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_c"))
+    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("c_mktsegment"), col("n"),
+        round(col("total_c") / 100.0, 2).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q68: count-min sketch point estimates vs exact per-key counts. CMS
+    * never under-counts and over-counts by at most eps·N with the chosen
+    * confidence; with a fixed seed the check is deterministic, so the
+    * oracle asserts the bound as TRUE. The sketch aggregation is fully
+    * distributed + mergeable (the 100 TB partial-agg pattern); only the
+    * per-distinct-key bound check is key-cardinality-sized.
+    *
+    * (UDF exception: Spark exposes no point-query expression for its CMS
+    * binary, so the lookup closes over the broadcast sketch.) */
+  private def countMinCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val eps = 0.001
+    val bytes = ev
+      .select(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val slack = math.ceil(eps * ev.count()).toLong
+    val bc = spark.sparkContext.broadcast(cms)
+    val est = udf((k: Long) => bc.value.estimateCount(k))
+    ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .withColumn("cms_est", est(col("user_id")))
+      .select(col("user_id"), col("exact_n"),
+        (col("cms_est") >= col("exact_n") &&
+          col("cms_est") <= col("exact_n") + lit(slack)).as("cms_ok"))
+      .orderBy("user_id")
+  }
+
+  /** q69: HLL sketch partial-merge — per-group sketches OR-merged into a
+    * global estimate (hll_union_agg), checked against exact distinct
+    * within 5%. Demonstrates the mergeable-sketch path that replaces
+    * count(DISTINCT) at 100 TB. */
+  private def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val merged = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(count(lit(1)).as("n_groups"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_groups"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double")
+          / col("exact_users") < 0.05).as("hll_ok"))
+  }
+
+  /** q70: per-language top-5 terms by document frequency (integer-exact
+    * tf/df — no float scoring, so the oracle hash-matches bit-for-bit). */
+  private def termDocFreq(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val agg = toks.groupBy("lang", "token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("lang").orderBy(desc("df"), desc("tf"), asc("token"))
+    agg.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("lang", "token", "tf", "df", "rank")
+      .orderBy("lang", "rank")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_upsert_latest" -> upsertLatest,
+    "q66_salted_join" -> saltedJoin,
+    "q67_stream_static_enrich" -> streamStaticEnrich,
+    "q68_countmin_check" -> countMinCheck,
+    "q69_hll_merge" -> hllMerge,
+    "q70_term_doc_freq" -> termDocFreq
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q65_upsert_latest" ->
+      """WITH u AS (
+        |  SELECT event_id, event_type, value, ts FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value * 2, ts + INTERVAL 1 HOUR
+        |  FROM events WHERE event_id % 10 = 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |  FROM u)
+        |SELECT event_id, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q66_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_stream_static_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(sum(CAST(round(value*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_countmin_check" ->
+      """SELECT user_id, count(*) AS exact_n, TRUE AS cms_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_hll_merge" ->
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events""".stripMargin,
+    "q70_term_doc_freq" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |a AS (
+        |  SELECT lang, token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |                               ORDER BY df DESC, tf DESC, token) AS rk
+        |  FROM a)
+        |SELECT lang, token, tf, df, rk AS rank
+        |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Merge, Salting}
+import graft.tables.Tables
+
+/** Round-2 maintenance/scale operators: latest-wins merge, salted join,
+  * sketch checks. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("upsertLatest keeps exactly the newest version per key") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("k", "v", "ver").withColumn("src", lit(0))
+    val updates = Seq((2L, "b2", 20L), (3L, "c0", 5L))
+      .toDF("k", "v", "ver").withColumn("src", lit(1))
+    val got = Merge.upsertLatest(base, updates, "k", "ver", "src")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    // k=2 updated (newer version); k=3 NOT updated (older version loses)
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("upsertLatest tiebreak: updates win at equal version") {
+    val base = Seq((1L, "old", 10L)).toDF("k", "v", "ver").withColumn("src", lit(0))
+    val updates = Seq((1L, "new", 10L)).toDF("k", "v", "ver").withColumn("src", lit(1))
+    val got = Merge.upsertLatest(base, updates, "k", "ver", "src")
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("new"))
+  }
+
+  test("saltedJoin equals the plain inner equi-join") {
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity", "l_orderkey")
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val salted = Salting.saltedJoin(li, sup, "l_suppkey", "l_orderkey", buckets = 8)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val plain = li.join(sup, "l_suppkey")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("q67 stream-static enrich plan broadcasts the dim (no stream shuffle for the join)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val joined = raw.join(broadcast(dim), raw("user_id") === dim("c_custkey"))
+    val name = "p_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(exec.contains("BroadcastHashJoin"), exec)
+    } finally q.stop()
+  }
+
+  test("count-min estimates never under-count (fixture)") {
+    val got = SparkEntry.queries("q68_countmin_check")(spark, dir)
+      .select("cms_ok").as[Boolean].collect()
+    assert(got.nonEmpty && got.forall(identity))
+  }
+
+  test("hll merged estimate within 5% of exact (fixture)") {
+    val got = SparkEntry.queries("q69_hll_merge")(spark, dir)
+      .select("hll_ok").as[Boolean].collect()
+    assert(got.toSeq == Seq(true))
+  }
+}
