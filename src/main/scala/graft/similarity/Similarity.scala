@@ -95,11 +95,15 @@ object Similarity {
           col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     val q = bucketed(queries, "query_id", "qv", "qn")
     val c = bucketed(corpus, "neighbor_id", "cv", "cn")
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    // Score BEFORE the pair dedup: one extra dot per duplicate collision is
+    // far cheaper than shuffling both embedding vectors through the
+    // dedup exchange (the cosine is identical in every table, so deduping
+    // the scored scalars is equivalent).
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -156,11 +160,15 @@ object Similarity {
       col("vid").as("id_a"), col("dv").as("v_a"), col("nrm").as("n_a"))
     val b = v.select(col("__blk"), col("__tbl"), col("__bkt"),
       col("vid").as("id_b"), col("dv").as("v_b"), col("nrm").as("n_b"))
+    // Verify by exact cosine BEFORE the cross-table pair dedup: the
+    // threshold kills almost every candidate in-bucket, so only the
+    // (tiny) surviving scalar rows reach the dedup shuffle — never the
+    // embedding vectors themselves.
     a.join(b, Seq("__blk", "__tbl", "__bkt"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .dropDuplicates("id_a", "id_b")
   }
 }
