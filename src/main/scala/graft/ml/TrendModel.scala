@@ -94,16 +94,20 @@ object TrendModel {
         avg((col("prediction") === col("movement")).cast("double")).as("accuracy"))
       .orderBy("symbol")
 
-  /** Scale path: one model over all symbols (symbol index as a feature). */
+  /** Scale path: one model over all symbols (hashed symbol as a feature) —
+    * no per-key fit loop, no driver collect of the key set, any key
+    * cardinality. The hashing lives INSIDE the pipeline (SQLTransformer)
+    * so the saved/loaded model scores raw bars directly. */
   def trainGlobal(bars: DataFrame, seed: Long = 42L): PipelineModel = {
-    val indexed = bars.withColumn("symbol_idx",
-      xxhash64(col("symbol")).cast("double"))
+    val indexer = new org.apache.spark.ml.feature.SQLTransformer()
+      .setStatement(
+        "SELECT *, CAST(xxhash64(symbol) AS DOUBLE) AS symbol_idx FROM __THIS__")
     val assembler = new VectorAssembler()
       .setInputCols((FeatureCols :+ "symbol_idx").toArray).setOutputCol("features")
     val rf = new RandomForestClassifier()
       .setLabelCol("movement").setFeaturesCol("features")
       .setNumTrees(20).setSeed(seed)
-    new Pipeline().setStages(Array(assembler, rf)).fit(indexed)
+    new Pipeline().setStages(Array(indexer, assembler, rf)).fit(bars)
   }
 
   /** Streaming inference (E3's realtime leg): score each micro-batch,

@@ -79,10 +79,28 @@ object MlQueries extends QueryPack {
     } finally allBars.unpersist()
   }
 
+  /** The unbounded-key-cardinality path made driver-visible: ONE global
+    * forest with the hashed symbol as a feature (no per-key fit loop, no
+    * driver collect of the key set) — per-symbol training accuracy of
+    * that single model. Rows-only (RF internals are not SQL-expressible);
+    * spec asserts it beats the majority baseline. */
+  private def globalRf(spark: SparkSession, dir: String): DataFrame = {
+    val bars = TrendModel.dailyBars(Tables.events(spark, dir)).coalesce(8).cache()
+    try {
+      val m = TrendModel.trainGlobal(bars)
+      m.transform(bars)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_obs"),
+          avg((col("prediction") === col("movement")).cast("double")).as("accuracy"))
+        .orderBy("symbol")
+    } finally bars.unpersist()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
-    "q64_streaming_inference" -> streamingInference
+    "q64_streaming_inference" -> streamingInference,
+    "q71_global_rf" -> globalRf
   )
 
   override def oracles: Map[String, String] = Map(

@@ -43,6 +43,22 @@ class ExtendedSpec extends AnyFunSuite {
       df.select(sum("event_id")).as[Long].head())
   }
 
+  test("ORC and JSON-lines sinks roundtrip (engine source/sink surface)") {
+    val df = Tables.events(spark, dir).limit(100)
+      .select("event_id", "event_type", "value")
+    val checksum = df.select(sum("event_id")).as[Long].head()
+    val orc = Files.createTempDirectory("orc").toString + "/data"
+    df.write.orc(orc)
+    val orcBack = spark.read.schema(df.schema).orc(orc)
+    assert(orcBack.count() == 100 &&
+      orcBack.select(sum("event_id")).as[Long].head() == checksum)
+    val js = Files.createTempDirectory("json").toString + "/data"
+    df.write.json(js)
+    val jsBack = spark.read.schema(df.schema).json(js)
+    assert(jsBack.count() == 100 &&
+      jsBack.select(sum("event_id")).as[Long].head() == checksum)
+  }
+
   test("partitioned parquet sink S10 creates per-key directories (predict_from_vm4.py:64)") {
     val out = Files.createTempDirectory("pq").toString + "/data"
     Tables.events(spark, dir).limit(500)

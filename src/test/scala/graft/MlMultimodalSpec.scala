@@ -80,6 +80,13 @@ class MlMultimodalSpec extends AnyFunSuite {
       Set("symbol", "user_id", "day", "prediction", "change_pct"))
   }
 
+  test("q71 global model (symbol-as-feature) beats majority baseline per symbol") {
+    val got = SparkEntry.queries("q71_global_rf")(spark, "/root/testdata/sf0.001")
+      .select("symbol", "accuracy").as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("click", "error", "purchase", "signup", "view"))
+    assert(got.values.forall(_ > 0.5), s"accuracies: $got")
+  }
+
   test("q63 training base rate matches the label distribution dailyBars produces") {
     val got = SparkEntry.queries("q63_training_base_rate")(
       spark, "/root/testdata/sf0.001")

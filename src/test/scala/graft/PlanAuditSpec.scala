@@ -10,11 +10,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // Streaming queries execute on .start(), not a batch plan; RF trains on
-  // collect. Audit the batch-planned queries.
+  // Streaming queries execute on .start(), not a batch plan (the returned
+  // frame is just a memory-sink scan); RF trains on collect. Audit the
+  // batch-planned queries.
   private val batchQueries = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(Set("q44_streaming_bars", "q45_streaming_dedup",
-      "q46_rf_accuracy", "q56_stream_stream_join"))
+      "q46_rf_accuracy", "q56_stream_stream_join",
+      "q64_streaming_inference", "q67_stream_static_enrich",
+      "q71_global_rf"))
 
   test("no query plans a CartesianProduct") {
     batchQueries.foreach { name =>
@@ -53,5 +56,37 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     // codegen stages print as "*(n) Operator" in the final plan
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(2000))
+  }
+
+  test("q65 merge plans one key shuffle + window (no join, no cartesian)") {
+    val df = SparkEntry.queries("q65_upsert_latest")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("Join"), "merge must not plan a join")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles")
+  }
+
+  test("q70 aggregation combines map-side (partial aggregate before the shuffle)") {
+    val df = SparkEntry.queries("q70_term_doc_freq")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(2000))
+    assert(plan.split("HashAggregate").length > 2,
+      "expected partial + final aggregate pair")
+  }
+
+  test("partition pruning reaches a partitioned-parquet scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    graft.tables.Tables.events(spark, dir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("event_id")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      plan.take(2000))
   }
 }
