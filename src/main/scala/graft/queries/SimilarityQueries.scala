@@ -52,11 +52,24 @@ object SimilarityQueries extends QueryPack {
         threshold = 0.45, numPlanes = 2, dim = 64, numTables = 8)
       .orderBy("id_a", "id_b")
 
+  /** IVF ANN (16 cells, probe 8): k-means coarse quantizer over unit
+    * vectors, per-cell scoring only — the inverted-file scale path.
+    * Rows-only (centroids are engine-specific); recall vs the exact q41
+    * and the nProbe=nCells==brute-force identity are asserted in
+    * DedupSimilaritySpec. */
+  private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+        id = "vec_id", vec = "embedding", k = 5, nCells = 16, nProbe = 8)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
-    "q62_lsh_cosine_neardup" -> lshCosineNearDup
+    "q62_lsh_cosine_neardup" -> lshCosineNearDup,
+    "q72_ivf_topk" -> ivfTopK
   )
 
   override def oracles: Map[String, String] = Map(

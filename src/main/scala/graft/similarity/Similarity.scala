@@ -110,6 +110,54 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nCells` cells over L2-NORMALIZED vectors (unit-sphere
+    * L2 is monotone in cosine, so cells respect angular locality); each
+    * query probes only its `nProbe` nearest cells. Cell assignment is one
+    * MLlib transform in the scan; the probe list is computed per query
+    * from the (tiny, driver-held) centroid array as a sorted literal
+    * struct — no extra shuffle. `nProbe == nCells` degenerates to exact
+    * brute force (asserted in spec); recall/cost is tuned by the ratio.
+    * At 100 TB: corpus partitioned by cell (the inverted file), queries
+    * broadcast, per-cell scoring only — the standard IVF-flat layout. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nCells: Int, nProbe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    def unit(vecCol: Column, normCol: Column): Column =
+      transform(vecCol, x => x / normCol)
+    val c = withNorm(corpus, id, vec, "neighbor_id", "cv", "cn")
+      .withColumn("fv", array_to_vector(unit(col("cv"), col("cn"))))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(c)
+    val cAssigned = model.transform(c).select("neighbor_id", "cv", "cn", "cell")
+    val centroids = model.clusterCenters.map(_.toArray)
+    // ||u - ctr||² = ||u||² + ||ctr||² - 2·u·ctr with ||u|| = 1 constant →
+    // rank cells by (||ctr||² - 2·u·ctr). Sorted literal structs, probe
+    // the first nProbe.
+    val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
+    val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
+      val ctrLit = array(ctr.map(lit): _*)
+      struct(
+        (lit(ctr.map(x => x * x).sum) -
+          dot(unit(col("qv"), col("qn")), ctrLit) * 2).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    val qProbed = q
+      .withColumn("probe", explode(slice(array_sort(cellDists), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("probe.cell").as("cell"))
+    val scored = cAssigned.join(broadcast(qProbed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking column (label,
     * LSH bucket, …): all block-local pairs above a cosine threshold.
     *

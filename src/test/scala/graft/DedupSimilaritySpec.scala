@@ -164,6 +164,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall(8) >= recall(1))
   }
 
+  test("ivfTopK with nProbe == nCells is exactly brute force") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val ivfAll = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivfAll == exact)
+  }
+
+  test("ivfTopK recall >= 0.8 at half the cells probed (q72 config)") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("lshCosinePairs: exact precision, recalls the exact near-dups (q62 config)") {
     val exact = Similarity.blockedCosinePairs(fixtureEmb, "vec_id", "embedding",
         "label", threshold = 0.45)
