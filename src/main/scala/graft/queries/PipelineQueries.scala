@@ -133,13 +133,69 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang", "rank")
   }
 
+  /** q73: the composed cleaning pipeline — token-length bounds, quality
+    * threshold, language-ID gate, then exact dedup (first-id-wins). One
+    * scan, all filters codegen'd column expressions, one shuffle on the
+    * fingerprint. The end-to-end shape of a training-data corpus clean. */
+  private def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+    scored
+      .where(col("n_tokens").between(5, 1000) &&
+        col("quality") >= 0.5 && col("predicted") =!= "und")
+      .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("predicted")).as("predicted"))
+      .select("doc_id", "n_tokens", "predicted", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  /** q74: deterministic corpus shuffle for training order — sort by a
+    * seeded content-independent hash of the id. At scale the orderBy is a
+    * range-partitioned sort (Spark plans Exchange rangepartitioning), so
+    * the total order lands across output files without a single-node
+    * pass; md5 matches bit-for-bit across engines. */
+  private def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy("shuffle_key")
+
+  /** q75: rolling volatility from exact integer sums. The window emits
+    * count/sum/sum-of-squares in integer cents (order-independent, exact
+    * at any partitioning); the sample variance is derived with the SAME
+    * float expression on both engines — every op is correctly rounded on
+    * identical inputs, so the hash matches bit-for-bit. */
+  private def rollingVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_w"),
+        sum(cents).over(w).as("sum_c"),
+        sum(cents * cents).over(w).as("sum_c2"))
+      .withColumn("variance_c2",
+        when(col("n_w") > 1,
+          (col("sum_c2").cast("double") -
+            col("sum_c").cast("double") * col("sum_c") / col("n_w"))
+            / (col("n_w") - 1)))
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
     "q68_countmin_check" -> countMinCheck,
     "q69_hll_merge" -> hllMerge,
-    "q70_term_doc_freq" -> termDocFreq
+    "q70_term_doc_freq" -> termDocFreq,
+    "q73_clean_corpus" -> cleanCorpus,
+    "q74_corpus_shuffle" -> corpusShuffle,
+    "q75_rolling_volatility" -> rollingVolatility
   )
 
   override def oracles: Map[String, String] = Map(
@@ -173,6 +229,58 @@ object PipelineQueries extends QueryPack {
         |       count(DISTINCT user_id) AS exact_users,
         |       TRUE AS hll_ok
         |FROM events""".stripMargin,
+    "q73_clean_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text, len(toks) AS n,
+        |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |         len(list_filter(toks, x -> x IN ('the','a','of'))) AS c_en,
+        |         len(list_filter(toks, x -> x IN ('el','la','los'))) AS c_es,
+        |         len(list_filter(toks, x -> x IN ('der','die','und'))) AS c_de,
+        |         len(list_filter(toks, x -> x IN ('le','et','les'))) AS c_fr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, text, n,
+        |         (least(CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |          + least(CAST(n_stop AS DOUBLE) * CAST(10.0 AS DOUBLE) / n, CAST(1.0 AS DOUBLE)))
+        |         / CAST(2.0 AS DOUBLE) AS quality,
+        |         CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) AND c_en > 0 THEN 'en'
+        |              WHEN c_es = greatest(c_en,c_es,c_de,c_fr) AND c_es > 0 THEN 'es'
+        |              WHEN c_de = greatest(c_en,c_es,c_de,c_fr) AND c_de > 0 THEN 'de'
+        |              WHEN c_fr = greatest(c_en,c_es,c_de,c_fr) AND c_fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS predicted
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, n, predicted,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM q
+        |  WHERE n BETWEEN 5 AND 1000 AND quality >= 0.5 AND predicted <> 'und')
+        |SELECT min(doc_id) AS doc_id, min(n) AS n_tokens,
+        |       min(predicted) AS predicted, fingerprint
+        |FROM f GROUP BY fingerprint ORDER BY doc_id""".stripMargin,
+    "q74_corpus_shuffle" ->
+      """SELECT doc_id,
+        |       md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+    "q75_rolling_volatility" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id,
+        |         count(*) OVER win AS n_w,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) OVER win AS BIGINT) AS sum_c,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)
+        |                  * CAST(round(value*100) AS BIGINT)) OVER win AS BIGINT) AS sum_c2
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, n_w, sum_c, sum_c2,
+        |       CASE WHEN n_w > 1
+        |            THEN (CAST(sum_c2 AS DOUBLE)
+        |                  - CAST(sum_c AS DOUBLE) * sum_c / n_w) / (n_w - 1)
+        |       END AS variance_c2
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q70_term_doc_freq" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -115,4 +115,17 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("DotProductD is bit-identical to the aggregate(zip_with) HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(
+      (Array.fill(16)(rnd.nextDouble()), Array.fill(16)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        graft.functions.HashFunctions.dot_d(col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("h"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (d, h) => assert(d == h) } // exact, not approx
+  }
 }
