@@ -77,10 +77,36 @@ object StreamingQueries extends QueryPack {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Streaming session windows (T6's session leg): the same
+    * `session_window` aggregation as the batch q51, driven from the file
+    * stream. Complete mode: state cardinality equals the output
+    * (users × sessions) — bounded like q44's bars; the production path
+    * for unbounded retention is watermark + append. */
+  private def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sess = raw
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .where(col("n_events") >= 2)
+      .orderBy("user_id", "session_start")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
-    "q45_streaming_dedup" -> streamingDedup
+    "q45_streaming_dedup" -> streamingDedup,
+    "q76_streaming_sessions" -> streamingSessions
   )
 
   override def oracles: Map[String, String] = Map(
@@ -95,6 +121,25 @@ object StreamingQueries extends QueryPack {
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bar_start_str""".stripMargin,
     "q45_streaming_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_streaming_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 5 MINUTE
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |HAVING count(*) >= 2
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
