@@ -25,6 +25,20 @@ import graft.tables.Tables
   * in MlMultimodalSpec. */
 object MlQueries extends QueryPack {
 
+  /** Temp dir reaped at JVM exit (the result frame reads it lazily, so it
+    * must outlive the query — but not the process). */
+  private def tempDirDeletedOnExit(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private def rfAccuracy(spark: SparkSession, dir: String): DataFrame = {
     // Bars are tiny relative to the tick scan (one row per key×day);
     // coalesce before the 5 sequential MLlib fits so each tree job runs a
@@ -66,9 +80,9 @@ object MlQueries extends QueryPack {
       val raw = spark.readStream.schema(Tables.eventsRawSchema)
         .parquet(s"$dir/events*.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val out = Files.createTempDirectory("graft_infer_").toString
+      val out = tempDirDeletedOnExit("graft_infer_")
       val q = raw.writeStream
-        .option("checkpointLocation", Files.createTempDirectory("graft_infer_ckpt_").toString)
+        .option("checkpointLocation", tempDirDeletedOnExit("graft_infer_ckpt_"))
         .foreachBatch { (batch: DataFrame, _: Long) =>
           TrendModel.scoreBatch(TrendModel.dailyBars(batch), models)
             .write.mode("append").parquet(out)

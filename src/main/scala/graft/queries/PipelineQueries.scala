@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.util.UUID
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -64,11 +62,7 @@ object PipelineQueries extends QueryPack {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("total_c"))
-    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    StreamingQueries.runToMemorySink(agg, "enrich")
       .select(col("c_mktsegment"), col("n"),
         round(col("total_c") / 100.0, 2).as("total_value"))
       .orderBy("c_mktsegment")
@@ -86,11 +80,14 @@ object PipelineQueries extends QueryPack {
   private def countMinCheck(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val eps = 0.001
-    val bytes = ev
-      .select(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("s"))
-      .head().getAs[Array[Byte]](0)
-    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-    val slack = math.ceil(eps * ev.count()).toLong
+    // Sketch bytes + total row count in ONE aggregation job (one scan).
+    val row = ev
+      .select(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("s")))
+    val slack = math.ceil(eps * row.getAs[Long]("n")).toLong
     val bc = spark.sparkContext.broadcast(cms)
     val est = udf((k: Long) => bc.value.estimateCount(k))
     ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))

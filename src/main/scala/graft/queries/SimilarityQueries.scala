@@ -12,10 +12,15 @@ import graft.tables.Tables
   * rows-only check, recall cross-validated against q41 in unit tests. */
 object SimilarityQueries extends QueryPack {
 
-  /** Embedding-cosine near-dup pairs within label blocks. */
+  /** Embedding-cosine near-dup pairs within label blocks. Explicitly
+    * UNCAPPED (maxBlock = MaxValue) because this query's oracle is the
+    * exhaustive all-block-pairs SQL — a silent cap would diverge from it
+    * on a fixture with a block > default cap. The capped/LSH-blocked
+    * scale paths are the operator default and q62. */
   private def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.blockedCosinePairs(Tables.embeddings(spark, dir),
-        id = "vec_id", vec = "embedding", blockCol = "label", threshold = 0.45)
+        id = "vec_id", vec = "embedding", blockCol = "label", threshold = 0.45,
+        maxBlock = Int.MaxValue)
       .orderBy("id_a", "id_b")
 
   /** Brute-force exact cosine top-5 for the first 10 vectors. */

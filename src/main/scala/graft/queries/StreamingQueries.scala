@@ -15,6 +15,18 @@ import graft.tables.Tables
   * table, so the driver's oracle checks genuine streaming output. */
 object StreamingQueries extends QueryPack {
 
+  /** Drain a streaming frame into a uniquely-named complete-mode memory
+    * sink and return the sink table (shared by every driver-visible
+    * streaming query). */
+  private[queries] def runToMemorySink(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = prefix + "_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** E1 (F2+F3): project to the wire schema, encode to_json, parse back
     * with the declared StructType (`features_engineering.py:38-40`),
     * aggregate the parsed stream. */
@@ -44,11 +56,7 @@ object StreamingQueries extends QueryPack {
         count(lit(1)).as("n_ticks"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bar_start_str"),
         col("event_type"), col("low"), col("high"), col("n_ticks"))
-    val name = "bars_" + UUID.randomUUID().toString.replace("-", "")
-    val q = bars.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("event_type", "bar_start_str")
+    runToMemorySink(bars, "bars").orderBy("event_type", "bar_start_str")
   }
 
   /** Streaming dedup (T4): duplicated stream (self-union) → watermarked
@@ -68,14 +76,8 @@ object StreamingQueries extends QueryPack {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
-  private def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val counts = dedupStream(spark, dir)
-    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = counts.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("event_type")
-  }
+  private def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(dedupStream(spark, dir), "dedup").orderBy("event_type")
 
   /** Streaming session windows (T6's session leg): the same
     * `session_window` aggregation as the batch q51, driven from the file
@@ -93,11 +95,7 @@ object StreamingQueries extends QueryPack {
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
-    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
-    val q = sess.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    runToMemorySink(sess, "sess")
       .where(col("n_events") >= 2)
       .orderBy("user_id", "session_start")
   }

@@ -137,12 +137,14 @@ object Similarity {
     // ||u - ctr||² = ||u||² + ||ctr||² - 2·u·ctr with ||u|| = 1 constant →
     // rank cells by (||ctr||² - 2·u·ctr). Sorted literal structs, probe
     // the first nProbe.
+    // Normalize the query vector ONCE (uq); each of the nCells dist
+    // entries reuses it instead of re-running the O(dim) transform.
     val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
+      .withColumn("uq", unit(col("qv"), col("qn")))
     val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
       val ctrLit = array(ctr.map(lit): _*)
       struct(
-        (lit(ctr.map(x => x * x).sum) -
-          dot(unit(col("qv"), col("qn")), ctrLit) * 2).as("d"),
+        (lit(ctr.map(x => x * x).sum) - dot(col("uq"), ctrLit) * 2).as("d"),
         lit(i).as("cell"))
     }: _*)
     val qProbed = q
