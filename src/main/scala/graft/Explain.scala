@@ -8,7 +8,7 @@ object Explain {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q02_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue")) {
+    for (q <- args.toSeq match { case Seq() => Seq("q02_pricing_summary", "q03_top_revenue_orders", "q06_forecast_revenue"); case s => s }) {
       println(s"========== $q")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
