@@ -183,6 +183,57 @@ object PipelineQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q79: bloom-filter join pruning (the runtime-filter pattern). A bloom
+    * of the selective dim's keys pre-filters the fact side BEFORE the join
+    * shuffle — at 100 TB this is what cuts shuffle input when the dim is
+    * too large to broadcast; the exact join then removes the bloom's
+    * false positives, so the result equals the plain join (the oracle).
+    * (UDF exception: Spark's might_contain expression is internal-only.) */
+  private def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_extendedprice")
+    val sup = Tables.supplier(spark, dir).where(col("s_nationkey") < 5)
+      .select("s_suppkey", "s_nationkey")
+    val bloom = sup.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    li.where(mightContain(col("l_suppkey")))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+          .as("total_price"))
+      .orderBy("s_nationkey")
+  }
+
+  /** q80: approx_percentile rank-error bound check — the T-digest estimate
+    * must land between the exact percentiles at p ± 1/accuracy. Same
+    * tolerance-boolean pattern as q68/q69: the sketch is deterministic, so
+    * DuckDB asserts TRUE and the driver hash-fails if the bound breaks. */
+  private def approxPercentileCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("p50_exact"),
+        expr("percentile(c, 0.49)").as("lo"),
+        expr("percentile(c, 0.51)").as("hi"),
+        expr("approx_percentile(c, 0.5, 100)").as("ap"))
+      .select(col("event_type"), col("p50_exact"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("approx_ok"))
+      .orderBy("event_type")
+
+  /** q81: deterministic train/val/test split by hex-ordered md5 of the id
+    * (~75/12.5/12.5) — the pure-map dataset partitioning every training
+    * pipeline needs; no shuffle except the final count, identical split
+    * membership on any engine. */
+  private def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("k", md5(concat(lit("split:"), col("doc_id").cast("string"))))
+      .withColumn("split",
+        when(col("k") < "c", "train").when(col("k") < "e", "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("split")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
@@ -192,7 +243,10 @@ object PipelineQueries extends QueryPack {
     "q70_term_doc_freq" -> termDocFreq,
     "q73_clean_corpus" -> cleanCorpus,
     "q74_corpus_shuffle" -> corpusShuffle,
-    "q75_rolling_volatility" -> rollingVolatility
+    "q75_rolling_volatility" -> rollingVolatility,
+    "q79_bloom_join" -> bloomJoin,
+    "q80_approx_percentile_check" -> approxPercentileCheck,
+    "q81_dataset_split" -> datasetSplit
   )
 
   override def oracles: Map[String, String] = Map(
@@ -278,6 +332,26 @@ object PipelineQueries extends QueryPack {
         |                  - CAST(sum_c AS DOUBLE) * sum_c / n_w) / (n_w - 1)
         |       END AS variance_c2
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+    "q79_bloom_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_approx_percentile_check" ->
+      """SELECT event_type,
+        |       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50_exact,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_dataset_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'c' THEN 'train'
+        |              WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_term_doc_freq" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -63,6 +63,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom pre-filter never changes the join result (false positives removed by the join)") {
+    val got = SparkEntry.queries("q79_bloom_join")(spark, dir)
+      .select("s_nationkey", "n").as[(Long, Long)].collect().toMap
+    val sup = Tables.supplier(spark, dir).where(col("s_nationkey") < 5)
+      .select("s_suppkey", "s_nationkey")
+    val plain = Tables.lineitem(spark, dir).select("l_suppkey")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("dataset split is total, disjoint, and roughly 75/12.5/12.5") {
+    val got = SparkEntry.queries("q81_dataset_split")(spark, dir)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    val total = got.values.sum
+    assert(total == Tables.documents(spark, dir).count())
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got("train").toDouble / total > 0.6, got.toString)
+    assert(got("val") > 0 && got("test") > 0)
+  }
+
   test("count-min estimates never under-count (fixture)") {
     val got = SparkEntry.queries("q68_countmin_check")(spark, dir)
       .select("cms_ok").as[Boolean].collect()
