@@ -33,11 +33,8 @@ object AdvancedQueries extends QueryPack {
           col("p_ts") >= col("s_ts") - expr("INTERVAL 30 MINUTES") &&
           col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("signup_id"), col("purchase_id"))
-    val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id", "signup_id", "purchase_id")
+    StreamingQueries.runToMemorySink(joined, "ssj", mode = "append")
+      .orderBy("user_id", "signup_id", "purchase_id")
   }
 
   /** Custom expressions through the SQL surface: functions registered on

@@ -15,15 +15,30 @@ import graft.tables.Tables
   * table, so the driver's oracle checks genuine streaming output. */
 object StreamingQueries extends QueryPack {
 
-  /** Drain a streaming frame into a uniquely-named complete-mode memory
-    * sink and return the sink table (shared by every driver-visible
-    * streaming query). */
-  private[queries] def runToMemorySink(df: DataFrame, prefix: String): DataFrame = {
+  /** Stateful streaming ops size their shuffle by STATE volume, not scan
+    * width: every shuffle partition is a state-store instance with fixed
+    * per-micro-batch overhead (load/commit/snapshot), so over-partitioning
+    * dominates cost. Scope a state-sized partition count to the drain and
+    * restore the session setting after. */
+  private[queries] def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession,
+                                              n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Drain a streaming frame into a uniquely-named memory sink and return
+    * the sink table (shared by every driver-visible streaming query). */
+  private[queries] def runToMemorySink(df: DataFrame, prefix: String,
+                                       mode: String = "complete"): DataFrame = {
     val spark = df.sparkSession
     val name = prefix + "_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
