@@ -30,7 +30,8 @@ object SparkEntry {
     ExtendedQueries,
     AdvancedQueries,
     ReshapeQueries,
-    PipelineQueries
+    PipelineQueries,
+    CompletenessQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
