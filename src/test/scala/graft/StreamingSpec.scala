@@ -99,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     name
   }
 
+  test("windowed aggregation is exact across many micro-batches (maxFilesPerTrigger=1)") {
+    import graft.tables.Tables
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Split the fixture into 4 files so the file source delivers 4
+    // incremental micro-batches; the complete-mode result must equal the
+    // single-pass batch aggregation.
+    val src = Files.createTempDirectory("multibatch").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(Tables.events(spark, "/root/testdata/sf0.001").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val name = runToMemory(stream.select("event_type", "n"), "complete")
+    val streamed = spark.table(name).as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("q45's streaming dedup plan carries an event-time watermark (bounded state)") {
     val plan = graft.queries.StreamingQueries
       .dedupStream(spark, "/root/testdata/sf0.001")
