@@ -95,7 +95,7 @@ object CompletenessQueries extends QueryPack {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) OVER win AS BIGINT) AS sum_1h_c,
         |       count(*) OVER win AS n_1h
         |FROM events
-        |WINDOW win AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |WINDOW win AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     "q85_positional_windows" ->

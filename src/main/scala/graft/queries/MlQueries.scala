@@ -25,17 +25,22 @@ import graft.tables.Tables
   * in MlMultimodalSpec. */
 object MlQueries extends QueryPack {
 
-  /** Temp dir reaped at JVM exit (the result frame reads it lazily, so it
-    * must outlive the query — but not the process). */
-  private def tempDirDeletedOnExit(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
+  /** Temp dirs reaped at JVM exit (the result frame reads them lazily, so
+    * they must outlive the query — but not the process). ONE shutdown hook
+    * drains a shared queue, however many times queries run in this JVM. */
+  private val reapAtExit = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val reaperInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(p.toFile)
+      reapAtExit.forEach(p => rm(p.toFile))
     }))
+  private def tempDirDeletedOnExit(prefix: String): String = {
+    reaperInstalled
+    val p = Files.createTempDirectory(prefix)
+    reapAtExit.add(p)
     p.toString
   }
 

@@ -108,16 +108,19 @@ class StreamingSpec extends AnyFunSuite {
     val src = Files.createTempDirectory("multibatch").toString
     Tables.events(spark, "/root/testdata/sf0.001")
       .repartition(4).write.mode("overwrite").parquet(src)
+    // Counts AND integer-cent sums: both must be exact however the rows
+    // split across micro-batches (integer sums are order-independent).
+    val cents = round(col("value") * 100).cast("long")
     val stream = spark.readStream
       .schema(Tables.events(spark, "/root/testdata/sf0.001").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$src/*.parquet")
-      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("value").as("sv"))
-    val name = runToMemory(stream.select("event_type", "n"), "complete")
-    val streamed = spark.table(name).as[(String, Long)].collect().toMap
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+    val name = runToMemory(stream, "complete")
+    val streamed = spark.table(name).as[(String, Long, Long)].collect().toSet
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(cents).as("sc"))
+      .as[(String, Long, Long)].collect().toSet
     assert(streamed == batch)
   }
 
