@@ -169,10 +169,10 @@ object ExtendedQueries extends QueryPack {
     "q51_session_windows" ->
       """WITH g AS (
         |  SELECT user_id, ts,
-        |         -- >= : Spark session windows are [start, last+gap) — an event
-        |         -- exactly at the (exclusive) session end opens a NEW session
+        |         -- strict > : verified empirically — Spark session_window MERGES
+        |         -- an event at exactly last_ts + gap into the session
         |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                   >= INTERVAL 5 MINUTE
+        |                   > INTERVAL 5 MINUTE
         |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM events),
