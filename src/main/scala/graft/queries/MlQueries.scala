@@ -81,7 +81,7 @@ object MlQueries extends QueryPack {
         .collect().map(_.getString(0)).sorted
       val trained = symbols.dropRight(1) // holdout: last symbol untrained
       val models = TrendModel.trainPerSymbol(
-        allBars.where(col("symbol").isin(trained: _*)), numTrees = 10)
+        allBars.where(col("symbol").isin(trained.toIndexedSeq: _*)), numTrees = 10)
       val raw = spark.readStream.schema(Tables.eventsRawSchema)
         .parquet(s"$dir/events*.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -61,7 +61,7 @@ object Similarity {
     * vectors collide with high probability. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -70,7 +70,7 @@ object Similarity {
     * shuffle. OR-amplification: a pair is a candidate if it collides in
     * ANY table. */
   private def tableBuckets(vec: Column, tables: Array[Array[Array[Double]]]): Column =
-    array(tables.zipWithIndex.map { case (p, t) =>
+    array(tables.zipWithIndex.toIndexedSeq.map { case (p, t) =>
       struct(lit(t).as("tbl"), lshBucket(vec, p).as("bucket"))
     }: _*)
 
@@ -141,8 +141,8 @@ object Similarity {
     // entries reuses it instead of re-running the O(dim) transform.
     val q = withNorm(queries, id, vec, "query_id", "qv", "qn")
       .withColumn("uq", unit(col("qv"), col("qn")))
-    val cellDists = array(centroids.zipWithIndex.map { case (ctr, i) =>
-      val ctrLit = array(ctr.map(lit): _*)
+    val cellDists = array(centroids.zipWithIndex.toIndexedSeq.map { case (ctr, i) =>
+      val ctrLit = array(ctr.toIndexedSeq.map(lit): _*)
       struct(
         (lit(ctr.map(x => x * x).sum) - dot(col("uq"), ctrLit) * 2).as("d"),
         lit(i).as("cell"))
