@@ -124,6 +124,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: a restarted query resumes from offsets — no loss, no duplication (T3)") {
+    import graft.tables.Tables
+    val base = Files.createTempDirectory("ckpt_rec").toString
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "event_type", "value")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      ()
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .parquet(s"$srcDir/*.parquet")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(ev.where(col("event_id") % 2 === 0), "f0")
+    runOnce() // phase 1: first half
+    addFile(ev.where(col("event_id") % 2 === 1), "f1")
+    runOnce() // phase 2: NEW query, same checkpoint — must process only f1
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == ev.count()) // no loss
+    assert(out.select(countDistinct(col("event_id"))).as[Long].head() ==
+      ev.count()) // no duplication
+  }
+
   test("q45's streaming dedup plan carries an event-time watermark (bounded state)") {
     val plan = graft.queries.StreamingQueries
       .dedupStream(spark, "/root/testdata/sf0.001")
