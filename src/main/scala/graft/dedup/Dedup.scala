@@ -132,6 +132,40 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph — the clustering
+    * step that turns pairwise matches into dedup groups (keep
+    * min-id per component). Iterative min-label propagation: each
+    * round is ONE join + ONE aggregation shuffle; rounds needed =
+    * graph diameter (near-dup graphs are shallow — chains of copies,
+    * not long paths). `localCheckpoint` truncates lineage each round so
+    * the plan doesn't grow with iterations — the standard Spark
+    * iterative-algorithm discipline at any scale. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(src).as("x"), col(dst).as("y"))
+    val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val nbrLabels = sym.join(labels, sym("y") === labels("node"))
+        .select(sym("x").as("node"), col("label"))
+      val next = labels.unionByName(nbrLabels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** n-gram Jaccard pairs within a blocking partition, via the
     * explode-and-count formulation: explode shingles, equi-join on
     * (block, shingle), count shared shingles per pair, then

@@ -54,11 +54,29 @@ object DedupQueries extends QueryPack {
         maxHamming = 16)
       .orderBy("doc_a", "doc_b")
 
+  /** q86: connected components over a CHAIN-shaped duplicate graph —
+    * every 10th doc gets a copy (x—x+1M), every 20th a copy-of-the-copy
+    * (x+1M—x+2M), so the 3-node clusters are discoverable only by real
+    * transitive propagation (no direct x—x+2M edge). The expected
+    * labeling is known by construction (min of the chain = x = node mod
+    * 1M), which is the arithmetic oracle. */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id")
+    val d10 = docs.where(col("doc_id") % 10 === 0)
+    val d20 = docs.where(col("doc_id") % 20 === 0)
+    val edges = d10
+      .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+      .unionByName(d20.select((col("doc_id") + 1000000L).as("a"),
+        (col("doc_id") + 2000000L).as("b")))
+    Dedup.connectedComponents(edges, "a", "b").orderBy("node")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
-    "q39_simhash_pairs" -> simhashPairs
+    "q39_simhash_pairs" -> simhashPairs,
+    "q86_dedup_clusters" -> dedupClusters
   )
 
   override def oracles: Map[String, String] = Map(
@@ -88,6 +106,15 @@ object DedupQueries extends QueryPack {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q86_dedup_clusters" ->
+      """WITH n AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 FROM documents WHERE doc_id % 20 = 0)
+        |SELECT node, node % 1000000 AS label
+        |FROM n ORDER BY node""".stripMargin
   )
 }

@@ -134,6 +134,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("connectedComponents: a 5-chain converges to one min label; disjoint stays disjoint") {
+    // chain 1-2-3-4-5 (diameter 4) plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L), got.toString)
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
   private def fixtureEmb = graft.tables.Tables
     .embeddings(spark, "/root/testdata/sf0.01")
 
