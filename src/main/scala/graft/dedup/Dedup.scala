@@ -153,13 +153,17 @@ object Dedup {
     while (i < maxIter && !converged) {
       val nbrLabels = sym.join(labels, sym("y") === labels("node"))
         .select(sym("x").as("node"), col("label"))
+      // Lazy checkpoint: the convergence count below is the ONE job per
+      // round — it materializes `next` (completing the checkpoint, which
+      // truncates lineage) and returns the changed-label count.
       val next = labels.unionByName(nbrLabels)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      converged = next
+        .localCheckpoint(false)
+      val changed = next
         .join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old"))
-        .isEmpty
+        .count()
+      converged = changed == 0L
       labels = next
       i += 1
     }
@@ -175,21 +179,40 @@ object Dedup {
     * is O(pairs × shingle²)). */
   def blockedJaccardPairs(docs: DataFrame, id: String, text: String,
                           blockCols: Seq[String], k: Int,
-                          threshold: Double): DataFrame = {
-    val sh = docs.select(
-        struct(blockCols.map(col): _*).as("__blk"),
-        col(id).as("doc"), shingles(col(text), k).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val ex = sh.select(col("__blk"), col("doc"), col("n_sh"),
-      explode(col("sh")).as("s"))
-    val a = ex.select(col("__blk"), col("s"), col("doc").as("doc_a"),
-      col("n_sh").as("na"))
-    val b = ex.select(col("__blk"), col("s"), col("doc").as("doc_b"),
-      col("n_sh").as("nb"))
+                          threshold: Double,
+                          maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val base = docs.select(
+      struct(blockCols.map(col): _*).as("__blk"),
+      col(id).as("doc"), shingles(col(text), k).as("sh"))
+    val ex0 = base.select(col("__blk"), col("doc"), explode(col("sh")).as("s"))
+    // Hot-shingle suppression: a shingle present in more than maxShingleDf
+    // docs of a block (boilerplate n-grams) is dropped from the
+    // VOCABULARY — both set sizes and intersections use the filtered
+    // vocabulary, so the Jaccard semantics stay well-defined and exactly
+    // reproducible. At 100 TB this is what keeps the shared-shingle join
+    // linear: a shingle shared by d docs contributes d² join rows.
+    // The filtered path consumes `ex` three times (sizes + both join
+    // sides); localCheckpoint materializes the shingle explode ONCE
+    // instead of re-running the scan + WordShingles per consumer.
+    val ex = if (maxShingleDf == Int.MaxValue) ex0 else {
+      val hot = ex0.groupBy("__blk", "s").agg(count(lit(1)).as("__df"))
+        .where(col("__df") <= maxShingleDf)
+        .select("__blk", "s")
+      ex0.join(hot, Seq("__blk", "s")).localCheckpoint(true)
+    }
+    // Filtered per-doc set sizes (shingles are distinct per doc by
+    // construction, so count == set size).
+    val sizes = ex.groupBy("__blk", "doc").agg(count(lit(1)).as("n"))
+    val a = ex.select(col("__blk"), col("s"), col("doc").as("doc_a"))
+    val b = ex.select(col("__blk"), col("s"), col("doc").as("doc_b"))
     a.join(b, Seq("__blk", "s"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
+      .groupBy("__blk", "doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("__blk"), col("doc").as("doc_a"), col("n").as("na")),
+        Seq("__blk", "doc_a"))
+      .join(sizes.select(col("__blk"), col("doc").as("doc_b"), col("n").as("nb")),
+        Seq("__blk", "doc_b"))
       .withColumn("jaccard", col("c").cast("double") /
         (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)

@@ -71,12 +71,37 @@ object DedupQueries extends QueryPack {
     Dedup.connectedComponents(edges, "a", "b").orderBy("node")
   }
 
+  /** q87: the END-TO-END corpus dedup — exact corpus-wide Jaccard pairs
+    * (explode-and-count, no blocking so the edge set is deterministic and
+    * oracle-expressible), connected components over the pair graph, keep
+    * the min-id representative per cluster, report keep-list size + id
+    * checksum. Exact copies of every 10th doc are unioned in so clusters
+    * mix identical and organic near-dup edges. The DuckDB oracle
+    * recomputes the same edges and clusters them with a recursive CTE. */
+  private def corpusDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val edges = Dedup.blockedJaccardPairs(
+        withDups.withColumn("g", lit(1)), "doc_id", "text",
+        blockCols = Seq("g"), k = 3, threshold = 0.3, maxShingleDf = 20)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val drops = Dedup.connectedComponents(edges, "a", "b")
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    withDups.join(drops, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
     "q39_simhash_pairs" -> simhashPairs,
-    "q86_dedup_clusters" -> dedupClusters
+    "q86_dedup_clusters" -> dedupClusters,
+    "q87_corpus_dedup_e2e" -> corpusDedupE2e
   )
 
   override def oracles: Map[String, String] = Map(
@@ -107,6 +132,41 @@ object DedupQueries extends QueryPack {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q87_corpus_dedup_e2e" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM u),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |keepsh AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
+        |fex AS (SELECT ex.doc_id, ex.sg FROM ex JOIN keepsh USING (sg)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+        |  FROM fex a JOIN fex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT x, y FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.x
+        |  JOIN sizes sb ON sb.doc_id = inter.y
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+        |sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |reach AS (
+        |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT s2.x, r.label FROM sym s2 JOIN reach r ON s2.y = r.x),
+        |lab AS (SELECT x AS node, min(label) AS label FROM reach GROUP BY x),
+        |drops AS (SELECT node FROM lab WHERE node <> label)
+        |SELECT count(*) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM u WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
     "q86_dedup_clusters" ->
       """WITH n AS (
         |  SELECT doc_id AS node FROM documents WHERE doc_id % 10 = 0
