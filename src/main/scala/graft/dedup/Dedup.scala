@@ -167,6 +167,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // Silent partial labels would be WRONG answers — fail loudly instead;
+    // the caller raises maxIter (rounds needed = graph diameter).
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

@@ -144,6 +144,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("connectedComponents fails loudly when maxIter < graph diameter") {
+    val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 2).collect()
+    }
+  }
+
   private def fixtureEmb = graft.tables.Tables
     .embeddings(spark, "/root/testdata/sf0.01")
 
