@@ -68,11 +68,52 @@ object CompletenessQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q88: rank-distribution window functions — percent_rank, cume_dist,
+    * ntile. Deterministic: the order key (event_id) is unique per user,
+    * and both engines compute the same rank arithmetic. */
+  private def rankDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q89: calendar functions over order dates. Convention bridges are
+    * explicit: Spark dayofweek (Sunday=1) = DuckDB dow + 1; weekofyear is
+    * ISO week in both. */
+  private def calendarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow1"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** q90: boolean aggregates — every/any per group (DuckDB bool_and /
+    * bool_or). */
+  private def boolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(every(col("value") > 0).as("all_positive"),
+        some(col("value") > 100).as("any_over_100"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_intersect_except" -> intersectExcept,
     "q83_correlated_subquery" -> correlatedSubquery,
     "q84_range_frame" -> rangeFrame,
-    "q85_positional_windows" -> positionalWindows
+    "q85_positional_windows" -> positionalWindows,
+    "q88_rank_distributions" -> rankDistributions,
+    "q89_calendar_functions" -> calendarFunctions,
+    "q90_bool_aggs" -> boolAggs
   )
 
   override def oracles: Map[String, String] = Map(
@@ -98,6 +139,30 @@ object CompletenessQueries extends QueryPack {
         |WINDOW win AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q88_rank_distributions" ->
+      """SELECT user_id, event_id,
+        |       percent_rank() OVER win AS pct_rank,
+        |       cume_dist() OVER win AS cume,
+        |       ntile(4) OVER win AS quartile
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q89_calendar_functions" ->
+      """SELECT o_orderkey,
+        |       year(o_orderdate) AS y,
+        |       quarter(o_orderdate) AS q,
+        |       month(o_orderdate) AS m,
+        |       day(o_orderdate) AS d,
+        |       dayofweek(o_orderdate) + 1 AS dow1,
+        |       weekofyear(o_orderdate) AS iso_week,
+        |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q90_bool_aggs" ->
+      """SELECT event_type,
+        |       bool_and(value > 0) AS all_positive,
+        |       bool_or(value > 100) AS any_over_100,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q85_positional_windows" ->
       """SELECT user_id, event_id, value,
         |       first_value(value) OVER win AS first_v,
