@@ -30,6 +30,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Compact trailer: the full line above can exceed the driver's tail
+    // capture (90 entries), losing the leading "value" field — repeat the
+    // headline LAST so a tail-truncated artifact still carries it.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"n_failed":${failed.size},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

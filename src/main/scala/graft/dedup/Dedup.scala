@@ -135,9 +135,12 @@ object Dedup {
   /** Connected components over a near-dup pair graph — the clustering
     * step that turns pairwise matches into dedup groups (keep
     * min-id per component). Iterative min-label propagation: each
-    * round is ONE join + ONE aggregation shuffle; rounds needed =
-    * graph diameter (near-dup graphs are shallow — chains of copies,
-    * not long paths). `localCheckpoint` truncates lineage each round so
+    * round is ONE join + ONE aggregation shuffle + ONE job — the
+    * convergence check rides the same aggregation (the previous label is
+    * recovered as min(label WHERE own) in the same pass), so no separate
+    * convergence join runs. Rounds needed = graph diameter (near-dup
+    * graphs are shallow — chains of copies, not long paths).
+    * `localCheckpoint` truncates lineage each round so
     * the plan doesn't grow with iterations — the standard Spark
     * iterative-algorithm discipline at any scale. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
@@ -151,20 +154,23 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val nbrLabels = sym.join(labels, sym("y") === labels("node"))
-        .select(sym("x").as("node"), col("label"))
-      // Lazy checkpoint: the convergence count below is the ONE job per
-      // round — it materializes `next` (completing the checkpoint, which
-      // truncates lineage) and returns the changed-label count.
-      val next = labels.unionByName(nbrLabels)
-        .groupBy("node").agg(min("label").as("label"))
+      // ONE join + ONE aggregation shuffle + ONE action per round: each
+      // node's own row is tagged `own = true`, so the same min-label
+      // aggregation also recovers the node's previous label
+      // (min(label WHERE own) — exactly one own row per node), and the
+      // convergence check is a filter over the aggregated result instead
+      // of a second join. The count is the round's single materializing
+      // job; it completes the lazy localCheckpoint, truncating lineage.
+      val own = labels.select(col("node"), col("label"), lit(true).as("own"))
+      val nbr = sym.join(labels, sym("y") === labels("node"))
+        .select(sym("x").as("node"), col("label"), lit(false).as("own"))
+      val next = own.unionByName(nbr)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("old"))
         .localCheckpoint(false)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old"))
-        .count()
-      converged = changed == 0L
-      labels = next
+      converged = next.where(col("label") =!= col("old")).count() == 0L
+      labels = next.select("node", "label")
       i += 1
     }
     // Silent partial labels would be WRONG answers — fail loudly instead;
@@ -173,6 +179,16 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
+  }
+
+  /** Drops hot-shingle occurrences from an exploded (__blk, doc, s)
+    * frame. `private[graft]` so PlanAuditSpec can assert the physical
+    * shape (the production plan hides behind the localCheckpoint). */
+  private[graft] def filterHotShingles(ex0: DataFrame, maxShingleDf: Int): DataFrame = {
+    val hot = ex0.groupBy("__blk", "s").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxShingleDf)
+      .select("__blk", "s")
+    ex0.join(broadcast(hot), Seq("__blk", "s"), "left_anti")
   }
 
   /** n-gram Jaccard pairs within a blocking partition, via the
@@ -196,15 +212,16 @@ object Dedup {
     // vocabulary, so the Jaccard semantics stay well-defined and exactly
     // reproducible. At 100 TB this is what keeps the shared-shingle join
     // linear: a shingle shared by d docs contributes d² join rows.
+    // The HOT list (df > maxShingleDf) is by construction tiny — only
+    // boilerplate shingles exceed the cap — so it broadcasts, and the
+    // corpus side is filtered by a broadcast ANTI-join with NO shuffle of
+    // the exploded occurrences. (Inner-joining the keep vocabulary would
+    // shuffle every occurrence against a near-total build side.)
     // The filtered path consumes `ex` three times (sizes + both join
     // sides); localCheckpoint materializes the shingle explode ONCE
     // instead of re-running the scan + WordShingles per consumer.
-    val ex = if (maxShingleDf == Int.MaxValue) ex0 else {
-      val hot = ex0.groupBy("__blk", "s").agg(count(lit(1)).as("__df"))
-        .where(col("__df") <= maxShingleDf)
-        .select("__blk", "s")
-      ex0.join(hot, Seq("__blk", "s")).localCheckpoint(true)
-    }
+    val ex = if (maxShingleDf == Int.MaxValue) ex0
+    else filterHotShingles(ex0, maxShingleDf).localCheckpoint(true)
     // Filtered per-doc set sizes (shingles are distinct per doc by
     // construction, so count == set size).
     val sizes = ex.groupBy("__blk", "doc").agg(count(lit(1)).as("n"))

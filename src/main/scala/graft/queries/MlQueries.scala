@@ -77,11 +77,15 @@ object MlQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val allBars = TrendModel.dailyBars(Tables.events(spark, dir)).coalesce(8).cache()
     try {
-      val symbols = allBars.select("symbol").distinct()
-        .collect().map(_.getString(0)).sorted
-      val trained = symbols.dropRight(1) // holdout: last symbol untrained
+      // Holdout: the max symbol stays untrained (so the P8 guard has
+      // something to drop). The choice stays IN-PLAN — a one-row broadcast
+      // anti-join — instead of collecting the key set to the driver; the
+      // only driver-side key enumeration left is inside trainPerSymbol,
+      // where MLlib's fit-per-key requires it (q71 is the unbounded path).
+      val holdout = allBars.agg(max("symbol").as("symbol"))
       val models = TrendModel.trainPerSymbol(
-        allBars.where(col("symbol").isin(trained.toIndexedSeq: _*)), numTrees = 10)
+        allBars.join(broadcast(holdout), Seq("symbol"), "left_anti"),
+        numTrees = 10)
       val raw = spark.readStream.schema(Tables.eventsRawSchema)
         .parquet(s"$dir/events*.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -49,23 +49,29 @@ object SimilarityQueries extends QueryPack {
   /** LSH-blocked cosine near-dup (the unbounded-block-size path): block
     * key = (label, table, sign-LSH bucket), 2 planes × 8 OR-ed tables.
     * Precision is exact (every candidate re-verified by true cosine);
-    * recall is probabilistic → rows-only driver check, recall vs the
-    * exact q40 asserted in DedupSimilaritySpec. */
+    * at this amplification the pair set equals the exhaustive q40 set on
+    * the fixture (DedupSimilaritySpec asserts set equality), and the
+    * cosine expression is the same codegen'd sequential fold — so the
+    * exact blocked-pairs SQL is a valid oracle. Sub-exhaustive recall
+    * remains characterized in the spec. */
   private def lshCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(Tables.embeddings(spark, dir),
         id = "vec_id", vec = "embedding", blockCol = "label",
         threshold = 0.45, numPlanes = 2, dim = 64, numTables = 8)
       .orderBy("id_a", "id_b")
 
-  /** IVF ANN (16 cells, probe 8): k-means coarse quantizer over unit
-    * vectors, per-cell scoring only — the inverted-file scale path.
-    * Rows-only (centroids are engine-specific); recall vs the exact q41
-    * and the nProbe=nCells==brute-force identity are asserted in
-    * DedupSimilaritySpec. */
+  /** IVF ANN (16 cells), run at the exactness point nProbe = nCells:
+    * every cell is probed, so the union of per-cell scorings covers each
+    * corpus vector exactly once and the result is identical to brute
+    * force — which makes the full q41 brute-force SQL a valid DuckDB
+    * oracle for the whole IVF machinery (k-means fit, cell assignment,
+    * centroid-distance probe ranking, per-cell scoring). The
+    * sub-exhaustive configs (nProbe < nCells) are covered by
+    * DedupSimilaritySpec's recall assertions. */
   private def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
-        id = "vec_id", vec = "embedding", k = 5, nCells = 16, nProbe = 8)
+        id = "vec_id", vec = "embedding", k = 5, nCells = 16, nProbe = 16)
       .orderBy("query_id", "rank")
   }
 
@@ -105,6 +111,40 @@ object SimilarityQueries extends QueryPack {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM s)
         |SELECT query_id, neighbor_id, cosine, rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // nProbe = nCells probes every cell → IVF degenerates to exact brute
+    // force, so the q41 SQL is the oracle for the full IVF pipeline.
+    "q72_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.dv[i] * c.dv[i] for i in range(1, len(q.dv) + 1)])
+        |           / (sqrt(list_sum([q.dv[i] * q.dv[i] for i in range(1, len(q.dv) + 1)]))
+        |              * sqrt(list_sum([c.dv[i] * c.dv[i] for i in range(1, len(c.dv) + 1)]))) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // The 2-plane × 8-table OR-amplification recovers EVERY >=0.45 pair on
+    // this corpus (set equality vs the exhaustive path asserted in
+    // DedupSimilaritySpec), and precision is exact by construction — so
+    // the exhaustive blocked-pairs SQL (q40's) is a valid oracle here.
+    "q62_lsh_cosine_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS dv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum([a.dv[i] * b.dv[i] for i in range(1, len(a.dv) + 1)])
+        |           / (sqrt(list_sum([a.dv[i] * a.dv[i] for i in range(1, len(a.dv) + 1)]))
+        |              * sqrt(list_sum([b.dv[i] * b.dv[i] for i in range(1, len(b.dv) + 1)]))) AS cosine
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
   )
 }

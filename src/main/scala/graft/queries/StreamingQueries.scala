@@ -115,11 +115,40 @@ object StreamingQueries extends QueryPack {
       .orderBy("user_id", "session_start")
   }
 
+  /** q91 (T6, production retention path): watermarked session windows in
+    * APPEND mode — the complement of q76's complete mode. State is bounded
+    * by the watermark (closed sessions are emitted once and EVICTED; in
+    * complete mode state grows with output cardinality forever), which is
+    * the only session shape that survives an unbounded stream at 100 TB.
+    * Append emits exactly the sessions the final watermark has closed:
+    * session_end (last event + gap) < max(event time) − delay — the batch
+    * gaps-and-islands oracle restricted by that same predicate.
+    * Exposed `private[graft]` so StreamingSpec can assert the plan carries
+    * the watermark and that emission/eviction happens mid-stream. */
+  private[graft] def sessionsAppendStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.withWatermark("ts", "30 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+  }
+
+  private def streamingSessionsAppend(spark: SparkSession, dir: String): DataFrame =
+    runToMemorySink(sessionsAppendStream(spark, dir), "sessap", mode = "append")
+      .where(col("n_events") >= 2)
+      .orderBy("user_id", "session_start")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
-    "q76_streaming_sessions" -> streamingSessions
+    "q76_streaming_sessions" -> streamingSessions,
+    "q91_streaming_sessions_append" -> streamingSessionsAppend
   )
 
   override def oracles: Map[String, String] = Map(
@@ -155,6 +184,38 @@ object StreamingQueries extends QueryPack {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |HAVING count(*) >= 2
+        |ORDER BY user_id, session_start""".stripMargin,
+    // Append mode emits exactly the sessions the FINAL watermark closed:
+    // session_end (last event + gap) <= max(event time) - delay. The <=
+    // is empirical (StreamingSpec boundary probe: a session whose end
+    // equals the watermark IS emitted). CAST(ts AS TIMESTAMP) truncates
+    // DuckDB's ns to µs, mirroring Spark's `ts div 1000`.
+    "q91_streaming_sessions_append" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 5 MINUTE
+        |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |         count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts) - INTERVAL 30 SECOND AS w FROM e)
+        |SELECT user_id,
+        |       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       n_events
+        |FROM sess, wm
+        |WHERE end_ts + INTERVAL 5 MINUTE <= w
+        |  AND n_events >= 2
         |ORDER BY user_id, session_start""".stripMargin
   )
 }

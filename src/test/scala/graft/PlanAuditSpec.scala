@@ -77,6 +77,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected partial + final aggregate pair")
   }
 
+  test("q87 hot-shingle suppression plans a broadcast LEFT ANTI join " +
+      "(corpus side never shuffles for vocabulary filtering)") {
+    import org.apache.spark.sql.functions._
+    val ex0 = graft.tables.Tables.documents(spark, dir)
+      .select(struct(lit(1).as("g")).as("__blk"), col("doc_id").as("doc"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("s"))
+    val df = graft.dedup.Dedup.filterHotShingles(ex0, 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    // The probe (corpus) side of the anti-join must not be exchanged:
+    // the only exchange in the plan feeds the hot-list aggregation.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 exchange (hot-list agg), got $exchanges:\n" +
+      plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)

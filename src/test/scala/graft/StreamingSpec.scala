@@ -167,4 +167,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("EventTimeWatermark"), plan)
     assert(plan.contains("DeduplicateWithinWatermark"), plan)
   }
+
+  test("q91's append sessions plan carries an event-time watermark (bounded state)") {
+    val plan = graft.queries.StreamingQueries
+      .sessionsAppendStream(spark, "/root/testdata/sf0.001")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan)
+    assert(plan.contains("session_window"), plan)
+  }
+
+  test("append-mode session emission boundary: end <= watermark emits, open sessions held (T6/q91)") {
+    // Empirical contract the q91 oracle encodes: with delay d, the final
+    // watermark is max(ts) - d, and a session whose end (last event + gap)
+    // equals the watermark IS emitted (non-strict <=); sessions ending
+    // after it stay in state.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (epochSec, uid)
+    val sessions = input.toDF().toDF("t", "uid")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("uid"), session_window(col("ts"), "300 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("n"))
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // uid 1 session end = t300; uid 2 session end = t360.
+      input.addData((0L, 1L), (60L, 2L))
+      q.processAllAvailable()
+      // watermark advances to exactly t360: uid2's end == wm → emitted,
+      // uid1's end < wm → emitted, uid99's own session (end t660) → held.
+      input.addData((360L, 99L))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L), (2L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("q91 append sessions equal the watermark-restricted batch sessions (sf0.001)") {
+    val got = SparkEntry.queries("q91_streaming_sessions_append")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long)].collect().toSet
+    // batch gaps-and-islands, restricted to sessions closed by the final
+    // watermark (max ts - 30s), mirroring the DuckDB oracle
+    import graft.tables.Tables
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy("ts")
+    val sess = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") > 300, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"))
+    val wmLit = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime / 1000.0 - 30.0
+    val want = sess
+      .where(col("end_ts").cast("double") + 300 <= wmLit && col("n_events") >= 2)
+      .select(col("user_id"),
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"sizes: got=${got.size} want=${want.size}")
+  }
 }
