@@ -31,7 +31,8 @@ object SparkEntry {
     AdvancedQueries,
     ReshapeQueries,
     PipelineQueries,
-    CompletenessQueries
+    CompletenessQueries,
+    RetrievalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -95,6 +95,55 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q92 BM25 stays narrow: no explode, broadcast stats join, <=2 exchanges") {
+    val df = SparkEntry.queries("q92_bm25_topk")(spark, dir)
+    df.collect()
+    // AQE prints Final + Initial plans — audit the final one only
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // tf/dl are array expressions in the scan projection — token rows
+    // must never materialize
+    assert(!plan.contains("Generate"), "explode in the BM25 plan:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // one exchange for the per-lang stats agg, one for the rank window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" + plan.take(3000))
+  }
+
+  test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
+    import org.apache.spark.sql.functions._
+    // Complements q66's manual salting: same problem, the engine-native
+    // answer. One hot key (~50k of 60k rows) lands in one shuffle
+    // partition; with skewJoin thresholds scaled to the fixture, AQE must
+    // re-plan the join with the hot partition split (skew=true on the
+    // join node).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, 0L).otherwise(col("id") % 2000).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(
+        col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // materialize THIS frame (count() would execute a different plan)
+      assert(joined.collect().length == 60000) // every left row matches once
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        "AQE skew-split did not kick in:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
