@@ -237,6 +237,28 @@ object PipelineQueries extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("split")
 
+  /** q93: binned range join — lineitems whose price (cents) falls in each
+    * part's retail-price band [lo, lo+500]. A naive range predicate would
+    * plan a broadcast-nested-loop (quadratic); RangeJoin bins both sides
+    * (binWidth = band length → ≤2 bins per interval) and runs a shuffled
+    * EQUI-join on the bin id, filtered exact afterward. The oracle is the
+    * plain BETWEEN join — semantics must be identical. */
+  private def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        col("l_quantity"))
+    val bands = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 500)
+    graft.ops.RangeJoin.pointInInterval(li, "price_c", bands, "lo", "hi", 500)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_in_band"),
+        round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
+          .as("total_qty"))
+      .orderBy("p_partkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
@@ -249,7 +271,8 @@ object PipelineQueries extends QueryPack {
     "q75_rolling_volatility" -> rollingVolatility,
     "q79_bloom_join" -> bloomJoin,
     "q80_approx_percentile_check" -> approxPercentileCheck,
-    "q81_dataset_split" -> datasetSplit
+    "q81_dataset_split" -> datasetSplit,
+    "q93_range_join_bands" -> rangeJoinBands
   )
 
   override def oracles: Map[String, String] = Map(
@@ -355,6 +378,14 @@ object PipelineQueries extends QueryPack {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_range_join_bands" ->
+      """SELECT p_partkey, count(*) AS n_in_band,
+        |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
+        |FROM part p JOIN lineitem l
+        |  ON CAST(round(l_extendedprice*100) AS BIGINT)
+        |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
+        |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_term_doc_freq" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -3,44 +3,61 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.ops.Bucketing
 import graft.tables.Tables
 
-/** Co-located joins via bucketing (SURVEY.md "Partitioning & shuffle"):
-  * both sides bucketed on the join key → the sort-merge join reads
-  * buckets directly, no Exchange. At 100 TB this is the difference
-  * between re-shuffling both fact tables per join and none. */
+/** Bucketed co-located join: the plan must carry NO Exchange — bucketing
+  * pre-materializes the shuffle at write time (SURVEY.md "Optimize for
+  * scale"). Results must equal the plain join. */
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("bucketed-by-key tables join without a shuffle") {
-    val dir = "/root/testdata/sf0.001"
-    val warehouse = new java.io.File("spark-warehouse")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("same-bucket-count join plans zero exchanges and matches the plain join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val bli = Bucketing.writeBucketed(li, "bkt_li", "l_suppkey", 4, s"$tmp/li")
+    val bsup = Bucketing.writeBucketed(sup, "bkt_sup", "s_suppkey", 4, s"$tmp/sup")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("li_bucketed")
-      Tables.orders(spark, dir)
-        .select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("ord_bucketed")
-      val joined = spark.table("li_bucketed")
-        .join(spark.table("ord_bucketed"),
-          col("l_orderkey") === col("o_orderkey"))
-      assert(joined.count() > 0)
+      // plan-audit the bare join: bucketing must satisfy the join's
+      // distribution requirement with NO Exchange on either side (a
+      // downstream re-agg on another key still shuffles, correctly)
+      val joined = bli.join(bsup, col("l_suppkey") === col("s_suppkey"))
+      joined.collect()
       val plan = joined.queryExecution.executedPlan.toString()
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"bucketed join should not shuffle:\n${plan.take(1500)}")
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.take(3000))
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      val got = joined.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .orderBy("s_nationkey").collect()
+      val want = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .orderBy("s_nationkey").collect()
+      assert(got.sameElements(want))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (warehouse.exists()) rm(warehouse)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      Bucketing.drop(spark, "bkt_li", "bkt_sup")
     }
+  }
+
+  test("downstream aggregation on the bucket key also skips its exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt2_").toString
+    val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_quantity")
+    val bli = Bucketing.writeBucketed(li, "bkt_li_agg", "l_suppkey", 4, s"$tmp/li")
+    try {
+      val agg = bli.groupBy("l_suppkey").agg(sum("l_quantity").as("q"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        "aggregation on the bucket key shuffled anyway:\n" + plan.take(3000))
+    } finally Bucketing.drop(spark, "bkt_li_agg")
   }
 }

@@ -110,6 +110,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" + plan.take(3000))
   }
 
+  test("q93 range join plans an equi-join on the bin, not a nested loop") {
+    val df = SparkEntry.queries("q93_range_join_bands")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "range predicate fell back to a quadratic join:\n" + plan.take(3000))
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
     import org.apache.spark.sql.functions._
     // Complements q66's manual salting: same problem, the engine-native
