@@ -259,6 +259,36 @@ object PipelineQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  /** q94: deterministic stratified sampling — rare strata kept at a
+    * higher rate than common ones, membership a pure hash of the id (no
+    * rand(), no seed/partitioning dependence — rerunning the pipeline
+    * reproduces the corpus exactly). Purely map-side; the aggregate here
+    * just summarizes the kept set for the oracle. */
+  private def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedHashSample(Tables.events(spark, dir),
+        stratum = "event_type", id = "event_id", salt = "samp:",
+        rates = Seq("click" -> "2", "view" -> "2"), defaultHex = "8")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        min("event_id").as("first_id"), max("event_id").as("last_id"))
+      .orderBy("event_type")
+
+  /** q95: SCD-2 history build — each order becomes a validity interval
+    * [its date, next order's date) per customer, the open interval capped
+    * at 9999-12-31. One key shuffle + one sorted window pass (lead), the
+    * standard warehouse history-table shape at any scale. */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("next_date"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
@@ -272,7 +302,9 @@ object PipelineQueries extends QueryPack {
     "q79_bloom_join" -> bloomJoin,
     "q80_approx_percentile_check" -> approxPercentileCheck,
     "q81_dataset_split" -> datasetSplit,
-    "q93_range_join_bands" -> rangeJoinBands
+    "q93_range_join_bands" -> rangeJoinBands,
+    "q94_stratified_sample" -> stratifiedSample,
+    "q95_scd2_history" -> scd2History
   )
 
   override def oracles: Map[String, String] = Map(
@@ -386,6 +418,23 @@ object PipelineQueries extends QueryPack {
         |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
         |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_stratified_sample" ->
+      """SELECT event_type, count(*) AS n_sampled,
+        |       min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM events
+        |WHERE md5('samp:' || CAST(event_id AS VARCHAR)) <
+        |      CASE WHEN event_type = 'click' THEN '2'
+        |           WHEN event_type = 'view' THEN '2'
+        |           ELSE '8' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_scd2_history" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       coalesce(strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'),
+        |                '9999-12-31') AS valid_to
+        |FROM orders
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     "q70_term_doc_freq" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -22,8 +23,53 @@ object RetrievalQueries extends QueryPack {
         part = "lang", id = "doc_id", text = "text", terms = Terms, k = 10)
       .orderBy("lang", "rank")
 
+  /** q96: context-window chunking — every doc split into 50-token
+    * chunks with stride 40 (10-token overlap), the LLM-training prep
+    * step between cleaning and packing. One narrow pass: the token array
+    * is sliced per start offset (sequence + posexplode), no shuffle at
+    * all until the output sort; at 100 TB chunking is embarrassingly
+    * parallel and stays inside the scan stage. */
+  private def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val size = 50
+    val stride = 40
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), org.apache.spark.sql.functions.size(col("toks")) - 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"), expr(s"start DIV $stride").as("chunk_id"),
+        org.apache.spark.sql.functions.size(slice(col("toks"), col("start") + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(size)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q97: sequence packing — the token stream per language, in
+    * deterministic doc order, cut into fixed 2048-token training blocks:
+    * a doc belongs to the block its cumulative start offset falls in
+    * (GPT-style concat-then-chunk packing). One key shuffle + one sorted
+    * window pass for the running offset, then a partial-aggregating
+    * groupBy — no collect, no per-doc loop. */
+  private def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val capacity = 2048
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+      .withColumn("cum_before",
+        coalesce(sum("dl").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before DIV $capacity"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "pack_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q92_bm25_topk" -> bm25TopK
+    "q92_bm25_topk" -> bm25TopK,
+    "q96_doc_chunks" -> docChunks,
+    "q97_sequence_packing" -> sequencePacking
   )
 
   // The SQL mirrors the Spark expression tree node for node (same casts,
@@ -80,6 +126,36 @@ object RetrievalQueries extends QueryPack {
         |                            ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM s)
         |SELECT lang, doc_id, score, rank
-        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    // DuckDB list slice l[a:b] is 1-based inclusive and end-clamped —
+    // exactly Spark's slice(l, a, len) with b = a + len - 1.
+    "q96_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+        |  FROM d)
+        |SELECT doc_id,
+        |       start // 40 AS chunk_id,
+        |       CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "q97_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, dl,
+        |         coalesce(sum(dl) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                         AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT lang, cum_before // 2048 AS pack_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(dl) AS BIGINT) AS sum_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   )
 }

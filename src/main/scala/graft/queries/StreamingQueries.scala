@@ -143,12 +143,43 @@ object StreamingQueries extends QueryPack {
       .where(col("n_events") >= 2)
       .orderBy("user_id", "session_start")
 
+  /** q98: mergeable sketches in streaming state — per-day tumbling
+    * windows carrying approx_count_distinct(user_id). Exact distinct is
+    * not allowed in streaming aggregation (unbounded per-window sets);
+    * the HLL partial IS the state — fixed-size, merge-order-independent,
+    * so the estimate is deterministic and the 100 TB state story is a
+    * few KB per window. The oracle gets the exact per-window distinct
+    * from batch SQL plus a tolerance boolean (rsd 0.05 → 10% bound),
+    * same pattern as q68/q69/q80. */
+  private def streamingWindowDistinct(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = raw
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("approx_users"), col("n_events"))
+    val streamed = runToMemorySink(agg, "wdist")
+    val exact = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    streamed.join(exact, "day")
+      .select(col("day"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.1).as("approx_ok"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
     "q76_streaming_sessions" -> streamingSessions,
-    "q91_streaming_sessions_append" -> streamingSessionsAppend
+    "q91_streaming_sessions_append" -> streamingSessionsAppend,
+    "q98_streaming_window_distinct" -> streamingWindowDistinct
   )
 
   override def oracles: Map[String, String] = Map(
@@ -216,6 +247,14 @@ object StreamingQueries extends QueryPack {
         |FROM sess, wm
         |WHERE end_ts + INTERVAL 5 MINUTE <= w
         |  AND n_events >= 2
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    // HLL estimate bound asserted as a boolean (q68/q69/q80 pattern):
+    // DuckDB recomputes the exact side and asserts TRUE for the check.
+    "q98_streaming_window_distinct" ->
+      """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n_events,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
