@@ -13,11 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`;
   * for an existing session use [[GraftFunctions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+  }
 }
 
 object GraftFunctions {
@@ -46,9 +48,14 @@ object GraftFunctions {
       MinHashSignature(es.head, n)
     })
 
-  /** Runtime registration on an already-built session (temp functions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Runtime registration on an already-built session (temp functions +
+    * the binned-range-join optimizer rule via extraOptimizations). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.Bridge.registerTempFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BinnedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BinnedRangeJoinRule
+  }
 }

@@ -289,6 +289,31 @@ object PipelineQueries extends QueryPack {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** q99: the q93 band join written the NATURAL way — a plain BETWEEN
+    * predicate, no manual binning — planned through
+    * [[graft.plans.BinnedRangeJoinRule]] (SparkSessionExtensions tier):
+    * the optimizer rewrites the pure range join into the binned
+    * equi-join automatically, so the user keeps declarative SQL and the
+    * quadratic nested-loop plan never runs. Same oracle as q93 —
+    * identical semantics is the point; RangeJoinRuleSpec asserts the
+    * rewritten plan. */
+  private def rangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        col("l_quantity"))
+    val bands = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 500)
+    li.join(bands, col("price_c") >= col("lo") && col("price_c") <= col("hi"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_in_band"),
+        round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
+          .as("total_qty"))
+      .orderBy("p_partkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
@@ -304,7 +329,8 @@ object PipelineQueries extends QueryPack {
     "q81_dataset_split" -> datasetSplit,
     "q93_range_join_bands" -> rangeJoinBands,
     "q94_stratified_sample" -> stratifiedSample,
-    "q95_scd2_history" -> scd2History
+    "q95_scd2_history" -> scd2History,
+    "q99_range_join_auto" -> rangeJoinAuto
   )
 
   override def oracles: Map[String, String] = Map(
@@ -411,6 +437,14 @@ object PipelineQueries extends QueryPack {
         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_range_join_bands" ->
+      """SELECT p_partkey, count(*) AS n_in_band,
+        |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
+        |FROM part p JOIN lineitem l
+        |  ON CAST(round(l_extendedprice*100) AS BIGINT)
+        |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
+        |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q99_range_join_auto" ->
       """SELECT p_partkey, count(*) AS n_in_band,
         |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
         |FROM part p JOIN lineitem l

@@ -121,6 +121,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(3000))
   }
 
+  test("q99's natural BETWEEN join is rewritten by BinnedRangeJoinRule") {
+    val df = SparkEntry.queries("q99_range_join_auto")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("__bin"),
+      "optimizer rule did not fire on the driver query:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
     import org.apache.spark.sql.functions._
     // Complements q66's manual salting: same problem, the engine-native
