@@ -8,9 +8,9 @@ import graft.tables.Tables
 import graft.text.TextAnalysis
 
 /** Dedup queries over `documents` (north-star training-data ops).
-  * q36/q37 carry DuckDB oracles; q38/q39 use engine-specific hash
-  * signatures (FNV/MinHash/SimHash Catalyst expressions) that ANSI SQL
-  * cannot replicate → rows-only driver check, cross-validated against the
+  * q36/q37/q38 carry DuckDB oracles (q38's via exact-equivalence — see
+  * minhashPairs); q39's SimHash band signatures have no such exactness
+  * point → rows-only driver check, cross-validated against the
   * oracle-checked q37 in unit tests. */
 object DedupQueries extends QueryPack {
 
@@ -37,7 +37,17 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
 
   /** MinHash+LSH near-dup pairs, Jaccard-verified (the unbounded-scale
-    * path: signature → band buckets → bucket join → verify). */
+    * path: signature → band buckets → bucket join → verify).
+    *
+    * Oracle-checked against the exact global Jaccard pairs: precision is
+    * exact by construction (every candidate re-verified), and on this
+    * corpus recall is exact too — every true >=0.3 pair has Jaccard
+    * >= 0.9 (the synthetic near-dups are high-overlap copies), where the
+    * 16-band × 4-row collision probability is 1 − (1 − 0.9⁴)¹⁶ ≈
+    * 1 − 4e-8, and the MinHash permutations are fixed-seed
+    * deterministic. DedupSimilaritySpec pins the set equality; the
+    * generic sub-exhaustive recall behavior stays characterized by its
+    * recall tests. */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
@@ -131,6 +141,31 @@ object DedupQueries extends QueryPack {
         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact GLOBAL Jaccard pairs via the scale-shaped shared-shingle
+    // formulation (a >=0.3 pair must share a shingle, so the candidate
+    // equi-join loses nothing); valid for q38 because LSH recall is
+    // exact on this corpus (see minhashPairs scaladoc) and precision is
+    // exact by construction.
+    "q38_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+        |FROM cand c JOIN s x ON x.doc_id = c.doc_a JOIN s y ON y.doc_id = c.doc_b
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q87_corpus_dedup_e2e" ->
       """WITH RECURSIVE u AS (

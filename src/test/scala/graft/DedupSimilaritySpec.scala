@@ -29,6 +29,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(once.count() == twice.count())
   }
 
+  test("q38 config: minhash pair set EQUALS exact global jaccard pairs (sf0.001)") {
+    // pins the exactness that licenses q38's DuckDB oracle: on the
+    // driver corpus every true >=0.3 pair is high-jaccard (>=0.9), where
+    // 16 bands x 4 rows collide with probability ~1 - 4e-8
+    val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cands = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 4)
+    val got = Dedup.verifyJaccard(cands, corpus, "doc_id", "text", k = 3,
+        threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.blockedJaccardPairs(
+        corpus.withColumn("__one", org.apache.spark.sql.functions.lit(1)),
+        id = "doc_id", text = "text", blockCols = Seq("__one"),
+        k = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"got=${got.size} exact=${exact.size} " +
+      s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+  }
+
   test("minhash LSH recalls exact and near dups, not unrelated docs") {
     val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       k = 2, bands = 16, rowsPerBand = 2)
