@@ -32,7 +32,8 @@ object SparkEntry {
     ReshapeQueries,
     PipelineQueries,
     CompletenessQueries,
-    RetrievalQueries
+    RetrievalQueries,
+    QualityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -37,7 +37,7 @@ object MlQueries extends QueryPack {
       }
       reapAtExit.forEach(p => rm(p.toFile))
     }))
-  private def tempDirDeletedOnExit(prefix: String): String = {
+  private[queries] def tempDirDeletedOnExit(prefix: String): String = {
     reaperInstalled
     val p = Files.createTempDirectory(prefix)
     reapAtExit.add(p)

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.quality.Profile
+import graft.tables.Tables
+
+/** Data-quality queries (round 3): the profiling gate a pipeline runs on
+  * every new data drop before it reaches training (see
+  * [[graft.quality.Profile]]). */
+object QualityQueries extends QueryPack {
+
+  /** q100: full column profile of `orders` — counts, nulls, exact
+    * cardinality, typed min/max — in one scan + one aggregation. */
+  private def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    Profile.profile(Tables.orders(spark, dir), Seq(
+      "o_orderkey" -> true,
+      "o_custkey" -> true,
+      "o_totalprice" -> true,
+      "o_orderstatus" -> false,
+      "o_orderpriority" -> false))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_column_profile" -> ordersProfile
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // One aggregate scan, then one projection per profiled column — the
+    // same metrics Spark computes from its single exploded agg row.
+    "q100_column_profile" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |         CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+        |         CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+        |         count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |         CAST(min(o_custkey) AS DOUBLE) AS mn2,
+        |         CAST(max(o_custkey) AS DOUBLE) AS mx2,
+        |         count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+        |         min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+        |         count(o_orderstatus) AS nn4, count(DISTINCT o_orderstatus) AS nd4,
+        |         min(o_orderstatus) AS ms4, max(o_orderstatus) AS mxs4,
+        |         count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5,
+        |         min(o_orderpriority) AS ms5, max(o_orderpriority) AS mxs5
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null,
+        |       n_distinct, min_num, max_num, min_str, max_str
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull,
+        |         nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+        |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', n_rows, nn4, nd4, NULL, NULL, ms4, mxs4 FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_rows, nn5, nd5, NULL, NULL, ms5, mxs5 FROM s)
+        |ORDER BY col_name""".stripMargin
+  )
+}

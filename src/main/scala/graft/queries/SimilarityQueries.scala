@@ -75,12 +75,22 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q101: int8 scalar quantization of every embedding — element-wise,
+    * shuffle-free; the float arithmetic is the identical expression tree
+    * on both engines (f32→f64 widening exact, same mul/div association),
+    * and the emitted codes are exact integers. */
+  private def embeddingQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir),
+        id = "vec_id", vec = "embedding")
+      .orderBy("vec_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
     "q62_lsh_cosine_neardup" -> lshCosineNearDup,
-    "q72_ivf_topk" -> ivfTopK
+    "q72_ivf_topk" -> ivfTopK,
+    "q101_embedding_quantize" -> embeddingQuantize
   )
 
   override def oracles: Map[String, String] = Map(
@@ -145,6 +155,26 @@ object SimilarityQueries extends QueryPack {
         |              * sqrt(list_sum([b.dv[i] * b.dv[i] for i in range(1, len(b.dv) + 1)]))) AS cosine
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine FROM p
-        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // Same expression tree as quantizeInt8: (x·127.0)/amax with f64
+    // widening; codes are integral doubles so the BIGINT casts are exact.
+    "q101_embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, dv,
+        |         list_max([abs(x) for x in dv]) AS amax
+        |  FROM v),
+        |c AS (
+        |  SELECT vec_id, amax,
+        |         [floor(x * 127.0 / nullif(amax, 0.0)) for x in dv] AS codes
+        |  FROM a)
+        |SELECT vec_id,
+        |       CAST(len(codes) AS BIGINT) AS n_dims,
+        |       amax,
+        |       CAST(list_min(codes) AS BIGINT) AS code_min,
+        |       CAST(list_max(codes) AS BIGINT) AS code_max,
+        |       CAST(list_sum(codes) AS BIGINT) AS code_sum
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 }

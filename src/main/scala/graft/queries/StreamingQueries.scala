@@ -143,6 +143,43 @@ object StreamingQueries extends QueryPack {
       .where(col("n_events") >= 2)
       .orderBy("user_id", "session_start")
 
+  /** q103: streaming CDC apply — MERGE INTO a bucket-partitioned parquet
+    * snapshot via foreachBatch ([[Pipelines.mergeIntoParquet]]): the
+    * keyed-collection upsert loop of the reference, with per-batch cost
+    * scoped to the buckets the batch touches. The CDC stream is the
+    * events file plus an update leg (every 10th key re-arrives with rev 1
+    * and doubled value); latest-rev-wins, so the final snapshot is
+    * base rows except updated keys — batch-SQL-expressible, full oracle.
+    * Cross-batch merge semantics are additionally pinned by
+    * StreamingSpec's two-batch MemoryStream test. */
+  private def streamingCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "event_type", "value")
+    val base = src.withColumn("rev", lit(0))
+    val updates = src.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("rev", lit(1))
+    val out = MlQueries.tempDirDeletedOnExit("graft_cdc_")
+    withStatePartitions(spark, 8) {
+      val q = base.unionByName(updates).writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_cdc_ckpt_"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Pipelines.mergeIntoParquet(b, out, key = "event_id",
+            version = "rev", tiebreak = "event_id", nBuckets = 16)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(out)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"), col("rev"))
+      .orderBy("event_id")
+  }
+
   /** q98: mergeable sketches in streaming state — per-day tumbling
     * windows carrying approx_count_distinct(user_id). Exact distinct is
     * not allowed in streaming aggregation (unbounded per-window sets);
@@ -179,7 +216,8 @@ object StreamingQueries extends QueryPack {
     "q45_streaming_dedup" -> streamingDedup,
     "q76_streaming_sessions" -> streamingSessions,
     "q91_streaming_sessions_append" -> streamingSessionsAppend,
-    "q98_streaming_window_distinct" -> streamingWindowDistinct
+    "q98_streaming_window_distinct" -> streamingWindowDistinct,
+    "q103_streaming_cdc_apply" -> streamingCdcApply
   )
 
   override def oracles: Map[String, String] = Map(
@@ -255,6 +293,15 @@ object StreamingQueries extends QueryPack {
         |       count(DISTINCT user_id) AS exact_users,
         |       count(*) AS n_events,
         |       TRUE AS approx_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Final snapshot = latest rev per key: updated keys carry rev 1 and
+    // doubled value. CASE wraps the whole cents expression so both
+    // engines run the identical float tree per branch.
+    "q103_streaming_cdc_apply" ->
+      """SELECT event_id, event_type,
+        |       CAST(round(CASE WHEN event_id % 10 = 0 THEN value * 2 * 100
+        |                       ELSE value * 100 END) AS BIGINT) AS value_c,
+        |       CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS rev
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

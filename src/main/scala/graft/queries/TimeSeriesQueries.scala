@@ -56,6 +56,27 @@ object TimeSeriesQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** Nearest-as-of join: each error event aligned to the user's CLOSEST
+    * click within ±5 minutes, either direction (tolerance alignment —
+    * the variant where the relevant reading may arrive just after the
+    * event). Backward wins delta ties. */
+  private def asofNearestClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"),
+        col("event_id").as("click_id"))
+    TimeSeries.asofNearest(errors, clicks, key = "user_id",
+        leftTs = "ts", rightTs = "ts", payload = Seq("click_value"),
+        rightOrder = "click_id", toleranceUs = 300L * 1000 * 1000)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("value"), col("click_id"), col("click_value"),
+        col("delta_us"), col("direction"))
+      .orderBy("event_id")
+  }
+
   /** Range join: signup/purchase pairs of the same user within 30 minutes. */
   private def rangePairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -75,7 +96,8 @@ object TimeSeriesQueries extends QueryPack {
     "q28_sma10" -> sma10,
     "q29_ema" -> ema02,
     "q30_asof_error_click" -> asofErrorClick,
-    "q31_range_pairs" -> rangePairs
+    "q31_range_pairs" -> rangePairs,
+    "q102_asof_nearest" -> asofNearestClick
   )
 
   override def oracles: Map[String, String] = Map(
@@ -125,6 +147,32 @@ object TimeSeriesQueries extends QueryPack {
         |  ON s.user_id = p.user_id
         | AND p.ts >= s.ts - INTERVAL 30 MINUTE
         | AND p.ts <= s.ts + INTERVAL 30 MINUTE
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Tie-break mirror of asofNearest: delta ASC, backward before forward,
+    // then latest backward click / earliest forward click.
+    "q102_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'error'),
+        |r AS (SELECT event_id AS click_id, user_id, ts,
+        |             value AS click_value
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT l.event_id, r.click_id, r.click_value,
+        |         abs(epoch_us(r.ts) - epoch_us(l.ts)) AS delta_us,
+        |         CASE WHEN r.ts <= l.ts THEN 'backward'
+        |              ELSE 'forward' END AS direction,
+        |         row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |           abs(epoch_us(r.ts) - epoch_us(l.ts)),
+        |           CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END,
+        |           CASE WHEN r.ts <= l.ts THEN -r.click_id
+        |                ELSE r.click_id END) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |   AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 300000000)
+        |SELECT l.event_id, l.user_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str, l.value,
+        |       p.click_id, p.click_value, p.delta_us, p.direction
+        |FROM l LEFT JOIN (SELECT * FROM p WHERE rn = 1) p
+        |  ON l.event_id = p.event_id
+        |ORDER BY l.event_id""".stripMargin
   )
 }

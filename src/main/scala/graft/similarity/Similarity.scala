@@ -51,6 +51,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Symmetric int8 scalar quantization per vector — the storage-side
+    * compression step of an embedding pipeline (4× smaller than f32, 8×
+    * smaller than the widened f64): `code_i = floor(x_i · 127 / amax)`
+    * with `amax = max|x_i|`. Emits per-vector summary columns (dims,
+    * scale, code min/max/sum) rather than the code array itself so the
+    * result stays narrow. Purely element-wise — no shuffle at all; at
+    * 100 TB this runs entirely inside the scan stage. An all-zero vector
+    * has no scale → null codes (nullif guard) rather than a NaN. */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), vecDouble(col(vec)).as("xd"))
+      .withColumn("amax", array_max(transform(col("xd"), x => abs(x))))
+      .withColumn("codes",
+        transform(col("xd"), x => floor(x * lit(127.0) / nullif(col("amax"), lit(0.0)))))
+      .select(col(id),
+        size(col("codes")).cast("long").as("n_dims"),
+        col("amax"),
+        array_min(col("codes")).cast("long").as("code_min"),
+        array_max(col("codes")).cast("long").as("code_max"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("code_sum"))
+
   /** Deterministic random hyperplanes (seeded) for sign-LSH bucketing. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -103,6 +103,53 @@ object Pipelines {
         ()
       }
 
+  /** CDC apply — MERGE INTO a parquet snapshot, the streaming twin of
+    * [[graft.ops.Merge.upsertLatest]] (the reference's change-stream →
+    * keyed-collection upsert loop, `mongo_stream_etl.py:35`). Call from
+    * `foreachBatch`.
+    *
+    * Scale shape: the snapshot is hash-bucket-partitioned on the key
+    * (`__bkt = pmod(key, nBuckets)`) and each micro-batch does a
+    * read-modify-write scoped to the buckets it touches — existing rows
+    * of ONLY those buckets are read back (partition-pruned scan), merged
+    * latest-wins with the batch, and rewritten via dynamic partition
+    * overwrite. Per-batch cost is proportional to the touched buckets'
+    * size, never the full table; untouched buckets are never read or
+    * written. The merged frame is eagerly `localCheckpoint`ed so the
+    * overwrite does not race its own input scan. The driver-held bucket
+    * list is bounded by `nBuckets` (a constant), not data volume. */
+  def mergeIntoParquet(batch: DataFrame, sinkDir: String, key: String,
+                       version: String, tiebreak: String,
+                       nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bucketed = batch.withColumn("__bkt",
+      pmod(col(key), lit(nBuckets)).cast("int"))
+    val affected = bucketed.select("__bkt").distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val sinkExists = {
+      val f = new java.io.File(sinkDir)
+      f.exists && f.listFiles != null &&
+        f.listFiles.exists(_.getName.startsWith("__bkt="))
+    }
+    val merged0 =
+      if (!sinkExists) graft.ops.Merge.upsertLatest(
+        bucketed, bucketed.limit(0), key, version, tiebreak)
+      else graft.ops.Merge.upsertLatest(
+        spark.read.parquet(sinkDir)
+          .where(col("__bkt").isin(affected.toIndexedSeq: _*)),
+        bucketed, key, version, tiebreak)
+    val merged = merged0.localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("__bkt").parquet(sinkDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+  }
+
   /** Per-key high-watermark state (T5): the distributed, fault-tolerant
     * form of the reference's `last_timestamps` dict (`fetch_stock.py:43,
     * 57,64`) — emits only rows strictly newer than the key's max seen

@@ -104,6 +104,58 @@ object TimeSeries {
     withPayload.drop("__t", "__ro", "__side", "__pay", "__asof")
   }
 
+  /** Nearest-as-of join: for each left row, the right row of the same key
+    * whose timestamp is CLOSEST to the left timestamp within `toleranceUs`
+    * microseconds, looking both directions (sensor/stream alignment where
+    * the match may arrive just after). Ties prefer the backward match;
+    * ties within a direction break on `rightOrder` (max for backward —
+    * "latest wins" — min for forward).
+    *
+    * Same scale shape as [[asofJoin]]: one union, one shuffle on `key`,
+    * two sorted window passes (backward last / forward first) instead of a
+    * per-key range join — O(n) per partition at any tolerance, where the
+    * naive pairs-within-tolerance join degrades with key×window density.
+    * Left rows with no right row in tolerance keep null payloads
+    * (left-outer semantics). */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  rightOrder: String, toleranceUs: Long): DataFrame = {
+    val pay = struct((payload :+ rightOrder).map(col) :+
+      col(rightTs).as("__rt"): _*)
+    val r2 = right.select(col(key), col(rightTs).as("__t"),
+      col(rightOrder).as("__ro"), pay.as("__pay")).withColumn("__side", lit(0))
+    val l2 = left.withColumn("__t", col(leftTs))
+      .withColumn("__ro", lit(null).cast(r2.schema("__ro").dataType))
+      .withColumn("__side", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    // Rights sort before lefts at equal ts, so the backward window already
+    // owns the delta-0 match; the forward window then only sees t > leftTs.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc_nulls_last)
+    val back = last(col("__pay"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__pay"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val lt = unix_micros(col(leftTs))
+    val db = lt - unix_micros(col("__back").getField("__rt"))
+    val df = unix_micros(col("__fwd").getField("__rt")) - lt
+    val backOk = col("__back").isNotNull && db <= toleranceUs
+    val fwdOk = col("__fwd").isNotNull && df <= toleranceUs
+    val useBack = backOk && (!fwdOk || db <= df)
+    val chosen = u.withColumn("__back", back).withColumn("__fwd", fwd)
+      .where(col("__side") === 1)
+      .withColumn("__pick",
+        when(useBack, col("__back")).when(fwdOk, col("__fwd")))
+      .withColumn("delta_us",
+        when(useBack, db).when(fwdOk, df).cast("long"))
+      .withColumn("direction",
+        when(useBack, lit("backward")).when(fwdOk, lit("forward")))
+    val withPayload = (payload :+ rightOrder).foldLeft(chosen) { (d, p) =>
+      d.withColumn(p, col("__pick").getField(p))
+    }
+    withPayload.drop("__t", "__ro", "__side", "__pay", "__back", "__fwd", "__pick")
+  }
+
   /** Range join: all (left, right) pairs of the same key whose timestamps
     * fall within `tolerance`. Spark plans this as a key-equi join with a
     * range residual — the equi part shuffles/broadcasts as usual and the

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.quality.Profile
+import graft.similarity.Similarity
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("profile: nulls, cardinality, typed min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(7.5)),
+      (None, Some("b"), Some(2.5)))
+      .toDF("id", "s", "x")
+    val got = Profile.profile(df, Seq("id" -> true, "s" -> false, "x" -> true))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 3)          // n_rows
+    assert(got("id").getLong(3) == 1)          // n_null
+    assert(got("id").getLong(4) == 2)          // n_distinct
+    assert(got("id").getDouble(5) == 1.0 && got("id").getDouble(6) == 2.0)
+    assert(got("s").getLong(3) == 1)
+    assert(got("s").getString(7) == "a" && got("s").getString(8) == "b")
+    assert(got("s").isNullAt(5) && got("s").isNullAt(6)) // no numeric min/max
+    assert(got("x").getLong(4) == 2)           // distinct counts values, not rows
+  }
+
+  test("quantizeInt8: codes bounded, reconstruction within one step") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(3.0f, 3.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // amax correct, codes within the int8 envelope
+    assert(rows(0).getDouble(2) == 1.0 && rows(1).getDouble(2) == 3.0)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= -128 && r.getLong(4) <= 127,
+        s"codes out of int8 envelope: $r")
+    }
+    // vec 2: codes floor(±127.0) → 127, 127, -127; sum 127
+    assert(rows(1).getLong(5) == 127L)
+  }
+
+  test("quantizeInt8: all-zero vector yields null codes, not NaN") {
+    val df = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()(0)
+    assert(r.getDouble(2) == 0.0) // amax
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+}

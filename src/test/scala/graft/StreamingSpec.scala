@@ -205,6 +205,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc apply: cross-batch MERGE INTO parquet, latest rev wins, buckets scoped") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Int, Double)]
+    val sink = Files.createTempDirectory("cdc_spec_").toString
+    val q = input.toDF().toDF("k", "rev", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc_spec_ckpt_").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Pipelines.mergeIntoParquet(b, sink, key = "k", version = "rev",
+          tiebreak = "k", nBuckets = 4)
+      }
+      .start()
+    try {
+      input.addData((1L, 0, 10.0), (2L, 0, 20.0), (6L, 0, 60.0))
+      q.processAllAvailable()
+      // batch 2 updates k=2 (bucket 2) and inserts k=3 (bucket 3);
+      // k=1/k=6 (buckets 1/2) must survive the partial overwrite
+      input.addData((2L, 1, 25.0), (3L, 0, 30.0))
+      q.processAllAvailable()
+      // batch 3: stale rev for k=3 must NOT win
+      input.addData((3L, -1, 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(sink)
+      .select("k", "rev", "v").as[(Long, Int, Double)].collect().toSet
+    assert(got == Set((1L, 0, 10.0), (2L, 1, 25.0), (3L, 0, 30.0), (6L, 0, 60.0)))
+  }
+
   test("q91 append sessions equal the watermark-restricted batch sessions (sf0.001)") {
     val got = SparkEntry.queries("q91_streaming_sessions_append")(
         spark, "/root/testdata/sf0.001")

@@ -31,6 +31,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == Map("l1" -> Some(9.0), "l2" -> Some(20.0), "l3" -> None))
   }
 
+  test("asofNearest: closest within tolerance either way, backward wins ties") {
+    val left = Seq((1L, 100L, "back"), (1L, 200L, "fwd"), (1L, 300L, "tie"),
+        (1L, 400L, "far"), (2L, 50L, "nokey"))
+      .toDF("k", "t", "tag").withColumn("ts", timestamp_seconds(col("t")))
+    val right = Seq(
+        (1L, 95L, 1.0, 1L),   // 5s before "back" (fwd candidate is 9s away)
+        (1L, 209L, 2.0, 2L),  // 9s after "fwd" (back candidate is 105s away)
+        (1L, 290L, 3.0, 3L),  // 10s before "tie"
+        (1L, 310L, 4.0, 4L))  // 10s after "tie" — backward must win
+      .toDF("k", "rt", "payload", "rid")
+      .withColumn("rts", timestamp_seconds(col("rt")))
+    val got = TimeSeries.asofNearest(left, right, "k", "ts", "rts",
+        payload = Seq("payload"), rightOrder = "rid", toleranceUs = 60L * 1000000)
+      .select(col("tag"), col("rid"), col("direction")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2))))).toMap
+    assert(got == Map(
+      "back" -> Some((1L, "backward")),
+      "fwd" -> Some((2L, "forward")),
+      "tie" -> Some((3L, "backward")),
+      "far" -> None,     // nearest right is 90s away > 60s tolerance
+      "nokey" -> None))  // no rights for key 2
+  }
+
   test("sma over last-n window") {
     val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 6.0)).toDF("k", "o", "v")
     val got = TimeSeries.sma(df, "k", "o", col("v"), n = 2, out = "s")
