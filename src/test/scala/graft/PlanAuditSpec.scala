@@ -129,6 +129,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q100 profile: one scan, one aggregation exchange (all metrics ride one agg)") {
+    val df = SparkEntry.queries("q100_column_profile")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      "profile must not re-scan per column:\n" + plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "expected exactly the one aggregation exchange:\n" + plan.take(3000))
+  }
+
+  test("q101 quantization runs entirely inside the scan stage (no hash exchange)") {
+    val df = SparkEntry.queries("q101_embedding_quantize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0,
+      "element-wise quantization must not shuffle:\n" + plan.take(3000))
+  }
+
+  test("q102 nearest-as-of: one key shuffle shared by both window passes, no join") {
+    val df = SparkEntry.queries("q102_asof_nearest")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      "nearest-as-of must be the union+window composition, not a range join:\n" +
+        plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "backward and forward windows must reuse one key exchange:\n" +
+        plan.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
     import org.apache.spark.sql.functions._
     // Complements q66's manual salting: same problem, the engine-native

@@ -116,6 +116,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: asofNearest equals the naive pairs-within-tolerance argmin") {
+    import graft.timeseries.TimeSeries
+    val rowsGen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 1000L)))
+    forAll(rowsGen, rowsGen) { (lRows, rRows) =>
+      whenever(lRows.nonEmpty && rRows.nonEmpty) {
+        val tolUs = 120L * 1000000
+        val left = lRows.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+          .withColumn("ts", timestamp_seconds(col("t")))
+        val right = rRows.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong + 1000, t.toDouble) }
+          .toDF("k", "rt", "rid", "payload")
+          .withColumn("rts", timestamp_seconds(col("rt")))
+        val got = TimeSeries.asofNearest(left, right, "k", "ts", "rts",
+            payload = Seq("payload"), rightOrder = "rid", toleranceUs = tolUs)
+          .select("lid", "rid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        // naive oracle: all pairs, min |delta|; backward wins ties, then
+        // latest backward rid / earliest forward rid
+        val expected = lRows.zipWithIndex.map { case ((lk, lt), i) =>
+          val cands = rRows.zipWithIndex
+            .map { case ((rk, rt), j) => (rk, rt, j.toLong + 1000) }
+            .filter { case (rk, rt, _) =>
+              rk == lk && math.abs(rt - lt) * 1000000L <= tolUs }
+          val best = cands.sortBy { case (_, rt, rid) =>
+            (math.abs(rt - lt), if (rt <= lt) 0 else 1,
+              if (rt <= lt) -rid else rid)
+          }.headOption.map(_._3)
+          i.toLong -> best
+        }.toMap
+        assert(got == expected, s"left=$lRows right=$rRows")
+      }
+    }
+  }
+
   test("DotProductD is bit-identical to the aggregate(zip_with) HOF formulation") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(50)(
