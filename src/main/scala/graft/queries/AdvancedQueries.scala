@@ -37,6 +37,50 @@ object AdvancedQueries extends QueryPack {
       .orderBy("user_id", "signup_id", "purchase_id")
   }
 
+  /** q104: stream-stream LEFT OUTER join — the stateful semantics q56's
+    * inner join doesn't cover: an unmatched signup is held in state and
+    * emitted WITH NULLS only once the global watermark (min of both
+    * streams' max event time − delay) passes its join window, which is
+    * also the moment its state is evicted — the bounded-state outer join
+    * at 100 TB. Probed empirically: matches emit in their processing
+    * micro-batch; null rows emit once `s_ts + tolerance < watermark`.
+    * Both the streamed result and the batch oracle are restricted to the
+    * provably-closed region (`s_ts + tolerance + 5 min margin < final
+    * watermark`, an in-plan broadcast of the 1-row max frame — no
+    * collect), so the emission boundary's exact strictness never reaches
+    * the compare. */
+  private def streamStreamLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("s_ts"), col("signup_id"), col("purchase_id"))
+    val streamed = StreamingQueries.runToMemorySink(joined, "sslo", mode = "append")
+    val ev = Tables.events(spark, dir)
+    val wm = ev.groupBy()
+      .agg(least(
+        max(when(col("event_type") === "signup", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("__maxts"))
+    streamed.crossJoin(broadcast(wm))
+      .where(col("s_ts") + expr("INTERVAL 35 MINUTES") <
+        col("__maxts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
   /** Custom expressions through the SQL surface: functions registered on
     * the live session (GraftExtensions covers the builder path). */
   private def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
@@ -63,7 +107,8 @@ object AdvancedQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_stream_stream_join" -> streamStreamJoin,
     "q57_sql_custom_functions" -> sqlCustomFunctions,
-    "q58_typed_ohlc" -> typedOhlc
+    "q58_typed_ohlc" -> typedOhlc,
+    "q104_stream_stream_left_outer" -> streamStreamLeftOuter
   )
 
   override def oracles: Map[String, String] = Map(
@@ -74,6 +119,23 @@ object AdvancedQueries extends QueryPack {
         |  ON s.user_id = p.user_id
         | AND p.ts >= s.ts - INTERVAL 30 MINUTE
         | AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // Batch twin of the outer join, restricted to the same provably-
+    // closed region the streamed result filters to.
+    "q104_stream_stream_left_outer" ->
+      """WITH s AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM s),
+        |                    (SELECT max(ts) FROM p))
+        |              - INTERVAL 1 HOUR AS w)
+        |SELECT s.user_id, s.event_id AS signup_id,
+        |       p.event_id AS purchase_id
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        | AND p.ts >= s.ts - INTERVAL 30 MINUTE
+        | AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        |WHERE s.ts + INTERVAL 35 MINUTE < (SELECT w FROM wm)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q57_sql_custom_functions" ->
       """WITH t AS (

@@ -45,6 +45,23 @@ class QualitySpec extends AnyFunSuite {
     assert(rows(1).getLong(5) == 127L)
   }
 
+  test("observe(): in-flight quality metrics ride the job, no extra scan") {
+    // The zero-cost counterpart of the q100 profile: quality counters
+    // attached to a production job via df.observe — computed inside the
+    // same pass (no second aggregation job), collected on the driver
+    // through the query-execution listener path.
+    val df = Seq((1L, "ok"), (2L, null), (3L, "ok"), (4L, null))
+      .toDF("id", "s")
+    val observed = df.observe("gate",
+      count(lit(1)).as("n_rows"),
+      sum(col("s").isNull.cast("long")).as("n_null_s"))
+      .where(col("id") =!= 999) // downstream work rides the same job
+    observed.collect()
+    val metrics = observed.queryExecution.observedMetrics("gate")
+    assert(metrics.getLong(metrics.fieldIndex("n_rows")) == 4)
+    assert(metrics.getLong(metrics.fieldIndex("n_null_s")) == 2)
+  }
+
   test("quantizeInt8: all-zero vector yields null codes, not NaN") {
     val df = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     val r = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()(0)

@@ -205,6 +205,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: matches emit immediately, nulls on watermark eviction (q104)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    // epoch offset: event times near 1970 collide with the initial
+    // watermark and are dropped as late (probed — the q104 fixture's
+    // 2025 timestamps are safe, but the spec must be too)
+    val B = 1000000000L
+    val ls = MemoryStream[(Long, Long)]
+    val rs = MemoryStream[(Long, Long)]
+    def side(ms: MemoryStream[(Long, Long)], u: String, t: String): DataFrame =
+      ms.toDF().toDF(u, "t0")
+        .withColumn(t + "_s", col("t0") + B)
+        .withColumn(t, timestamp_seconds(col(t + "_s")))
+        .withWatermark(t, "10 seconds")
+    val l = side(ls, "u", "s_ts")
+    val r = side(rs, "ru", "p_ts")
+    val j = l.join(r,
+        col("u") === col("ru") &&
+          col("p_ts") >= col("s_ts") - expr("INTERVAL 30 SECONDS") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 SECONDS"),
+        "left_outer")
+      .select(col("u"), (col("s_ts_s") - B).as("t"), (col("p_ts_s") - B).as("rt"))
+    val name = "sslo_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = j.writeStream.outputMode("append").format("memory").queryName(name).start()
+    def rows() = spark.table(name).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getLong(2)))).toSet
+    try {
+      ls.addData((1L, 0L), (2L, 100L))
+      rs.addData((1L, 10L))
+      q.processAllAvailable()
+      // match emits in its batch; unmatched u=2 still held (watermark low)
+      assert(rows() == Set((1L, 0L, Some(10L))))
+      // advance: left max 1000, right max 950 → watermark = 940;
+      // u=2 (100+30 < 940) evicts with null; u=3 (940+30 > 940) held
+      ls.addData((3L, 940L), (9L, 1000L))
+      rs.addData((9L, 950L))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 0L, Some(10L)), (2L, 100L, None)))
+    } finally q.stop()
+  }
+
   test("cdc apply: cross-batch MERGE INTO parquet, latest rev wins, buckets scoped") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Int, Double)]
