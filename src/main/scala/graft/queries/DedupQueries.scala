@@ -8,10 +8,13 @@ import graft.tables.Tables
 import graft.text.TextAnalysis
 
 /** Dedup queries over `documents` (north-star training-data ops).
-  * q36/q37/q38 carry DuckDB oracles (q38's via exact-equivalence — see
-  * minhashPairs); q39's SimHash band signatures have no such exactness
-  * point → rows-only driver check, cross-validated against the
-  * oracle-checked q37 in unit tests. */
+  * All four dedup queries carry DuckDB oracles: q36/q37 directly,
+  * q38 via exact-equivalence (see minhashPairs), and q39 by REPLICATING
+  * the engine's SimHash in SQL — FNV-1a64 as a list_reduce over UTF-8
+  * bytes with HUGEINT mod-2^64 wraparound (the corpus is pure ASCII, so
+  * `unicode(char)` IS the byte), bit votes, 16-bit banding, the
+  * maxBucket cap, and the hamming verify (the q57 poly-hash pattern
+  * scaled up). */
 object DedupQueries extends QueryPack {
 
   /** Exact dedup via content fingerprint. The fixture has no exact dups,
@@ -166,6 +169,52 @@ object DedupQueries extends QueryPack {
         |FROM cand c JOIN s x ON x.doc_id = c.doc_a JOIN s y ON y.doc_id = c.doc_b
         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Full replication of the engine's SimHash pipeline in SQL: FNV-1a64
+    // per token (UTF-8 bytes == unicode(char) on this ASCII corpus,
+    // HUGEINT mod-2^64 wraparound), per-bit majority votes, 4×16-bit
+    // bands, bucket-size cap [2, 256], any-band pair collision, hamming
+    // <= 16 verify. Validated equal to the engine output row-for-row.
+    "q39_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |             list_transform(regexp_split_to_array(w, ''),
+        |                            c -> CAST(unicode(c) AS UBIGINT))),
+        |           (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+        |                          % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b
+        |                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sh
+        |  FROM v GROUP BY 1),
+        |band AS (
+        |  SELECT doc_id, sh, i AS band,
+        |         CAST((sh >> (i * 16)) & 65535 AS BIGINT) AS block
+        |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)),
+        |ok AS (
+        |  SELECT band, block FROM band GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.sh AS sh_a, b.sh AS sh_b
+        |  FROM band a
+        |  JOIN ok o ON o.band = a.band AND o.block = a.block
+        |  JOIN band b ON b.band = a.band AND b.block = a.block
+        |            AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        |FROM p WHERE bit_count(xor(sh_a, sh_b)) <= 16
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q87_corpus_dedup_e2e" ->
       """WITH RECURSIVE u AS (

@@ -65,6 +65,65 @@ object StockQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q105: max drawdown per symbol — the classic risk metric the
+    * reference's trend model gestures at. Running peak via a sorted
+    * window, drawdown in integer CENTS (exact at any partitioning), the
+    * fractional form as a per-row double division whose max is
+    * order-independent. One key shuffle + one window pass — q65's plan
+    * shape, any key cardinality. */
+  private def maxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("run_max", max(col("cents")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("run_max") - col("cents")).as("max_dd_c"),
+        max((col("run_max") - col("cents")).cast("double")
+          / nullif(col("run_max"), lit(0L)).cast("double")).as("max_dd_frac"))
+      .orderBy("user_id")
+  }
+
+  /** q106: pairwise correlation of daily closes across a FIXED symbol
+    * panel (portfolio correlation matrix). The moment sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are integer cents — exact under any partitioning and
+    * merge order, unlike a double `corr` aggregate whose partial sums
+    * round partition-order-dependently — and the Pearson formula is one
+    * identical double expression tree on both engines.
+    *
+    * Scale note: all-pairs correlation is inherently O(symbols²); the
+    * bounded panel keeps the day-join broadcastable (panel × days rows),
+    * the same boundedness contract as the ANN query set (q41). */
+  private def panelCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("user_id") < 20)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(max_by(round(col("value") * 100).cast("long"), col("event_id"))
+        .as("close_c"))
+    val a = daily.select(col("user_id").as("sym_a"), col("day"),
+      col("close_c").as("ca"))
+    val b = daily.select(col("user_id").as("sym_b"), col("day"),
+      col("close_c").as("cb"))
+    a.join(b, Seq("day")).where(col("sym_a") < col("sym_b"))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum("ca").as("sx"), sum("cb").as("sy"),
+        sum(col("ca") * col("cb")).as("sxy"),
+        sum(col("ca") * col("ca")).as("sxx"),
+        sum(col("cb") * col("cb")).as("syy"))
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(nullif(col("n_days") * col("sxx") - col("sx") * col("sx"),
+              lit(0L)).cast("double"))
+            * sqrt(nullif(col("n_days") * col("syy") - col("sy") * col("sy"),
+              lit(0L)).cast("double")))).as("corr"))
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** A1 (`fetch_stock.py:64`): per-key last timestamp. */
   private def lastTimestamps(spark: SparkSession, dir: String): DataFrame =
     StockOps.lastTimestamps(Tables.events(spark, dir), "user_id", "ts")
@@ -77,7 +136,9 @@ object StockQueries extends QueryPack {
     "q23_route_split" -> routeSplit,
     "q24_symbol_unknown" -> symbolUnknown,
     "q25_trained_guard" -> trainedGuard,
-    "q26_last_timestamps" -> lastTimestamps
+    "q26_last_timestamps" -> lastTimestamps,
+    "q105_max_drawdown" -> maxDrawdown,
+    "q106_panel_correlation" -> panelCorrelation
   )
 
   override def oracles: Map[String, String] = Map(
@@ -113,6 +174,43 @@ object StockQueries extends QueryPack {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q26_last_timestamps" ->
       """SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q105_max_drawdown" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, cents,
+        |         max(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                   AND CURRENT ROW) AS run_max
+        |  FROM c)
+        |SELECT user_id, count(*) AS n_ticks,
+        |       max(run_max - cents) AS max_dd_c,
+        |       max(CAST(run_max - cents AS DOUBLE)
+        |           / CAST(nullif(run_max, 0) AS DOUBLE)) AS max_dd_frac
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_panel_correlation" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS close_c
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a.user_id AS sym_a, b.user_id AS sym_b,
+        |         count(*) AS n_days,
+        |         sum(a.close_c) AS sx, sum(b.close_c) AS sy,
+        |         sum(a.close_c * b.close_c) AS sxy,
+        |         sum(a.close_c * a.close_c) AS sxx,
+        |         sum(b.close_c * b.close_c) AS syy
+        |  FROM d a JOIN d b ON a.day = b.day AND a.user_id < b.user_id
+        |  GROUP BY 1, 2)
+        |SELECT sym_a, sym_b, n_days,
+        |       CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(nullif(n_days * sxx - sx * sx, 0) AS DOUBLE))
+        |            * sqrt(CAST(nullif(n_days * syy - sy * sy, 0) AS DOUBLE)))
+        |         AS corr
+        |FROM m ORDER BY sym_a, sym_b""".stripMargin
   )
 }
