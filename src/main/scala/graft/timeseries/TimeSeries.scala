@@ -161,10 +161,19 @@ object TimeSeries {
     * range residual — the equi part shuffles/broadcasts as usual and the
     * residual filters pairs, so skew is bounded by per-key×window density. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
-                leftTs: String, rightTs: String, tolerance: String): DataFrame =
-    left.join(right,
-      left(key) === right(key) &&
-        right(rightTs) >= left(leftTs) - expr(s"INTERVAL $tolerance") &&
-        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $tolerance"))
-      .drop(right(key))
+                leftTs: String, rightTs: String, tolerance: String): DataFrame = {
+    // The key is renamed on the right rather than referenced as
+    // `right(key)`: when both inputs derive from the same scan (the
+    // common self-join case), df(col) yields the SAME attribute on both
+    // sides and only Spark's dataset-id disambiguation saves the join
+    // from becoming trivially true. `leftTs` and `rightTs` must be
+    // distinct column names.
+    require(leftTs != rightTs, "rangeJoin needs distinct ts column names")
+    val r2 = right.withColumnRenamed(key, "__rjk")
+    left.join(r2,
+      col(key) === col("__rjk") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"))
+      .drop("__rjk")
+  }
 }
