@@ -53,4 +53,28 @@ class ParquetLayoutSpec extends AnyFunSuite {
     assert(sortedRows < scatteredRows,
       s"expected sorted ($sortedRows) < scattered ($scatteredRows)")
   }
+
+  test("Layout.compact: small-files storm rebalanced into few sized files, rows intact") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    // simulate a streaming sink's debris: 64 files for 1k rows
+    ev.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/small") == 64)
+
+    val scattered = spark.read.parquet(s"$tmp/small")
+    graft.ops.Layout.compact(scattered, s"$tmp/compacted",
+      advisoryBytes = 4L * 1024 * 1024)
+    // ~25 KB of data at a 4 MB advisory size → AQE coalesces the
+    // rebalance shuffle to very few partitions (one file each)
+    val nOut = parquetFiles(s"$tmp/compacted")
+    assert(nOut >= 1 && nOut <= 4, s"expected <=4 compacted files, got $nOut")
+    // content is exactly preserved
+    val a = spark.read.parquet(s"$tmp/compacted")
+      .orderBy("event_id").collect().toSeq
+    val b = ev.orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
 }
