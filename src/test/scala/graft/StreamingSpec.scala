@@ -205,6 +205,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc apply survives restart on the same checkpoint: replayed merges are idempotent") {
+    // The MERGE sink's exactly-once story: offsets come from the
+    // checkpoint, and a replayed micro-batch (crash after write, before
+    // commit) re-applies the same latest-wins merge — idempotent by
+    // construction, so the snapshot is correct either way.
+    val base = Files.createTempDirectory("cdc_rec").toString
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val sink = s"$base/snap"
+    val ckpt = s"$base/ckpt"
+    def addFile(rows: Seq[(Long, Int, Double)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("stage").toString
+      rows.toDF("k", "rev", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      ()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rev", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$srcDir/*.parquet")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Pipelines.mergeIntoParquet(b, sink, key = "k", version = "rev",
+            tiebreak = "k", nBuckets = 4)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(Seq((1L, 0, 10.0), (2L, 0, 20.0)), "f0")
+    runOnce() // phase 1
+    addFile(Seq((2L, 1, 25.0), (3L, 0, 30.0)), "f1")
+    runOnce() // phase 2: NEW query, same checkpoint — merges only f1
+    val got = spark.read.parquet(sink)
+      .select("k", "rev", "v").as[(Long, Int, Double)].collect().toSet
+    assert(got == Set((1L, 0, 10.0), (2L, 1, 25.0), (3L, 0, 30.0)))
+  }
+
   test("outer stream-stream join: matches emit immediately, nulls on watermark eviction (q104)") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.DataFrame
