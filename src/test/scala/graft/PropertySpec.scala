@@ -154,6 +154,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: mergeIntoParquet is idempotent and batch-order independent") {
+    import graft.streaming.Pipelines
+    val batchGen = Gen.listOfN(6,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0, 3), Gen.choose(0, 99)))
+    forAll(batchGen, batchGen) { (b1, b2) =>
+      whenever(b1.nonEmpty && b2.nonEmpty) {
+        def rows(b: List[((Long, Int), Int)]) = b.zipWithIndex.map {
+          case (((k, rev), v), i) => (k, rev * 10 + i, v.toDouble)
+        } // unique versions so latest-wins is deterministic
+        val r1 = rows(b1.map { case (k, r, v) => ((k, r), v) })
+        val r2 = rows(b2.map { case (k, r, v) => ((k, r), v) })
+          .map { case (k, ver, v) => (k, ver + 100, v) }
+        def applyAll(batches: Seq[Seq[(Long, Int, Double)]]): Set[(Long, Int, Double)] = {
+          val dir = java.nio.file.Files.createTempDirectory("mprop_").toString + "/s"
+          batches.foreach { b =>
+            Pipelines.mergeIntoParquet(b.toDF("k", "rev", "v"), dir,
+              key = "k", version = "rev", tiebreak = "k", nBuckets = 4)
+          }
+          spark.read.parquet(dir).select("k", "rev", "v")
+            .as[(Long, Int, Double)].collect().toSet
+        }
+        val once = applyAll(Seq(r1, r2))
+        val replayed = applyAll(Seq(r1, r2, r2)) // crash-replay of batch 2
+        val swapped = applyAll(Seq(r2, r1)) // out-of-order arrival
+        assert(once == replayed, s"replay diverged: $once vs $replayed")
+        assert(once == swapped, s"order mattered: $once vs $swapped")
+      }
+    }
+  }
+
   test("DotProductD is bit-identical to the aggregate(zip_with) HOF formulation") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(50)(
