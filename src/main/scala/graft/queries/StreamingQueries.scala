@@ -143,6 +143,26 @@ object StreamingQueries extends QueryPack {
       .where(col("n_events") >= 2)
       .orderBy("user_id", "session_start")
 
+  /** q107: SLIDING event-time windows (the T6 leg tumbling q44 and
+    * session q51/q76/q91 don't cover): width 2 h, slide 1 h — every
+    * event lands in exactly two overlapping windows. The oracle derives
+    * the same two window starts per event in SQL (windows align to the
+    * epoch, so they are `trunc_hour(ts)` and `trunc_hour(ts) − 1 h`);
+    * money stays in integer cents. */
+  private def streamingSlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val windows = raw
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_c"))
+    runToMemorySink(windows, "slide").orderBy("event_type", "win_start")
+  }
+
   /** q103: streaming CDC apply — MERGE INTO a bucket-partitioned parquet
     * snapshot via foreachBatch ([[Pipelines.mergeIntoParquet]]): the
     * keyed-collection upsert loop of the reference, with per-batch cost
@@ -217,7 +237,8 @@ object StreamingQueries extends QueryPack {
     "q76_streaming_sessions" -> streamingSessions,
     "q91_streaming_sessions_append" -> streamingSessionsAppend,
     "q98_streaming_window_distinct" -> streamingWindowDistinct,
-    "q103_streaming_cdc_apply" -> streamingCdcApply
+    "q103_streaming_cdc_apply" -> streamingCdcApply,
+    "q107_streaming_sliding_windows" -> streamingSlidingWindows
   )
 
   override def oracles: Map[String, String] = Map(
@@ -302,6 +323,23 @@ object StreamingQueries extends QueryPack {
         |       CAST(round(CASE WHEN event_id % 10 = 0 THEN value * 2 * 100
         |                       ELSE value * 100 END) AS BIGINT) AS value_c,
         |       CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS rev
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Each event's two containing sliding windows, derived in SQL:
+    // epoch-aligned width-2h slide-1h windows start at trunc_hour(ts)
+    // and trunc_hour(ts) - 1h.
+    "q107_streaming_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, vc,
+        |         unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(vc) AS BIGINT) AS sum_c
+        |FROM x GROUP BY 1, 2 ORDER BY event_type, win_start""".stripMargin
   )
 }
