@@ -33,8 +33,13 @@ object Bench {
     // Compact trailer: the full line above can exceed the driver's tail
     // capture (90 entries), losing the leading "value" field — repeat the
     // headline LAST so a tail-truncated artifact still carries it.
+    // Locale.ROOT: the f-interpolator uses the default locale, which can
+    // emit comma decimals (de_DE) and corrupt the JSON artifact.
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"n_failed":${failed.size},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

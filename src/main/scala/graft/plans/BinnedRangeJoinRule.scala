@@ -70,10 +70,21 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     e.references.intersect(l.outputSet).nonEmpty &&
       e.references.intersect(r.outputSet).nonEmpty
 
+  /** Bin width, validated HERE (at the rewrite site) rather than at the
+    * top of apply(): the rule is registered session-wide, so a malformed
+    * conf value must at worst disable this rewrite (fall back to Spark's
+    * own plan), never fail unrelated queries' optimization. */
+  private def binWidth: Option[Long] =
+    try {
+      val w = conf.getConfString(WidthKey, "1000").toLong
+      if (w > 0) Some(w) else { logWarning(s"$WidthKey must be positive, got $w — rewrite disabled"); None }
+    } catch {
+      case _: NumberFormatException =>
+        logWarning(s"$WidthKey is not a number — rewrite disabled"); None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
-    val width = conf.getConfString(WidthKey, "1000").toLong
-    require(width > 0, s"$WidthKey must be positive")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
@@ -89,8 +100,8 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         else {
           val triple = rangeTriple(cross(0), cross(1), left, right)
             .orElse(rangeTriple(cross(1), cross(0), left, right))
-          triple match {
-            case Some((p, lo, hi, pointOnLeft)) =>
+          triple.flatMap(t => binWidth.map(t -> _)) match {
+            case Some(((p, lo, hi, pointOnLeft), width)) =>
               val w = Literal(width)
               def bin(e: Expression) = IntegralDivide(Cast(e, LongType), w)
               val (pointSide, intervalSide) =

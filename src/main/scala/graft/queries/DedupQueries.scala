@@ -48,13 +48,17 @@ object DedupQueries extends QueryPack {
     * >= 0.9 (the synthetic near-dups are high-overlap copies), where the
     * 16-band × 4-row collision probability is 1 − (1 − 0.9⁴)¹⁶ ≈
     * 1 − 4e-8, and the MinHash permutations are fixed-seed
-    * deterministic. DedupSimilaritySpec pins the set equality; the
-    * generic sub-exhaustive recall behavior stays characterized by its
-    * recall tests. */
+    * deterministic. The bucket cap is explicitly LIFTED here (q40's
+    * uncapped-oracle pattern): a capped run could silently drop a
+    * >maxBucket bucket of near-identical docs and diverge from the
+    * exhaustive SQL — the capped default stays the production path.
+    * DedupSimilaritySpec pins the set equality; the generic
+    * sub-exhaustive recall behavior stays characterized by its recall
+    * tests. */
   private def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val candidates = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-      k = 3, bands = 16, rowsPerBand = 4)
+      k = 3, bands = 16, rowsPerBand = 4, maxBucket = Int.MaxValue)
     Dedup.verifyJaccard(candidates, docs, "doc_id", "text", k = 3,
         threshold = 0.3)
       .orderBy("doc_a", "doc_b")

@@ -237,13 +237,11 @@ object PipelineQueries extends QueryPack {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("split")
 
-  /** q93: binned range join — lineitems whose price (cents) falls in each
-    * part's retail-price band [lo, lo+500]. A naive range predicate would
-    * plan a broadcast-nested-loop (quadratic); RangeJoin bins both sides
-    * (binWidth = band length → ≤2 bins per interval) and runs a shuffled
-    * EQUI-join on the bin id, filtered exact afterward. The oracle is the
-    * plain BETWEEN join — semantics must be identical. */
-  private def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared inputs and aggregation for q93/q99 — the two queries differ
+    * ONLY in how the range join is planned (manual binning vs the
+    * optimizer rule); one definition keeps them impossible to
+    * desynchronize. */
+  private def bandJoinInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(spark, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"),
         col("l_quantity"))
@@ -251,12 +249,25 @@ object PipelineQueries extends QueryPack {
       .select(col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("lo"))
       .withColumn("hi", col("lo") + 500)
-    graft.ops.RangeJoin.pointInInterval(li, "price_c", bands, "lo", "hi", 500)
-      .groupBy("p_partkey")
+    (li, bands)
+  }
+  private def bandJoinResult(joined: DataFrame): DataFrame =
+    joined.groupBy("p_partkey")
       .agg(count(lit(1)).as("n_in_band"),
         round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
           .as("total_qty"))
       .orderBy("p_partkey")
+
+  /** q93: binned range join — lineitems whose price (cents) falls in each
+    * part's retail-price band [lo, lo+500]. A naive range predicate would
+    * plan a broadcast-nested-loop (quadratic); RangeJoin bins both sides
+    * (binWidth = band length → ≤2 bins per interval) and runs a shuffled
+    * EQUI-join on the bin id, filtered exact afterward. The oracle is the
+    * plain BETWEEN join — semantics must be identical. */
+  private def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val (li, bands) = bandJoinInputs(spark, dir)
+    bandJoinResult(
+      graft.ops.RangeJoin.pointInInterval(li, "price_c", bands, "lo", "hi", 500))
   }
 
   /** q94: deterministic stratified sampling — rare strata kept at a
@@ -296,22 +307,19 @@ object PipelineQueries extends QueryPack {
     * equi-join automatically, so the user keeps declarative SQL and the
     * quadratic nested-loop plan never runs. Same oracle as q93 —
     * identical semantics is the point; RangeJoinRuleSpec asserts the
-    * rewritten plan. */
+    * rewritten plan.
+    *
+    * Registration is SESSION-WIDE (SparkSessionExtensions semantics) and
+    * idempotent; the rule is safe as a resident: it only ever touches an
+    * inner join whose cross-side condition is exactly one integral
+    * >=/<= pair with no equi conjunct — a shape that, without it, could
+    * only plan as a nested loop — and a malformed binWidth conf disables
+    * the rewrite with a warning instead of failing optimization. */
   private def rangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val li = Tables.lineitem(spark, dir)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("price_c"),
-        col("l_quantity"))
-    val bands = Tables.part(spark, dir)
-      .select(col("p_partkey"),
-        round(col("p_retailprice") * 100).cast("long").as("lo"))
-      .withColumn("hi", col("lo") + 500)
-    li.join(bands, col("price_c") >= col("lo") && col("price_c") <= col("hi"))
-      .groupBy("p_partkey")
-      .agg(count(lit(1)).as("n_in_band"),
-        round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 2)
-          .as("total_qty"))
-      .orderBy("p_partkey")
+    val (li, bands) = bandJoinInputs(spark, dir)
+    bandJoinResult(
+      li.join(bands, col("price_c") >= col("lo") && col("price_c") <= col("hi")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -332,6 +340,17 @@ object PipelineQueries extends QueryPack {
     "q95_scd2_history" -> scd2History,
     "q99_range_join_auto" -> rangeJoinAuto
   )
+
+  /** The ONE oracle for both q93 and q99 — the plain BETWEEN join;
+    * identical semantics under either planning is exactly the claim. */
+  private val BandJoinOracle =
+    """SELECT p_partkey, count(*) AS n_in_band,
+      |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
+      |FROM part p JOIN lineitem l
+      |  ON CAST(round(l_extendedprice*100) AS BIGINT)
+      |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
+      |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q65_upsert_latest" ->
@@ -436,22 +455,8 @@ object PipelineQueries extends QueryPack {
         |  FROM documents)
         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q93_range_join_bands" ->
-      """SELECT p_partkey, count(*) AS n_in_band,
-        |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
-        |FROM part p JOIN lineitem l
-        |  ON CAST(round(l_extendedprice*100) AS BIGINT)
-        |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
-        |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q99_range_join_auto" ->
-      """SELECT p_partkey, count(*) AS n_in_band,
-        |       round(sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_qty
-        |FROM part p JOIN lineitem l
-        |  ON CAST(round(l_extendedprice*100) AS BIGINT)
-        |     BETWEEN CAST(round(p_retailprice*100) AS BIGINT)
-        |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_range_join_bands" -> BandJoinOracle,
+    "q99_range_join_auto" -> BandJoinOracle,
     "q94_stratified_sample" ->
       """SELECT event_type, count(*) AS n_sampled,
         |       min(event_id) AS first_id, max(event_id) AS last_id

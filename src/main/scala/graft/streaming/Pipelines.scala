@@ -109,7 +109,9 @@ object Pipelines {
     * `foreachBatch`.
     *
     * Scale shape: the snapshot is hash-bucket-partitioned on the key
-    * (`__bkt = pmod(key, nBuckets)`) and each micro-batch does a
+    * (`__bkt = pmod(hash(key), nBuckets)` — hash-based so string CDC
+    * keys, the reference's Mongo `_id` shape, bucket as well as numeric
+    * ones) and each micro-batch does a
     * read-modify-write scoped to the buckets it touches — existing rows
     * of ONLY those buckets are read back (partition-pruned scan), merged
     * latest-wins with the batch, and rewritten via dynamic partition
@@ -123,7 +125,7 @@ object Pipelines {
                        nBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val bucketed = batch.withColumn("__bkt",
-      pmod(col(key), lit(nBuckets)).cast("int"))
+      pmod(hash(col(key)), lit(nBuckets)).cast("int"))
     val affected = bucketed.select("__bkt").distinct()
       .collect().map(_.getInt(0))
     if (affected.isEmpty) return

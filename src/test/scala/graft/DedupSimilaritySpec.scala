@@ -35,7 +35,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // 16 bands x 4 rows collide with probability ~1 - 4e-8
     val corpus = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val cands = Dedup.minhashCandidatePairs(corpus, "doc_id", "text",
-      k = 3, bands = 16, rowsPerBand = 4)
+      k = 3, bands = 16, rowsPerBand = 4, maxBucket = Int.MaxValue)
     val got = Dedup.verifyJaccard(cands, corpus, "doc_id", "text", k = 3,
         threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

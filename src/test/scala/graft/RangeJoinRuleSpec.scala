@@ -56,6 +56,26 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("malformed binWidth disables the rewrite, never fails other queries") {
+    val key = graft.plans.BinnedRangeJoinRule.WidthKey
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "not-a-number")
+    try {
+      // the resident rule must not throw while optimizing ANY query
+      assert(spark.range(0, 10).count() == 10)
+      // the range join still runs — unrewritten (falls back to Spark's plan)
+      val j = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val withRule = j.count()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("__bin"), "rewrite should be disabled:\n" + plan.take(2000))
+      spark.conf.set(key, "1000")
+      assert(withRule == j.count(), "semantics must not depend on the conf")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("BETWEEN through SQL takes the same rewrite") {
     pts.createOrReplaceTempView("rr_pts")
     ivs.createOrReplaceTempView("rr_ivs")

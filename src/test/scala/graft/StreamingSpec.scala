@@ -205,6 +205,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc apply buckets string keys (the Mongo _id shape) via hash") {
+    val sink = Files.createTempDirectory("cdc_str_").toString + "/s"
+    Pipelines.mergeIntoParquet(
+      Seq(("a", 0, 1.0), ("b", 0, 2.0)).toDF("k", "rev", "v"),
+      sink, key = "k", version = "rev", tiebreak = "k", nBuckets = 4)
+    Pipelines.mergeIntoParquet(
+      Seq(("a", 1, 9.0)).toDF("k", "rev", "v"),
+      sink, key = "k", version = "rev", tiebreak = "k", nBuckets = 4)
+    val got = spark.read.parquet(sink).select("k", "rev", "v")
+      .as[(String, Int, Double)].collect().toSet
+    assert(got == Set(("a", 1, 9.0), ("b", 0, 2.0)))
+  }
+
   test("cdc apply survives restart on the same checkpoint: replayed merges are idempotent") {
     // The MERGE sink's exactly-once story: offsets come from the
     // checkpoint, and a replayed micro-batch (crash after write, before
