@@ -162,6 +162,25 @@ class PlanAuditSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("q105 drawdown: window and final agg share ONE key exchange") {
+    val df = SparkEntry.queries("q105_max_drawdown")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "running-peak window and the per-key agg must reuse one shuffle:\n" +
+        plan.take(3000))
+  }
+
+  test("q106 panel correlation: the day self-join broadcasts (panel is bounded)") {
+    val df = SparkEntry.queries("q106_panel_correlation")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
     import org.apache.spark.sql.functions._
     // Complements q66's manual salting: same problem, the engine-native
