@@ -20,8 +20,31 @@ object QualityQueries extends QueryPack {
       "o_orderstatus" -> false,
       "o_orderpriority" -> false))
 
+  /** q108: snapshot reconciliation — diff two synthetic versions of
+    * `orders` (old = keys not divisible by 11; new = keys not divisible
+    * by 13, price doubled where divisible by 7) and aggregate per
+    * status. One full-outer key join; integer cents keep the sums exact. */
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val oldSnap = base.where(col("o_orderkey") % 11 =!= 0)
+    val newSnap = base.where(col("o_orderkey") % 13 =!= 0)
+      .withColumn("price_c",
+        when(col("o_orderkey") % 7 === 0, col("price_c") * 2)
+          .otherwise(col("price_c")))
+    graft.ops.Reconcile.diff(oldSnap, newSnap, "o_orderkey", Seq("price_c"))
+      .groupBy("diff_status")
+      .agg(count(lit(1)).as("n_keys"),
+        min("o_orderkey").as("first_key"),
+        sum(coalesce(col("new_price_c"), lit(0L))).as("sum_new_c"))
+      .orderBy("diff_status")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q100_column_profile" -> ordersProfile
+    "q100_column_profile" -> ordersProfile,
+    "q108_snapshot_diff" -> snapshotDiff
   )
 
   override def oracles: Map[String, String] = Map(
@@ -58,6 +81,29 @@ object QualityQueries extends QueryPack {
         |  SELECT 'o_orderstatus', n_rows, nn4, nd4, NULL, NULL, ms4, mxs4 FROM s
         |  UNION ALL
         |  SELECT 'o_orderpriority', n_rows, nn5, nd5, NULL, NULL, ms5, mxs5 FROM s)
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    "q108_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |o AS (SELECT * FROM b WHERE o_orderkey % 11 <> 0),
+        |n AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN price_c * 2
+        |              ELSE price_c END AS price_c
+        |  FROM b WHERE o_orderkey % 13 <> 0),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+        |         n.price_c AS new_price_c,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.price_c = n.price_c THEN 'unchanged'
+        |              ELSE 'changed' END AS diff_status
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT diff_status, count(*) AS n_keys,
+        |       min(k) AS first_key,
+        |       CAST(sum(coalesce(new_price_c, 0)) AS BIGINT) AS sum_new_c
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -45,6 +45,20 @@ class QualitySpec extends AnyFunSuite {
     assert(rows(1).getLong(5) == 127L)
   }
 
+  test("Reconcile.diff: added/removed/changed/unchanged with null-safe compare") {
+    val oldSnap = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("k", "v")
+    val newSnap = Seq((2L, None: Option[String]), (3L, Some("x")), (4L, Some("d")))
+      .toDF("k", "v")
+    val got = graft.ops.Reconcile.diff(oldSnap, newSnap, "k", Seq("v"))
+      .select("k", "diff_status").as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "removed",
+      2L -> "unchanged", // null <=> null — null-safe equality, not SQL =
+      3L -> "changed",
+      4L -> "added"))
+  }
+
   test("observe(): in-flight quality metrics ride the job, no extra scan") {
     // The zero-cost counterpart of the q100 profile: quality counters
     // attached to a production job via df.observe — computed inside the
