@@ -151,6 +151,13 @@ object Dedup {
     var labels = sym.select(col("x").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Checkpoint hygiene: each round's localCheckpoint pins its blocks for
+    // the JVM's life; without eviction a long chain accumulates O(rounds)
+    // cached label RDDs. Once round i's labels are materialized (the
+    // count() below), round i-1's blocks have no remaining reader and are
+    // dropped. Only the final round's labels (returned) and `sym` stay
+    // pinned during the loop; `sym` is dropped on exit.
+    var prevCp = labels
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -170,9 +177,12 @@ object Dedup {
           min(when(col("own"), col("label"))).as("old"))
         .localCheckpoint(false)
       converged = next.where(col("label") =!= col("old")).count() == 0L
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+      prevCp = next
       labels = next.select("node", "label")
       i += 1
     }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(sym)
     // Silent partial labels would be WRONG answers — fail loudly instead;
     // the caller raises maxIter (rounds needed = graph diameter).
     if (!converged)

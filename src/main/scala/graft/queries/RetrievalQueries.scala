@@ -152,7 +152,7 @@ object RetrievalQueries extends QueryPack {
         |                                ROWS BETWEEN UNBOUNDED PRECEDING
         |                                         AND 1 PRECEDING), 0) AS cum_before
         |  FROM d)
-        |SELECT lang, cum_before // 2048 AS pack_id,
+        |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
         |       count(*) AS n_docs,
         |       CAST(sum(dl) AS BIGINT) AS sum_tokens,
         |       min(doc_id) AS first_doc

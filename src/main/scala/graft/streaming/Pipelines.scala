@@ -129,10 +129,15 @@ object Pipelines {
     val affected = bucketed.select("__bkt").distinct()
       .collect().map(_.getInt(0))
     if (affected.isEmpty) return
+    // Probed via the Hadoop FileSystem API so the check is correct on any
+    // supported URI (HDFS/S3A/file:), not just the local filesystem —
+    // java.io.File would silently report false for hdfs:// paths and
+    // re-seed the snapshot.
     val sinkExists = {
-      val f = new java.io.File(sinkDir)
-      f.exists && f.listFiles != null &&
-        f.listFiles.exists(_.getName.startsWith("__bkt="))
+      val path = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(path) &&
+        fs.listStatus(path).exists(_.getPath.getName.startsWith("__bkt="))
     }
     val merged0 =
       if (!sinkExists) graft.ops.Merge.upsertLatest(

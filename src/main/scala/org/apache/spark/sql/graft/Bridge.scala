@@ -13,6 +13,20 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Frees the cached blocks behind a `localCheckpoint`ed frame once no
+    * future computation reads it (iterative algorithms otherwise pin
+    * O(rounds) copies of their state for the JVM's life). The blocks ARE
+    * the data — lineage is truncated — so callers must only drop a
+    * checkpoint whose every downstream consumer has already materialized.
+    * Returns false (no-op) if the frame is not a checkpoint root. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); true
+      case _ => false
+    }
+
   /** Temp-function registration on a live session (the FunctionRegistry is
     * `private[sql]` too). For build-time registration prefer
     * `graft.functions.GraftExtensions` via spark.sql.extensions. */

@@ -203,6 +203,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents evicts superseded round checkpoints (keeps only final labels)") {
+    // Each round localCheckpoints its labels; without eviction a long
+    // chain pins O(rounds) cached RDDs for the JVM's life. A 9-chain
+    // needs ~5 rounds — after convergence exactly ONE new persistent RDD
+    // (the returned labels) may remain beyond what was persisted before.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(chain, "a", "b")
+    assert(labels.count() == 10L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the final labels to stay cached, got ${leaked.size} new persistent RDDs")
+  }
+
   test("connectedComponents fails loudly when maxIter < graph diameter") {
     val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("a", "b")
     intercept[IllegalStateException] {

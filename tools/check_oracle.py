@@ -59,6 +59,25 @@ def main():
             print(f"[FAIL] {name}: rows spark={len(got)} duckdb={len(want)}")
             failures += 1
             continue
+        # Dtype gate: the driver's hash is type-sensitive (it canonicalizes
+        # integer widths but NOT type families), so a value-equal result in
+        # a different family still fails there. The one observed escape
+        # (q97, round 3): DuckDB sum(BIGINT) returns HUGEINT, which pandas
+        # surfaces as dtype=object — hash-diverging from Spark's int64 even
+        # though astype(str) compared equal. Fail on any family mismatch,
+        # and on object-dtype numerics from DuckDB (uncast HUGEINT/DECIMAL
+        # signature), so this gate is at least as strict as the driver.
+        tbad = []
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if b.dtype == object and a.dtype != object:
+                tbad.append(f"{c}: duckdb dtype=object (uncast HUGEINT/DECIMAL?) vs spark={a.dtype}")
+            elif a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} != {"i", "u"}:
+                tbad.append(f"{c}: dtype family spark={a.dtype} duckdb={b.dtype}")
+        if tbad:
+            print(f"[FAIL] {name}: TYPE " + "; ".join(tbad))
+            failures += 1
+            continue
         bad = []
         for c in got.columns:
             a, b = got[c], want[c]
