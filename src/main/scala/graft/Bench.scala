@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query repeats: single-run timings at this scale swing up to 3×
+    // between rounds with no code change (JVM/JIT/GC noise), which can
+    // mask a real regression of the same size — report the median of 3.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,16 +24,24 @@ object Bench {
     // under-billing projection-heavy queries.
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => failed ::= s"$name:${e.getClass.getSimpleName}" }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).iterator.map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            failed ::= s"$name:${e.getClass.getSimpleName}"; false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }.takeWhile(_._2).map(_._1).toSeq // a failing query is not retried
+      val median =
+        if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     // Compact trailer: the full line above can exceed the driver's tail
     // capture (90 entries), losing the leading "value" field — repeat the
     // headline LAST so a tail-truncated artifact still carries it.
@@ -40,7 +52,7 @@ object Bench {
         s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"n_failed":${failed.size},"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"n_failed":${failed.size},"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

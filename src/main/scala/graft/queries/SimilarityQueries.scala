@@ -84,13 +84,29 @@ object SimilarityQueries extends QueryPack {
         id = "vec_id", vec = "embedding")
       .orderBy("vec_id")
 
+  /** q109: IVF search over the int8-quantized corpus, at the exactness
+    * point nProbe = nCells — every cell probed, so the result is the
+    * exact top-k under QUANTIZED scoring and the whole leg (k-means,
+    * quantization, scale-free integer-code cosine, probe ranking) is
+    * SQL-expressible: the oracle replicates floor(x·127/amax) codes and
+    * scores dot(q, codes)/(‖q‖·‖codes‖) with the same sequential fold.
+    * Sub-exhaustive probe counts and recall vs FLOAT brute force are
+    * covered in DedupSimilaritySpec. */
+  private def ivfQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKQuantized(emb, emb.where(col("vec_id") < 10),
+        id = "vec_id", vec = "embedding", k = 5, nCells = 16, nProbe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
     "q62_lsh_cosine_neardup" -> lshCosineNearDup,
     "q72_ivf_topk" -> ivfTopK,
-    "q101_embedding_quantize" -> embeddingQuantize
+    "q101_embedding_quantize" -> embeddingQuantize,
+    "q109_ivf_quantized_topk" -> ivfQuantizedTopK
   )
 
   override def oracles: Map[String, String] = Map(
@@ -175,6 +191,33 @@ object SimilarityQueries extends QueryPack {
         |       CAST(list_min(codes) AS BIGINT) AS code_min,
         |       CAST(list_max(codes) AS BIGINT) AS code_max,
         |       CAST(list_sum(codes) AS BIGINT) AS code_sum
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // nProbe = nCells → exhaustive search over the quantized corpus; the
+    // scale amax/127 cancels in cosine, so scoring is
+    // dot(q, codes) / (‖q‖·‖codes‖) on raw integer codes — the identical
+    // double expression tree on both engines (codes are integral doubles,
+    // same sequential-fold dot as q41).
+    "q109_ivf_quantized_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, dv, list_max([abs(x) for x in dv]) AS amax FROM v),
+        |c AS (
+        |  SELECT vec_id,
+        |         [floor(x * 127.0 / amax) for x in dv] AS codes
+        |  FROM a WHERE amax > 0),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.dv[i] * c.codes[i] for i in range(1, len(q.dv) + 1)])
+        |           / (sqrt(list_sum([q.dv[i] * q.dv[i] for i in range(1, len(q.dv) + 1)]))
+        |              * sqrt(list_sum([c.codes[i] * c.codes[i] for i in range(1, len(c.codes) + 1)]))) AS cosine
+        |  FROM v q JOIN c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -178,6 +178,42 @@ object Pipelines {
       .toDF(key, ts)
   }
 
+  /** [[highWatermarkFilter]] with a state TTL: idle keys are evicted after
+    * `ttlMs` of processing time with no traffic, bounding total state by
+    * the ACTIVE key cardinality instead of the all-time one — the
+    * difference between O(live symbols) and O(every symbol ever seen)
+    * after a year of uptime. The trade-off is explicit and the same one
+    * every watermark makes: a row for an evicted key re-admits even if it
+    * is older than the evicted high-watermark (the key restarts cold).
+    * Keys quieter than their TTL must either tolerate that re-admission
+    * or use the untimed variant. */
+  def highWatermarkFilterTtl(spark: SparkSession, stream: DataFrame,
+                             key: String, ts: String,
+                             ttlMs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = stream.select(col(key).cast("string"), col(ts).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (k: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // No traffic for ttlMs → drop the key's watermark entirely.
+            state.remove()
+            Iterator.empty
+          } else {
+            val hwm = state.getOption.getOrElse(Long.MinValue)
+            val fresh = rows.map(_._2).filter(_ > hwm).toSeq.sorted
+            if (fresh.nonEmpty) state.update(math.max(hwm, fresh.max))
+            // Any batch that routed rows here (fresh or stale) proves the
+            // key is live — re-arm its eviction clock.
+            if (state.exists) state.setTimeoutDuration(ttlMs)
+            fresh.iterator.map(t => (k, t))
+          }
+      }
+      .toDF(key, ts)
+  }
+
   /** The reference's 60-second cadence (T1: `fetch_stock.py:47`). */
   val ReferenceTrigger: Trigger = Trigger.ProcessingTime("60 seconds")
 }

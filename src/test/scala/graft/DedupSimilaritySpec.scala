@@ -279,6 +279,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("quantizeCodes stores array<tinyint> — the 4x-vs-f32 storage claim is real") {
+    val codes = Similarity.quantizeCodes(fixtureEmb, "vec_id", "embedding")
+    codes.schema("codes").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, _) => ()
+      case other => fail(s"codes must be array<tinyint>, got $other")
+    }
+    // codes are a valid int8 range and every kept vector has a scale
+    val row = codes.selectExpr("min(array_min(codes))", "max(array_max(codes))",
+      "min(amax)").first()
+    assert(row.getByte(0) >= -127 && row.getByte(1) <= 127 && row.getDouble(2) > 0)
+  }
+
+  test("quantized IVF: recall >= 0.9 vs FLOAT brute force at full probe (quantization error only)") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.ivfTopKQuantized(emb, queries, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantization-only recall=$recall")
+  }
+
+  test("quantized IVF: recall >= 0.8 at half the cells probed (q109 scale config)") {
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.ivfTopKQuantized(emb, queries, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("lshCosinePairs: exact precision, recalls the exact near-dups (q62 config)") {
     val exact = Similarity.blockedCosinePairs(fixtureEmb, "vec_id", "embedding",
         "label", threshold = 0.45)

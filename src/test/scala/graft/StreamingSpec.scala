@@ -60,6 +60,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("AAPL", 100L), ("AAPL", 200L), ("AAPL", 250L), ("MSFT", 10L)))
   }
 
+  test("TTL high-watermark evicts idle keys: an expired key re-admits (T5 bounded state)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("symbol", "ts")
+    val filtered = Pipelines.highWatermarkFilterTtl(spark, stream,
+      "symbol", "ts", ttlMs = 300L)
+    val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = filtered.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(("AAPL", 200L))
+      q.processAllAvailable()
+      // Within TTL: behind the watermark → dropped (state is live).
+      input.addData(("AAPL", 150L))
+      q.processAllAvailable()
+      // Go idle past the TTL, then drive a batch with a DIFFERENT key —
+      // processing-time timeouts only fire when a batch runs.
+      Thread.sleep(1200L)
+      input.addData(("MSFT", 1L))
+      q.processAllAvailable()
+      // AAPL's state was evicted → the same stale row now re-admits.
+      input.addData(("AAPL", 150L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[(String, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map(("AAPL", 200L) -> 1, ("MSFT", 1L) -> 1, ("AAPL", 150L) -> 1),
+      s"got $got")
+  }
+
   test("E2 routing writes history and realtime sinks partitioned by key (mongo_stream_etl.py:34-39)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, String, Double)]
