@@ -191,6 +191,95 @@ object Dedup {
     labels
   }
 
+  /** Incremental corpus dedup — the production form of the full-corpus
+    * pipeline (q87): dedup a NEW DROP against an existing keep-set without
+    * ever re-pairing the corpus against itself. This is how a 100 TB
+    * pipeline actually runs: the corpus was deduped once; each incoming
+    * drop must be classified against it and within itself.
+    *
+    * Per drop document the verdict is one of
+    *   - `dup_of_keep`  — its component's representative is a keep doc;
+    *   - `dup_in_drop`  — representative is a lower-id drop doc;
+    *   - `kept`         — it IS its component's representative (or matched
+    *                      nothing at all).
+    * `rep_id` carries the representative (own id when kept).
+    *
+    * Shape at scale:
+    *   - The exploded (doc, shingle) keep side is THE persisted index a
+    *     deployment stores (bucketed by shingle hash, appended per drop) —
+    *     here it is recomputed inline because the fixture stores raw text.
+    *     Shingle document frequencies ride the same index, so the
+    *     hot-shingle cap is a broadcast anti-join exactly as in
+    *     [[blockedJaccardPairs]].
+    *   - Pair generation is restricted to pairs TOUCHING THE DROP: a
+    *     drop-vs-keep shingle equi-join plus a drop-vs-drop self-join.
+    *     Keep-vs-keep pairs — the quadratic bulk of a full re-run — never
+    *     materialize; cost is O(drop shingles × their index matches).
+    *   - Connected components runs over only the new edges, so rounds ×
+    *     work track the DROP's component closure, not the corpus.
+    *
+    * Invariants the caller owns (both hold in any append-only pipeline):
+    * ids are unique across keep ∪ drop and new ids sort after keep ids;
+    * the keep-set is internally deduped at `threshold` (no keep-keep edge
+    * exists, which is what makes skipping them lossless). Known, standard
+    * divergence from a full re-run: transitivity THROUGH a previously
+    * dropped doc is not seen (the index holds only kept docs) — a drop doc
+    * whose only link to a keep representative ran through a dropped
+    * near-dup stays `kept`. Every index-based incremental deduper shares
+    * this; the alternative is re-pairing the world. */
+  def incrementalDedup(keep: DataFrame, drop: DataFrame, id: String,
+                       text: String, k: Int, threshold: Double,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val keepD = keep.select(col(id).as("doc"), col(text).as("__t"))
+    val dropD = drop.select(col(id).as("doc"), col(text).as("__t"))
+    val allEx0 = keepD.withColumn("__drop", lit(false))
+      .unionByName(dropD.withColumn("__drop", lit(true)))
+      .select(col("doc"), col("__drop"), explode(shingles(col("__t"), k)).as("s"))
+    // Document frequencies over keep ∪ drop (maintained with the index in
+    // production); the hot list is tiny by construction → broadcast anti.
+    val filtered = if (maxShingleDf == Int.MaxValue) allEx0 else {
+      val hot = allEx0.groupBy("s").agg(count(lit(1)).as("__df"))
+        .where(col("__df") > maxShingleDf).select("s")
+      allEx0.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    // Consumed by sizes + three join sides — materialize the explode once.
+    val allEx = filtered.localCheckpoint(true)
+    val sizes = allEx.groupBy("doc").agg(count(lit(1)).as("n"))
+    val dropEx = allEx.where(col("__drop")).select("doc", "s")
+    val keepEx = allEx.where(!col("__drop")).select("doc", "s")
+    val dk = dropEx.select(col("s"), col("doc").as("doc_a"))
+      .join(keepEx.select(col("s"), col("doc").as("doc_b")), Seq("s"))
+    val dd = dropEx.select(col("s"), col("doc").as("doc_a"))
+      .join(dropEx.select(col("s"), col("doc").as("doc_b")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+    val edges = dk.unionByName(dd)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .where(col("c").cast("double")
+        / (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = connectedComponents(edges, "doc_a", "doc_b")
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(allEx)
+    val verdicts = dropD.select(col("doc"))
+      .join(labels.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+      .withColumn("rep_id", coalesce(col("label"), col("doc")))
+    // Which representatives are keep docs: the rep set is bounded by the
+    // drop size → broadcast it through the keep scan, broadcast the
+    // (smaller still) matched subset back. No keep-side shuffle.
+    val reps = verdicts.select(col("rep_id")).distinct()
+    val keepReps = keepD.select(col("doc").as("rep_id"))
+      .join(broadcast(reps), Seq("rep_id"), "left_semi")
+    verdicts
+      .join(broadcast(keepReps.withColumn("__in_keep", lit(true))),
+        Seq("rep_id"), "left")
+      .select(col("doc").as(id),
+        when(col("rep_id") === col("doc"), lit("kept"))
+          .when(col("__in_keep"), lit("dup_of_keep"))
+          .otherwise(lit("dup_in_drop")).as("status"),
+        col("rep_id"))
+  }
+
   /** Drops hot-shingle occurrences from an exploded (__blk, doc, s)
     * frame. `private[graft]` so PlanAuditSpec can assert the physical
     * shape (the production plan hides behind the localCheckpoint). */

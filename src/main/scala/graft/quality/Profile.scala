@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality gate a training-data pipeline runs
@@ -21,13 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The 100 TB profile: identical output shape to [[profile]], with
+    * `approx_count_distinct` (HLL++, relative sd `rsd`) in place of the
+    * exact multi-column distinct. The exact form is the one piece of
+    * [[profile]]'s plan that scales with column count — Catalyst plans N
+    * distinct columns via an Expand that replicates every scanned row N
+    * times before the shuffle. The HLL sketch is a regular declarative
+    * aggregate (mergeable partial per column), so ALL metrics ride one
+    * partial+final aggregation over one un-replicated scan: bytes
+    * shuffled are O(columns × sketch size), not O(rows × columns).
+    * `n_distinct` carries the estimate — a drop-in swap for [[profile]]
+    * wherever ±rsd cardinality is acceptable (every gate-style check). */
+  def profileApprox(df: DataFrame, cols: Seq[(String, Boolean)],
+                    rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
   /** Profile `cols` of `df`; `numeric = true` columns report min/max as
     * doubles, others as strings (the two never mix in one column, so the
     * output schema stays typed). */
-  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, cols: Seq[(String, Boolean)],
+                          distinctAgg: String => Column): DataFrame = {
     val aggs = cols.flatMap { case (c, num) =>
       Seq(count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd")) ++
+        distinctAgg(c).as(s"${c}__nd")) ++
         (if (num) Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
         else Seq(min(col(c)).cast("string").as(s"${c}__mins"),

@@ -13,12 +13,46 @@ object QualityQueries extends QueryPack {
   /** q100: full column profile of `orders` — counts, nulls, exact
     * cardinality, typed min/max — in one scan + one aggregation. */
   private def ordersProfile(spark: SparkSession, dir: String): DataFrame =
-    Profile.profile(Tables.orders(spark, dir), Seq(
-      "o_orderkey" -> true,
-      "o_custkey" -> true,
-      "o_totalprice" -> true,
-      "o_orderstatus" -> false,
-      "o_orderpriority" -> false))
+    Profile.profile(Tables.orders(spark, dir), profiledCols)
+
+  private val profiledCols = Seq(
+    "o_orderkey" -> true,
+    "o_custkey" -> true,
+    "o_totalprice" -> true,
+    "o_orderstatus" -> false,
+    "o_orderpriority" -> false)
+
+  /** q110: the 100 TB profile path driver-visibly exercised —
+    * [[Profile.profileApprox]] (HLL++, NO Expand anywhere in the plan)
+    * validated in-query against an Expand-free exact distinct: the
+    * profiled columns are STACKED into (col_name, value) rows by an
+    * explicit explode, after which ONE single-distinct-column aggregate
+    * covers every column (a single distinct set plans as two ordinary
+    * hash aggregations — partial dedup on (col_name, value), then count —
+    * never an Expand). Output carries the exact metrics (hash-checked)
+    * plus a q55-style tolerance boolean on the HLL estimate; the oracle
+    * asserts TRUE, so the driver fails if Spark's sketch ever drifts
+    * outside ±10%. (HLL rsd is 5%; estimates on this fixture land within
+    * 1–2%, and the small-cardinality columns resolve exactly in sparse
+    * mode — 10% is the standard ~2-sigma guard band.) */
+  private def ordersProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, dir)
+    val ap = Profile.profileApprox(orders, profiledCols)
+      .withColumnRenamed("n_distinct", "nd_approx")
+    val stacked = orders.select(explode(array(profiledCols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v")) }: _*)).as("s"))
+      .select("s.col_name", "s.v")
+    val exact = stacked.groupBy("col_name")
+      .agg(count_distinct(col("v")).as("n_distinct"))
+    ap.join(exact, "col_name") // 5 rows vs 5 rows — broadcast
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"),
+        (abs(col("nd_approx") - col("n_distinct")).cast("double")
+          / col("n_distinct") <= 0.10).as("approx_ok"))
+      .orderBy("col_name")
+  }
 
   /** q108: snapshot reconciliation — diff two synthetic versions of
     * `orders` (old = keys not divisible by 11; new = keys not divisible
@@ -44,7 +78,8 @@ object QualityQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_column_profile" -> ordersProfile,
-    "q108_snapshot_diff" -> snapshotDiff
+    "q108_snapshot_diff" -> snapshotDiff,
+    "q110_profile_approx" -> ordersProfileApprox
   )
 
   override def oracles: Map[String, String] = Map(
@@ -104,6 +139,42 @@ object QualityQueries extends QueryPack {
         |SELECT diff_status, count(*) AS n_keys,
         |       min(k) AS first_key,
         |       CAST(sum(coalesce(new_price_c, 0)) AS BIGINT) AS sum_new_c
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same exact metrics as q100 (the stacked exact leg reproduces them
+    // bit-for-bit) plus the constant-TRUE tolerance verdict on the HLL
+    // estimate — the q55 pattern.
+    "q110_profile_approx" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |         CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+        |         CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+        |         count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |         CAST(min(o_custkey) AS DOUBLE) AS mn2,
+        |         CAST(max(o_custkey) AS DOUBLE) AS mx2,
+        |         count(o_totalprice) AS nn3, count(DISTINCT o_totalprice) AS nd3,
+        |         min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+        |         count(o_orderstatus) AS nn4, count(DISTINCT o_orderstatus) AS nd4,
+        |         min(o_orderstatus) AS ms4, max(o_orderstatus) AS mxs4,
+        |         count(o_orderpriority) AS nn5, count(DISTINCT o_orderpriority) AS nd5,
+        |         min(o_orderpriority) AS ms5, max(o_orderpriority) AS mxs5
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null,
+        |       n_distinct, min_num, max_num, min_str, max_str,
+        |       TRUE AS approx_ok
+        |FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nonnull,
+        |         nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+        |         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n_rows, nn3, nd3, mn3, mx3, NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', n_rows, nn4, nd4, NULL, NULL, ms4, mxs4 FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_rows, nn5, nd5, NULL, NULL, ms5, mxs5 FROM s)
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -180,7 +180,9 @@ object Pipelines {
 
   /** [[highWatermarkFilter]] with a state TTL: idle keys are evicted after
     * `ttlMs` of processing time with no traffic, bounding total state by
-    * the ACTIVE key cardinality instead of the all-time one — the
+    * the cardinality of keys with ANY inbound rows within their TTL (stale
+    * behind-watermark rows also re-arm the clock — a key fed only replayed
+    * old data stays resident) instead of the all-time one — the
     * difference between O(live symbols) and O(every symbol ever seen)
     * after a year of uptime. The trade-off is explicit and the same one
     * every watermark makes: a row for an evicted key re-admits even if it

@@ -18,12 +18,19 @@ object Bridge {
     * O(rounds) copies of their state for the JVM's life). The blocks ARE
     * the data — lineage is truncated — so callers must only drop a
     * checkpoint whose every downstream consumer has already materialized.
-    * Returns false (no-op) if the frame is not a checkpoint root. */
+    * Returns false (no-op) if the frame is not a checkpoint root — pass the
+    * checkpointed frame ITSELF, not a wrapper built on it (any select/cache
+    * layer above the LogicalRDD hides the root and nothing is evicted) —
+    * or if the frame is not a classic (local-JVM) Dataset at all (a
+    * Connect proxy has no reachable RDD to unpersist). */
   def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-      .queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); true
+    df match {
+      case ds: org.apache.spark.sql.classic.Dataset[_] =>
+        ds.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false); true
+          case _ => false
+        }
       case _ => false
     }
 

@@ -140,6 +140,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected exactly the one aggregation exchange:\n" + plan.take(3000))
   }
 
+  test("q110 approx profile: NO Expand anywhere (HLL agg + stacked exact leg)") {
+    val df = SparkEntry.queries("q110_profile_approx")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // The exact-distinct validation leg stacks columns with an explicit
+    // explode + single-distinct aggregate; neither leg may fall back to
+    // the row-replicating Expand that q100's multi-column exact distinct
+    // plans.
+    assert(!plan.contains("Expand"),
+      "approx profile must not plan an Expand:\n" + plan.take(3000))
+    assert(plan.contains("approx_count_distinct"),
+      "expected the HLL aggregate in the plan:\n" + plan.take(3000))
+  }
+
   test("q101 quantization runs entirely inside the scan stage (no hash exchange)") {
     val df = SparkEntry.queries("q101_embedding_quantize")(spark, dir)
     df.collect()
