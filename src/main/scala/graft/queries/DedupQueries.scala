@@ -112,13 +112,40 @@ object DedupQueries extends QueryPack {
         sum(col("doc_id")).as("sum_kept_ids"))
   }
 
+  /** q111: INCREMENTAL corpus dedup — classify a new drop against the
+    * existing corpus as the keep-set without re-pairing the corpus
+    * (see [[Dedup.incrementalDedup]]). The drop mixes all three verdicts:
+    * exact copies of every 10th doc (+1M ids → `dup_of_keep`), token-
+    * REVERSED versions of every 15th doc (+3M → order-sensitive 3-gram
+    * shingles share ~nothing with the forward text, so these are novel —
+    * `kept`, unless their forward originals were near-dups of each other,
+    * in which case the reversed twins pair up too), and a second reversed
+    * copy of every 30th doc (+4M → exact dup of its +3M sibling, no keep
+    * edge: `dup_in_drop` via drop-local connected components). The DuckDB
+    * oracle rebuilds the same edge set restricted to pairs touching the
+    * drop and labels components with a recursive CTE. */
+  private def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val drop = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+      .unionByName(docs.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text")))
+    Dedup.incrementalDedup(docs, drop, "doc_id", "text",
+        k = 3, threshold = 0.3, maxShingleDf = 20)
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
     "q39_simhash_pairs" -> simhashPairs,
     "q86_dedup_clusters" -> dedupClusters,
-    "q87_corpus_dedup_e2e" -> corpusDedupE2e
+    "q87_corpus_dedup_e2e" -> corpusDedupE2e,
+    "q111_incremental_dedup" -> incrementalDedup
   )
 
   override def oracles: Map[String, String] = Map(
@@ -255,6 +282,62 @@ object DedupQueries extends QueryPack {
         |SELECT count(*) AS n_kept,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
         |FROM u WHERE doc_id NOT IN (SELECT node FROM drops)""".stripMargin,
+    // Same shingle/DF/jaccard pipeline as q87's oracle, with pair
+    // generation restricted to pairs touching the drop: drop ids all sort
+    // after keep ids, and inter orders a < b, so `b >= 1000000` IS the
+    // "touches the drop" predicate (keep-keep pairs have b < 1e6).
+    "q111_incremental_dedup" ->
+      """WITH RECURSIVE dropd AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         array_to_string(list_reverse(
+        |           regexp_split_to_array(trim(text), '\s+')), ' ')
+        |  FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |         array_to_string(list_reverse(
+        |           regexp_split_to_array(trim(text), '\s+')), ' ')
+        |  FROM documents WHERE doc_id % 30 = 0),
+        |u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text FROM dropd),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM u),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |keepsh AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
+        |fex AS (SELECT ex.doc_id, ex.sg FROM ex JOIN keepsh USING (sg)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+        |  FROM fex a JOIN fex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= 1000000
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT x, y FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.x
+        |  JOIN sizes sb ON sb.doc_id = inter.y
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+        |sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |reach AS (
+        |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT s2.x, r.label FROM sym s2 JOIN reach r ON s2.y = r.x),
+        |lab AS (SELECT x AS node, min(label) AS label FROM reach GROUP BY x)
+        |SELECT d.doc_id,
+        |       CASE WHEN lab.label IS NULL OR lab.label = d.doc_id THEN 'kept'
+        |            WHEN lab.label < 1000000 THEN 'dup_of_keep'
+        |            ELSE 'dup_in_drop' END AS status,
+        |       CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS rep_id
+        |FROM dropd d LEFT JOIN lab ON lab.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q86_dedup_clusters" ->
       """WITH n AS (
         |  SELECT doc_id AS node FROM documents WHERE doc_id % 10 = 0

@@ -316,6 +316,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("incrementalDedup classifies dup_of_keep / dup_in_drop / kept") {
+    val keep = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val drop = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of keep 1
+      (11L, "red green blue cyan magenta yellow"), // novel; duplicated by 12
+      (12L, "red green blue cyan magenta yellow"), // dup of 11 inside the drop
+      (13L, "totally unique snowflake text here indeed")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(keep, drop, "doc_id", "text",
+        k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (10L, "dup_of_keep", 1L),
+      (11L, "kept", 11L),
+      (12L, "dup_in_drop", 11L),
+      (13L, "kept", 13L)))
+  }
+
+  test("incrementalDedup EQUALS a full-corpus re-run when keep is deduped (sf0.001)") {
+    // The theorem the operator rests on: with an internally deduped
+    // keep-set, keep-keep pairs contribute no edges, so the incremental
+    // edge set (drop-keep ∪ drop-drop) IS the full re-run's edge set and
+    // the keep-lists must match exactly — all three verdict classes
+    // present (copies → dup_of_keep, reversed twins → dup_in_drop,
+    // reversed singles → kept).
+    import graft.tables.Tables
+    def dedupKeepSet(corpus: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val edges = Dedup.blockedJaccardPairs(corpus.withColumn("g", lit(1)),
+          "doc_id", "text", blockCols = Seq("g"), k = 3, threshold = 0.3)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val drops = Dedup.connectedComponents(edges, "a", "b")
+        .where(col("node") =!= col("label"))
+        .select("node").as[Long].collect().toSet
+      corpus.select("doc_id").as[Long].collect().toSet -- drops
+    }
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val keepIds = dedupKeepSet(corpus)
+    val keep = corpus.where(col("doc_id").isin(keepIds.toSeq: _*))
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val drop = keep.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(keep.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+      .unionByName(keep.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text")))
+    val fullKeep = dedupKeepSet(keep.unionByName(drop))
+    val inc = Dedup.incrementalDedup(keep, drop, "doc_id", "text",
+      k = 3, threshold = 0.3)
+    val statuses = inc.select("status").distinct().as[String].collect().toSet
+    assert(statuses == Set("dup_of_keep", "dup_in_drop", "kept"), statuses)
+    val incKeep = keepIds ++ inc.where(col("status") === "kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(incKeep == fullKeep,
+      s"onlyInc=${(incKeep -- fullKeep).take(5)} onlyFull=${(fullKeep -- incKeep).take(5)}")
+  }
+
   test("lshCosinePairs: exact precision, recalls the exact near-dups (q62 config)") {
     val exact = Similarity.blockedCosinePairs(fixtureEmb, "vec_id", "embedding",
         "label", threshold = 0.45)
