@@ -46,11 +46,42 @@ object TextQueries extends QueryPack {
         TextAnalysis.rollingFingerprint(col("text")).as("poly_fp"))
       .orderBy("doc_id")
 
+  /** q112: benchmark decontamination — every corpus doc sharing a 5-gram
+    * with the "benchmark" (every 25th doc stands in for a leaked eval
+    * set) is flagged. Benchmark shingle vocabulary broadcasts; the corpus
+    * is never shuffled for the membership probe
+    * (see [[graft.text.Decontaminate]]). */
+  private def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.text.Decontaminate.flagContaminated(
+        docs, docs.where(col("doc_id") % 25 === 0),
+        id = "doc_id", text = "text", btext = "text", k = 5)
+      .orderBy("doc_id")
+  }
+
+  /** q113: Gopher-style repetition metrics — duplicate token / bigram /
+    * trigram position fractions per doc, with a composite pass verdict.
+    * Pure in-scan column expressions over WordShingles; ratios of exact
+    * integers, so bit-reproducible in DuckDB. */
+  private def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        dupNgramFrac(col("text"), 1).as("dup_token_frac"),
+        dupNgramFrac(col("text"), 2).as("dup_bigram_frac"),
+        dupNgramFrac(col("text"), 3).as("dup_trigram_frac"))
+      .withColumn("quality_pass",
+        col("dup_token_frac") <= 0.55 && col("dup_bigram_frac") <= 0.1 &&
+          col("dup_trigram_frac") <= 0.05)
+      .orderBy("doc_id")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_token_stats" -> tokenStats,
     "q33_quality_scores" -> qualityScores,
     "q34_langid_dist" -> langIdDist,
-    "q35_fingerprints" -> fingerprints
+    "q35_fingerprints" -> fingerprints,
+    "q112_decontamination" -> decontamination,
+    "q113_repetition_metrics" -> repetitionMetrics
   )
 
   override def oracles: Map[String, String] = Map(
@@ -112,6 +143,56 @@ object TextQueries extends QueryPack {
         |           list_transform(regexp_split_to_array(norm, ''),
         |                          c -> CAST(unicode(c) AS BIGINT))),
         |         (a, c) -> (a * 31 + c) % 1000000007) AS poly_fp
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q112_decontamination" ->
+      """WITH bt AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |b AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS s
+        |  FROM bt),
+        |ct AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS s
+        |  FROM ct),
+        |h AS (SELECT doc_id, count(*) AS n_hits FROM e JOIN b USING (s) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q113_repetition_metrics" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |         CASE WHEN len(toks) > 0 THEN
+        |           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE)
+        |         ELSE 0.0 END AS dup_token_frac,
+        |         CASE WHEN len(toks) - 1 > 0 THEN
+        |           1.0 - CAST(len(list_distinct(
+        |                   [toks[i]||' '||toks[i+1] for i in range(1, len(toks))]))
+        |                   AS DOUBLE)
+        |                 / CAST(len(toks) - 1 AS DOUBLE)
+        |         ELSE 0.0 END AS dup_bigram_frac,
+        |         CASE WHEN len(toks) - 2 > 0 THEN
+        |           1.0 - CAST(len(list_distinct(
+        |                   [toks[i]||' '||toks[i+1]||' '||toks[i+2]
+        |                    for i in range(1, len(toks) - 1)])) AS DOUBLE)
+        |                 / CAST(len(toks) - 2 AS DOUBLE)
+        |         ELSE 0.0 END AS dup_trigram_frac
+        |  FROM t)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_bigram_frac,
+        |       dup_trigram_frac,
+        |       (dup_token_frac <= 0.55 AND dup_bigram_frac <= 0.1
+        |        AND dup_trigram_frac <= 0.05) AS quality_pass
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

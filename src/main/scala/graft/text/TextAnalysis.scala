@@ -68,6 +68,28 @@ object TextAnalysis {
     }
   }
 
+  /** Distinct k-token n-grams of the text (WordShingles — one-pass,
+    * codegen-friendly, deduped). */
+  def distinctNgramCount(text: Column, k: Int): Column =
+    size(HashFunctions.word_shingles(text, k)).cast("long")
+
+  /** Total k-token n-gram positions: max(tokens − k + 1, 0). */
+  def ngramCount(text: Column, k: Int): Column =
+    greatest(tokenCount(text).cast("long") - lit(k - 1L), lit(0L))
+
+  /** Gopher-style repetition signal: fraction of k-gram POSITIONS whose
+    * k-gram also occurs elsewhere in the document
+    * (1 − distinct/total; 0 for docs shorter than k tokens). Boilerplate,
+    * looping generations, and template spam all push this up; it is the
+    * cheapest of the published repetition filters and, being a pure
+    * ratio of exact integers, bit-reproducible in any engine. */
+  def dupNgramFrac(text: Column, k: Int): Column = {
+    val total = ngramCount(text, k)
+    when(total > 0L,
+      lit(1.0) - distinctNgramCount(text, k).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Canonical form for fingerprinting: lowercase, trimmed, collapsed
     * whitespace. */
   def normalized(text: Column): Column =
