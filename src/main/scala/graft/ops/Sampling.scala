@@ -30,4 +30,37 @@ object Sampling {
     }
     df.where(k < threshold)
   }
+
+  /** Domain-mixture sampling — materialize a target training mix ("28%
+    * src0, 8% each of the rest") by downsampling each stratum toward its
+    * target share: keep-rate_s = min(1, w_s · frac · N / n_s), where
+    * `frac` is the desired output size as a fraction of N. A stratum
+    * below its target keeps everything (rates cap at 1 — classic
+    * under-representation; upsampling is a repeat-epochs decision, not a
+    * sampler's).
+    *
+    * The stratum counts are one tiny aggregate broadcast back onto the
+    * scan; membership is then a pure map-side predicate — the md5-prefix
+    * integer (uniform in [0, 2³²)) under the stratum's rate threshold —
+    * so the sample is reproducible across runs, partitionings, and
+    * engines, exactly like [[stratifiedHashSample]] but with DATA-DERIVED
+    * per-stratum rates. */
+  def mixtureSample(df: DataFrame, stratum: String, id: String, salt: String,
+                    weights: Seq[(String, Double)], defaultWeight: Double,
+                    frac: Double): DataFrame = {
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__n_s"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val w = weights.foldRight(lit(defaultWeight): Column) {
+      case ((stratumValue, wt), other) =>
+        when(col(stratum) === stratumValue, lit(wt)).otherwise(other)
+    }
+    val h = conv(substring(md5(concat(lit(salt), col(id).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    df.join(broadcast(counts), Seq(stratum))
+      .crossJoin(broadcast(total))
+      .withColumn("__rate",
+        least(lit(1.0), w * lit(frac) * col("__n") / col("__n_s")))
+      .where(h < floor(col("__rate") * lit(4294967296.0)).cast("long"))
+      .drop("__n_s", "__n", "__rate")
+  }
 }

@@ -284,6 +284,22 @@ object PipelineQueries extends QueryPack {
         min("event_id").as("first_id"), max("event_id").as("last_id"))
       .orderBy("event_type")
 
+  /** q115: domain-mixture sampling — materialize a 28%-src0 / 8%-rest
+    * target mix at half the corpus size. Per-stratum keep-rates are
+    * DERIVED from the observed counts in-plan (one tiny aggregate
+    * broadcast back onto the scan); membership stays a pure id-hash, so
+    * the mix is reproducible across runs and engines
+    * (see [[graft.ops.Sampling.mixtureSample]]). */
+  private def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixtureSample(Tables.documents(spark, dir),
+        stratum = "source", id = "doc_id", salt = "mix:",
+        weights = Seq("src0" -> 0.28), defaultWeight = 0.08, frac = 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        min("doc_id").as("first_id"), max("doc_id").as("last_id"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("source")
+
   /** q95: SCD-2 history build — each order becomes a validity interval
     * [its date, next order's date) per customer, the open interval capped
     * at 9999-12-31. One key shuffle + one sorted window pass (lead), the
@@ -337,6 +353,7 @@ object PipelineQueries extends QueryPack {
     "q81_dataset_split" -> datasetSplit,
     "q93_range_join_bands" -> rangeJoinBands,
     "q94_stratified_sample" -> stratifiedSample,
+    "q115_mixture_sample" -> mixtureSample,
     "q95_scd2_history" -> scd2History,
     "q99_range_join_auto" -> rangeJoinAuto
   )
@@ -457,6 +474,24 @@ object PipelineQueries extends QueryPack {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q93_range_join_bands" -> BandJoinOracle,
     "q99_range_join_auto" -> BandJoinOracle,
+    "q115_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         least(1.0, (CASE WHEN source = 'src0' THEN 0.28 ELSE 0.08 END)
+        |                    * 0.5 * n / n_s) AS rate
+        |  FROM c CROSS JOIN tot),
+        |k AS (
+        |  SELECT d.source, d.doc_id
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |             AS UBIGINT)
+        |        < CAST(floor(rate * 4294967296.0) AS UBIGINT))
+        |SELECT source, count(*) AS n_sampled,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q94_stratified_sample" ->
       """SELECT event_type, count(*) AS n_sampled,
         |       min(event_id) AS first_id, max(event_id) AS last_id

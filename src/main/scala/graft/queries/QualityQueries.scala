@@ -76,10 +76,37 @@ object QualityQueries extends QueryPack {
       .orderBy("diff_status")
   }
 
+  /** q116: incremental aggregate maintenance — the per-status orders
+    * rollup refreshed by MERGING the stored history partials with the new
+    * drop's partials (o_orderkey % 5 == 4 plays the delta), never
+    * rescanning history rows into the final agg. The oracle recomputes
+    * the rollup from scratch, so the hash-match IS the proof that
+    * partial-merge == full recompute (see [[graft.ops.IncrementalAgg]]). */
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.IncrementalAgg
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val keys = Seq("o_orderstatus")
+    val mv = IncrementalAgg.merge(Seq(
+      IncrementalAgg.partials(orders.where(col("o_orderkey") % 5 =!= 4),
+        keys, col("price_c")),
+      IncrementalAgg.partials(orders.where(col("o_orderkey") % 5 === 4),
+        keys, col("price_c"))), keys)
+    mv.select(col("o_orderstatus"), col("n").as("n_orders"),
+        round(col("sum_m") / 100.0, 2).as("sum_price"),
+        (col("min_m") / 100.0).as("min_price"),
+        (col("max_m") / 100.0).as("max_price"),
+        ((col("sum_m").cast("double") / col("n")) / 100.0).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_column_profile" -> ordersProfile,
     "q108_snapshot_diff" -> snapshotDiff,
-    "q110_profile_approx" -> ordersProfileApprox
+    "q110_profile_approx" -> ordersProfileApprox,
+    "q116_incremental_agg" -> incrementalAgg
   )
 
   override def oracles: Map[String, String] = Map(
@@ -175,6 +202,21 @@ object QualityQueries extends QueryPack {
         |  SELECT 'o_orderstatus', n_rows, nn4, nd4, NULL, NULL, ms4, mxs4 FROM s
         |  UNION ALL
         |  SELECT 'o_orderpriority', n_rows, nn5, nd5, NULL, NULL, ms5, mxs5 FROM s)
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // Full recompute — deliberately NOT the split-and-merge shape: equality
+    // with the engine's merged partials is the semantic claim.
+    "q116_incremental_agg" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       round(CAST(sum(price_c) AS BIGINT) / CAST(100 AS DOUBLE), 2)
+        |         AS sum_price,
+        |       min(price_c) / CAST(100 AS DOUBLE) AS min_price,
+        |       max(price_c) / CAST(100 AS DOUBLE) AS max_price,
+        |       (CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / count(*))
+        |         / CAST(100 AS DOUBLE) AS avg_price
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

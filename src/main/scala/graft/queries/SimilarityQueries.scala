@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Similarity
+import graft.similarity.{Clustering, Similarity}
 import graft.tables.Tables
 
 /** Similarity-search queries over `embeddings` (north-star ANN ops).
@@ -99,8 +99,34 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q114: two deterministic Lloyd steps over the embedding corpus — the
+    * SemDeDup-style cell structure (cluster the space, then dedup/budget
+    * within cells): seed with the 8 lowest-id vectors, assign in-scan,
+    * recompute centroids in exact fixed point, re-assign; per-cell
+    * membership stats + migration counts. Unlike the MLlib-fitted IVF
+    * (q72/q109, where only the partitioning matters), the ASSIGNMENTS are
+    * the result here, so every arithmetic step is deterministic and
+    * replicated bit-for-bit in the DuckDB oracle
+    * (see [[graft.similarity.Clustering]]). */
+  private def kmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val c0 = Clustering.seedCentroids(emb, "vec_id", "embedding", k = 8)
+    val a0 = emb.withColumn("cell", Clustering.assignCell(col("embedding"), c0))
+    val c1 = Clustering.fixedPointCentroids(a0, "cell", "embedding")
+    a0.withColumnRenamed("cell", "cell0")
+      .withColumn("cell", Clustering.assignCell(col("embedding"), c1))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min("vec_id").as("first_id"),
+        sum("vec_id").as("sum_ids"),
+        sum(when(col("cell0") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved_in"))
+      .orderBy("cell")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
+    "q114_kmeans_cells" -> kmeansCells,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
     "q62_lsh_cosine_neardup" -> lshCosineNearDup,
@@ -110,6 +136,54 @@ object SimilarityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Bit-for-bit replication of both Lloyd rounds: same argmin expression
+    // shape (‖c‖² − 2x·c, ties to lower cell), same fixed-point mean
+    // ((Σ round(x·2²⁴) AS DOUBLE / n) / 2²⁴). range(1, 65) = the fixture's
+    // 64-dim embeddings.
+    "q114_kmeans_cells" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         dv
+        |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 8)),
+        |d0 AS (
+        |  SELECT v.vec_id, c.cell,
+        |         list_sum([c.dv[i] * c.dv[i] for i in range(1, len(c.dv) + 1)])
+        |         - list_sum([v.dv[i] * c.dv[i] for i in range(1, len(v.dv) + 1)]) * 2 AS d
+        |  FROM v CROSS JOIN c0 c),
+        |a0 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a0.cell, idx.i AS pos,
+        |         sum(CAST(round(v.dv[idx.i] * 16777216.0) AS BIGINT)) AS sfix,
+        |         count(*) AS n
+        |  FROM a0 JOIN v USING (vec_id)
+        |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT cell,
+        |         list((CAST(sfix AS DOUBLE) / n) / 16777216.0 ORDER BY pos) AS dv
+        |  FROM s1 GROUP BY cell),
+        |d1 AS (
+        |  SELECT v.vec_id, c.cell,
+        |         list_sum([c.dv[i] * c.dv[i] for i in range(1, len(c.dv) + 1)])
+        |         - list_sum([v.dv[i] * c.dv[i] for i in range(1, len(v.dv) + 1)]) * 2 AS d
+        |  FROM v CROSS JOIN c1 c),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM d1) WHERE rn = 1)
+        |SELECT a1.cell, count(*) AS n_members,
+        |       min(a1.vec_id) AS first_id,
+        |       CAST(sum(a1.vec_id) AS BIGINT) AS sum_ids,
+        |       CAST(sum(CASE WHEN a0.cell <> a1.cell THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved_in
+        |FROM a1 JOIN a0 USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_cosine_neardup" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS dv

@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means (Lloyd) steps — the clustering leg of
+  * semantic dedup / corpus organization (SemDeDup-style: cluster the
+  * embedding space, then dedup or budget WITHIN cells). MLlib's KMeans
+  * fits the IVF index (q72/q109) where only the PARTITIONING matters; here
+  * the assignments themselves are the result, so every step is fully
+  * deterministic and engine-reproducible:
+  *
+  *   - seeding is by lowest ids, not kmeans|| randomness;
+  *   - assignment is an in-scan argmin over driver-held centroid literals
+  *     (`‖c‖² − 2x·c`, the `‖x‖²` term is rank-constant), ties to the
+  *     lower cell id — no shuffle;
+  *   - centroid recomputation accumulates in FIXED-POINT (Σ round(x·2²⁴)
+  *     as exact int64): float partial sums are partitioning-order-
+  *     dependent, so a float mean is not even run-to-run stable on a
+  *     cluster — the fixed-point sum is exact and order-free, which is
+  *     what makes a distributed Lloyd step bit-reproducible. One
+  *     posexplode + one (cell, dim) aggregation shuffle (map-side
+  *     combinable), k×dim longs to the driver — the same driver-held-
+  *     centroid discipline as the IVF probe list.
+  *
+  * Scale bound: |x|·2²⁴·members-per-cell must fit int64 — ~2⁸ headroom at
+  * a trillion rows per cell for unit-scale embeddings; lower the scale
+  * bits if your vectors are larger. */
+object Clustering {
+
+  /** Deterministic seed centroids: the vectors of the `k` lowest-id rows,
+    * as (cellId, centroid) pairs. Driver-held k×dim doubles. */
+  def seedCentroids(df: DataFrame, id: String, vec: String,
+                    k: Int): Seq[(Int, Array[Double])] =
+    df.select(col(id), Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy(col(id)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+
+  /** Cell-assignment column: argmin over the centroid literals, ties to
+    * the lower cell id. Pure expression — pipelines inside the scan. */
+  def assignCell(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val xd = Similarity.vecDouble(vec)
+    val dists = array(centroids.map { case (cellId, ctr) =>
+      val ctrLit = array(ctr.toIndexedSeq.map(lit): _*)
+      struct(
+        (lit(ctr.map(x => x * x).sum) - Similarity.dot(xd, ctrLit) * 2).as("d"),
+        lit(cellId).as("cell"))
+    }.toIndexedSeq: _*)
+    element_at(array_sort(dists), 1).getField("cell")
+  }
+
+  /** One Lloyd mean-update in fixed point: per (cell, dim) exact integer
+    * sums, divided back on the driver. Cells with no members simply have
+    * no centroid in the result (k shrinks — the deterministic analogue of
+    * MLlib dropping an empty cluster). */
+  def fixedPointCentroids(assigned: DataFrame, cell: String, vec: String,
+                          scaleBits: Int = 24): Seq[(Int, Array[Double])] = {
+    val scale = (1L << scaleBits).toDouble
+    val rows = assigned
+      .select(col(cell).as("__cell"),
+        posexplode(Similarity.vecDouble(col(vec))))
+      .groupBy("__cell", "pos")
+      .agg(sum(round(col("col") * lit(scale)).cast("long")).as("sfix"),
+        count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (c, rs) =>
+      val dim = rs.map(_.getInt(1)).max + 1
+      val arr = new Array[Double](dim)
+      rs.foreach { r =>
+        arr(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3)) / scale
+      }
+      c -> arr
+    }
+  }
+}

@@ -374,6 +374,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"onlyInc=${(incKeep -- fullKeep).take(5)} onlyFull=${(fullKeep -- incKeep).take(5)}")
   }
 
+  test("Clustering: fixed-point centroids are BIT-identical across partitionings") {
+    import graft.similarity.Clustering
+    val emb = fixtureEmb
+    val c0 = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    val a = emb.withColumn("cell", Clustering.assignCell(col("embedding"), c0))
+    val c1a = Clustering.fixedPointCentroids(a.repartition(1), "cell", "embedding")
+    val c1b = Clustering.fixedPointCentroids(a.repartition(13), "cell", "embedding")
+    // exact long sums make the distributed mean order-free — assert
+    // bit equality, not approximate closeness
+    assert(c1a.map(_._1) == c1b.map(_._1))
+    c1a.zip(c1b).foreach { case ((ca, va), (cb, vb)) =>
+      assert(ca == cb && va.sameElements(vb), s"cell $ca differs") }
+  }
+
+  test("Clustering.assignCell breaks distance ties to the lower cell id") {
+    import graft.similarity.Clustering
+    val ctrs = Seq(0 -> Array(1.0, 0.0), 1 -> Array(1.0, 0.0),
+      2 -> Array(0.0, 1.0))
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v")
+    val got = df.select(col("id"), Clustering.assignCell(col("v"), ctrs).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 2)) // cells 0/1 tie for row 1 → 0 wins
+  }
+
   test("lshCosinePairs: exact precision, recalls the exact near-dups (q62 config)") {
     val exact = Similarity.blockedCosinePairs(fixtureEmb, "vec_id", "embedding",
         "label", threshold = 0.45)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Merge, Salting}
+import graft.ops.{IncrementalAgg, Merge, Salting, Sampling}
 import graft.tables.Tables
 
 /** Round-2 maintenance/scale operators: latest-wins merge, salted join,
@@ -95,5 +95,63 @@ class PipelineSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q69_hll_merge")(spark, dir)
       .select("hll_ok").as[Boolean].collect()
     assert(got.toSeq == Seq(true))
+  }
+
+  test("IncrementalAgg: merging any split of the input equals one full pass") {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+    val keys = Seq("o_orderstatus")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_orderstatus").collect().toSeq
+    val full = canon(IncrementalAgg.partials(orders, keys, col("c")))
+    // three-way split, merged pairwise then with the third — exercises
+    // associativity, not just the two-way case
+    val parts = (0 until 3).map(i =>
+      IncrementalAgg.partials(orders.where(col("o_orderkey") % 3 === i),
+        keys, col("c")))
+    val mergedAll = canon(IncrementalAgg.merge(parts, keys))
+    val mergedNested = canon(IncrementalAgg.merge(Seq(
+      IncrementalAgg.merge(parts.take(2), keys), parts(2)), keys))
+    assert(mergedAll == full)
+    assert(mergedNested == full)
+  }
+
+  test("mixtureSample: under-target stratum keeps everything, rates land near target") {
+    val docs = Tables.documents(spark, dir)
+    val sampled = Sampling.mixtureSample(docs, "source", "doc_id", "mix:",
+      weights = Seq("src0" -> 0.28), defaultWeight = 0.08, frac = 0.5)
+    val n0 = docs.where(col("source") === "src0").count()
+    val s0 = sampled.where(col("source") === "src0").count()
+    // src0's target (0.28 · 0.5 · N) exceeds its population → rate caps at
+    // 1 and every src0 row survives
+    assert(s0 == n0, s"src0 kept $s0 of $n0")
+    // a default stratum keeps ≈ 80% (0.08 · 0.5 · 500 / ~25 with the
+    // fixture's 20 sources); hash noise on ~25 rows is wide, so pin a
+    // band, and require it's a real subset (not everything)
+    val s1 = sampled.where(col("source") === "src1").count().toDouble /
+      docs.where(col("source") === "src1").count()
+    assert(s1 > 0.5 && s1 <= 1.0, s"src1 rate $s1")
+    assert(sampled.count() < docs.count())
+    // determinism: a second run is identical
+    val again = Sampling.mixtureSample(docs, "source", "doc_id", "mix:",
+      weights = Seq("src0" -> 0.28), defaultWeight = 0.08, frac = 0.5)
+    assert(again.select("doc_id").except(sampled.select("doc_id")).count() == 0)
+  }
+
+  test("Decontaminate: k-gram overlap flags, short and clean docs stay clean") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 5-gram
+      (2L, "one two three four five six seven eight"), // clean
+      (3L, "alpha beta gamma" // shorter than k → no shingles → clean
+      )).toDF("doc_id", "text")
+    val bench = Seq(("alpha beta gamma delta epsilon", 1))
+      .toDF("btext", "x")
+    val got = graft.text.Decontaminate.flagContaminated(
+        corpus, bench, "doc_id", "text", "btext", k = 5)
+      .select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 }
