@@ -23,7 +23,13 @@ object Bench {
     // and keeps the final sort — `count()` would let Catalyst prune both,
     // under-billing projection-heavy queries.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-dev iteration only (the driver never sets it): restrict the
+    // run to a comma-separated subset of query names.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val attempts = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
       var rep = 0
       while (rep < reps && attempts.forall(_._2)) { // a failing query is not retried

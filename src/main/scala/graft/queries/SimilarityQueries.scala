@@ -124,9 +124,38 @@ object SimilarityQueries extends QueryPack {
       .orderBy("cell")
   }
 
+  /** q117: SemDeDup end-to-end — semantic dedup of the embedding corpus:
+    * deterministic k-means cells (q114's seeded assignment) partition the
+    * space, exact cosine near-dup pairs are found WITHIN cells only (the
+    * cell structure is what bounds the pair stage at 100 TB — pairs never
+    * cross cells by construction, exactly the published SemDeDup recipe),
+    * connected components clusters the pairs, min-id survives. Per-cell
+    * keep/drop accounting; the DuckDB oracle replays every stage
+    * including the recursive-CTE clustering. */
+  private def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val emb = Tables.embeddings(spark, dir)
+    val c0 = Clustering.seedCentroids(emb, "vec_id", "embedding", k = 8)
+    val cells = emb.withColumn("cell", Clustering.assignCell(col("embedding"), c0))
+    val pairs = Similarity.blockedCosinePairs(cells, id = "vec_id",
+      vec = "embedding", blockCol = "cell", threshold = 0.45,
+      maxBlock = Int.MaxValue)
+    val drops = Dedup.connectedComponents(
+        pairs.select(col("id_a").as("a"), col("id_b").as("b")), "a", "b")
+      .where(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"), lit(true).as("is_drop"))
+    cells.join(drops, Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_drop").isNull, col("vec_id"))).as("sum_kept_ids"))
+      .orderBy("cell")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
     "q114_kmeans_cells" -> kmeansCells,
+    "q117_semantic_dedup" -> semanticDedup,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
     "q62_lsh_cosine_neardup" -> lshCosineNearDup,
@@ -183,6 +212,48 @@ object SimilarityQueries extends QueryPack {
         |       CAST(sum(CASE WHEN a0.cell <> a1.cell THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_moved_in
         |FROM a1 JOIN a0 USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q114's round-0 assignment + q40's cosine within the cell + the q87
+    // recursive-CTE clustering, composed.
+    "q117_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         dv
+        |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 8)),
+        |d0 AS (
+        |  SELECT v.vec_id, c.cell,
+        |         list_sum([c.dv[i] * c.dv[i] for i in range(1, len(c.dv) + 1)])
+        |         - list_sum([v.dv[i] * c.dv[i] for i in range(1, len(v.dv) + 1)]) * 2 AS d
+        |  FROM v CROSS JOIN c0 c),
+        |a0 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS x, b.vec_id AS y
+        |  FROM a0 a JOIN a0 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_sum([va.dv[i] * vb.dv[i] for i in range(1, len(va.dv) + 1)])
+        |          / (sqrt(list_sum([va.dv[i] * va.dv[i] for i in range(1, len(va.dv) + 1)]))
+        |             * sqrt(list_sum([vb.dv[i] * vb.dv[i] for i in range(1, len(vb.dv) + 1)])))
+        |        >= 0.45),
+        |sym AS (SELECT x, y FROM p UNION SELECT y, x FROM p),
+        |reach AS (
+        |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT s2.x, r.label FROM sym s2 JOIN reach r ON s2.y = r.x),
+        |lab AS (SELECT x AS node, min(label) AS label FROM reach GROUP BY x),
+        |drops AS (SELECT node FROM lab WHERE node <> label)
+        |SELECT a0.cell, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN d.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       CAST(sum(CASE WHEN d.node IS NULL THEN a0.vec_id END) AS BIGINT)
+        |         AS sum_kept_ids
+        |FROM a0 LEFT JOIN drops d ON d.node = a0.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_cosine_neardup" ->
       """WITH v AS (

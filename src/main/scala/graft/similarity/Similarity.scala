@@ -228,11 +228,15 @@ object Similarity {
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val model = km.fit(cf)
-    val codes = quantizeCodes(corpus, id, vec)
-      .select(col(id).as("neighbor_id"), col("codes"))
-    val cAssigned = model.transform(cf).select("neighbor_id", "cell")
-      .join(codes, "neighbor_id")
-      .withColumn("cd", transform(col("codes"), x => x.cast("double")))
+    // Codes are derived INLINE from the same scan that carries the cell
+    // assignment (same arithmetic as [[quantizeCodes]], including the
+    // tinyint round-trip) — quantizing via a second corpus read would add
+    // a full scan plus a corpus-by-id shuffle join for nothing.
+    val cAssigned = model.transform(cf)
+      .withColumn("amax", array_max(transform(col("cv"), x => abs(x))))
+      .where(col("amax") > 0.0)
+      .withColumn("cd", transform(col("cv"),
+        x => floor(x * lit(127.0) / col("amax")).cast("tinyint").cast("double")))
       .withColumn("cqn", norm(col("cd")))
       .select("neighbor_id", "cell", "cd", "cqn")
     val centroids = model.clusterCenters.map(_.toArray)

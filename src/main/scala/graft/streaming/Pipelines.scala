@@ -188,7 +188,16 @@ object Pipelines {
     * every watermark makes: a row for an evicted key re-admits even if it
     * is older than the evicted high-watermark (the key restarts cold).
     * Keys quieter than their TTL must either tolerate that re-admission
-    * or use the untimed variant. */
+    * or use the untimed variant.
+    *
+    * Operational note: with ProcessingTimeTimeout the engine considers a
+    * timeout potentially expired after EVERY batch
+    * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+    * unconditionally true), so the query runs a batch every trigger
+    * interval even with no data — run it under a real trigger (the
+    * reference's 60 s cadence, [[ReferenceTrigger]]), never the ASAP
+    * default, and don't wait on `processAllAvailable` (it cannot
+    * quiesce in this mode). */
   def highWatermarkFilterTtl(spark: SparkSession, stream: DataFrame,
                              key: String, ts: String,
                              ttlMs: Long): DataFrame = {

@@ -61,31 +61,48 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("TTL high-watermark evicts idle keys: an expired key re-admits (T5 bounded state)") {
+    // `processAllAvailable` can NEVER return on a ProcessingTimeTimeout
+    // stream: FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    // unconditionally true for that timeout mode (a timeout might always
+    // have expired), so the engine runs batch after batch and the
+    // no-new-data signal never fires. Poll the sink against a deadline
+    // instead — the continuously-running batches are also what fires the
+    // eviction without needing a nudge row.
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Long)]
     val stream = input.toDF().toDF("symbol", "ts")
     val filtered = Pipelines.highWatermarkFilterTtl(spark, stream,
-      "symbol", "ts", ttlMs = 300L)
+      "symbol", "ts", ttlMs = 2000L)
     val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = filtered.writeStream.outputMode("append").format("memory").queryName(name).start()
+    val q = filtered.writeStream.outputMode("append").format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (spark.table(name).count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50L)
+      assert(spark.table(name).count() >= n, s"sink never reached $n rows")
+    }
     try {
       input.addData(("AAPL", 200L))
-      q.processAllAvailable()
-      // Within TTL: behind the watermark → dropped (state is live).
+      awaitRows(1L)
+      // Within TTL (state < 2 s old): behind the watermark → dropped.
+      // No settle-wait needed here — if this row leaked it would surface
+      // as a duplicate in the final exact-count assertion.
       input.addData(("AAPL", 150L))
-      q.processAllAvailable()
-      // Go idle past the TTL, then drive a batch with a DIFFERENT key —
-      // processing-time timeouts only fire when a batch runs.
-      Thread.sleep(1200L)
-      input.addData(("MSFT", 1L))
-      q.processAllAvailable()
-      // AAPL's state was evicted → the same stale row now re-admits.
+      // Idle past the TTL: the engine's continuous batches fire the
+      // processing-time timeout and evict AAPL's state.
+      Thread.sleep(4000L)
+      // The SAME stale row now re-admits (key restarted cold).
       input.addData(("AAPL", 150L))
-      q.processAllAvailable()
+      awaitRows(2L)
     } finally q.stop()
     val got = spark.table(name).as[(String, Long)].collect().toSeq
       .groupBy(identity).view.mapValues(_.size).toMap
-    assert(got == Map(("AAPL", 200L) -> 1, ("MSFT", 1L) -> 1, ("AAPL", 150L) -> 1),
+    // exactly one admission of the stale row — the in-TTL copy was
+    // dropped, the post-eviction copy passed
+    assert(got == Map(("AAPL", 200L) -> 1, ("AAPL", 150L) -> 1),
       s"got $got")
   }
 
