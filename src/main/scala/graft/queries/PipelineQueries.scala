@@ -338,7 +338,31 @@ object PipelineQueries extends QueryPack {
       li.join(bands, col("price_c") >= col("lo") && col("price_c") <= col("hi")))
   }
 
+  /** q118: z-order (Morton) layout statistics. Computes the 16-bit
+    * 2-dim z-value over (l_partkey, l_suppkey) — the interleave that
+    * [[graft.ops.Layout.writeZOrdered]] sorts files by — and aggregates
+    * per top-6-bit z-bucket. The oracle replays the whole pipeline
+    * (bounds, grid scaling, bit interleave) in SQL, proving the Morton
+    * code bit-for-bit; ParquetLayoutSpec separately proves the layout
+    * CONSEQUENCE (every file bounds every dimension). Scale shape: one
+    * min/max stats pass broadcast back as a single row, then pure in-scan
+    * bit arithmetic — the Delta/Iceberg OPTIMIZE ZORDER recipe. */
+  private def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    graft.ops.Layout.zOrdered(li, Seq("l_partkey", "l_suppkey"),
+        bits = 16, zCol = "z")
+      .withColumn("z_bucket", shiftright(col("z"), 26))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"))
+      .orderBy("z_bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_zorder_stats" -> zorderStats,
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
@@ -370,6 +394,29 @@ object PipelineQueries extends QueryPack {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Replays the full z-order pipeline: min/max bounds, 16-bit grid
+    // scaling (identical float expr on exact ints — portable), Morton
+    // bit-interleave, bucket aggregation.
+    "q118_zorder_stats" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+        |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_orderkey,
+        |         CAST(floor((l_partkey - minp)::BIGINT * 65535 / (maxp - minp)) AS BIGINT) AS sp,
+        |         CAST(floor((l_suppkey - mins)::BIGINT * 65535 / (maxs - mins)) AS BIGINT) AS ss
+        |  FROM lineitem CROSS JOIN b),
+        |z AS (
+        |  SELECT l_orderkey,
+        |         CAST(list_sum([((sp >> i) & 1) * (1::BIGINT << (2*i))
+        |                        + ((ss >> i) & 1) * (1::BIGINT << (2*i + 1))
+        |                        for i in range(0, 16)]) AS BIGINT) AS z
+        |  FROM s)
+        |SELECT z >> 26 AS z_bucket, count(*) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |       min(z) AS z_min, max(z) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_upsert_latest" ->
       """WITH u AS (
         |  SELECT event_id, event_type, value, ts FROM events

@@ -54,6 +54,55 @@ class ParquetLayoutSpec extends AnyFunSuite {
       s"expected sorted ($sortedRows) < scattered ($scatteredRows)")
   }
 
+  test("z-order layout bounds EVERY dimension per file; linear sort bounds only its leading column") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+
+    graft.ops.Layout.writeZOrdered(li, Seq("l_partkey", "l_suppkey"),
+      bits = 16, nFiles = 8, outDir = s"$tmp/zorder")
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+
+    // rows are exactly preserved (z-order only permutes); l_orderkey is
+    // not unique, so order on the full tuple
+    val allCols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    assert(spark.read.parquet(s"$tmp/zorder")
+        .orderBy(allCols.map(col): _*).collect().toSeq ==
+      li.orderBy(allCols.map(col): _*).collect().toSeq)
+
+    val Seq(gMinP, gMaxP, gMinS, gMaxS) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head().toSeq.map(_.asInstanceOf[Number].doubleValue())
+    val (rangeP, rangeS) = (gMaxP - gMinP, gMaxS - gMinS)
+
+    // per-file normalized width of each dim, summed over both dims —
+    // the pruning figure of merit: a predicate box on either dim skips a
+    // file iff the file's width on that dim excludes it
+    def meanBoxWidth(path: String): Double = {
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length == 8, s"expected 8 files at $path")
+      val widths = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("l_partkey"), max("l_partkey"),
+            min("l_suppkey"), max("l_suppkey")).head()
+        val Seq(np, xp, ns, xs) = r.toSeq.map(_.asInstanceOf[Number].doubleValue())
+        (xp - np) / rangeP + (xs - ns) / rangeS
+      }
+      widths.sum / widths.length
+    }
+
+    val zWidth = meanBoxWidth(s"$tmp/zorder")
+    val linWidth = meanBoxWidth(s"$tmp/linear")
+    // linear: partkey width ~ 1/8 but suppkey width ~ 1.0 per file
+    // (sum ~ 1.1); z-order: each file is a box, BOTH dims bounded
+    // (sum well under 1). The margin is wide enough to be noise-proof.
+    assert(zWidth < 0.85 * linWidth,
+      s"z-order mean box width $zWidth not < 0.85 * linear $linWidth")
+    assert(linWidth > 1.0, s"linear layout should leave suppkey unbounded, got $linWidth")
+  }
+
   test("Layout.compact: small-files storm rebalanced into few sized files, rows intact") {
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
