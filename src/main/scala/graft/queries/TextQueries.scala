@@ -75,7 +75,20 @@ object TextQueries extends QueryPack {
           col("dup_trigram_frac") <= 0.05)
       .orderBy("doc_id")
 
+  /** q119: corpus-familiarity LM score — train a top-64 unigram model on
+    * the corpus (one count shuffle, bounded collect), score every doc
+    * in-scan against the broadcast model (zero shuffles for scoring).
+    * The content-dependent quality filter complementing q33's
+    * content-independent heuristics (see [[graft.text.LmScore]]). */
+  private def lmFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = graft.text.LmScore.topKVocab(docs, "text", k = 64)
+    graft.text.LmScore.familiarity(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_lm_familiarity" -> lmFamiliarity,
     "q32_token_stats" -> tokenStats,
     "q33_quality_scores" -> qualityScores,
     "q34_langid_dist" -> langIdDist,
@@ -85,6 +98,26 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Full replay: normal-form tokens, top-64 vocab (ties broken by
+    // token), per-doc hit counts/mass via the vocab join.
+    "q119_lm_familiarity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                     x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |v AS (SELECT tok, count(*) AS tf FROM e GROUP BY tok
+        |      ORDER BY tf DESC, tok LIMIT 64),
+        |h AS (SELECT e.doc_id, count(*) AS hit_count,
+        |             CAST(sum(v.tf) AS BIGINT) AS hit_mass
+        |      FROM e JOIN v USING (tok) GROUP BY e.doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(h.hit_count, 0) AS BIGINT) AS hit_count,
+        |       CAST(coalesce(h.hit_mass, 0) AS BIGINT) AS hit_mass,
+        |       coalesce(h.hit_count, 0) * 2 >= len(t.toks) AS familiar
+        |FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q32_token_stats" ->
       """SELECT doc_id,
         |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

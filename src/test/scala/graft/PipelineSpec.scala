@@ -154,4 +154,23 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(got == Set((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
+
+  test("LmScore: head-heavy docs score familiar, rare-token docs do not; vocab boundary deterministic") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat again"), // head tokens only
+      (2L, "zyxwvut qponmlk jihgfed abcdefg zzzyyy xxwwvv"), // all rare
+      (3L, "the cat qponmlk zzzyyy") // 50/50 → familiar (>= half)
+    ).toDF("doc_id", "text")
+    val vocab = graft.text.LmScore.topKVocab(docs, "text", k = 4)
+    // corpus tf: the=4, cat=3, then a THREE-way tie at tf=2 (qponmlk,
+    // sat, zzzyyy) broken alphabetically — zzzyyy falls off the top-4
+    assert(vocab.map(_._1) == Seq("the", "cat", "qponmlk", "sat"))
+    val got = graft.text.LmScore.familiarity(docs, "doc_id", "text", vocab)
+      .select("doc_id", "n_tokens", "hit_count", "familiar")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, 7L, true),  // the*3 + cat*2 + sat*2; on/mat/again miss
+      (2L, 6L, 1L, false),  // only qponmlk hits
+      (3L, 4L, 3L, true)))  // zzzyyy is the one miss
+  }
 }
