@@ -230,7 +230,59 @@ object StreamingQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** q120: the Spark 4 `transformWithState` high-watermark filter run as
+    * a deterministic two-batch replay. Batch 0 delivers every event whose
+    * id is not divisible by 3; batch 1 replays the FULL table. The
+    * processor's cross-batch ValueState admits a batch-1 row only if it
+    * is strictly newer than the key's batch-0 maximum — so the output is
+    * batch-SQL-expressible and fully oracle-checked (the untimed
+    * `TimeMode.None` leg; eviction/TTL is pinned by StreamingSpec).
+    * Batch order is forced by explicit file modification times on a
+    * one-file-per-batch watch directory with maxFilesPerTrigger=1. */
+  private def twsWatermarkReplay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+    val watch = MlQueries.tempDirDeletedOnExit("graft_tws_watch_")
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = MlQueries.tempDirDeletedOnExit("graft_tws_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtimeMs)
+    }
+    stage(ev.where(pmod(col("event_id"), lit(3)) =!= 0), "b0.parquet", 1000L)
+    stage(ev, "b1.parquet", 2000L)
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val filtered = Pipelines.highWatermarkFilterTws(spark, stream,
+      "user_id", "ts_us", ttlMs = 0L)
+    // transformWithState runs only on the RocksDB state store; scope the
+    // provider to this drain and restore the session default after
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sunk =
+      try runToMemorySink(filtered, "tws", mode = "append")
+      finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    sunk
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_emitted"),
+        sum(col("ts_us")).as("sum_ts_us"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_tws_watermark" -> twsWatermarkReplay,
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
@@ -254,6 +306,23 @@ object StreamingQueries extends QueryPack {
     "q45_streaming_dedup" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // batch 0 = ids not divisible by 3 (all emit: no prior state);
+    // batch 1 = full replay, a row emits iff strictly newer than the
+    // key's batch-0 max (keys unseen in batch 0 emit everything)
+    "q120_tws_watermark" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |b0 AS (SELECT * FROM e WHERE event_id % 3 <> 0),
+        |m AS (SELECT user_id, max(ts_us) AS mx FROM b0 GROUP BY user_id),
+        |b1 AS (
+        |  SELECT e.user_id, e.ts_us FROM e LEFT JOIN m USING (user_id)
+        |  WHERE m.mx IS NULL OR e.ts_us > m.mx),
+        |allr AS (
+        |  SELECT user_id, ts_us FROM b0
+        |  UNION ALL SELECT user_id, ts_us FROM b1)
+        |SELECT user_id, count(*) AS n_emitted,
+        |       CAST(sum(ts_us) AS BIGINT) AS sum_ts_us
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_streaming_sessions" ->
       """WITH g AS (
         |  SELECT user_id, ts,

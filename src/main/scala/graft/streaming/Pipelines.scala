@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming pipelines reproducing the reference's E1/E2 flows
@@ -223,6 +223,60 @@ object Pipelines {
           }
       }
       .toDF(key, ts)
+  }
+
+  /** [[highWatermarkFilterTtl]] on the Spark 4 `transformWithState` API:
+    * the high watermark lives in a [[ValueState]] with a NATIVE per-state
+    * TTL — the state store expires idle keys itself, so the processor has
+    * no timer bookkeeping, no `hasTimedOut` branch, and no possibility of
+    * forgetting to re-arm. Semantics match the fMGWS variant: any routed
+    * row (fresh or stale) re-arms the key's TTL, an evicted key re-admits
+    * cold.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the only backend
+    * `transformWithState` supports, and the one a 100 TB deployment runs
+    * anyway (changelog checkpointing, bounded executor memory: state
+    * lives on local SSD, not on the heap like the HDFS-backed provider).
+    * Same operational note as [[highWatermarkFilterTtl]]: processing-time
+    * semantics keep the query running a batch per trigger. `ttlMs <= 0`
+    * selects `TimeMode.None` with untimed state — the variant that
+    * QUIESCES under `processAllAvailable` (no TTL to re-check), used by
+    * the deterministic driver replay q120. */
+  def highWatermarkFilterTws(spark: SparkSession, stream: DataFrame,
+                             key: String, ts: String,
+                             ttlMs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = stream.select(col(key).cast("string"), col(ts).cast("long"))
+      .as[(String, Long)]
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    typed.groupByKey(_._1)
+      .transformWithState(new HighWatermarkProcessor(ttlMs),
+        mode, OutputMode.Append())
+      .toDF(key, ts)
+  }
+
+  /** The per-key processor behind [[highWatermarkFilterTws]]. */
+  private class HighWatermarkProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var hw: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hw = getHandle.getValueState[Long]("hw",
+        org.apache.spark.sql.Encoders.scalaLong,
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+
+    override def handleInputRows(k: String, rows: Iterator[(String, Long)],
+                                 tv: TimerValues): Iterator[(String, Long)] = {
+      val hwm = if (hw.exists()) hw.get() else Long.MinValue
+      val fresh = rows.map(_._2).filter(_ > hwm).toSeq.sorted
+      // update() also re-arms the TTL — unconditional, so stale-only
+      // traffic keeps the key live (same contract as the fMGWS variant)
+      hw.update(if (fresh.nonEmpty) fresh.max else hwm)
+      fresh.iterator.map(t => (k, t))
+    }
   }
 
   /** The reference's 60-second cadence (T1: `fetch_stock.py:47`). */

@@ -106,6 +106,53 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("transformWithState high-watermark: native ValueState TTL evicts and re-admits (Spark 4 API)") {
+    // Same scenario as the fMGWS TTL test, driven through the Spark 4
+    // transformWithState processor whose TTL is enforced by the state
+    // store itself. Requires RocksDB — the only provider the new API
+    // supports; set-and-restore so other suites keep the default.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val stream = input.toDF().toDF("symbol", "ts")
+      val filtered = Pipelines.highWatermarkFilterTws(spark, stream,
+        "symbol", "ts", ttlMs = 2000L)
+      val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = filtered.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table(name).count() < n &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50L)
+        assert(spark.table(name).count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        input.addData(("AAPL", 200L))
+        awaitRows(1L)
+        // within TTL, behind the watermark → dropped
+        input.addData(("AAPL", 150L))
+        // idle past the TTL: the store expires AAPL's value state
+        Thread.sleep(4000L)
+        // the SAME stale row now re-admits (key restarted cold)
+        input.addData(("AAPL", 150L))
+        awaitRows(2L)
+      } finally q.stop()
+      val got = spark.table(name).as[(String, Long)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map(("AAPL", 200L) -> 1, ("AAPL", 150L) -> 1),
+        s"got $got")
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("E2 routing writes history and realtime sinks partitioned by key (mongo_stream_etl.py:34-39)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, String, Double)]
