@@ -87,7 +87,37 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q121: PII redaction. The synthetic corpus carries no PII, so the
+    * query plants it deterministically (an email for every 7th doc, a
+    * phone for every 11th, an IP for every 13th — ids divisible by
+    * several plant several), then counts and redacts with
+    * [[graft.text.Redact]]. The oracle replants and re-redacts with the
+    * IDENTICAL RE2-safe regexes, so match counts and the md5 of the
+    * redacted text must agree bit-for-bit. */
+  private def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Redact
+    val planted = Tables.documents(spark, dir).withColumn("pii_text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".77"))).otherwise(lit(""))))
+    val (emails, phones, ips) = Redact.piiCounts(col("pii_text"))
+    planted.select(col("doc_id"),
+        emails.cast("long").as("n_emails"),
+        phones.cast("long").as("n_phones"),
+        ips.cast("long").as("n_ips"),
+        md5(Redact.redactPii(col("pii_text"))).as("redacted_md5"),
+        length(Redact.redactPii(col("pii_text"))).cast("long").as("len_redacted"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_pii_redaction" -> piiRedaction,
     "q119_lm_familiarity" -> lmFamiliarity,
     "q32_token_stats" -> tokenStats,
     "q33_quality_scores" -> qualityScores,
@@ -98,6 +128,39 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Identical planting + identical RE2 regexes; counts on the planted
+    // text, md5 on the redacted text.
+    "q121_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text
+        |         || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |                 ELSE '' END
+        |         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |         || CASE WHEN doc_id % 13 = 0
+        |                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+        |                 ELSE '' END AS pii_text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, pii_text,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(pii_text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+        |           '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(pii_text,
+        |         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |       md5(redacted) AS redacted_md5,
+        |       CAST(length(redacted) AS BIGINT) AS len_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Full replay: normal-form tokens, top-64 vocab (ties broken by
     // token), per-doc hit counts/mass via the vocab join.
     "q119_lm_familiarity" ->

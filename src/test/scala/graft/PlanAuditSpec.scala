@@ -196,6 +196,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q118 z-order: bounds broadcast as one row, interleave stays in codegen, no sort-merge") {
+    val df = SparkEntry.queries("q118_zorder_stats")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the stats row joins back as a broadcast nested loop (1 row), never
+    // a shuffled join; the bit arithmetic is pure codegen (no UDF)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("ScalaUDF"), plan.take(3000))
+    // whole-stage codegen spans render as "*(n)" in the plan string
+    assert(plan.contains("*("), plan.take(3000))
+  }
+
+  test("q119 LM scoring stage: zero shuffles, no explode, no join (model is a literal)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val vocab = graft.text.LmScore.topKVocab(docs, "text", k = 64)
+    val df = graft.text.LmScore.familiarity(docs, "doc_id", "text", vocab)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      "scoring must look up the broadcast literal, not join:\n" + plan.take(3000))
+    assert(!plan.contains("Generate"),
+      "scoring must not explode tokens:\n" + plan.take(3000))
+    assert("Exchange".r.findAllIn(plan).size == 0,
+      "scoring is pure map — no shuffle:\n" + plan.take(3000))
+  }
+
+  test("q121 PII redaction: one scan, only the final sort exchange") {
+    val df = SparkEntry.queries("q121_pii_redaction")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0,
+      "redaction must not shuffle:\n" + plan.take(3000))
+  }
+
   test("AQE splits a skewed sort-merge join partition (engine-native skew path)") {
     import org.apache.spark.sql.functions._
     // Complements q66's manual salting: same problem, the engine-native
