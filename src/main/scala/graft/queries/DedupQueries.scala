@@ -138,7 +138,36 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q122: cross-document repeated spans — the distributed form of
+    * substring-level dedup (the suffix-array "exact substring" signal of
+    * Lee et al., approximated at shingle granularity): for every doc,
+    * how many of its distinct 5-token spans also occur in ANOTHER doc
+    * (span document-frequency >= 2), plus a leak verdict at the 20%
+    * threshold. Complements q113 (WITHIN-doc repetition) and q37/q87
+    * (whole-doc similarity): this is the memorization-risk profile.
+    * Scale shape: shingles in-scan (WordShingles, one pass), one
+    * (shingle) shuffle for span df with map-side partial counts, one
+    * doc-key shuffle back — no pairwise joins anywhere. */
+  private def sharedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 5)).as("sh"))
+    val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df_, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared_spans"), lit(0L)).as("n_shared_spans"))
+      .withColumn("leaky",
+        col("n_shared_spans") * 5 >= col("n_spans") && col("n_spans") > 0)
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
@@ -149,6 +178,30 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Distinct 5-token spans per doc (same set semantics as
+    // WordShingles), span df across docs, >=2 → shared.
+    "q122_shared_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        || ' ' || toks[i+3] || ' ' || toks[i+4]
+        |                        for i in range(1, len(toks) - 3)]) AS sh
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |g AS (SELECT shingle, count(*) AS df FROM e GROUP BY shingle),
+        |a AS (
+        |  SELECT e.doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS n_shared_spans
+        |  FROM e JOIN g USING (shingle) GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(a.n_shared_spans, 0) AS BIGINT) AS n_shared_spans,
+        |       coalesce(a.n_shared_spans, 0) * 5 >= coalesce(a.n_spans, 0)
+        |         AND coalesce(a.n_spans, 0) > 0 AS leaky
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q36_exact_dedup" ->
       """WITH u AS (
         |  SELECT doc_id, text FROM documents

@@ -102,14 +102,61 @@ object QualityQueries extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** q123: distribution-drift gate ([[graft.quality.Drift]]) between two
+    * event snapshots — the "new" version doubles every 10th event's
+    * value, shifting ~10% of mass to higher bins. Values histogram in
+    * integer cents on a shared 16-bin grid; total variation and the
+    * verdict are exact integers (no PSI/KL logarithms — engine-portable
+    * by construction). The oracle replays grid, histogram, and verdict. */
+  private def histogramDriftGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, dir)
+      .select(round(col("value") * 100).cast("long").as("value_c"),
+        col("event_id"))
+    val newer = base.withColumn("value_c",
+      when(col("event_id") % 10 === 0, col("value_c") * 2)
+        .otherwise(col("value_c")))
+    graft.quality.Drift.histogramDrift(
+        base, newer, "value_c", nBins = 16, thresholdTenths = 1)
+      .orderBy("bin")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_column_profile" -> ordersProfile,
     "q108_snapshot_diff" -> snapshotDiff,
     "q110_profile_approx" -> ordersProfileApprox,
-    "q116_incremental_agg" -> incrementalAgg
+    "q116_incremental_agg" -> incrementalAgg,
+    "q123_histogram_drift" -> histogramDriftGate
   )
 
   override def oracles: Map[String, String] = Map(
+    // Shared integer grid from the union's min/max, 16-bin histogram per
+    // side, exact-integer total variation and verdict.
+    "q123_histogram_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS vc, event_id, 0 AS side
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CASE WHEN event_id % 10 = 0
+        |              THEN CAST(round(value*100) AS BIGINT) * 2
+        |              ELSE CAST(round(value*100) AS BIGINT) END AS vc,
+        |         event_id, 1 AS side
+        |  FROM events),
+        |m AS (SELECT min(vc) AS mn, max(vc) AS mx FROM b),
+        |h AS (
+        |  SELECT CASE WHEN m.mx = m.mn THEN 0
+        |              ELSE CAST(floor((b.vc - m.mn) * 16 / (m.mx - m.mn + 1)) AS BIGINT)
+        |         END AS bin,
+        |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM b CROSS JOIN m GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(abs(n_old - n_new)) AS BIGINT) AS tv,
+        |         CAST(sum(n_old + n_new) AS BIGINT) AS total
+        |  FROM h)
+        |SELECT h.bin, h.n_old, h.n_new, t.tv, t.total,
+        |       t.tv * 10 >= t.total * 1 AS drifted
+        |FROM h CROSS JOIN t ORDER BY h.bin""".stripMargin,
     // One aggregate scan, then one projection per profiled column — the
     // same metrics Spark computes from its single exploded agg row.
     "q100_column_profile" ->
