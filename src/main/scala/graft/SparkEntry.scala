@@ -33,7 +33,8 @@ object SparkEntry {
     PipelineQueries,
     CompletenessQueries,
     RetrievalQueries,
-    QualityQueries
+    QualityQueries,
+    FinanceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

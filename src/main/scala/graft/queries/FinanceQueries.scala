@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.timeseries.Indicators
+import graft.tables.Tables
+
+/** Feature-engineering queries for the reference's ML leg: the technical
+  * indicators its trend model consumes (`ml_model/predict_from_vm4.py`
+  * reads close-price history; `dashboard/plot_utils.py:12-40` charts
+  * SMA/price overlays) and the leakage-safe time-series split its
+  * train/predict boundary implies. All window math is exact-integer-sum
+  * (see [[graft.timeseries.Indicators]]) so every query carries a full
+  * DuckDB oracle. */
+object FinanceQueries extends QueryPack {
+
+  /** q124: Bollinger(20, 2σ) + Cutler RSI(14) per symbol — one key
+    * shuffle + one sort, both indicators ride the SAME sorted window
+    * pass (two ROWS frames over one partitionBy/orderBy, so Spark plans
+    * a single Window node — no second exchange). */
+  private def techIndicators(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id").orderBy("event_id")
+    val w20 = byKey.rowsBetween(-19, 0)
+    val w14 = byKey.rowsBetween(-13, 0)
+    val src = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val (mid, sd, up, lo) = Indicators.bollinger(col("cents"), w20, 20, 2)
+    // one select, not chained withColumn: the repeated window expressions
+    // inside up/lo are structurally identical to mid/sd, so
+    // ExtractWindowExpressions dedups them into one Window node per frame
+    // — all riding a single exchange + sort.
+    src.select(col("user_id"), col("event_id"), col("cents"),
+        mid.as("boll_mid"), sd.as("boll_sd"),
+        up.as("boll_up"), lo.as("boll_lo"),
+        Indicators.rsi(col("cents"), byKey, w14, 14).as("rsi14"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q125: leakage-safe time-series split — the boundary the reference
+    * implicitly draws between its training history and live prediction
+    * (`predict_from_vm4.py` scores ticks after the model's train range).
+    * Rows whose LABEL horizon (24 h forward return) crosses the cutoff
+    * are PURGED (their label peeks across the boundary), and an embargo
+    * gap after the cutoff is dropped so serial correlation can't leak
+    * backward (the purged-CV shape from the financial-ML literature).
+    * Pure map-side classification + one small aggregate — no shuffle
+    * grows with symbols. */
+  private def purgedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    val split =
+      when(col("ts") + expr("INTERVAL 24 HOURS") <= cutoff, "train")
+        .when(col("ts") <= cutoff, "purged")
+        .when(col("ts") <= cutoff + expr("INTERVAL 48 HOURS"), "embargo")
+        .otherwise("test")
+    Tables.events(spark, dir)
+      .withColumn("split", split)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_symbols"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts_str"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts_str"))
+      .orderBy("split")
+  }
+
+  /** q126: rolling 30-bar beta of each symbol's hourly close against the
+    * market composite (sum of all symbols' closes that hour, in exact
+    * cents). ONE raw scan: hourly bars (one key shuffle on the full
+    * data), then the composite as a window over the BARS — a join-free
+    * formulation (a market-side self-aggregate would scan the raw events
+    * twice); every post-scan stage moves bar-sized data (symbols ×
+    * hours), not the tick corpus. Finally the per-symbol sorted window
+    * derives beta from exact int64 sums. */
+  private def rollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "hour")
+      .agg(max_by(col("cents"), col("event_id")).as("close_c"))
+    val wH = Window.partitionBy("hour")
+    val w30 = Window.partitionBy("user_id").orderBy("hour").rowsBetween(-29, 0)
+    bars
+      .select(col("user_id"), col("hour"), col("close_c"),
+        sum("close_c").over(wH).as("mkt_c"),
+        count(lit(1)).over(wH).as("n_sym"))
+      .withColumn("beta30",
+        Indicators.rollingBeta(col("close_c"), col("mkt_c"), w30, 30))
+      .select(col("user_id"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+        col("close_c"), col("mkt_c"), col("n_sym"), col("beta30"))
+      .orderBy("user_id", "hour_str")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_tech_indicators" -> techIndicators,
+    "q125_purged_split" -> purgedSplit,
+    "q126_rolling_beta" -> rollingBeta
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // Window sums are CAST to BIGINT immediately (DuckDB sums BIGINT →
+    // HUGEINT — the q97 lesson); every double is derived from the exact
+    // sums by the same expression shape as the Spark side.
+    "q124_tech_indicators" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_id, cents,
+        |         cents - lag(cents) OVER (PARTITION BY user_id ORDER BY event_id) AS dc
+        |  FROM src),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |         count(*) OVER wb AS nb,
+        |         CAST(sum(cents) OVER wb AS BIGINT) AS sb,
+        |         CAST(sum(cents*cents) OVER wb AS BIGINT) AS s2b,
+        |         count(dc) OVER wr AS nd,
+        |         CAST(sum(CASE WHEN dc > 0 THEN dc ELSE 0 END) OVER wr AS BIGINT) AS sg,
+        |         CAST(sum(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER wr AS BIGINT) AS sl
+        |  FROM d
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         wr AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT user_id, event_id, cents,
+        |         CASE WHEN nb = 20 THEN CAST(sb AS DOUBLE)/nb/100 END AS boll_mid,
+        |         CASE WHEN nb = 20 THEN
+        |           sqrt(CAST(nb*s2b - sb*sb AS DOUBLE)/(nb*(nb-1)))/100 END AS boll_sd,
+        |         CASE WHEN nd = 14 AND sg + sl > 0 THEN
+        |           100*CAST(sg AS DOUBLE)/(sg+sl) END AS rsi14
+        |  FROM w)
+        |SELECT user_id, event_id, cents, boll_mid, boll_sd,
+        |       boll_mid + boll_sd*2 AS boll_up,
+        |       boll_mid - boll_sd*2 AS boll_lo,
+        |       rsi14
+        |FROM b ORDER BY user_id, event_id""".stripMargin,
+    "q125_purged_split" ->
+      """SELECT CASE
+        |         WHEN ts + INTERVAL 24 HOUR <= TIMESTAMP '2024-01-20' THEN 'train'
+        |         WHEN ts <= TIMESTAMP '2024-01-20' THEN 'purged'
+        |         WHEN ts <= TIMESTAMP '2024-01-20' + INTERVAL 48 HOUR THEN 'embargo'
+        |         ELSE 'test' END AS split,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_symbols,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_str,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q126_rolling_beta" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         arg_max(CAST(round(value*100) AS BIGINT), event_id) AS close_c
+        |  FROM events GROUP BY 1, 2),
+        |market AS (
+        |  SELECT hour, CAST(sum(close_c) AS BIGINT) AS mkt_c,
+        |         count(*) AS n_sym
+        |  FROM bars GROUP BY 1),
+        |j AS (
+        |  SELECT b.user_id, b.hour, b.close_c, m.mkt_c, m.n_sym
+        |  FROM bars b JOIN market m USING (hour)),
+        |w AS (
+        |  SELECT user_id, hour, close_c, mkt_c, n_sym,
+        |         count(*) OVER w30 AS n,
+        |         CAST(sum(mkt_c) OVER w30 AS BIGINT) AS sx,
+        |         CAST(sum(close_c) OVER w30 AS BIGINT) AS sy,
+        |         CAST(sum(mkt_c*close_c) OVER w30 AS BIGINT) AS sxy,
+        |         CAST(sum(mkt_c*mkt_c) OVER w30 AS BIGINT) AS sx2
+        |  FROM j
+        |  WINDOW w30 AS (PARTITION BY user_id ORDER BY hour
+        |                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |       close_c, mkt_c, n_sym,
+        |       CASE WHEN n = 30 AND n*sx2 - sx*sx <> 0 THEN
+        |         CAST(n*sxy - sx*sy AS DOUBLE)/(n*sx2 - sx*sx) END AS beta30
+        |FROM w ORDER BY user_id, hour_str""".stripMargin
+  )
+}

@@ -270,6 +270,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 indicators: both frames ride ONE key exchange + sort") {
+    val df = SparkEntry.queries("q124_tech_indicators")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // one hash exchange for the key windows (the 20- and 14-row frames
+    // share its sort); the only other exchange is the final orderBy's
+    // range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + plan.take(3000))
+    val sorts = "\\bSort \\[".r.findAllIn(plan).size
+    assert(sorts <= 2, s"expected <=2 sorts (window + output), got $sorts:\n" + plan.take(3000))
+  }
+
+  test("q126 beta: one raw scan, join-free market composite") {
+    val df = SparkEntry.queries("q126_rolling_beta")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n" + plan.take(3000))
+    assert(!plan.contains("Join"),
+      "market composite should be a window, not a join:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)

@@ -83,4 +83,49 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select("rtag").as[String].collect()
     assert(got.toSeq == Seq("near"))
   }
+
+  test("indicators: RSI pins to 100/0 on monotone series, null before n moves") {
+    import graft.timeseries.Indicators
+    import org.apache.spark.sql.expressions.Window
+    val up = (1L to 20L).map(i => (1L, i, 100L + i))
+    val dn = (1L to 20L).map(i => (2L, i, 100L - i))
+    val df = (up ++ dn).toDF("k", "o", "c")
+    val byKey = Window.partitionBy("k").orderBy("o")
+    val got = df.select(col("k"), col("o"),
+        Indicators.rsi(col("c"), byKey, byKey.rowsBetween(-13, 0), 14).as("rsi"))
+      .orderBy("k", "o").collect()
+    got.foreach { r =>
+      val (k, o) = (r.getLong(0), r.getLong(1))
+      if (o < 15) assert(r.isNullAt(2), s"row $k/$o should be null")
+      else assert(r.getDouble(2) == (if (k == 1L) 100.0 else 0.0), s"row $k/$o")
+    }
+  }
+
+  test("indicators: Bollinger collapses to the mean on a constant series") {
+    import graft.timeseries.Indicators
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 25L).map(i => (1L, i, 4200L)).toDF("k", "o", "c")
+    val w = Window.partitionBy("k").orderBy("o").rowsBetween(-19, 0)
+    val (mid, sd, upC, loC) = Indicators.bollinger(col("c"), w, 20, 2)
+    val r = df.select(mid.as("m"), sd.as("s"), upC.as("u"), loC.as("l"))
+      .orderBy(col("o").desc).limit(1).collect().head
+    assert(r.getDouble(0) == 42.0 && r.getDouble(1) == 0.0 &&
+      r.getDouble(2) == 42.0 && r.getDouble(3) == 42.0)
+  }
+
+  test("indicators: rollingBeta recovers an exact linear slope") {
+    import graft.timeseries.Indicators
+    import org.apache.spark.sql.expressions.Window
+    // y = 3x + 7 exactly → beta = 3 once the 30-row frame fills
+    val df = (1L to 40L).map(i => (1L, i, i * 10L, i * 30L + 7L))
+      .toDF("k", "o", "x", "y")
+    val w = Window.partitionBy("k").orderBy("o").rowsBetween(-29, 0)
+    val got = df.select(col("o"),
+        Indicators.rollingBeta(col("y"), col("x"), w, 30).as("b"))
+      .orderBy("o").collect()
+    got.foreach { r =>
+      if (r.getLong(0) < 30) assert(r.isNullAt(1))
+      else assert(r.getDouble(1) == 3.0, s"row ${r.getLong(0)}")
+    }
+  }
 }
