@@ -281,8 +281,68 @@ object StreamingQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q127: streaming per-key price moments on `transformWithState` —
+    * exact integer (count, Σc, Σc²) state merged across two DISJOINT
+    * staged batches (1/3 – 2/3 split of the corpus), so the final state
+    * must equal the one-shot batch aggregate: the oracle IS that batch
+    * SQL. Mean/variance derive from the final sums by fixed-shape double
+    * divisions. Emissions are cumulative per touched key; the final row
+    * per key is selected by max(n) — monotone, so order-free. */
+  private def streamingMoments(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+    val watch = MlQueries.tempDirDeletedOnExit("graft_mom_watch_")
+    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = MlQueries.tempDirDeletedOnExit("graft_mom_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtimeMs)
+    }
+    stage(src.where(pmod(col("event_id"), lit(3)) === 0), "b0.parquet", 1000L)
+    stage(src.where(pmod(col("event_id"), lit(3)) =!= 0), "b1.parquet", 2000L)
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, cents BIGINT, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val moments = Pipelines.streamingMoments(spark, stream, "user_id", "cents")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sunk =
+      try runToMemorySink(moments, "moments", mode = "append")
+      finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    val f = col("final")
+    sunk
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(max(struct(col("n_ticks"), col("s_cents"), col("s2_cents")))
+        .as("final"))
+      .select(col("user_id"),
+        f.getField("n_ticks").as("n_ticks"),
+        f.getField("s_cents").as("s_cents"),
+        f.getField("s2_cents").as("s2_cents"))
+      .withColumn("mean_close",
+        col("s_cents").cast("double") / col("n_ticks") / 100)
+      .withColumn("var_close",
+        when(col("n_ticks") > 1,
+          (col("n_ticks") * col("s2_cents") - col("s_cents") * col("s_cents"))
+            .cast("double") / (col("n_ticks") * (col("n_ticks") - lit(1L)))
+            / 10000))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_tws_watermark" -> twsWatermarkReplay,
+    "q127_streaming_moments" -> streamingMoments,
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
@@ -294,6 +354,24 @@ object StreamingQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // exact-integer moment sums are batch/replay-order invariant, so the
+    // one-shot batch aggregate is the oracle for the two-batch streaming
+    // run; window sums CAST to BIGINT (HUGEINT guard), doubles derived by
+    // the same expression shapes as the engine
+    "q127_streaming_moments" ->
+      """WITH src AS (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS c FROM events),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_ticks,
+        |         CAST(sum(c) AS BIGINT) AS s_cents,
+        |         CAST(sum(c*c) AS BIGINT) AS s2_cents
+        |  FROM src GROUP BY 1)
+        |SELECT user_id, n_ticks, s_cents, s2_cents,
+        |       CAST(s_cents AS DOUBLE)/n_ticks/100 AS mean_close,
+        |       CASE WHEN n_ticks > 1 THEN
+        |         CAST(n_ticks*s2_cents - s_cents*s_cents AS DOUBLE)
+        |           /(n_ticks*(n_ticks-1))/10000 END AS var_close
+        |FROM a ORDER BY user_id""".stripMargin,
     "q43_wire_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS symbol, count(*) AS n,
         |       min(value) AS min_close, max(value) AS max_close

@@ -279,6 +279,55 @@ object Pipelines {
     }
   }
 
+  /** Streaming per-key moment accumulation on `transformWithState`: each
+    * key's (count, Σcents, Σc²) lives in a [[ValueState]] and is emitted
+    * after every batch that touches the key — the classic "online
+    * mean/variance" operator, but with EXACT integer sums instead of
+    * float Welford recurrences: the merge is associative and
+    * order-independent, so the final state is identical no matter how
+    * rows split across batches, partitions, or replays of the same data
+    * slice — the property that makes the batch aggregate a valid oracle
+    * for the streaming run. Mean/variance are derived from the sums at
+    * READ time (one double division each), never stored.
+    *
+    * State per key is three longs — bounded by key cardinality, not
+    * stream length. Int64 headroom: Σc² grows ~3.2e9 per tick at the
+    * fixture's price scale → ~2.9e9 ticks per key before overflow; a
+    * production deployment at higher scales windows the sums (q98's
+    * pattern) or widens to two-long accumulators. */
+  def streamingMoments(spark: SparkSession, stream: DataFrame,
+                       key: String, cents: String): DataFrame = {
+    import spark.implicits._
+    val typed = stream.select(col(key).cast("string"), col(cents).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new MomentsProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF(key, "n_ticks", "s_cents", "s2_cents")
+  }
+
+  /** The per-key processor behind [[streamingMoments]]. */
+  private class MomentsProcessor
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var m: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getValueState[(Long, Long, Long)]("m",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(k: String, rows: Iterator[(String, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      var (n, s, s2) = if (m.exists()) m.get() else (0L, 0L, 0L)
+      rows.foreach { case (_, c) => n += 1; s += c; s2 += c * c }
+      m.update((n, s, s2))
+      Iterator.single((k, n, s, s2))
+    }
+  }
+
   /** The reference's 60-second cadence (T1: `fetch_stock.py:47`). */
   val ReferenceTrigger: Trigger = Trigger.ProcessingTime("60 seconds")
 }

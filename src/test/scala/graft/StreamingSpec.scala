@@ -153,6 +153,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingMoments: exact sums accumulate across batches, any split") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val stream = input.toDF().toDF("symbol", "cents")
+      val moments = Pipelines.streamingMoments(spark, stream, "symbol", "cents")
+      val name = "m_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = moments.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        input.addData(("AAPL", 100L), ("AAPL", 300L), ("MSFT", 50L))
+        q.processAllAvailable()
+        input.addData(("AAPL", 200L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val finals = spark.table(name)
+        .as[(String, Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      // AAPL: n=3, s=600, s2=100²+300²+200²=140000; MSFT: n=1, s=50, s2=2500
+      assert(finals("AAPL") == (("AAPL", 3L, 600L, 140000L)), finals)
+      assert(finals("MSFT") == (("MSFT", 1L, 50L, 2500L)), finals)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("E2 routing writes history and realtime sinks partitioned by key (mongo_stream_etl.py:34-39)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, String, Double)]
