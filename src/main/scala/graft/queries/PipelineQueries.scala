@@ -361,8 +361,59 @@ object PipelineQueries extends QueryPack {
       .orderBy("z_bucket")
   }
 
+  /** q128: per-domain document cap — the "no source may dominate the
+    * training mix" gate (the RefinedWeb/C4 recipe): keep the N lowest-id
+    * docs per source, drop the rest. The rank<=N predicate plans as
+    * WindowGroupLimit (plan-asserted), so every map partition retains at
+    * most N rows per source BEFORE the shuffle — post-scan data volume is
+    * sources×N, not the corpus, which is what makes a per-domain cap
+    * runnable on a 100 TB crawl. */
+  private def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 25)
+      .orderBy("source", "doc_id")
+  }
+
+  /** q129: winsorization — clip a value column to per-group [p05, p95]
+    * bounds. The bound is the value at 1-based rank floor(p·(n−1))+1 of
+    * the sorted column — a rank pick, not an interpolated quantile, so
+    * it is integer-exact and engine-portable (interpolation formulas
+    * differ subtly across engines; a rank pick cannot). Rank, count,
+    * bound picks, and the clipped exact-int sums all ride ONE key
+    * exchange. The 100 TB variant swaps the exact rank for the
+    * approx-percentile sketch bound (q80's operator) when a full
+    * per-group sort is too hot — same clip, sketched pick. */
+  private def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("rf").orderBy("c")
+    val wAll = Window.partitionBy("rf")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo_k", floor(lit(0.05) * (col("n") - 1)) + 1)
+      .withColumn("hi_k", floor(lit(0.95) * (col("n") - 1)) + 1)
+      .withColumn("lo_c", min(when(col("rnk") === col("lo_k"), col("c"))).over(wAll))
+      .withColumn("hi_c", min(when(col("rnk") === col("hi_k"), col("c"))).over(wAll))
+      .groupBy("rf")
+      .agg(count(lit(1)).as("n_rows"),
+        min("lo_c").as("lo_cents"),
+        min("hi_c").as("hi_cents"),
+        sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(col("c")).as("sum_cents_raw"),
+        sum(least(greatest(col("c"), col("lo_c")), col("hi_c")))
+          .as("sum_cents_wins"))
+      .orderBy("rf")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_zorder_stats" -> zorderStats,
+    "q128_domain_cap" -> domainCap,
+    "q129_winsorize" -> winsorize,
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
@@ -394,6 +445,41 @@ object PipelineQueries extends QueryPack {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "q128_domain_cap" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+    // rank-pick bounds (floor(p·(n−1))+1), exact int clip sums; window
+    // sums CAST to BIGINT against DuckDB's HUGEINT promotion
+    "q129_winsorize" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT rf, c,
+        |         row_number() OVER (PARTITION BY rf ORDER BY c) AS rnk,
+        |         count(*) OVER (PARTITION BY rf) AS n
+        |  FROM src),
+        |k AS (
+        |  SELECT rf, c, rnk, n,
+        |         CAST(floor(0.05*(n-1)) AS BIGINT) + 1 AS lo_k,
+        |         CAST(floor(0.95*(n-1)) AS BIGINT) + 1 AS hi_k
+        |  FROM r),
+        |b AS (
+        |  SELECT rf, c,
+        |         min(CASE WHEN rnk = lo_k THEN c END) OVER (PARTITION BY rf) AS lo_c,
+        |         min(CASE WHEN rnk = hi_k THEN c END) OVER (PARTITION BY rf) AS hi_c
+        |  FROM k)
+        |SELECT rf, count(*) AS n_rows,
+        |       min(lo_c) AS lo_cents, min(hi_c) AS hi_cents,
+        |       CAST(sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents_raw,
+        |       CAST(sum(least(greatest(c, lo_c), hi_c)) AS BIGINT) AS sum_cents_wins
+        |FROM b GROUP BY rf ORDER BY rf""".stripMargin,
     // Replays the full z-order pipeline: min/max bounds, 16-bit grid
     // scaling (identical float expr on exact ints — portable), Morton
     // bit-interleave, bucket aggregation.

@@ -295,6 +295,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "market composite should be a window, not a join:\n" + plan.take(3000))
   }
 
+  test("q128 domain cap: rank filter plans WindowGroupLimit (map-side top-N)") {
+    val df = SparkEntry.queries("q128_domain_cap")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      "rn<=25 did not push into WindowGroupLimit:\n" + plan.take(3000))
+  }
+
+  test("q129 winsorize: rank, bounds, and clip sums ride one key exchange") {
+    val df = SparkEntry.queries("q129_winsorize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
