@@ -1,0 +1,168 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the storage-compression leg of ANN at
+  * 100 TB: each embedding is encoded as `m` small integers (one codebook
+  * cell per subspace), shrinking a 64-float vector to m bytes, and
+  * queries score against codes via an Asymmetric Distance Computation
+  * (ADC) lookup table instead of touching floats. This is the classic
+  * IVF-PQ decomposition (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) re-expressed Spark-first:
+  *
+  *   - codebooks are fit with the SAME deterministic Lloyd machinery as
+  *     [[Clustering]] (lowest-id seeding, in-scan argmin, exact
+  *     fixed-point mean update) so the fit, the codes, and the ADC
+  *     scores are all bit-reproducible and SQL-replicable;
+  *   - the fit is FUSED across subspaces: one corpus scan assigns all m
+  *     subvectors, one (subspace, cell, dim) aggregation computes every
+  *     mean update — cost is independent of m;
+  *   - encoding is a pure in-scan expression (no shuffle, no join);
+  *   - ADC scoring broadcasts per-query LUTs (m×k doubles each) and
+  *     reduces each candidate to m array lookups + (m−1) adds — no
+  *     per-candidate float vector reads, which is the entire point at
+  *     scale: the float corpus stays on disk.
+  *
+  * Driver state is codebooks (m×k×sub doubles) + query LUTs — both
+  * probe-set-bounded, never corpus-bounded. */
+object Pq {
+
+  /** Per-subspace codebooks; `books(s)` = (cellId, centroid) pairs,
+    * sorted by cellId. Cells that lost all members in the mean update are
+    * absent (same contract as [[Clustering.fixedPointCentroids]]). */
+  case class Codebooks(m: Int, sub: Int, books: Seq[Seq[(Int, Array[Double])]])
+
+  /** Fit m codebooks of k centroids each: lowest-id seeds, one exact
+    * fixed-point Lloyd refinement. Two corpus scans total (seed collect
+    * is a top-k, the mean update is one aggregation) regardless of m. */
+  def fit(df: DataFrame, id: String, vec: String, m: Int, sub: Int, k: Int,
+          scaleBits: Int = 24): Codebooks = {
+    val seedRows = df.select(col(id), Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy(col(id)).limit(k).collect()
+    val seeds: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
+      seedRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Double](1).slice(s * sub, (s + 1) * sub).toArray
+      }.toSeq
+    }
+    val scale = (1L << scaleBits).toDouble
+    var assigned = df.select(Similarity.vecDouble(col(vec)).as("v"))
+    for (s <- 0 until m)
+      assigned = assigned.withColumn(s"__cell_$s",
+        Clustering.assignCell(slice(col("v"), s * sub + 1, sub), seeds(s)))
+    val cellArr = array((0 until m).map(s => col(s"__cell_$s")): _*)
+    val rows = assigned
+      .select(cellArr.as("cells"), posexplode(col("v")))
+      .select((col("pos") / sub).cast("int").as("s"),
+        (col("pos") % sub).as("p"), col("col"), col("cells"))
+      .withColumn("cell", element_at(col("cells"), col("s") + 1))
+      .groupBy("s", "cell", "p")
+      .agg(sum(round(col("col") * lit(scale)).cast("long")).as("sfix"),
+        count(lit(1)).as("n"))
+      .collect()
+    val books = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map { case (c, rs) =>
+          val arr = new Array[Double](sub)
+          rs.foreach { r =>
+            arr(r.getInt(2)) = (r.getLong(3).toDouble / r.getLong(4)) / scale
+          }
+          c -> arr
+        }
+    }
+    Codebooks(m, sub, books)
+  }
+
+  /** PQ codes for a vector — array of m cell ids, pure in-scan argmin
+    * over the codebook literals (ties to the lower cell, same contract
+    * as [[Clustering.assignCell]]). */
+  def encode(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { s =>
+      Clustering.assignCell(slice(vec, s * cb.sub + 1, cb.sub), cb.books(s))
+    }: _*)
+
+  /** ADC lookup table for one query: lut(s)(cell) = ‖q_s − c_{s,cell}‖²,
+    * indexed by CELL ID (gaps from dropped cells hold 0.0 and are never
+    * referenced — encode can only emit live cells). Sequential left-fold
+    * accumulation, matching the SQL `list_sum` shape. */
+  def adcLut(q: Array[Double], cb: Codebooks): Array[Array[Double]] =
+    (0 until cb.m).map { s =>
+      val arr = new Array[Double](cb.books(s).map(_._1).max + 1)
+      cb.books(s).foreach { case (cell, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.sub) {
+          val t = q(s * cb.sub + i) - c(i)
+          d += t * t
+          i += 1
+        }
+        arr(cell) = d
+      }
+      arr
+    }.toArray
+
+  /** ADC distance column: m LUT lookups chained by explicit left-to-right
+    * adds (a fixed association both engines replicate — an aggregate over
+    * the m partials would be combine-order-dependent). `lut` is an
+    * array<array<double>> column, `codes` the [[encode]] output. */
+  def adcDist(lut: Column, codes: Column, m: Int): Column =
+    (1 to m).map(s => element_at(element_at(lut, s), element_at(codes, s) + 1))
+      .reduceLeft(_ + _)
+
+  /** ADC shortlist: fit codebooks, encode the corpus in-scan, score every
+    * (query, code) pair via broadcast LUTs, keep the top-`r` per query by
+    * (adc_dist, id). Queries must be a bounded probe set (collected to
+    * build LUTs — the IVF probe-list discipline). The corpus side never
+    * reads floats past the fit: candidates flow as (id, m codes). */
+  def adcShortlist(corpus: DataFrame, queries: DataFrame, id: String,
+                   vec: String, r: Int, m: Int, sub: Int,
+                   cells: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = fit(corpus, id, vec, m, sub, cells)
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"),
+        Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy("query_id").collect()
+    val lutDf = qRows.toSeq.map { row =>
+      (row.getLong(0),
+        adcLut(row.getSeq[Double](1).toArray, cb).map(_.toSeq).toSeq)
+    }.toDF("query_id", "lut")
+    val codes = corpus.select(col(id).as("vec_id"),
+      encode(col(vec), cb).as("codes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    codes.crossJoin(broadcast(lutDf))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= r)
+      .select("query_id", "vec_id", "adc_dist")
+  }
+
+  /** End-to-end PQ search, production shape: ADC shortlist (compressed
+    * domain, top-`shortlist` per query) → EXACT L2 rerank of only the
+    * shortlisted candidates → top-`k`. Float vectors are read for
+    * shortlist×queries rows, never the corpus — the rerank joins the
+    * BROADCAST shortlist back to the corpus scan, so the heavy side
+    * still moves no floats into a shuffle. The exact distance is a
+    * sequential zip_with/aggregate fold (the SQL `list_sum` shape). */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, m: Int, sub: Int, cells: Int,
+              shortlist: Int): DataFrame = {
+    val short = adcShortlist(corpus, queries, id, vec, shortlist, m, sub, cells)
+    val cand = corpus
+      .select(col(id).as("vec_id"), Similarity.vecDouble(col(vec)).as("cv"))
+      .join(broadcast(short.select("query_id", "vec_id")), Seq("vec_id"))
+    val qv = queries.select(col(id).cast("long").as("query_id"),
+      Similarity.vecDouble(col(vec)).as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    cand.join(broadcast(qv), Seq("query_id"))
+      .withColumn("l2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "l2")
+  }
+}

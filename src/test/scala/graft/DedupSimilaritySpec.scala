@@ -408,4 +408,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // every emitted pair is verified by true cosine
     assert(lsh == exact, s"missed: ${exact -- lsh}") // seeded tables recover all pairs here
   }
+
+  test("PQ ADC shortlist + exact rerank: recall >= 0.9 vs exact L2 top-5 (q130 config)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val pq = graft.similarity.Pq.adcTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = 8, sub = 8, cells = 64, shortlist = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val qv = queries.select(col("vec_id").cast("long").as("query_id"),
+      Similarity.vecDouble(col("embedding")).as("qv"))
+    val cv = emb.select(col("vec_id"),
+      Similarity.vecDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    val exact = cv.crossJoin(broadcast(qv))
+      .withColumn("l2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall") // measured 0.96 at sf0.01
+  }
+
+  test("PQ codes: m cells per vector, every code references a live codebook entry") {
+    val emb = fixtureEmb
+    val cb = graft.similarity.Pq.fit(emb, "vec_id", "embedding",
+      m = 8, sub = 8, k = 64)
+    assert(cb.books.size == 8)
+    val live = cb.books.map(_.map(_._1).toSet)
+    val codes = emb.select(
+        graft.similarity.Pq.encode(col("embedding"), cb).as("codes"))
+      .as[Seq[Int]].collect()
+    codes.foreach { cs =>
+      assert(cs.size == 8)
+      cs.zipWithIndex.foreach { case (c, s) =>
+        assert(live(s).contains(c), s"code $c not live in subspace $s")
+      }
+    }
+  }
 }

@@ -313,6 +313,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n" + plan.take(3000))
   }
 
+  test("q130 PQ: LUTs broadcast to the code scan, rerank joins broadcast, no sort-merge") {
+    val df = SparkEntry.queries("q130_pq_adc_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // ADC scoring: per-query LUTs reach the corpus-code scan as a
+    // broadcast (10 rows x m*k doubles), never a shuffle of the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // rerank: shortlist + query vectors broadcast back to the float scan
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus floats entered a shuffle join:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
