@@ -63,4 +63,26 @@ object Sampling {
       .where(h < floor(col("__rate") * lit(4294967296.0)).cast("long"))
       .drop("__n_s", "__n", "__rate")
   }
+
+  /** Priority-hash reservoir: the EXACTLY-n lowest-hash-priority rows per
+    * stratum. Rate sampling ([[stratifiedHashSample]]) gives a random
+    * SIZE per stratum; a reservoir gives a fixed budget — the "N docs per
+    * domain, chosen uniformly" contract — and the salted-hash priority
+    * makes the draw a pure function of the ids (reproducible across
+    * runs/engines, ties impossible once broken by id). The rank<=n
+    * filter plans as WindowGroupLimit: each map task keeps at most n rows
+    * per stratum BEFORE the shuffle, so the exchange moves strata×n rows
+    * — the distributed analogue of a classic reservoir's bounded memory.
+    * Emits `priCol` (the priority) and the stratum rank `rnCol`. */
+  def reservoirSample(df: DataFrame, stratum: String, id: String,
+                      salt: String, n: Int,
+                      priCol: String = "pri", rnCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = conv(substring(md5(concat(lit(salt), col(id).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(stratum).orderBy(col(priCol), col(id))
+    df.withColumn(priCol, pri)
+      .withColumn(rnCol, row_number().over(w))
+      .where(col(rnCol) <= n)
+  }
 }

@@ -93,10 +93,31 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id", "hour_str")
   }
 
+  /** q131: rolling z-score anomaly gate — ticks deviating more than 3σ
+    * from their own TRAILING 50-tick baseline (current tick excluded, so
+    * a spike can't normalize itself). The gate is division-free int64
+    * arithmetic (see [[Indicators.anomalyFlag]]): no float epsilon, no
+    * accumulation order, bit-portable to the oracle. One key shuffle +
+    * one window pass; emits only the flagged ticks, so output is
+    * anomaly-sized, not corpus-sized. */
+  private def anomalyFlags(spark: SparkSession, dir: String): DataFrame = {
+    val w50 = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-50, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("is_anomaly",
+        Indicators.anomalyFlag(col("cents"), w50, 50, 3))
+      .where(col("is_anomaly"))
+      .select("user_id", "event_id", "cents")
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_tech_indicators" -> techIndicators,
     "q125_purged_split" -> purgedSplit,
-    "q126_rolling_beta" -> rollingBeta
+    "q126_rolling_beta" -> rollingBeta,
+    "q131_anomaly_flags" -> anomalyFlags
   )
 
   override def oracles: Map[String, String] = Map(
@@ -137,6 +158,23 @@ object FinanceQueries extends QueryPack {
         |       boll_mid - boll_sd*2 AS boll_lo,
         |       rsi14
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+    "q131_anomaly_flags" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |         count(*) OVER tr AS n,
+        |         CAST(sum(cents) OVER tr AS BIGINT) AS s,
+        |         CAST(sum(cents*cents) OVER tr AS BIGINT) AS s2
+        |  FROM src
+        |  WINDOW tr AS (PARTITION BY user_id ORDER BY event_id
+        |                ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, cents
+        |FROM w
+        |WHERE n = 50
+        |  AND (n-1)*(n*cents - s)*(n*cents - s) > 9*n*(n*s2 - s*s)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q125_purged_split" ->
       """SELECT CASE
         |         WHEN ts + INTERVAL 24 HOUR <= TIMESTAMP '2024-01-20' THEN 'train'

@@ -410,10 +410,23 @@ object PipelineQueries extends QueryPack {
       .orderBy("rf")
   }
 
+  /** q132: fixed-budget reservoir per language — the unbiased-draw
+    * counterpart of q128's cap (which biases toward low ids): 20 docs
+    * per lang, chosen by salted-hash priority, reproducible across
+    * runs/partitionings/engines. WindowGroupLimit bounds every map task
+    * at 20 rows per lang pre-shuffle. */
+  private def reservoirSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.reservoirSample(
+        Tables.documents(spark, dir).select("lang", "doc_id"),
+        stratum = "lang", id = "doc_id", salt = "rsv:", n = 20)
+      .select("lang", "doc_id", "pri", "rn")
+      .orderBy("lang", "rn")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_zorder_stats" -> zorderStats,
     "q128_domain_cap" -> domainCap,
     "q129_winsorize" -> winsorize,
+    "q132_reservoir_sample" -> reservoirSample,
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
@@ -451,6 +464,18 @@ object PipelineQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+    // salted-md5 priority (q115's '0x'-prefix idiom, 15 hex chars → both
+    // engines' signed int64), rank over (priority, id)
+    "q132_reservoir_sample" ->
+      """SELECT lang, doc_id, pri, rn FROM (
+        |  SELECT lang, doc_id, pri,
+        |         row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+        |  FROM (
+        |    SELECT lang, doc_id,
+        |           CAST(CAST(('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |                     AS UBIGINT) AS BIGINT) AS pri
+        |    FROM documents))
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     // rank-pick bounds (floor(p·(n−1))+1), exact int clip sums; window
     // sums CAST to BIGINT against DuckDB's HUGEINT promotion
     "q129_winsorize" ->

@@ -57,6 +57,24 @@ object Indicators {
     when(nd === n && (sg + sl) > 0, lit(100) * sg.cast("double") / (sg + sl))
   }
 
+  /** Rolling z-score anomaly flag over a TRAILING n-row frame (current
+    * row excluded — a spike must not contaminate its own baseline):
+    * true iff (c − mean)² > k²·variance. The comparison is cleared of
+    * divisions — (n−1)·(n·c − Σc)² > k²·n·(n·Σc² − (Σc)²) — so the gate
+    * is PURE int64 arithmetic: bit-portable, no epsilon, no float
+    * accumulation order to match. Null until the trailing frame is full.
+    *
+    * Headroom at fixture scale (c ≤ 5.6e4, n = 50): LHS ≤ 49·(2.8e6)² ≈
+    * 3.9e14, RHS ≤ 9·50·7.8e12 ≈ 3.5e15 — both ~3 orders under 2⁶³. */
+  def anomalyFlag(cents: Column, w: WindowSpec, n: Int, k: Int): Column = {
+    val cnt = count(lit(1)).over(w)
+    val s = sum(cents).over(w)
+    val s2 = sum(cents * cents).over(w)
+    val dev = cnt * cents - s
+    when(cnt === n,
+      (cnt - lit(1L)) * dev * dev > lit(k.toLong * k) * cnt * (cnt * s2 - s * s))
+  }
+
   /** Rolling OLS slope (beta) of series y against series x over an n-row
     * frame: (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), numerator and denominator
     * exact int64, one double division. Null until the frame is full or

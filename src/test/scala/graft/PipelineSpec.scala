@@ -140,6 +140,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.select("doc_id").except(sampled.select("doc_id")).count() == 0)
   }
 
+  test("reservoirSample: exactly n per stratum, invariant to partitioning") {
+    val docs = Tables.documents(spark, dir)
+    val got = Sampling.reservoirSample(docs.select("lang", "doc_id"),
+      "lang", "doc_id", "rsv:", n = 20)
+    val perLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, n) =>
+      assert(n == math.min(20L, langSizes(l)), s"lang $l kept $n")
+    }
+    // the draw is a pure function of ids — identical at any partitioning
+    val again = Sampling.reservoirSample(
+        docs.select("lang", "doc_id").repartition(13),
+        "lang", "doc_id", "rsv:", n = 20)
+      .select("doc_id")
+    assert(again.except(got.select("doc_id")).count() == 0 &&
+      got.select("doc_id").except(again).count() == 0)
+  }
+
   test("Decontaminate: k-gram overlap flags, short and clean docs stay clean") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 5-gram

@@ -113,6 +113,22 @@ class TimeSeriesSpec extends AnyFunSuite {
       r.getDouble(2) == 42.0 && r.getDouble(3) == 42.0)
   }
 
+  test("indicators: anomalyFlag fires on a spike, not on its flat baseline") {
+    import graft.timeseries.Indicators
+    import org.apache.spark.sql.expressions.Window
+    // 10-row trailing frame: 12 flat ticks at 100, then a spike to 200,
+    // then flat again — only the spike row clears 3σ (baseline σ = 0)
+    val rows = (1L to 12L).map(i => (1L, i, 100L)) ++
+      Seq((1L, 13L, 200L)) ++ (14L to 16L).map(i => (1L, i, 100L))
+    val w = Window.partitionBy("k").orderBy("o").rowsBetween(-10, -1)
+    val got = rows.toDF("k", "o", "c")
+      .withColumn("a", Indicators.anomalyFlag(col("c"), w, 10, 3))
+      .where(col("a")).select("o").as[Long].collect().toSet
+    // 13 spikes; 14-16 do NOT: their trailing window contains the spike,
+    // inflating σ enough that a return to 100 is within 3σ
+    assert(got == Set(13L), s"flagged $got")
+  }
+
   test("indicators: rollingBeta recovers an exact linear slope") {
     import graft.timeseries.Indicators
     import org.apache.spark.sql.expressions.Window
