@@ -116,7 +116,41 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q133: vocabulary coverage / OOV rate — the "does the tokenizer vocab
+    * cover the corpus" gate run before training. Two stages, both
+    * scale-shaped: (1) vocabulary fit = one wordcount shuffle + top-V
+    * (V=500) collected to the driver — the codebook/centroid discipline,
+    * bounded by V, never by the corpus; (2) the probe is IN-SCAN: each
+    * doc's OOV count is a filter over its token array against the vocab
+    * LITERAL — no token explode, no membership join, the corpus never
+    * shuffles. (A production vocab of millions swaps the literal for a
+    * bloom filter — q79's operator — same plan shape.) Vocabulary ties
+    * break on (tf DESC, token ASC): fully deterministic, so the oracle
+    * refits the identical vocab. */
+  private def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val vocab = docs.select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(500).collect().map(_.getString(0))
+    val vocabLit = array(vocab.toIndexedSeq.map(lit): _*)
+    docs
+      .select(col("lang"), toks.as("t"))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("n_oov",
+        size(filter(col("t"), t => !array_contains(vocabLit, t))).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum("n_oov").as("sum_oov"))
+      .withColumn("oov_pct",
+        lit(100) * col("sum_oov").cast("double") / col("sum_tokens"))
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_vocab_oov" -> vocabOov,
     "q121_pii_redaction" -> piiRedaction,
     "q119_lm_familiarity" -> lmFamiliarity,
     "q32_token_stats" -> tokenStats,
@@ -128,6 +162,26 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q133_vocab_oov" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS tf FROM t GROUP BY 1),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rk
+        |    FROM g) WHERE rk <= 500),
+        |d AS (
+        |  SELECT lang, doc_id, count(*) AS n_tok,
+        |         sum(CASE WHEN token IN (SELECT token FROM v)
+        |             THEN 0 ELSE 1 END) AS n_oov
+        |  FROM t GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_oov) AS BIGINT) AS sum_oov,
+        |       100*CAST(sum(n_oov) AS DOUBLE)/sum(n_tok) AS oov_pct
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // Identical planting + identical RE2 regexes; counts on the planted
     // text, md5 on the redacted text.
     "q121_pii_redaction" ->

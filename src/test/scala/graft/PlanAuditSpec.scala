@@ -327,6 +327,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus floats entered a shuffle join:\n" + plan.take(3000))
   }
 
+  test("q133 OOV probe: in-scan membership — no token explode, no join") {
+    val df = SparkEntry.queries("q133_vocab_oov")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the vocab FIT is a separate bounded job; the probe plan itself
+    // must stay scan→project→agg
+    assert(!plan.contains("Generate"),
+      "token explode leaked into the probe plan:\n" + plan.take(3000))
+    assert(!plan.contains("Join"),
+      "vocab membership became a join:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
