@@ -121,7 +121,67 @@ object QualityQueries extends QueryPack {
       .orderBy("bin")
   }
 
+  /** q134: join-key skew profiler — the diagnostic that DECIDES the
+    * salting/AQE-skew treatment (q54/q66 are the treatments; this is the
+    * triage): per-key counts (one map-side-combinable aggregation — the
+    * only pass over the data), then all statistics are computed on the
+    * KEY-STATS table, which is key-cardinality-sized, never
+    * corpus-sized: top-10 heavy hitters, their share of all rows, and
+    * their ratio to the median key's count (rank-pick median — exact,
+    * interpolation-free). The global windows here order key-stats rows,
+    * not data rows. */
+  private def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val g = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val byCnt = g.withColumn("rn",
+      row_number().over(Window.orderBy(col("cnt"), col("key"))))
+    val med = byCnt.crossJoin(broadcast(tot))
+      .agg(min(when(col("rn") === floor(lit(0.5) * (col("n_keys") - 1)) + 1,
+        col("cnt"))).as("med_cnt"))
+    g.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+      .where(col("rank") <= 10)
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(med))
+      .select(col("rank"), col("key"), col("cnt"),
+        (lit(100) * col("cnt").cast("double") / col("total")).as("share_pct"),
+        (col("cnt").cast("double") / col("med_cnt")).as("x_median"))
+      .orderBy("rank")
+  }
+
+  /** q135: referential-integrity audit — orphan counts for every FK edge
+    * of the star schema in one union of LEFT-JOIN aggregates. Each edge
+    * is one key shuffle (or broadcast when the parent is small); the
+    * audit output is one row per edge. The gate a pipeline runs before
+    * trusting joins downstream. */
+  private def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey).as("ck"))
+        .join(parent.select(col(parentKey).as("pk")),
+          col("ck") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          (lit(100) * col("n_orphans").cast("double") / col("n_child"))
+            .as("orphan_pct"))
+    val orders = Tables.orders(spark, dir)
+    edge("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        orders, "o_orderkey")
+      .unionByName(edge("lineitem->part", Tables.lineitem(spark, dir),
+        "l_partkey", Tables.part(spark, dir), "p_partkey"))
+      .unionByName(edge("orders->customer", orders, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("fk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_key_skew_profile" -> keySkewProfile,
+    "q135_fk_audit" -> fkAudit,
     "q100_column_profile" -> ordersProfile,
     "q108_snapshot_diff" -> snapshotDiff,
     "q110_profile_approx" -> ordersProfileApprox,
@@ -130,6 +190,46 @@ object QualityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q134_key_skew_profile" ->
+      """WITH g AS (
+        |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM g),
+        |r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, key) AS rn FROM g),
+        |med AS (
+        |  SELECT min(CASE WHEN rn = CAST(floor(0.5*(n_keys-1)) AS BIGINT)+1
+        |             THEN cnt END) AS med_cnt
+        |  FROM r CROSS JOIN tot)
+        |SELECT rank, key, cnt,
+        |       100*CAST(cnt AS DOUBLE)/total AS share_pct,
+        |       CAST(cnt AS DOUBLE)/med_cnt AS x_median
+        |FROM (SELECT key, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        |      FROM g)
+        |CROSS JOIN tot CROSS JOIN med
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q135_fk_audit" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem->orders' AS fk, count(*) AS n_child,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e2 AS (
+        |  SELECT 'lineitem->part' AS fk, count(*) AS n_child,
+        |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+        |e3 AS (
+        |  SELECT 'orders->customer' AS fk, count(*) AS n_child,
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_orphans
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3)
+        |SELECT fk, n_child, n_orphans,
+        |       100*CAST(n_orphans AS DOUBLE)/n_child AS orphan_pct
+        |FROM u ORDER BY fk""".stripMargin,
     // Shared integer grid from the union's min/max, 16-bin histogram per
     // side, exact-integer total variation and verdict.
     "q123_histogram_drift" ->
