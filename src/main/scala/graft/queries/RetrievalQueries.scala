@@ -23,6 +23,38 @@ object RetrievalQueries extends QueryPack {
         part = "lang", id = "doc_id", text = "text", terms = Terms, k = 10)
       .orderBy("lang", "rank")
 
+  /** q136: RAG-style chunk retrieval end-to-end — q96's context-window
+    * chunking composed with q92's BM25, the "retrieve the best PASSAGE,
+    * not the best document" shape every RAG pipeline runs: chunks (50
+    * tokens, stride 40) become the retrieval units, corpus statistics
+    * (N, avgdl, df) are recomputed over CHUNKS per language, and the
+    * top-5 chunks per language come back with (doc_id, chunk_id)
+    * provenance. The sliced token arrays score DIRECTLY
+    * ([[Retrieval.bm25TopKTokens]]) — no chunk-text materialization,
+    * join, or re-tokenization between the two stages; chunking explodes
+    * ~1 row per 40 tokens (narrow), tf/dl stay in-scan, stats broadcast,
+    * and only (lang, cid, score) enters the rank shuffle. */
+  private def ragChunkTopK(spark: SparkSession, dir: String): DataFrame = {
+    val size = 50
+    val stride = 40
+    val chunks = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("lang"), col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("toks")) - 1,
+          lit(stride))).as("start"))
+      .select(col("lang"),
+        (col("doc_id") * 1000 + expr(s"start DIV $stride")).as("cid"),
+        slice(col("toks"), col("start") + 1, lit(size)).as("ctoks"))
+    Retrieval.bm25TopKTokens(chunks, part = "lang", id = "cid",
+        toksCol = "ctoks", terms = Terms, k = 5)
+      .select(col("lang"), expr("cid DIV 1000").as("doc_id"),
+        pmod(col("cid"), lit(1000L)).as("chunk_id"),
+        col("score"), col("rank"))
+      .orderBy("lang", "rank")
+  }
+
   /** q96: context-window chunking — every doc split into 50-token
     * chunks with stride 40 (10-token overlap), the LLM-training prep
     * step between cleaning and packing. One narrow pass: the token array
@@ -69,7 +101,8 @@ object RetrievalQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_bm25_topk" -> bm25TopK,
     "q96_doc_chunks" -> docChunks,
-    "q97_sequence_packing" -> sequencePacking
+    "q97_sequence_packing" -> sequencePacking,
+    "q136_rag_chunk_topk" -> ragChunkTopK
   )
 
   // The SQL mirrors the Spark expression tree node for node (same casts,
@@ -129,6 +162,65 @@ object RetrievalQueries extends QueryPack {
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     // DuckDB list slice l[a:b] is 1-based inclusive and end-clamped —
     // exactly Spark's slice(l, a, len) with b = a + len - 1.
+    // q92's score expression over q96's chunk slices: stats recomputed
+    // per-lang over CHUNKS, provenance recovered from the composite cid
+    "q136_rag_chunk_topk" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id*1000 + start // 40 AS cid,
+        |         toks[start + 1 : start + 50] AS ctoks
+        |  FROM (SELECT lang, doc_id, toks,
+        |               unnest(range(0, len(toks), 40)) AS start
+        |        FROM d)),
+        |f AS (
+        |  SELECT lang, cid,
+        |         CAST(len(ctoks) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(ctoks, x -> x = 'table')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(ctoks, x -> x = 'join'))  AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(ctoks, x -> x = 'hash'))  AS BIGINT) AS tf2
+        |  FROM c),
+        |l AS (
+        |  SELECT lang,
+        |         count(*) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM f GROUP BY lang),
+        |s AS (
+        |  SELECT f.lang, f.cid,
+        |         (CASE WHEN tf0 > 0 THEN
+        |            ((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf0 AS DOUBLE) * 2.25)
+        |               / (CAST(tf0 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN tf1 > 0 THEN
+        |            ((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf1 AS DOUBLE) * 2.25)
+        |               / (CAST(tf1 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN tf2 > 0 THEN
+        |            ((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf2 AS DOUBLE) * 2.25)
+        |               / (CAST(tf2 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END) AS score
+        |  FROM f JOIN l ON f.lang = l.lang),
+        |r AS (
+        |  SELECT lang, cid, score,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY score DESC, cid ASC) AS rank
+        |  FROM s)
+        |SELECT lang, cid // 1000 AS doc_id, cid % 1000 AS chunk_id,
+        |       score, rank
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q96_doc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

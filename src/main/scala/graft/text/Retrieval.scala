@@ -56,9 +56,21 @@ object Retrieval {
     * BM25 with per-partition corpus statistics. Output:
     * (part, id, score, rank). */
   def bm25TopK(docs: DataFrame, part: String, id: String, text: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int): DataFrame =
+    bm25TopKTokens(
+      docs.select(col(part), col(id),
+        TextAnalysis.tokens(col(text)).as("__toks")),
+      part, id, "__toks", terms, k)
+
+  /** [[bm25TopK]] over a PRE-TOKENIZED unit column — the entry point for
+    * retrieval units that aren't whole documents (chunk retrieval: the
+    * sliced token arrays score directly, no join-and-resplit of chunk
+    * text). Same plan shape: tf/dl in-scan, stats broadcast, partial
+    * WindowGroupLimit under the rank exchange. */
+  def bm25TopKTokens(docs: DataFrame, part: String, id: String,
+      toksCol: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "fixed small term set")
-    val toks = TextAnalysis.tokens(col(text))
+    val toks = col(toksCol)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === t)).cast("long").as(s"tf$i")
     }
