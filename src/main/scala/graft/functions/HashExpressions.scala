@@ -236,6 +236,9 @@ object HashFunctions {
     column(DotProductD(expression(a), expression(b)))
   def word_shingles(text: Column, k: Int): Column =
     column(WordShingles(expression(text), k))
+  def argmin_sqdist(x: Column, cells: Array[Int], csq: Array[Double],
+      ctrs: Array[Double], dim: Int): Column =
+    column(ArgMinSqDist(expression(x), cells, csq, ctrs, dim))
 }
 
 /** Sequential-fold dot product of two double arrays, codegen'd. Bitwise
@@ -312,5 +315,74 @@ case class WordShingles(child: Expression, k: Int)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Argmin-cell assignment of a double vector against a driver-held
+  * codebook: returns the cell id minimizing ‖c‖² − 2·x·c, ties to the
+  * LOWER cell id (centroids iterate in ascending-cell order under a
+  * strict `<`). The arithmetic is node-for-node the composed-expression
+  * form the k-means oracles replicate (`csq` = the driver-folded Σc²,
+  * the dot = [[DotProductD]]'s sequential fold, d = csq − dot·2), so
+  * assignments are BIT-IDENTICAL to that form — but in one codegen'd
+  * loop with O(1) Catalyst tree size. The composed form (k struct
+  * literals + array_sort + HOF lambda) costs O(k·dim) tree nodes and
+  * evaluates the lambda interpreted: measured ~70 µs/row at k=64 vs
+  * ~1 µs/row here (the PQ fit's whole hot path). Codebook arrays ride
+  * the generated code as reference objects — broadcast-by-closure, the
+  * same discipline as centroid literals. */
+case class ArgMinSqDist(child: Expression, cells: Array[Int],
+    csq: Array[Double], ctrs: Array[Double], dim: Int)
+    extends UnaryExpression {
+  require(cells.length * dim == ctrs.length && cells.length == csq.length,
+    "codebook shape mismatch")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cells.length) {
+      var dot = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { dot += x.getDouble(i) * ctrs(off + i); i += 1 }
+      val d = csq(c) - dot * 2
+      if (d < bestD) { bestD = d; best = cells(c) }
+      c += 1
+    }
+    best
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+      val csqRef = ctx.addReferenceObj("csq", csq, "double[]")
+      val ctrsRef = ctx.addReferenceObj("ctrs", ctrs, "double[]")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $dim);
+         |int $best = 0;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < ${cells.length}; $c++) {
+         |  double $dot = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $x.getDouble($i) * $ctrsRef[$off + $i];
+         |  }
+         |  double $d = $csqRef[$c] - $dot * 2;
+         |  if ($d < $bestD) { $bestD = $d; $best = $cellsRef[$c]; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ArgMinSqDist =
     copy(child = newChild)
 }

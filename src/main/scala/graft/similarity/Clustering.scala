@@ -37,17 +37,28 @@ object Clustering {
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
 
-  /** Cell-assignment column: argmin over the centroid literals, ties to
-    * the lower cell id. Pure expression — pipelines inside the scan. */
+  /** Cell-assignment column: argmin over the driver-held centroids, ties
+    * to the lower cell id. Pure expression — pipelines inside the scan.
+    *
+    * Runs as the codegen'd [[graft.functions.ArgMinSqDist]] loop: the
+    * equivalent composed form (k distance subtrees + array_sort, or a
+    * `transform` lambda over centroid literals) costs O(k·dim) Catalyst
+    * nodes and evaluates interpreted — at the PQ configuration (k=64,
+    * m=8 subspaces) that was ~70 µs/row and dominated the whole fit.
+    * The loop computes the IDENTICAL arithmetic (driver-folded ‖c‖²,
+    * sequential dot, d = csq − 2·dot, strict-< tie to the lower cell),
+    * so assignments — and every oracle replicating them in SQL — are
+    * unchanged bit for bit. */
   def assignCell(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
-    val xd = Similarity.vecDouble(vec)
-    val dists = array(centroids.map { case (cellId, ctr) =>
-      val ctrLit = array(ctr.toIndexedSeq.map(lit): _*)
-      struct(
-        (lit(ctr.map(x => x * x).sum) - Similarity.dot(xd, ctrLit) * 2).as("d"),
-        lit(cellId).as("cell"))
-    }.toIndexedSeq: _*)
-    element_at(array_sort(dists), 1).getField("cell")
+    val sorted = centroids.sortBy(_._1)
+    val dim = sorted.head._2.length
+    require(sorted.forall(_._2.length == dim), "ragged centroids")
+    graft.functions.HashFunctions.argmin_sqdist(
+      Similarity.vecDouble(vec),
+      cells = sorted.map(_._1).toArray,
+      csq = sorted.map(_._2.map(x => x * x).sum).toArray,
+      ctrs = sorted.flatMap(_._2).toArray,
+      dim = dim)
   }
 
   /** One Lloyd mean-update in fixed point: per (cell, dim) exact integer

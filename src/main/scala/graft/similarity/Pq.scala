@@ -46,29 +46,36 @@ object Pq {
       }.toSeq
     }
     val scale = (1L << scaleBits).toDouble
-    var assigned = df.select(Similarity.vecDouble(col(vec)).as("v"))
-    for (s <- 0 until m)
-      assigned = assigned.withColumn(s"__cell_$s",
-        Clustering.assignCell(slice(col("v"), s * sub + 1, sub), seeds(s)))
-    val cellArr = array((0 until m).map(s => col(s"__cell_$s")): _*)
-    val rows = assigned
-      .select(cellArr.as("cells"), posexplode(col("v")))
-      .select((col("pos") / sub).cast("int").as("s"),
-        (col("pos") % sub).as("p"), col("col"), col("cells"))
-      .withColumn("cell", element_at(col("cells"), col("s") + 1))
-      .groupBy("s", "cell", "p")
-      .agg(sum(round(col("col") * lit(scale)).cast("long")).as("sfix"),
-        count(lit(1)).as("n"))
+    // One explode of m subspace structs per row (cell resolved INSIDE the
+    // generator input, so the argmin runs exactly once per row — a
+    // projected cell column above a Generate can be collapsed into the
+    // post-explode projection and re-evaluated per exploded row), then
+    // ONE (s, cell) aggregation with the sub per-dim fixed-point sums as
+    // columns. Shuffle volume is m structs per vector, not m·sub dims.
+    val vd = Similarity.vecDouble(col(vec))
+    val subStructs = (0 until m).map { s =>
+      val sv = slice(vd, s * sub + 1, sub)
+      struct(lit(s).as("s"),
+        Clustering.assignCell(sv, seeds(s)).as("cell"),
+        sv.as("sv"))
+    }
+    val sumCols = (1 to sub).map { i =>
+      sum(round(element_at(col("sv"), i) * lit(scale)).cast("long")).as(s"f$i")
+    } :+ count(lit(1)).as("n")
+    val rows = df
+      .select(explode(array(subStructs: _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.cell").as("cell"), col("e.sv").as("sv"))
+      .groupBy("s", "cell")
+      .agg(sumCols.head, sumCols.tail: _*)
       .collect()
     val books = (0 until m).map { s =>
-      rows.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq.sortBy(_._1)
-        .map { case (c, rs) =>
-          val arr = new Array[Double](sub)
-          rs.foreach { r =>
-            arr(r.getInt(2)) = (r.getLong(3).toDouble / r.getLong(4)) / scale
-          }
-          c -> arr
-        }
+      rows.filter(_.getInt(0) == s).map { r =>
+        val n = r.getLong(sub + 2)
+        val arr = (0 until sub).map { i =>
+          (r.getLong(2 + i).toDouble / n) / scale
+        }.toArray
+        r.getInt(1) -> arr
+      }.sortBy(_._1).toSeq
     }
     Codebooks(m, sub, books)
   }
