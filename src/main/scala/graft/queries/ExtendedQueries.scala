@@ -128,7 +128,39 @@ object ExtendedQueries extends QueryPack {
           / col("exact_parts") < 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** q137: source/sink format interop — the S5 surface driver-visible:
+    * the typed event projection round-trips through BOTH a headered CSV
+    * sink+source and a JSON-lines sink+source (explicit read schemas —
+    * production never infers), and the re-read rows must aggregate to
+    * exactly the parquet-derived oracle numbers for each format. Timestamps
+    * travel as formatted strings (the wire convention, F1), integers as
+    * exact cents — so losslessness is hash-checked, not eyeballed. */
+  private def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    val csvDir = MlQueries.tempDirDeletedOnExit("graft_csv_")
+    val jsonDir = MlQueries.tempDirDeletedOnExit("graft_json_")
+    src.write.mode("overwrite").option("header", "true").csv(csvDir)
+    src.write.mode("overwrite").json(jsonDir)
+    val schema =
+      "event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT, ts_str STRING"
+    val back = spark.read.schema(schema).option("header", "true").csv(csvDir)
+      .withColumn("fmt", lit("csv"))
+      .unionByName(spark.read.schema(schema).json(jsonDir)
+        .withColumn("fmt", lit("json")))
+    back.groupBy("fmt", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        sum("event_id").as("sum_ids"),
+        min("ts_str").as("first_ts_str"),
+        max("ts_str").as("last_ts_str"))
+      .orderBy("fmt", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_format_roundtrip" -> formatRoundtrip,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -140,6 +172,20 @@ object ExtendedQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the parquet-derived aggregate, fanned out per round-tripped format:
+    // equality proves both sinks+sources are lossless for the typed wire
+    "q137_format_roundtrip" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_str,
+        |         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_str
+        |  FROM events GROUP BY 1)
+        |SELECT f.fmt, a.event_type, a.n, a.sum_cents, a.sum_ids,
+        |       a.first_ts_str, a.last_ts_str
+        |FROM a CROSS JOIN (VALUES ('csv'), ('json')) f(fmt)
+        |ORDER BY f.fmt, a.event_type""".stripMargin,
     "q48_cube_orders" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
