@@ -340,7 +340,9 @@ case class ArgMinSqDist(child: Expression, cells: Array[Int],
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
-    var best = 0
+    // fallback = the LOWEST live cell, matching the composed form's
+    // tie-break even when every distance is NaN (strict < never fires)
+    var best = cells(0)
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < cells.length) {
@@ -369,7 +371,7 @@ case class ArgMinSqDist(child: Expression, cells: Array[Int],
       val d = ctx.freshName("d")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $dim);
-         |int $best = 0;
+         |int $best = $cellsRef[0];
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < ${cells.length}; $c++) {
          |  double $dot = 0.0;

@@ -161,8 +161,11 @@ object QualityQueries extends QueryPack {
     import org.apache.spark.sql.functions._
     def edge(name: String, child: DataFrame, childKey: String,
              parent: DataFrame, parentKey: String): DataFrame =
+      // join on DISTINCT parent keys: a duplicated parent PK (itself a
+      // defect this audit coexists with) must not fan out child rows and
+      // inflate n_child / deflate orphan_pct
       child.select(col(childKey).as("ck"))
-        .join(parent.select(col(parentKey).as("pk")),
+        .join(parent.select(col(parentKey).as("pk")).distinct(),
           col("ck") === col("pk"), "left")
         .agg(count(lit(1)).as("n_child"),
           sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
@@ -214,17 +217,20 @@ object QualityQueries extends QueryPack {
         |  SELECT 'lineitem->orders' AS fk, count(*) AS n_child,
         |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
         |              AS BIGINT) AS n_orphans
-        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |       ON l.l_orderkey = o.o_orderkey),
         |e2 AS (
         |  SELECT 'lineitem->part' AS fk, count(*) AS n_child,
         |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
         |              AS BIGINT) AS n_orphans
-        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |       ON l.l_partkey = p.p_partkey),
         |e3 AS (
         |  SELECT 'orders->customer' AS fk, count(*) AS n_child,
         |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
         |              AS BIGINT) AS n_orphans
-        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON o.o_custkey = c.c_custkey),
         |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
         |      UNION ALL SELECT * FROM e3)
         |SELECT fk, n_child, n_orphans,

@@ -45,12 +45,14 @@ object RetrievalQueries extends QueryPack {
           org.apache.spark.sql.functions.size(col("toks")) - 1,
           lit(stride))).as("start"))
       .select(col("lang"),
-        (col("doc_id") * 1000 + expr(s"start DIV $stride")).as("cid"),
+        // 1e6 chunk headroom per doc (collision would need a 40M-token
+        // document at stride 40); a wider corpus keys on a struct instead
+        (col("doc_id") * 1000000L + expr(s"start DIV $stride")).as("cid"),
         slice(col("toks"), col("start") + 1, lit(size)).as("ctoks"))
     Retrieval.bm25TopKTokens(chunks, part = "lang", id = "cid",
         toksCol = "ctoks", terms = Terms, k = 5)
-      .select(col("lang"), expr("cid DIV 1000").as("doc_id"),
-        pmod(col("cid"), lit(1000L)).as("chunk_id"),
+      .select(col("lang"), expr("cid DIV 1000000").as("doc_id"),
+        pmod(col("cid"), lit(1000000L)).as("chunk_id"),
         col("score"), col("rank"))
       .orderBy("lang", "rank")
   }
@@ -169,7 +171,7 @@ object RetrievalQueries extends QueryPack {
         |  SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents),
         |c AS (
-        |  SELECT lang, doc_id*1000 + start // 40 AS cid,
+        |  SELECT lang, doc_id*1000000 + start // 40 AS cid,
         |         toks[start + 1 : start + 50] AS ctoks
         |  FROM (SELECT lang, doc_id, toks,
         |               unnest(range(0, len(toks), 40)) AS start
@@ -218,7 +220,7 @@ object RetrievalQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY score DESC, cid ASC) AS rank
         |  FROM s)
-        |SELECT lang, cid // 1000 AS doc_id, cid % 1000 AS chunk_id,
+        |SELECT lang, cid // 1000000 AS doc_id, cid % 1000000 AS chunk_id,
         |       score, rank
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q96_doc_chunks" ->

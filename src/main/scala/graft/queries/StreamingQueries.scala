@@ -239,23 +239,30 @@ object StreamingQueries extends QueryPack {
     * `TimeMode.None` leg; eviction/TTL is pinned by StreamingSpec).
     * Batch order is forced by explicit file modification times on a
     * one-file-per-batch watch directory with maxFilesPerTrigger=1. */
+  /** Stage `batches` as one parquet file each in a fresh watch directory,
+    * with ascending mtimes so a maxFilesPerTrigger=1 file stream replays
+    * them as ordered micro-batches. Shared by the transformWithState
+    * replay queries (q120/q127). */
+  private def stageBatches(prefix: String, batches: Seq[DataFrame]): String = {
+    val watch = MlQueries.tempDirDeletedOnExit(prefix + "watch_")
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = MlQueries.tempDirDeletedOnExit(prefix + "stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(watch, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1000L * (i + 1))
+    }
+    watch
+  }
+
   private def twsWatermarkReplay(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"))
-    val watch = MlQueries.tempDirDeletedOnExit("graft_tws_watch_")
-    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = MlQueries.tempDirDeletedOnExit("graft_tws_stage_")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(watch, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtimeMs)
-    }
-    stage(ev.where(pmod(col("event_id"), lit(3)) =!= 0), "b0.parquet", 1000L)
-    stage(ev, "b1.parquet", 2000L)
-
+    val watch = stageBatches("graft_tws_",
+      Seq(ev.where(pmod(col("event_id"), lit(3)) =!= 0), ev))
     val stream = spark.readStream
       .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT")
       .option("maxFilesPerTrigger", 1)
@@ -264,16 +271,9 @@ object StreamingQueries extends QueryPack {
       "user_id", "ts_us", ttlMs = 0L)
     // transformWithState runs only on the RocksDB state store; scope the
     // provider to this drain and restore the session default after
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sunk =
-      try runToMemorySink(filtered, "tws", mode = "append")
-      finally prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
+    val sunk = Pipelines.withRocksDBProvider(spark) {
+      runToMemorySink(filtered, "tws", mode = "append")
+    }
     sunk
       .groupBy(col("user_id").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_emitted"),
@@ -293,34 +293,17 @@ object StreamingQueries extends QueryPack {
       .select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents"),
         col("event_id"))
-    val watch = MlQueries.tempDirDeletedOnExit("graft_mom_watch_")
-    def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = MlQueries.tempDirDeletedOnExit("graft_mom_stage_")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(watch, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtimeMs)
-    }
-    stage(src.where(pmod(col("event_id"), lit(3)) === 0), "b0.parquet", 1000L)
-    stage(src.where(pmod(col("event_id"), lit(3)) =!= 0), "b1.parquet", 2000L)
-
+    val watch = stageBatches("graft_mom_",
+      Seq(src.where(pmod(col("event_id"), lit(3)) === 0),
+        src.where(pmod(col("event_id"), lit(3)) =!= 0)))
     val stream = spark.readStream
       .schema("user_id BIGINT, cents BIGINT, event_id BIGINT")
       .option("maxFilesPerTrigger", 1)
       .parquet(watch)
     val moments = Pipelines.streamingMoments(spark, stream, "user_id", "cents")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val sunk =
-      try runToMemorySink(moments, "moments", mode = "append")
-      finally prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
-      }
+    val sunk = Pipelines.withRocksDBProvider(spark) {
+      runToMemorySink(moments, "moments", mode = "append")
+    }
     val f = col("final")
     sunk
       .groupBy(col("user_id").cast("long").as("user_id"))

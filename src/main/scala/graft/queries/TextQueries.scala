@@ -134,12 +134,15 @@ object TextQueries extends QueryPack {
       .groupBy("token").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token"))
       .limit(500).collect().map(_.getString(0))
-    val vocabLit = array(vocab.toIndexedSeq.map(lit): _*)
+    // map literal, not an array: element_at on a map is a hash lookup
+    // (LmScore.familiarity's adjudicated idiom) vs an O(|V|) linear
+    // array_contains scan per token
+    val vmap = typedlit(vocab.map(_ -> true).toMap)
     docs
       .select(col("lang"), toks.as("t"))
       .withColumn("n_tok", size(col("t")).cast("long"))
       .withColumn("n_oov",
-        size(filter(col("t"), t => !array_contains(vocabLit, t))).cast("long"))
+        size(filter(col("t"), t => element_at(vmap, t).isNull)).cast("long"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("sum_tokens"),

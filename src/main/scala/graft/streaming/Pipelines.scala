@@ -328,6 +328,21 @@ object Pipelines {
     }
   }
 
+  /** Run `f` with the RocksDB state store provider (the only backend
+    * `transformWithState` supports), restoring the session's previous
+    * provider afterwards so co-resident queries keep their default. */
+  def withRocksDBProvider[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The reference's 60-second cadence (T1: `fetch_stock.py:47`). */
   val ReferenceTrigger: Trigger = Trigger.ProcessingTime("60 seconds")
 }

@@ -431,6 +431,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall=$recall") // measured 0.96 at sf0.01
   }
 
+  test("assignCell: all-NaN distances fall back to the LOWEST live cell id") {
+    // strict < never fires on NaN distances; the fallback must be a cell
+    // that exists in the codebook (not literal 0, which can be dead)
+    val centroids = Seq(5 -> Array(0.0, 0.0), 9 -> Array(1.0, 1.0))
+    val got = Seq((1L, Seq(Double.NaN, Double.NaN))).toDF("id", "v")
+      .select(graft.similarity.Clustering.assignCell(col("v"), centroids).as("c"))
+      .head.getInt(0)
+    assert(got == 5, s"expected lowest live cell 5, got $got")
+  }
+
   test("PQ codes: m cells per vector, every code references a live codebook entry") {
     val emb = fixtureEmb
     val cb = graft.similarity.Pq.fit(emb, "vec_id", "embedding",

@@ -111,11 +111,7 @@ class StreamingSpec extends AnyFunSuite {
     // transformWithState processor whose TTL is enforced by the state
     // store itself. Requires RocksDB — the only provider the new API
     // supports; set-and-restore so other suites keep the default.
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    Pipelines.withRocksDBProvider(spark) {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[(String, Long)]
       val stream = input.toDF().toDF("symbol", "ts")
@@ -147,18 +143,11 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(got == Map(("AAPL", 200L) -> 1, ("AAPL", 150L) -> 1),
         s"got $got")
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
     }
   }
 
   test("streamingMoments: exact sums accumulate across batches, any split") {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    Pipelines.withRocksDBProvider(spark) {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[(String, Long)]
       val stream = input.toDF().toDF("symbol", "cents")
@@ -178,9 +167,6 @@ class StreamingSpec extends AnyFunSuite {
       // AAPL: n=3, s=600, s2=100²+300²+200²=140000; MSFT: n=1, s=50, s2=2500
       assert(finals("AAPL") == (("AAPL", 3L, 600L, 140000L)), finals)
       assert(finals("MSFT") == (("MSFT", 1L, 50L, 2500L)), finals)
-    } finally prevProv match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
     }
   }
 
