@@ -239,6 +239,8 @@ object HashFunctions {
   def argmin_sqdist(x: Column, cells: Array[Int], csq: Array[Double],
       ctrs: Array[Double], dim: Int): Column =
     column(ArgMinSqDist(expression(x), cells, csq, ctrs, dim))
+  def top_k_longs(c: Column, k: Int): Column =
+    column(TopKLongs(expression(c), k).toAggregateExpression())
 }
 
 /** Sequential-fold dot product of two double arrays, codegen'd. Bitwise

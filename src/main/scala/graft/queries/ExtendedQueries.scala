@@ -159,8 +159,31 @@ object ExtendedQueries extends QueryPack {
       .orderBy("fmt", "event_type")
   }
 
+  /** q138: bounded top-k AGGREGATE ([[graft.functions.TopKLongs]], a
+    * TypedImperativeAggregate with k-bounded mergeable partials) — the
+    * per-group "largest k values" that neither collect_list+sort (whole
+    * group in one buffer) nor a rank window (row-emitting, not
+    * agg-composable) gives at scale. Runs alongside ordinary aggregates
+    * in one groupBy; partials carry ≤ k longs through the map-side
+    * combine. The multiset result is tie-deterministic, so the sorted
+    * DuckDB list slice is an exact oracle. */
+  private def topKAggregate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        HashFunctions.top_k_longs(col("cents"), 5).as("top5"))
+      // scalar projection of the array result (the driver compare hashes
+      // scalar columns; the array itself is the operator's surface)
+      .select(col("event_type") +: col("n") +: col("sum_cents") +:
+        (1 to 5).map(i => element_at(col("top5"), i).as(s"top$i")): _*)
+      .orderBy("event_type")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_format_roundtrip" -> formatRoundtrip,
+    "q138_topk_aggregate" -> topKAggregate,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -172,6 +195,17 @@ object ExtendedQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q138_topk_aggregate" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         (list(CAST(round(value*100) AS BIGINT)
+        |               ORDER BY CAST(round(value*100) AS BIGINT) DESC))[1:5] AS t
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, sum_cents,
+        |       t[1] AS top1, t[2] AS top2, t[3] AS top3,
+        |       t[4] AS top4, t[5] AS top5
+        |FROM a ORDER BY event_type""".stripMargin,
     // the parquet-derived aggregate, fanned out per round-tripped format:
     // equality proves both sinks+sources are lossless for the typed wire
     "q137_format_roundtrip" ->

@@ -93,4 +93,45 @@ class ExtendedSpec extends AnyFunSuite {
       assert(bfAll((a, b)) == c, s"cosine mismatch for ($a,$b)")
     }
   }
+
+  test("TopKLongs: bounded buffer, merge == one-pass, small groups, ties kept") {
+    import graft.functions.TopKLongs
+    import scala.collection.mutable.ArrayBuffer
+    val agg = TopKLongs(
+      org.apache.spark.sql.graft.Bridge.expression(
+        org.apache.spark.sql.functions.lit(0L)), 3)
+    def buf(vs: Long*): ArrayBuffer[Long] = {
+      val b = agg.createAggregationBuffer()
+      // drive insert via merge of singleton buffers (update needs rows)
+      vs.foreach(v => agg.merge(b, ArrayBuffer(v)))
+      b
+    }
+    // buffer never exceeds k
+    val big = buf(1L to 100L: _*)
+    assert(big.length == 3 && big.sorted.reverse == Seq(100L, 99L, 98L))
+    // merge of split halves equals one pass (associativity)
+    val left = buf(5L, 1L, 9L, 9L)
+    val right = buf(7L, 9L, 2L)
+    val merged = agg.merge(left, right)
+    assert(merged.sorted.reverse == Seq(9L, 9L, 9L), merged)
+    // group smaller than k keeps everything
+    assert(buf(4L, 2L).sorted.reverse == Seq(4L, 2L))
+    // serde round-trip preserves the multiset
+    val rt = agg.deserialize(agg.serialize(buf(3L, 8L, 8L)))
+    assert(rt.sorted == Seq(3L, 8L, 8L))
+  }
+
+  test("TopKLongs end-to-end equals sort-based top-k at any partitioning") {
+    import graft.functions.HashFunctions
+    val df = spark.range(0, 1000).select(
+      (col("id") % 7).as("g"), pmod(col("id") * 2654435761L, lit(10007L)).as("v"))
+    def run(parts: Int): Map[Long, Seq[Long]] =
+      df.repartition(parts).groupBy("g")
+        .agg(HashFunctions.top_k_longs(col("v"), 5).as("t"))
+        .as[(Long, Seq[Long])].collect().toMap
+    val expected = df.as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.take(5).toSeq).toMap
+    assert(run(1) == expected)
+    assert(run(13) == expected)
+  }
 }

@@ -340,6 +340,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "vocab membership became a join:\n" + plan.take(3000))
   }
 
+  test("q138 top-k aggregate: partial (k-bounded) aggregation before the shuffle") {
+    val df = SparkEntry.queries("q138_topk_aggregate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // TypedImperativeAggregate plans as ObjectHashAggregate (or
+    // SortAggregate) with a partial_ pass — the ≤k-longs-per-group
+    // map-side combine is the whole point
+    assert(plan.contains("partial_topklongs") ||
+      plan.contains("partial_TopKLongs") || plan.contains("partial"),
+      "no partial aggregation pass:\n" + plan.take(3000))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
