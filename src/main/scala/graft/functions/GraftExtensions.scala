@@ -46,6 +46,17 @@ object GraftFunctions {
           s"minhash_signature(tokens, n): n must be an integer literal, got $other")
       }
       MinHashSignature(es.head, n)
+    },
+    // aggregate function: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression when it appears in an aggregation context
+    "top_k_longs" -> { es =>
+      val k = es(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"top_k_longs(col, k): k must be an integer literal, got $other")
+      }
+      TopKLongs(es.head, k)
     })
 
   /** Runtime registration on an already-built session (temp functions +

@@ -39,6 +39,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("top_k_longs works from SQL in a grouped aggregation") {
+    GraftFunctions.register(spark)
+    Seq(("a", 5L), ("a", 9L), ("a", 1L), ("a", 7L), ("b", 3L))
+      .toDF("g", "v").createOrReplaceTempView("ext_topk")
+    val got = spark.sql(
+        "SELECT g, top_k_longs(v, 2) AS t FROM ext_topk GROUP BY g ORDER BY g")
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(got == Seq("a" -> Seq(9L, 7L), "b" -> Seq(3L)), got)
+  }
+
   test("GraftExtensions registers via a fresh session builder") {
     // newSession shares state; validate the extensions class wiring by
     // invoking it against a fresh SparkSessionExtensions instance.
