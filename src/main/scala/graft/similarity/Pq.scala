@@ -155,8 +155,17 @@ object Pq {
     * sequential zip_with/aggregate fold (the SQL `list_sum` shape). */
   def adcTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, m: Int, sub: Int, cells: Int,
-              shortlist: Int): DataFrame = {
-    val short = adcShortlist(corpus, queries, id, vec, shortlist, m, sub, cells)
+              shortlist: Int): DataFrame =
+    rerankExact(corpus, queries, id, vec, k,
+      adcShortlist(corpus, queries, id, vec, shortlist, m, sub, cells))
+
+  /** Exact-L2 rerank of a (query_id, vec_id) shortlist: floats are read
+    * for shortlist×queries rows only — the BROADCAST shortlist joins back
+    * to the corpus scan, so the heavy side moves no floats into a
+    * shuffle. Sequential zip_with/aggregate fold (the SQL `list_sum`
+    * shape). */
+  private def rerankExact(corpus: DataFrame, queries: DataFrame, id: String,
+                          vec: String, k: Int, short: DataFrame): DataFrame = {
     val cand = corpus
       .select(col(id).as("vec_id"), Similarity.vecDouble(col(vec)).as("cv"))
       .join(broadcast(short.select("query_id", "vec_id")), Seq("vec_id"))
@@ -171,5 +180,60 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "l2")
+  }
+
+  /** Deterministic IVF-PQ: the full production composition — a coarse
+    * cell layer prunes the candidate set BEFORE ADC scoring, so the
+    * compressed-domain work per query drops from the corpus to the
+    * probed cells' share of it:
+    *
+    *   - coarse cells = seed assignment over the `coarseK` lowest-id
+    *     FULL vectors (the q114/q117 discipline — deterministic, so the
+    *     probe ranking is SQL-replicable, unlike an MLlib-fitted coarse
+    *     quantizer);
+    *   - per query, cells rank by ‖q − seed_c‖² (same csq − 2·dot
+    *     arithmetic as assignment, ties to the lower cell) and the top
+    *     `nProbe` are probed — the recall/cost dial;
+    *   - ADC scores only rows whose cell is probed (cell + codes both
+    *     computed in-scan on one corpus pass), then the exact-L2 rerank
+    *     of the shortlist.
+    *
+    * This variant PQ-encodes raw vectors (IVF prunes, PQ compresses
+    * independently); residual encoding — PQ over (x − seed_cell) — is
+    * the classic refinement and slots into [[encode]] unchanged. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                 vec: String, k: Int, m: Int, sub: Int, cells: Int,
+                 coarseK: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = Clustering.seedCentroids(corpus, id, vec, coarseK)
+    val cb = fit(corpus, id, vec, m, sub, cells)
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"),
+        Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy("query_id").collect()
+    val lutDf = qRows.toSeq.map { row =>
+      val q = row.getSeq[Double](1).toArray
+      val probed = coarse.map { case (cell, c) =>
+        var dot = 0.0
+        var i = 0
+        while (i < c.length) { dot += q(i) * c(i); i += 1 }
+        (c.map(x => x * x).sum - dot * 2, cell)
+      }.sorted.take(nProbe).map(_._2)
+      (row.getLong(0), probed,
+        adcLut(q, cb).map(_.toSeq).toSeq)
+    }.toDF("query_id", "probed", "lut")
+    val coded = corpus.select(col(id).as("vec_id"),
+      Clustering.assignCell(col(vec), coarse).as("cell"),
+      encode(col(vec), cb).as("codes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    val short = coded.crossJoin(broadcast(lutDf))
+      .where(array_contains(col("probed"), col("cell")))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= shortlist)
+      .select("query_id", "vec_id", "adc_dist")
+    rerankExact(corpus, queries, id, vec, k, short)
   }
 }

@@ -355,6 +355,19 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q139 IVF-PQ: probe filter prunes candidates pre-ADC, all joins broadcast") {
+    val df = SparkEntry.queries("q139_ivf_pq_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the probe-membership filter must sit in the scored stage (cells
+    // pruned before ADC lookups), and nothing shuffle-joins the corpus
+    assert(plan.contains("array_contains"),
+      "probe filter missing from the plan:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus entered a shuffle join:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
