@@ -113,11 +113,51 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q140: calendar-grid gap fill — every symbol's hourly series
+    * completed onto its own [min, max] hour grid, missing bars
+    * forward-filled from the last observation, plus gaps-and-islands
+    * stats (longest consecutive gap run — the classic islands trick: the
+    * island id is the running count of NON-gaps, so one sorted window
+    * pass labels every run). The shape data-completion takes before a
+    * model trains on "regular" series: grid size is keys × calendar
+    * (never corpus rows), the fill is one key-sorted window, and the
+    * run-length stats ride the same sort. Aggregated per symbol so the
+    * result is key-sized. */
+  private def gapFfill(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "hour")
+      .agg(max_by(col("cents"), col("event_id")).as("close_c"))
+    val grid = bars.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+    val w = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(bars, Seq("user_id", "hour"), "left")
+      .withColumn("filled_c", last("close_c", ignoreNulls = true).over(w))
+      .withColumn("isl", count("close_c").over(w))
+    val runs = filled.where(col("close_c").isNull)
+      .groupBy("user_id", "isl").agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id").agg(max("run_len").as("max_gap_run"))
+    filled.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        count("close_c").as("n_bars"),
+        sum(when(col("close_c").isNull, 1L).otherwise(0L)).as("n_gaps"),
+        sum("filled_c").as("sum_filled_c"))
+      .join(runs, Seq("user_id"), "left")
+      .withColumn("max_gap_run", coalesce(col("max_gap_run"), lit(0L)))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_tech_indicators" -> techIndicators,
     "q125_purged_split" -> purgedSplit,
     "q126_rolling_beta" -> rollingBeta,
-    "q131_anomaly_flags" -> anomalyFlags
+    "q131_anomaly_flags" -> anomalyFlags,
+    "q140_gap_ffill" -> gapFfill
   )
 
   override def oracles: Map[String, String] = Map(
@@ -158,6 +198,41 @@ object FinanceQueries extends QueryPack {
         |       boll_mid - boll_sd*2 AS boll_lo,
         |       rsi14
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+    "q140_gap_ffill" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         arg_max(CAST(round(value*100) AS BIGINT), event_id) AS close_c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |        FROM bars GROUP BY 1)),
+        |g AS (
+        |  SELECT grid.user_id, grid.hour, b.close_c
+        |  FROM grid LEFT JOIN bars b USING (user_id, hour)),
+        |f AS (
+        |  SELECT user_id, hour, close_c,
+        |         last_value(close_c IGNORE NULLS) OVER wf AS filled_c,
+        |         count(close_c) OVER wf AS isl
+        |  FROM g
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY hour
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |runs AS (
+        |  SELECT user_id, CAST(max(run_len) AS BIGINT) AS max_gap_run
+        |  FROM (SELECT user_id, isl, count(*) AS run_len
+        |        FROM f WHERE close_c IS NULL GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_hours,
+        |         count(close_c) AS n_bars,
+        |         CAST(sum(CASE WHEN close_c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_gaps,
+        |         CAST(sum(filled_c) AS BIGINT) AS sum_filled_c
+        |  FROM f GROUP BY 1)
+        |SELECT a.user_id, a.n_hours, a.n_bars, a.n_gaps, a.sum_filled_c,
+        |       coalesce(r.max_gap_run, 0) AS max_gap_run
+        |FROM agg a LEFT JOIN runs r USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
     "q131_anomaly_flags" ->
       """WITH src AS (
         |  SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS cents
