@@ -323,9 +323,42 @@ object StreamingQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q141: streaming top-k with the CUSTOM bounded aggregate
+    * ([[graft.functions.TopKLongs]]) — per event_type, the 3 largest
+    * cents seen on the stream plus count, across two replayed
+    * micro-batches. The aggregate's k-bounded partials are exactly what
+    * the streaming state stores between batches (serialize/merge/eval),
+    * so this is the UDAF surface under micro-batch execution: state per
+    * group = k longs, and because the merge is associative the batch
+    * split cannot change the result — the one-shot batch SQL is the
+    * oracle. */
+  private def streamingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"))
+    val watch = stageBatches("graft_stk_",
+      Seq(src.where(pmod(col("event_id"), lit(2)) === 0),
+        src.where(pmod(col("event_id"), lit(2)) =!= 0)))
+    val stream = spark.readStream
+      .schema("event_type STRING, cents BIGINT, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val agged = stream.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.HashFunctions.top_k_longs(col("cents"), 3).as("t"))
+    runToMemorySink(agged, "stopk", mode = "complete")
+      .select(col("event_type"), col("n"),
+        element_at(col("t"), 1).as("top1"),
+        element_at(col("t"), 2).as("top2"),
+        element_at(col("t"), 3).as("top3"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_tws_watermark" -> twsWatermarkReplay,
     "q127_streaming_moments" -> streamingMoments,
+    "q141_streaming_topk" -> streamingTopK,
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
@@ -341,6 +374,17 @@ object StreamingQueries extends QueryPack {
     // one-shot batch aggregate is the oracle for the two-batch streaming
     // run; window sums CAST to BIGINT (HUGEINT guard), doubles derived by
     // the same expression shapes as the engine
+    // the custom aggregate's associative k-bounded merge makes the
+    // one-shot batch top-k the oracle for the two-batch streaming run
+    "q141_streaming_topk" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n,
+        |         (list(CAST(round(value*100) AS BIGINT)
+        |               ORDER BY CAST(round(value*100) AS BIGINT) DESC))[1:3] AS t
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       t[1] AS top1, t[2] AS top2, t[3] AS top3
+        |FROM a ORDER BY event_type""".stripMargin,
     "q127_streaming_moments" ->
       """WITH src AS (
         |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS c FROM events),
