@@ -355,10 +355,41 @@ object StreamingQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q142: streaming anomaly detection — the batch q131 gate run as a
+    * stateful stream ([[Pipelines.streamingAnomaly]]): each key holds a
+    * BOUNDED 50-long ring of trailing cents, incoming ticks test the
+    * exact division-free 3σ gate against it, and the ring carries across
+    * micro-batches (staged as a time-split: first half of each key's
+    * ticks, then the rest, per-key ordered). Because the ring replays the
+    * batch trailing window exactly, the oracle IS q131's batch SQL —
+    * streaming and batch flags must agree row for row. */
+  private def streamingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mid = src.agg(expr("percentile(event_id, 0.5)")).head.getDouble(0)
+    val watch = stageBatches("graft_sanom_",
+      Seq(src.where(col("event_id") <= mid).orderBy("event_id").coalesce(1),
+        src.where(col("event_id") > mid).orderBy("event_id").coalesce(1)))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, cents BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val flagged = Pipelines.streamingAnomaly(spark, stream,
+      key = "user_id", ord = "event_id", cents = "cents", n = 50, k = 3)
+    Pipelines.withRocksDBProvider(spark) {
+      runToMemorySink(flagged, "sanom", mode = "append")
+    }
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_tws_watermark" -> twsWatermarkReplay,
     "q127_streaming_moments" -> streamingMoments,
     "q141_streaming_topk" -> streamingTopK,
+    "q142_streaming_anomaly" -> streamingAnomaly,
     "q43_wire_roundtrip" -> wireRoundtrip,
     "q44_streaming_bars" -> streamingBars,
     "q45_streaming_dedup" -> streamingDedup,
@@ -374,6 +405,9 @@ object StreamingQueries extends QueryPack {
     // one-shot batch aggregate is the oracle for the two-batch streaming
     // run; window sums CAST to BIGINT (HUGEINT guard), doubles derived by
     // the same expression shapes as the engine
+    // streaming == batch: the ring-buffer replay must reproduce the batch
+    // trailing-window flags exactly, so q131's oracle IS q142's oracle
+    "q142_streaming_anomaly" -> FinanceQueries.oracles("q131_anomaly_flags"),
     // the custom aggregate's associative k-bounded merge makes the
     // one-shot batch top-k the oracle for the two-batch streaming run
     "q141_streaming_topk" ->

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
@@ -325,6 +325,64 @@ object Pipelines {
       rows.foreach { case (_, c) => n += 1; s += c; s2 += c * c }
       m.update((n, s, s2))
       Iterator.single((k, n, s, s2))
+    }
+  }
+
+  /** Streaming rolling-z-score anomaly gate on `transformWithState`: per
+    * key, a BOUNDED ring of the last `n` cents is the whole state, and an
+    * incoming tick is emitted iff it clears the same division-free int64
+    * gate as the batch operator ([[graft.timeseries.Indicators
+    * .anomalyFlag]]): (n−1)·(n·c − Σc)² > k²·n·(n·Σc² − (Σc)²) over the
+    * TRAILING window (current tick excluded — it joins the ring after
+    * the check). Because the ring spans micro-batch boundaries, a
+    * per-key-ordered replay produces EXACTLY the batch query's flags —
+    * the batch SQL is the oracle — while state per key stays n longs no
+    * matter how long the stream runs. Rows must arrive per-key ordered
+    * (the staging contract); out-of-order production streams put a
+    * watermark sort in front (q44's pattern). */
+  def streamingAnomaly(spark: SparkSession, stream: DataFrame,
+                       key: String, ord: String, cents: String,
+                       n: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val typed = stream
+      .select(col(key).cast("string"), col(ord).cast("long"),
+        col(cents).cast("long"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(
+        new RingAnomalyProcessor(n, k, implicitly[Encoder[Seq[Long]]]),
+        TimeMode.None(), OutputMode.Append())
+      .toDF(key, ord, cents)
+  }
+
+  /** The per-key processor behind [[streamingAnomaly]]. */
+  private class RingAnomalyProcessor(n: Int, k: Int,
+      ringEnc: Encoder[Seq[Long]])
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long)] {
+    @transient private var ring: ValueState[Seq[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[Seq[Long]]("ring", ringEnc, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long)] = {
+      var buf = if (ring.exists()) ring.get().toVector else Vector.empty[Long]
+      val out = Vector.newBuilder[(String, Long, Long)]
+      rows.foreach { case (_, ord, c) =>
+        if (buf.length == n) {
+          var s = 0L
+          var s2 = 0L
+          buf.foreach { v => s += v; s2 += v * v }
+          val nn = n.toLong
+          val dev = nn * c - s
+          if ((nn - 1L) * dev * dev > k.toLong * k * nn * (nn * s2 - s * s))
+            out += ((key, ord, c))
+        }
+        buf = (if (buf.length == n) buf.drop(1) else buf) :+ c
+      }
+      ring.update(buf)
+      out.result().iterator
     }
   }
 
