@@ -71,6 +71,40 @@ object DedupQueries extends QueryPack {
         maxHamming = 16)
       .orderBy("doc_a", "doc_b")
 
+  /** q143: dedup signal fusion — the q38 MinHash-verified pairs and the
+    * q39 SimHash pairs FULL-OUTER merged into per-pair agreement
+    * verdicts (both / minhash_only / simhash_only), aggregated per
+    * verdict. Production dedup tunes thresholds off exactly this matrix
+    * (where do the signals disagree, and how much volume rides on a
+    * single detector); both legs keep their own bucketed scale shapes,
+    * and the fusion joins PAIR lists (detector-output-sized, never
+    * corpus-sized). */
+  private def dedupSignalFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mh = Dedup.verifyJaccard(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          k = 3, bands = 16, rowsPerBand = 4, maxBucket = Int.MaxValue),
+        docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("in_mh"))
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select(col("doc_a").as("s_a"), col("doc_b").as("s_b"),
+        lit(true).as("in_sh"))
+    mh.join(sh, col("doc_a") === col("s_a") && col("doc_b") === col("s_b"),
+        "full_outer")
+      .select(coalesce(col("doc_a"), col("s_a")).as("a"),
+        coalesce(col("doc_b"), col("s_b")).as("b"),
+        coalesce(col("in_mh"), lit(false)).as("m"),
+        coalesce(col("in_sh"), lit(false)).as("s"))
+      .withColumn("verdict",
+        when(col("m") && col("s"), "both")
+          .when(col("m"), "minhash_only").otherwise("simhash_only"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("a").as("first_a"),
+        sum(col("a") + col("b")).as("sum_ids"))
+      .orderBy("verdict")
+  }
+
   /** q86: connected components over a CHAIN-shaped duplicate graph —
     * every 10th doc gets a copy (x—x+1M), every 20th a copy-of-the-copy
     * (x+1M—x+2M), so the 3-node clusters are discoverable only by real
@@ -172,6 +206,7 @@ object DedupQueries extends QueryPack {
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
     "q39_simhash_pairs" -> simhashPairs,
+    "q143_dedup_signal_fusion" -> dedupSignalFusion,
     "q86_dedup_clusters" -> dedupClusters,
     "q87_corpus_dedup_e2e" -> corpusDedupE2e,
     "q111_incremental_dedup" -> incrementalDedup
@@ -234,6 +269,74 @@ object DedupQueries extends QueryPack {
     // equi-join loses nothing); valid for q38 because LSH recall is
     // exact on this corpus (see minhashPairs scaladoc) and precision is
     // exact by construction.
+    // q38's shingle-Jaccard leg + q39's FNV/majority-vote SimHash leg,
+    // full-outer merged on the pair key, per-verdict aggregation
+    "q143_dedup_signal_fusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s3 AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |e3 AS (SELECT doc_id, unnest(sh) AS g FROM s3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e3 a JOIN e3 b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |mh AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c JOIN s3 x ON x.doc_id = c.doc_a
+        |              JOIN s3 y ON y.doc_id = c.doc_b
+        |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+        |        >= 0.3),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |             list_transform(regexp_split_to_array(w, ''),
+        |                            c -> CAST(unicode(c) AS UBIGINT))),
+        |           (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+        |                          % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |shv AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b
+        |                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sh
+        |  FROM v GROUP BY 1),
+        |band AS (
+        |  SELECT doc_id, sh, i AS band,
+        |         CAST((sh >> (i * 16)) & 65535 AS BIGINT) AS block
+        |  FROM shv CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)),
+        |ok AS (
+        |  SELECT band, block FROM band GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 256),
+        |shp AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a
+        |  JOIN ok o ON o.band = a.band AND o.block = a.block
+        |  JOIN band b ON b.band = a.band AND b.block = a.block
+        |            AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 16),
+        |f AS (
+        |  SELECT coalesce(m.doc_a, s.doc_a) AS a,
+        |         coalesce(m.doc_b, s.doc_b) AS b,
+        |         m.doc_a IS NOT NULL AS in_mh,
+        |         s.doc_a IS NOT NULL AS in_sh
+        |  FROM mh m FULL OUTER JOIN shp s
+        |    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+        |SELECT CASE WHEN in_mh AND in_sh THEN 'both'
+        |            WHEN in_mh THEN 'minhash_only'
+        |            ELSE 'simhash_only' END AS verdict,
+        |       count(*) AS n_pairs, min(a) AS first_a,
+        |       CAST(sum(a + b) AS BIGINT) AS sum_ids
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q38_minhash_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
