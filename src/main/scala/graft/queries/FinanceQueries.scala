@@ -152,7 +152,38 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q144: forward-label generation — for every tick, the close at the
+    * FIRST observation ≥ 24 h ahead ([[graft.timeseries.TimeSeries
+    * .asofForward]] on the horizon-shifted timestamp), the label the
+    * reference's trend model trains against (predicting movement IS
+    * predicting this forward return; its wire label F5 is the same sign
+    * taken backward). No leakage by construction: the label reads only
+    * t ≥ t+24h, and the un-labelable tail (no observation that far
+    * ahead) stays null — exactly the rows q125's purge drops. One key
+    * shuffle + one sorted window; per-symbol label-balance aggregate
+    * keeps the output key-sized. */
+  private def forwardLabels(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val left = src.withColumn("target_ts",
+      col("ts") + expr("INTERVAL 24 HOURS"))
+    val labeled = graft.timeseries.TimeSeries.asofForward(
+      left, src.withColumnRenamed("cents", "label_c"),
+      key = "user_id", leftTs = "target_ts", rightTs = "ts",
+      payload = Seq("label_c"), rightOrder = "event_id")
+    labeled.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        count("label_c").as("n_labeled"),
+        sum(when(col("label_c") > col("cents"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("label_c") < col("cents"), 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("label_c") === col("cents"), 1L).otherwise(0L)).as("n_flat"),
+        sum("label_c").as("sum_label_c"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_forward_labels" -> forwardLabels,
     "q124_tech_indicators" -> techIndicators,
     "q125_purged_split" -> purgedSplit,
     "q126_rolling_beta" -> rollingBeta,
@@ -198,6 +229,24 @@ object FinanceQueries extends QueryPack {
         |       boll_mid - boll_sd*2 AS boll_lo,
         |       rsi14
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+    // DuckDB ASOF with <= is the forward variant: first f.ts satisfying
+    // l.ts + 24h <= f.ts (ties impossible — (user_id, ts) is unique)
+    "q144_forward_labels" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value*100) AS BIGINT) AS c
+        |  FROM events),
+        |lbl AS (
+        |  SELECT l.user_id, l.c, f.c AS label_c
+        |  FROM src l ASOF LEFT JOIN src f
+        |    ON l.user_id = f.user_id AND l.ts + INTERVAL 24 HOUR <= f.ts)
+        |SELECT user_id, count(*) AS n_ticks,
+        |       count(label_c) AS n_labeled,
+        |       CAST(sum(CASE WHEN label_c > c THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |       CAST(sum(CASE WHEN label_c < c THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |       CAST(sum(CASE WHEN label_c = c THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+        |       CAST(sum(label_c) AS BIGINT) AS sum_label_c
+        |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q140_gap_ffill" ->
       """WITH bars AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -104,6 +104,40 @@ object TimeSeries {
     withPayload.drop("__t", "__ro", "__side", "__pay", "__asof")
   }
 
+  /** Forward as-of join: for each left row, the FIRST right row of the
+    * same key with `right.ts >= left.ts` (ties on the right broken by min
+    * `rightOrder`) — the label-generation shape: shift the left timestamp
+    * by the label horizon BEFORE calling and the payload is "the first
+    * observation at or after t + h", with no backward leakage by
+    * construction. Same scale shape as [[asofJoin]]: one union, one key
+    * shuffle, one sorted window pass — O(n) per partition. Left rows past
+    * the last right observation keep null payloads (the un-labelable
+    * tail a horizon split must drop — q125's purge, seen from the label
+    * side). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  rightOrder: String): DataFrame = {
+    val pay = struct((payload :+ rightOrder).map(col): _*)
+    val r2 = right.select(col(key), col(rightTs).as("__t"),
+      col(rightOrder).as("__ro"), pay.as("__pay")).withColumn("__side", lit(1))
+    // lefts sort BEFORE rights at equal ts (>= is inclusive), so the
+    // forward window starting at the left row sees the same-ts right
+    val l2 = left.withColumn("__t", col(leftTs))
+      .withColumn("__ro", lit(null).cast(r2.schema("__ro").dataType))
+      .withColumn("__side", lit(0))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = u.withColumn("__asof",
+        first(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+    val withPayload = payload.foldLeft(joined) { (d, p) =>
+      d.withColumn(p, col("__asof").getField(p))
+    }
+    withPayload.drop("__t", "__ro", "__side", "__pay", "__asof")
+  }
+
   /** Nearest-as-of join: for each left row, the right row of the same key
     * whose timestamp is CLOSEST to the left timestamp within `toleranceUs`
     * microseconds, looking both directions (sensor/stream alignment where

@@ -84,6 +84,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("near"))
   }
 
+  test("asofForward: first right >= left ts inclusive, min-order ties, null tail") {
+    val left = Seq((1L, 100L, "l1"), (1L, 150L, "l2"), (1L, 300L, "l3"))
+      .toDF("k", "t", "tag").withColumn("ts", timestamp_seconds(col("t")))
+    val right = Seq((1L, 150L, 15.0, 2L), (1L, 200L, 20.0, 1L), (1L, 200L, 21.0, 3L))
+      .toDF("k", "rt", "payload", "rid").withColumn("rts", timestamp_seconds(col("rt")))
+    val got = TimeSeries.asofForward(left, right, "k", "ts", "rts",
+        payload = Seq("payload"), rightOrder = "rid")
+      .select(col("tag"), col("payload")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // l1@100 → right@150; l2@150 → right@150 (inclusive >=);
+    // l3@300 → none (past the last right)
+    assert(got == Map("l1" -> Some(15.0), "l2" -> Some(15.0), "l3" -> None), got)
+    // tie at rts=200: min rid wins
+    val tie = TimeSeries.asofForward(
+        Seq((1L, 180L, "x")).toDF("k", "t", "tag")
+          .withColumn("ts", timestamp_seconds(col("t"))),
+        right, "k", "ts", "rts", Seq("payload"), "rid")
+      .select("payload").as[Double].collect()
+    assert(tie.toSeq == Seq(20.0), s"tie broke to ${tie.toSeq}")
+  }
+
   test("indicators: RSI pins to 100/0 on monotone series, null before n moves") {
     import graft.timeseries.Indicators
     import org.apache.spark.sql.expressions.Window
