@@ -201,6 +201,65 @@ object Pq {
     * This variant PQ-encodes raw vectors (IVF prunes, PQ compresses
     * independently); residual encoding — PQ over (x − seed_cell) — is
     * the classic refinement and slots into [[encode]] unchanged. */
+  /** Residual-encoded IVF-PQ — the classic formulation: PQ encodes
+    * `x − centroid(cell(x))` instead of the raw vector, so the codebooks
+    * spend their 8 bytes on the WITHIN-cell geometry the coarse layer
+    * can't see (raw-vector PQ wastes codes re-describing which cell a
+    * point sits in). Correspondingly the ADC tables become per
+    * (query, probed cell): the query's residual differs per cell, so
+    * each probed cell gets its own m×k LUT — still probe-set-bounded
+    * driver state (nProbe LUTs per query). Scoring becomes a BROADCAST
+    * HASH JOIN on the coarse cell (replacing q139's crossJoin+filter):
+    * a corpus row meets exactly the queries probing its cell. Everything
+    * else — fused fit (now over the in-scan residual column), in-scan
+    * encoding, exact rerank on raw vectors — is unchanged and equally
+    * deterministic, so the oracle replays the whole thing. */
+  def ivfResidualAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                         vec: String, k: Int, m: Int, sub: Int, cells: Int,
+                         coarseK: Int, nProbe: Int,
+                         shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = Clustering.seedCentroids(corpus, id, vec, coarseK).sortBy(_._1)
+    val coarseLit = array(coarse.map { case (_, c) =>
+      array(c.toIndexedSeq.map(lit): _*)
+    }: _*)
+    val withResid = corpus
+      .withColumn("__cell", Clustering.assignCell(col(vec), coarse))
+      .withColumn("__resid", zip_with(Similarity.vecDouble(col(vec)),
+        element_at(coarseLit, col("__cell") + 1), (a, b) => a - b))
+    val cb = fit(withResid, id, "__resid", m, sub, cells)
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"),
+        Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy("query_id").collect()
+    val lutRows = qRows.toSeq.flatMap { row =>
+      val q = row.getSeq[Double](1).toArray
+      val probed = coarse.map { case (cell, c) =>
+        var dot = 0.0
+        var i = 0
+        while (i < c.length) { dot += q(i) * c(i); i += 1 }
+        (c.map(x => x * x).sum - dot * 2, cell)
+      }.sorted.take(nProbe).map(_._2)
+      probed.map { cell =>
+        val ctr = coarse.find(_._1 == cell).get._2
+        val qr = Array.tabulate(q.length)(i => q(i) - ctr(i))
+        (row.getLong(0), cell, adcLut(qr, cb).map(_.toSeq).toSeq)
+      }
+    }
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val coded = withResid.select(col(id).as("vec_id"),
+      col("__cell").as("cell"), encode(col("__resid"), cb).as("codes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    val short = coded.join(broadcast(lutDf), Seq("cell"))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
+      .withColumn("srn", row_number().over(w))
+      .where(col("srn") <= shortlist)
+      .select("query_id", "vec_id", "adc_dist")
+    rerankExact(corpus, queries, id, vec, k, short)
+  }
+
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
                  vec: String, k: Int, m: Int, sub: Int, cells: Int,
                  coarseK: Int, nProbe: Int, shortlist: Int): DataFrame = {

@@ -454,6 +454,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall=$recall") // measured 0.94 at sf0.01
   }
 
+  test("residual IVF-PQ recall >= 0.7 vs exact L2 top-5 (q145 config; see scaladoc)") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = fixtureEmb
+    val queries = emb.where(col("vec_id") < 10)
+    val got = graft.similarity.Pq.ivfResidualAdcTopK(emb, queries,
+        "vec_id", "embedding", k = 5, m = 8, sub = 8, cells = 64,
+        coarseK = 8, nProbe = 4, shortlist = 100)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val qv = queries.select(col("vec_id").cast("long").as("query_id"),
+      Similarity.vecDouble(col("embedding")).as("qv"))
+    val cv = emb.select(col("vec_id"),
+      Similarity.vecDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    val exact = cv.crossJoin(broadcast(qv))
+      .withColumn("l2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // measured 0.92 at sf0.01; residuals underperform raw PQ on this
+    // clusterless corpus (q145 scaladoc) — the pin is the honest floor
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("assignCell: all-NaN distances fall back to the LOWEST live cell id") {
     // strict < never fires on NaN distances; the fallback must be a cell
     // that exists in the codebook (not literal 0, which can be dead)
