@@ -422,11 +422,59 @@ object PipelineQueries extends QueryPack {
       .select("lang", "doc_id", "pri", "rn")
       .orderBy("lang", "rn")
 
+  /** q146: corpus-curation funnel end-to-end — the five production
+    * stages chained on one corpus, with per-source attrition (the
+    * observability view every curation run ships): quality/language
+    * clean (q73's gates) → benchmark decontamination (q112's 5-gram
+    * broadcast probe) → exact dedup (q36's md5 first-id-wins) →
+    * per-domain cap (q128's WindowGroupLimit rank) → deterministic
+    * hash downsample (q94's md5-threshold, src0 downweighted). Every
+    * stage keeps its own scale shape; the funnel's joins move ID SETS
+    * (stage-survivor-sized), and the attrition table is sources-sized.
+    * Stage criteria are the already-oracled ones, so the composed
+    * oracle is their CTE chain. */
+  private def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("predicted"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fingerprint"))
+    val clean = docs.where(col("n_tokens").between(5, 1000) &&
+      col("quality") >= 0.5 && col("predicted") =!= "und")
+    val bench = Tables.documents(spark, dir).where(col("doc_id") % 25 === 0)
+    val decon = clean.join(
+      graft.text.Decontaminate.flagContaminated(clean, bench,
+          id = "doc_id", text = "text", btext = "text", k = 5)
+        .where(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"))
+    val dedup = decon.join(
+      decon.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+        .select("doc_id"),
+      Seq("doc_id"))
+    val wCap = Window.partitionBy("source").orderBy("doc_id")
+    val cap = dedup.withColumn("__rn", row_number().over(wCap))
+      .where(col("__rn") <= 25).drop("__rn")
+    val fin = graft.ops.Sampling.stratifiedHashSample(cap,
+      stratum = "source", id = "doc_id", salt = "cur:",
+      rates = Seq("src0" -> "4"), defaultHex = "c")
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    Seq(stage(clean, "n_clean"), stage(decon, "n_decon"),
+        stage(dedup, "n_dedup"), stage(cap, "n_cap"), stage(fin, "n_final"))
+      .foldLeft(stage(docs, "n_raw")) { (acc, s) =>
+        acc.join(s, Seq("source"), "left")
+      }
+      .na.fill(0L)
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_zorder_stats" -> zorderStats,
     "q128_domain_cap" -> domainCap,
     "q129_winsorize" -> winsorize,
     "q132_reservoir_sample" -> reservoirSample,
+    "q146_curation_funnel" -> curationFunnel,
     "q65_upsert_latest" -> upsertLatest,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
@@ -464,6 +512,77 @@ object PipelineQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+    // the q73 clean gates + q112 shingle probe + q36 dedup + q128 cap +
+    // q94 hash-threshold mix, chained; per-source stage counts
+    "q146_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, toks, len(toks) AS n,
+        |         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |         len(list_filter(toks, x -> x IN ('the','a','of'))) AS c_en,
+        |         len(list_filter(toks, x -> x IN ('el','la','los'))) AS c_es,
+        |         len(list_filter(toks, x -> x IN ('der','die','und'))) AS c_de,
+        |         len(list_filter(toks, x -> x IN ('le','et','les'))) AS c_fr
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source, text, toks, n,
+        |         (least(CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |          + least(CAST(n_stop AS DOUBLE) * CAST(10.0 AS DOUBLE) / n, CAST(1.0 AS DOUBLE)))
+        |         / CAST(2.0 AS DOUBLE) AS quality,
+        |         CASE WHEN c_en = greatest(c_en,c_es,c_de,c_fr) AND c_en > 0 THEN 'en'
+        |              WHEN c_es = greatest(c_en,c_es,c_de,c_fr) AND c_es > 0 THEN 'es'
+        |              WHEN c_de = greatest(c_en,c_es,c_de,c_fr) AND c_de > 0 THEN 'de'
+        |              WHEN c_fr = greatest(c_en,c_es,c_de,c_fr) AND c_fr > 0 THEN 'fr'
+        |              ELSE 'und' END AS predicted
+        |  FROM s),
+        |clean AS (
+        |  SELECT doc_id, source, toks,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM q
+        |  WHERE n BETWEEN 5 AND 1000 AND quality >= 0.5 AND predicted <> 'und'),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |     for i in range(1, len(toks) - 3)])) AS sg
+        |  FROM t WHERE doc_id % 25 = 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(
+        |          [toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]
+        |           for i in range(1, len(toks) - 3)])) AS sg
+        |        FROM clean) c JOIN bsh USING (sg)),
+        |decon AS (
+        |  SELECT * FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |keepfp AS (SELECT min(doc_id) AS doc_id FROM decon GROUP BY fp),
+        |dedup AS (SELECT d.* FROM decon d JOIN keepfp USING (doc_id)),
+        |cap AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |    FROM dedup) WHERE rn <= 25),
+        |fin AS (
+        |  SELECT doc_id, source FROM cap
+        |  WHERE md5('cur:' || CAST(doc_id AS VARCHAR))
+        |        < CASE WHEN source = 'src0' THEN '4' ELSE 'c' END),
+        |r0 AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+        |r1 AS (SELECT source, count(*) AS n_clean FROM clean GROUP BY 1),
+        |r2 AS (SELECT source, count(*) AS n_decon FROM decon GROUP BY 1),
+        |r3 AS (SELECT source, count(*) AS n_dedup FROM dedup GROUP BY 1),
+        |r4 AS (SELECT source, count(*) AS n_cap FROM cap GROUP BY 1),
+        |r5 AS (SELECT source, count(*) AS n_final FROM fin GROUP BY 1)
+        |SELECT r0.source, r0.n_raw,
+        |       coalesce(r1.n_clean, 0) AS n_clean,
+        |       coalesce(r2.n_decon, 0) AS n_decon,
+        |       coalesce(r3.n_dedup, 0) AS n_dedup,
+        |       coalesce(r4.n_cap, 0) AS n_cap,
+        |       coalesce(r5.n_final, 0) AS n_final
+        |FROM r0 LEFT JOIN r1 USING (source) LEFT JOIN r2 USING (source)
+        |        LEFT JOIN r3 USING (source) LEFT JOIN r4 USING (source)
+        |        LEFT JOIN r5 USING (source)
+        |ORDER BY r0.source""".stripMargin,
     // salted-md5 priority (q115's '0x'-prefix idiom, 15 hex chars → both
     // engines' signed int64), rank over (priority, id)
     "q132_reservoir_sample" ->
