@@ -182,7 +182,52 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q147: candlestick pattern detection — daily OHLC bars per symbol
+    * (open/close by first/last tick order, the q27 resample shape), then
+    * the classic pattern predicates as pure integer-cents comparisons
+    * over a lag window: doji (body ≤ 10% of range), bullish/bearish
+    * engulfing (opposite-color bar whose body contains yesterday's),
+    * hammer (long lower shadow, short upper). The visual vocabulary of
+    * the reference's dashboard leg (`dashboard/plot_utils.py` — a stub
+    * there; real here), as data: one key shuffle for the bars, one
+    * sorted window, a per-symbol pattern census. Integer predicates —
+    * no float thresholds to diverge on. */
+  private def candlestickPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day")
+      .agg(min_by(col("cents"), col("event_id")).as("open_c"),
+        max("cents").as("high_c"), min("cents").as("low_c"),
+        max_by(col("cents"), col("event_id")).as("close_c"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val body = abs(col("close_c") - col("open_c"))
+    val flagged = bars
+      .withColumn("p_open", lag("open_c", 1).over(w))
+      .withColumn("p_close", lag("close_c", 1).over(w))
+      .withColumn("doji",
+        body * 10 <= col("high_c") - col("low_c") &&
+          col("high_c") > col("low_c"))
+      .withColumn("bull_engulf",
+        col("p_close") < col("p_open") && col("close_c") > col("open_c") &&
+          col("open_c") <= col("p_close") && col("close_c") >= col("p_open"))
+      .withColumn("bear_engulf",
+        col("p_close") > col("p_open") && col("close_c") < col("open_c") &&
+          col("open_c") >= col("p_close") && col("close_c") <= col("p_open"))
+      .withColumn("hammer",
+        least(col("open_c"), col("close_c")) - col("low_c") >= body * 2 &&
+          col("high_c") - greatest(col("open_c"), col("close_c")) <= body)
+    flagged.groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("doji"), 1L).otherwise(0L)).as("n_doji"),
+        sum(when(col("bull_engulf"), 1L).otherwise(0L)).as("n_bull_engulf"),
+        sum(when(col("bear_engulf"), 1L).otherwise(0L)).as("n_bear_engulf"),
+        sum(when(col("hammer"), 1L).otherwise(0L)).as("n_hammer"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_candlestick_patterns" -> candlestickPatterns,
     "q144_forward_labels" -> forwardLabels,
     "q124_tech_indicators" -> techIndicators,
     "q125_purged_split" -> purgedSplit,
@@ -229,6 +274,34 @@ object FinanceQueries extends QueryPack {
         |       boll_mid - boll_sd*2 AS boll_lo,
         |       rsi14
         |FROM b ORDER BY user_id, event_id""".stripMargin,
+    "q147_candlestick_patterns" ->
+      """WITH bars AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         arg_min(CAST(round(value*100) AS BIGINT), event_id) AS open_c,
+        |         max(CAST(round(value*100) AS BIGINT)) AS high_c,
+        |         min(CAST(round(value*100) AS BIGINT)) AS low_c,
+        |         arg_max(CAST(round(value*100) AS BIGINT), event_id) AS close_c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT *,
+        |         lag(open_c) OVER w AS p_open,
+        |         lag(close_c) OVER w AS p_close,
+        |         abs(close_c - open_c) AS body
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, count(*) AS n_days,
+        |       CAST(sum(CASE WHEN body*10 <= high_c - low_c AND high_c > low_c
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+        |       CAST(sum(CASE WHEN p_close < p_open AND close_c > open_c
+        |                      AND open_c <= p_close AND close_c >= p_open
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+        |       CAST(sum(CASE WHEN p_close > p_open AND close_c < open_c
+        |                      AND open_c >= p_close AND close_c <= p_open
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf,
+        |       CAST(sum(CASE WHEN least(open_c, close_c) - low_c >= body*2
+        |                      AND high_c - greatest(open_c, close_c) <= body
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB ASOF with <= is the forward variant: first f.ts satisfying
     // l.ts + 24h <= f.ts (ties impossible — (user_id, ts) is unique)
     "q144_forward_labels" ->
