@@ -469,8 +469,44 @@ object PipelineQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** q148: quantile normalization — each group's value distribution
+    * mapped onto the GLOBAL distribution by exact rank arithmetic
+    * (within-group rank r of n_g → the global value at rank
+    * ((r−1)(N−1)) div (n_g−1) + 1): the batch-effect-removal transform,
+    * interpolation-free and tie-insensitive (the rank SET per group is
+    * always 1..n_g, so group aggregates are deterministic under any tie
+    * order). Both rankings run as [[graft.ops.Ranking.distributedRank]]
+    * — bucket offsets + bucket-local windows, NO corpus-sized single
+    * partition (plan-asserted); the rank→value lookup is one equi-join
+    * shuffle. */
+  private def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val width = 200000L
+    val g = graft.ops.Ranking.distributedRank(
+      src.select("c"), "c", Nil, width, "grank")
+    val total = src.agg(count(lit(1)).as("N"))
+    val gcnt = src.groupBy("rf").agg(count(lit(1)).as("n_g"))
+    val ranked = graft.ops.Ranking.distributedRank(
+      src, "c", Seq("rf"), width, "r")
+    ranked.join(broadcast(gcnt), Seq("rf")).crossJoin(broadcast(total))
+      .withColumn("t",
+        expr("CASE WHEN n_g > 1 THEN ((r - 1) * (N - 1)) div (n_g - 1) + 1 " +
+          "ELSE CAST(1 AS BIGINT) END"))
+      .join(g.select(col("grank").as("t"), col("c").as("qnorm_c")), Seq("t"))
+      .groupBy("rf")
+      .agg(count(lit(1)).as("n"),
+        sum("c").as("sum_cents_raw"),
+        sum("qnorm_c").as("sum_cents_qnorm"),
+        min("qnorm_c").as("min_qnorm"),
+        max("qnorm_c").as("max_qnorm"))
+      .orderBy("rf")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q118_zorder_stats" -> zorderStats,
+    "q148_quantile_normalize" -> quantileNormalize,
     "q128_domain_cap" -> domainCap,
     "q129_winsorize" -> winsorize,
     "q132_reservoir_sample" -> reservoirSample,
@@ -512,6 +548,31 @@ object PipelineQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+    // plain windows replicate the distributed ranking's VALUES (rank
+    // sets are tie-insensitive); pure integer div — no interpolation
+    "q148_quantile_normalize" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS rf,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |g AS (SELECT c, row_number() OVER (ORDER BY c) AS grank FROM src),
+        |tot AS (SELECT count(*) AS N FROM src),
+        |gc AS (SELECT rf, count(*) AS n_g FROM src GROUP BY 1),
+        |r AS (SELECT rf, c,
+        |             row_number() OVER (PARTITION BY rf ORDER BY c) AS r
+        |      FROM src),
+        |m AS (
+        |  SELECT r.rf, r.c,
+        |         CASE WHEN n_g > 1 THEN (r.r - 1)*(N - 1) // (n_g - 1) + 1
+        |              ELSE 1 END AS t
+        |  FROM r JOIN gc USING (rf) CROSS JOIN tot),
+        |j AS (SELECT m.rf, m.c, g.c AS qnorm_c
+        |      FROM m JOIN g ON g.grank = m.t)
+        |SELECT rf, count(*) AS n,
+        |       CAST(sum(c) AS BIGINT) AS sum_cents_raw,
+        |       CAST(sum(qnorm_c) AS BIGINT) AS sum_cents_qnorm,
+        |       min(qnorm_c) AS min_qnorm, max(qnorm_c) AS max_qnorm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q73 clean gates + q112 shingle probe + q36 dedup + q128 cap +
     // q94 hash-threshold mix, chained; per-source stage counts
     "q146_curation_funnel" ->

@@ -160,6 +160,27 @@ class PipelineSpec extends AnyFunSuite {
       got.select("doc_id").except(again).count() == 0)
   }
 
+  test("Ranking.distributedRank: value-at-rank equals the plain window at any bucket width") {
+    import graft.ops.Ranking
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 2000)
+      .select((col("id") % 3).cast("string").as("g"),
+        pmod(col("id") * 2654435761L, lit(5003L)).as("v"))
+    val plain = df.withColumn("r",
+        row_number().over(Window.partitionBy("g").orderBy("v")))
+      .select("g", "r", "v").as[(String, Long, Long)].collect()
+      .map { case (g, r, v) => (g, r) -> v }.toMap
+    for (width <- Seq(1L, 97L, 5000L)) {
+      val got = Ranking.distributedRank(df, "v", Seq("g"), width, "r")
+        .select("g", "r", "v").as[(String, Long, Long)].collect()
+      assert(got.length == plain.size)
+      // ranks are a permutation only within ties, so value-at-rank matches
+      got.foreach { case (g, r, v) =>
+        assert(plain((g, r)) == v, s"width=$width g=$g rank=$r")
+      }
+    }
+  }
+
   test("Decontaminate: k-gram overlap flags, short and clean docs stay clean") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 5-gram

@@ -368,6 +368,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus entered a shuffle join:\n" + plan.take(3000))
   }
 
+  test("q148 quantile normalize: corpus ranks run bucket-partitioned (no global sort window over data)") {
+    val df = SparkEntry.queries("q148_quantile_normalize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // the distributedRank windows partition by (scope, __bkt) — the
+    // corpus never rides a SinglePartition sort; the only unpartitioned
+    // windows are the bucket-offset cumsums over the tiny counts tables
+    assert(plan.contains("hashpartitioning(__bkt") ||
+      plan.contains("hashpartitioning(rf, __bkt") ||
+      plan.contains("__bkt"),
+      "bucketed rank windows missing:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
