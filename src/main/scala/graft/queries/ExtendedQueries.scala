@@ -177,8 +177,11 @@ object ExtendedQueries extends QueryPack {
         HashFunctions.top_k_longs(col("cents"), 5).as("top5"))
       // scalar projection of the array result (the driver compare hashes
       // scalar columns; the array itself is the operator's surface)
+      // try_element_at: a group smaller than k yields NULL tail slots
+      // (ANSI element_at would THROW on the out-of-bounds index, and the
+      // oracle's t[i] yields NULL — null is the contract)
       .select(col("event_type") +: col("n") +: col("sum_cents") +:
-        (1 to 5).map(i => element_at(col("top5"), i).as(s"top$i")): _*)
+        (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
       .orderBy("event_type")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

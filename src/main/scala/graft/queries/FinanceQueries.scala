@@ -303,10 +303,15 @@ object FinanceQueries extends QueryPack {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB ASOF with <= is the forward variant: first f.ts satisfying
-    // l.ts + 24h <= f.ts (ties impossible — (user_id, ts) is unique)
+    // l.ts + 24h <= f.ts (ties impossible — (user_id, ts) is unique).
+    // ts truncates to MICROSECONDS first: the engine reads the parquet
+    // nanos as µs timestamps (Tables.events), so a ns-precision compare
+    // here could pick a different label for a tick in the sub-µs window
+    // at the exact 24 h boundary.
     "q144_forward_labels" ->
       """WITH src AS (
-        |  SELECT user_id, event_id, ts,
+        |  SELECT user_id, event_id,
+        |         date_trunc('microseconds', ts) AS ts,
         |         CAST(round(value*100) AS BIGINT) AS c
         |  FROM events),
         |lbl AS (

@@ -348,10 +348,12 @@ object StreamingQueries extends QueryPack {
       .agg(count(lit(1)).as("n"),
         graft.functions.HashFunctions.top_k_longs(col("cents"), 3).as("t"))
     runToMemorySink(agged, "stopk", mode = "complete")
+      // try_element_at: null (not an ANSI throw) for groups smaller
+      // than k, matching the oracle's t[i]
       .select(col("event_type"), col("n"),
-        element_at(col("t"), 1).as("top1"),
-        element_at(col("t"), 2).as("top2"),
-        element_at(col("t"), 3).as("top3"))
+        try_element_at(col("t"), lit(1)).as("top1"),
+        try_element_at(col("t"), lit(2)).as("top2"),
+        try_element_at(col("t"), lit(3)).as("top3"))
       .orderBy("event_type")
   }
 

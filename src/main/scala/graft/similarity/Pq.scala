@@ -116,6 +116,31 @@ object Pq {
     (1 to m).map(s => element_at(element_at(lut, s), element_at(codes, s) + 1))
       .reduceLeft(_ + _)
 
+  /** The `nProbe` coarse cells nearest to query `q`, ranked by the SAME
+    * ‖c‖² − 2·q·c arithmetic (and (distance, cell) tie order) as
+    * [[Clustering.assignCell]] — one shared implementation so the probe
+    * ranking the oracles replicate cannot drift between the IVF-PQ
+    * variants. */
+  private def probeCells(q: Array[Double], coarse: Seq[(Int, Array[Double])],
+                         nProbe: Int): Seq[Int] =
+    coarse.map { case (cell, c) =>
+      var dot = 0.0
+      var i = 0
+      while (i < c.length) { dot += q(i) * c(i); i += 1 }
+      (c.map(x => x * x).sum - dot * 2, cell)
+    }.sorted.take(nProbe).map(_._2)
+
+  /** Rank scored (query_id, vec_id, adc_dist) candidates per query and
+    * keep the top `r` — the shared shortlist window of every ADC
+    * variant (ties to the lower vec_id, like all rank stages here). */
+  private def shortlistTopR(scored: DataFrame, r: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
+    scored.withColumn("srn", row_number().over(w))
+      .where(col("srn") <= r)
+      .select("query_id", "vec_id", "adc_dist")
+  }
+
   /** ADC shortlist: fit codebooks, encode the corpus in-scan, score every
     * (query, code) pair via broadcast LUTs, keep the top-`r` per query by
     * (adc_dist, id). Queries must be a bounded probe set (collected to
@@ -137,13 +162,8 @@ object Pq {
     }.toDF("query_id", "lut")
     val codes = corpus.select(col(id).as("vec_id"),
       encode(col(vec), cb).as("codes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
-    codes.crossJoin(broadcast(lutDf))
-      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= r)
-      .select("query_id", "vec_id", "adc_dist")
+    shortlistTopR(codes.crossJoin(broadcast(lutDf))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m)), r)
   }
 
   /** End-to-end PQ search, production shape: ADC shortlist (compressed
@@ -182,25 +202,6 @@ object Pq {
       .select("query_id", "rank", "vec_id", "l2")
   }
 
-  /** Deterministic IVF-PQ: the full production composition — a coarse
-    * cell layer prunes the candidate set BEFORE ADC scoring, so the
-    * compressed-domain work per query drops from the corpus to the
-    * probed cells' share of it:
-    *
-    *   - coarse cells = seed assignment over the `coarseK` lowest-id
-    *     FULL vectors (the q114/q117 discipline — deterministic, so the
-    *     probe ranking is SQL-replicable, unlike an MLlib-fitted coarse
-    *     quantizer);
-    *   - per query, cells rank by ‖q − seed_c‖² (same csq − 2·dot
-    *     arithmetic as assignment, ties to the lower cell) and the top
-    *     `nProbe` are probed — the recall/cost dial;
-    *   - ADC scores only rows whose cell is probed (cell + codes both
-    *     computed in-scan on one corpus pass), then the exact-L2 rerank
-    *     of the shortlist.
-    *
-    * This variant PQ-encodes raw vectors (IVF prunes, PQ compresses
-    * independently); residual encoding — PQ over (x − seed_cell) — is
-    * the classic refinement and slots into [[encode]] unchanged. */
   /** Residual-encoded IVF-PQ — the classic formulation: PQ encodes
     * `x − centroid(cell(x))` instead of the raw vector, so the codebooks
     * spend their 8 bytes on the WITHIN-cell geometry the coarse layer
@@ -220,7 +221,8 @@ object Pq {
                          shortlist: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = Clustering.seedCentroids(corpus, id, vec, coarseK).sortBy(_._1)
+    // seedCentroids returns cells 0..k-1 in ascending order already
+    val coarse = Clustering.seedCentroids(corpus, id, vec, coarseK)
     val coarseLit = array(coarse.map { case (_, c) =>
       array(c.toIndexedSeq.map(lit): _*)
     }: _*)
@@ -235,13 +237,7 @@ object Pq {
       .orderBy("query_id").collect()
     val lutRows = qRows.toSeq.flatMap { row =>
       val q = row.getSeq[Double](1).toArray
-      val probed = coarse.map { case (cell, c) =>
-        var dot = 0.0
-        var i = 0
-        while (i < c.length) { dot += q(i) * c(i); i += 1 }
-        (c.map(x => x * x).sum - dot * 2, cell)
-      }.sorted.take(nProbe).map(_._2)
-      probed.map { cell =>
+      probeCells(q, coarse, nProbe).map { cell =>
         val ctr = coarse.find(_._1 == cell).get._2
         val qr = Array.tabulate(q.length)(i => q(i) - ctr(i))
         (row.getLong(0), cell, adcLut(qr, cb).map(_.toSeq).toSeq)
@@ -250,16 +246,30 @@ object Pq {
     val lutDf = lutRows.toDF("query_id", "cell", "lut")
     val coded = withResid.select(col(id).as("vec_id"),
       col("__cell").as("cell"), encode(col("__resid"), cb).as("codes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
-    val short = coded.join(broadcast(lutDf), Seq("cell"))
-      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= shortlist)
-      .select("query_id", "vec_id", "adc_dist")
+    val short = shortlistTopR(coded.join(broadcast(lutDf), Seq("cell"))
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m)), shortlist)
     rerankExact(corpus, queries, id, vec, k, short)
   }
 
+  /** Deterministic IVF-PQ: the full production composition — a coarse
+    * cell layer prunes the candidate set BEFORE ADC scoring, so the
+    * compressed-domain work per query drops from the corpus to the
+    * probed cells' share of it:
+    *
+    *   - coarse cells = seed assignment over the `coarseK` lowest-id
+    *     FULL vectors (the q114/q117 discipline — deterministic, so the
+    *     probe ranking is SQL-replicable, unlike an MLlib-fitted coarse
+    *     quantizer);
+    *   - per query, cells rank by ‖q − seed_c‖² (same csq − 2·dot
+    *     arithmetic as assignment, ties to the lower cell) and the top
+    *     `nProbe` are probed — the recall/cost dial;
+    *   - ADC scores only rows whose cell is probed (cell + codes both
+    *     computed in-scan on one corpus pass), then the exact-L2 rerank
+    *     of the shortlist.
+    *
+    * This variant PQ-encodes raw vectors (IVF prunes, PQ compresses
+    * independently); residual encoding — PQ over (x − seed_cell) — is
+    * the classic refinement and slots into [[encode]] unchanged. */
   def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, id: String,
                  vec: String, k: Int, m: Int, sub: Int, cells: Int,
                  coarseK: Int, nProbe: Int, shortlist: Int): DataFrame = {
@@ -273,26 +283,15 @@ object Pq {
       .orderBy("query_id").collect()
     val lutDf = qRows.toSeq.map { row =>
       val q = row.getSeq[Double](1).toArray
-      val probed = coarse.map { case (cell, c) =>
-        var dot = 0.0
-        var i = 0
-        while (i < c.length) { dot += q(i) * c(i); i += 1 }
-        (c.map(x => x * x).sum - dot * 2, cell)
-      }.sorted.take(nProbe).map(_._2)
-      (row.getLong(0), probed,
+      (row.getLong(0), probeCells(q, coarse, nProbe),
         adcLut(q, cb).map(_.toSeq).toSeq)
     }.toDF("query_id", "probed", "lut")
     val coded = corpus.select(col(id).as("vec_id"),
       Clustering.assignCell(col(vec), coarse).as("cell"),
       encode(col(vec), cb).as("codes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
-    val short = coded.crossJoin(broadcast(lutDf))
+    val short = shortlistTopR(coded.crossJoin(broadcast(lutDf))
       .where(array_contains(col("probed"), col("cell")))
-      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m))
-      .withColumn("srn", row_number().over(w))
-      .where(col("srn") <= shortlist)
-      .select("query_id", "vec_id", "adc_dist")
+      .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m)), shortlist)
     rerankExact(corpus, queries, id, vec, k, short)
   }
 }

@@ -119,19 +119,25 @@ object TimeSeries {
                   rightOrder: String): DataFrame = {
     val pay = struct((payload :+ rightOrder).map(col): _*)
     val r2 = right.select(col(key), col(rightTs).as("__t"),
-      col(rightOrder).as("__ro"), pay.as("__pay")).withColumn("__side", lit(1))
-    // lefts sort BEFORE rights at equal ts (>= is inclusive), so the
-    // forward window starting at the left row sees the same-ts right
+      col(rightOrder).as("__ro"), pay.as("__pay")).withColumn("__side", lit(0))
     val l2 = left.withColumn("__t", col(leftTs))
       .withColumn("__ro", lit(null).cast(r2.schema("__ro").dataType))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(1))
     val u = l2.unionByName(r2, allowMissingColumns = true)
+    // DESCENDING time + the RUNNING frame: "first right with ts >= t" is
+    // the last preceding right when rows walk from latest to earliest —
+    // Spark evaluates unboundedPreceding..currentRow frames in O(n) per
+    // partition, whereas a currentRow..unboundedFollowing `first`
+    // (UnboundedFollowingWindowFunctionFrame) re-scans the tail per row,
+    // O(n²) on a hot key. At equal ts, rights (side 0) sort before the
+    // left so >= stays inclusive; among equal-ts rights the MIN
+    // rightOrder must win, so rights order by __ro DESC (last = min).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc_nulls_last)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__side").asc, col("__ro").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = u.withColumn("__asof",
-        first(col("__pay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 0)
+        last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
     val withPayload = payload.foldLeft(joined) { (d, p) =>
       d.withColumn(p, col("__asof").getField(p))
     }

@@ -345,12 +345,12 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==").head
-    // TypedImperativeAggregate plans as ObjectHashAggregate (or
-    // SortAggregate) with a partial_ pass — the ≤k-longs-per-group
-    // map-side combine is the whole point
-    assert(plan.contains("partial_topklongs") ||
-      plan.contains("partial_TopKLongs") || plan.contains("partial"),
-      "no partial aggregation pass:\n" + plan.take(3000))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_topklongs pass — the ≤k-longs-per-group map-side combine
+    // is the whole point; a catch-all "partial" would also match the
+    // co-resident count/sum partials and make this assert vacuous
+    assert(plan.contains("partial_topklongs"),
+      "TopKLongs lost its partial (map-side) pass:\n" + plan.take(3000))
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       plan.take(3000))
   }
@@ -376,10 +376,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the distributedRank windows partition by (scope, __bkt) — the
     // corpus never rides a SinglePartition sort; the only unpartitioned
     // windows are the bucket-offset cumsums over the tiny counts tables
-    assert(plan.contains("hashpartitioning(__bkt") ||
-      plan.contains("hashpartitioning(rf, __bkt") ||
-      plan.contains("__bkt"),
-      "bucketed rank windows missing:\n" + plan.take(3000))
+    assert("hashpartitioning\\(__bkt".r.findFirstIn(plan).isDefined,
+      "global rank window lost its bucket partitioning:\n" + plan.take(3000))
+    assert("hashpartitioning\\(rf#\\d+, __bkt".r.findFirstIn(plan).isDefined,
+      "group rank window lost its bucket partitioning:\n" + plan.take(3000))
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 2,
+      s"corpus-sized SinglePartition exchange leaked ($singles):\n" + plan.take(3000))
   }
 
   test("partition pruning reaches a partitioned-parquet scan") {
