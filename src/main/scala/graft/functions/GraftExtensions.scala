@@ -23,41 +23,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  /** Arity guard: a wrong-arg-count SQL call must fail with the
+    * function's signature, not an IndexOutOfBoundsException from the
+    * builder body. */
+  private def arity(es: Seq[Expression], n: Int, sig: String): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$sig expects $n argument(s), got ${es.length}")
+
+  /** Second-argument integer literal: checked foldable BEFORE eval so a
+    * column argument reports the signature instead of an unrelated
+    * eval(null) error. */
+  private def intLit(es: Seq[Expression], sig: String): Int = {
+    arity(es, 2, sig)
+    if (!es(1).foldable) throw new IllegalArgumentException(
+      s"$sig: the second argument must be an integer literal, got ${es(1).sql}")
+    es(1).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$sig: the second argument must be an integer literal, got $other")
+    }
+  }
+
   /** name → expression builder for every SQL-exposed custom function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> (es => PolyHash(es.head)),
-    "fnv1a64" -> (es => Fnv1a64(es.head)),
-    "simhash64" -> (es => SimHash64(es.head)),
-    "dot_d" -> (es => DotProductD(es(0), es(1))),
-    "word_shingles" -> { es =>
-      val k = es(1).eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"word_shingles(text, k): k must be an integer literal, got $other")
-      }
-      WordShingles(es.head, k)
-    },
-    "minhash_signature" -> { es =>
-      val n = es(1).eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"minhash_signature(tokens, n): n must be an integer literal, got $other")
-      }
-      MinHashSignature(es.head, n)
-    },
+    "poly_hash" -> { es => arity(es, 1, "poly_hash(text)"); PolyHash(es.head) },
+    "fnv1a64" -> { es => arity(es, 1, "fnv1a64(text)"); Fnv1a64(es.head) },
+    "simhash64" -> { es => arity(es, 1, "simhash64(text)"); SimHash64(es.head) },
+    "dot_d" -> { es => arity(es, 2, "dot_d(a, b)"); DotProductD(es(0), es(1)) },
+    "word_shingles" -> (es =>
+      WordShingles(es.head, intLit(es, "word_shingles(text, k)"))),
+    "minhash_signature" -> (es =>
+      MinHashSignature(es.head, intLit(es, "minhash_signature(tokens, n)"))),
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression when it appears in an aggregation context
-    "top_k_longs" -> { es =>
-      val k = es(1).eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"top_k_longs(col, k): k must be an integer literal, got $other")
-      }
-      TopKLongs(es.head, k)
-    })
+    "top_k_longs" -> (es =>
+      TopKLongs(es.head, intLit(es, "top_k_longs(col, k)"))))
 
   /** Runtime registration on an already-built session (temp functions +
     * the binned-range-join optimizer rule via extraOptimizations). */

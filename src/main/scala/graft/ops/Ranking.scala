@@ -32,7 +32,18 @@ object Ranking {
   def distributedRank(df: DataFrame, valueCol: String, scope: Seq[String],
                       bucketWidth: Long, rankCol: String): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val bucket = floor(col(valueCol).cast("double") / bucketWidth).cast("long")
+    // Pure long floor division (Math.floorDiv): a double cast loses
+    // precision past 2^53, which could order-invert buckets near a
+    // boundary. Truncating `div` + adjust-on-negative-remainder never
+    // leaves long arithmetic and has no overflow edge (q-1 only fires
+    // when q <= 0).
+    val v = col(valueCol).cast("long")
+    val q = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.Bridge.expression(v),
+        org.apache.spark.sql.catalyst.expressions.Literal(bucketWidth)))
+    val r = v % lit(bucketWidth)
+    val bucket = when(r < 0, q - 1).otherwise(q)
     val withB = df.withColumn("__bkt", bucket)
     val scopeCols = scope.map(col)
     val counts = withB.groupBy(scopeCols :+ col("__bkt"): _*)

@@ -28,14 +28,24 @@ import org.apache.spark.sql.functions._
   * bits if your vectors are larger. */
 object Clustering {
 
+  /** Hard ceiling on driver-held centroid state: every collect here is
+    * k×dim (or cells×dim) scalars BY CONSTRUCTION, but nothing stops a
+    * caller passing k=10⁷ — these bounds make that misuse fail with a
+    * message instead of materializing a multi-GB driver array. 2¹⁸
+    * doubles = 2 MB, ~64× any sane codebook and far below heap. */
+  private[graft] val MaxDriverCentroidScalars: Long = 1L << 18
+
   /** Deterministic seed centroids: the vectors of the `k` lowest-id rows,
     * as (cellId, centroid) pairs. Driver-held k×dim doubles. */
   def seedCentroids(df: DataFrame, id: String, vec: String,
-                    k: Int): Seq[(Int, Array[Double])] =
+                    k: Int): Seq[(Int, Array[Double])] = {
+    require(k > 0 && k <= (1 << 16),
+      s"k must be in [1, 65536] (driver holds k x dim doubles), got $k")
     df.select(col(id), Similarity.vecDouble(col(vec)).as("v"))
       .orderBy(col(id)).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+  }
 
   /** Cell-assignment column: argmin over the driver-held centroids, ties
     * to the lower cell id. Pure expression — pipelines inside the scan.
@@ -68,13 +78,21 @@ object Clustering {
   def fixedPointCentroids(assigned: DataFrame, cell: String, vec: String,
                           scaleBits: Int = 24): Seq[(Int, Array[Double])] = {
     val scale = (1L << scaleBits).toDouble
+    // The aggregate is cells×dim rows by construction; the limit+require
+    // turns a mis-partitioned input (e.g. a raw value passed as `cell`)
+    // into a loud failure instead of a driver-OOM collect.
+    val maxRows = MaxDriverCentroidScalars.toInt
     val rows = assigned
       .select(col(cell).as("__cell"),
         posexplode(Similarity.vecDouble(col(vec))))
       .groupBy("__cell", "pos")
       .agg(sum(round(col("col") * lit(scale)).cast("long")).as("sfix"),
         count(lit(1)).as("n"))
+      .limit(maxRows + 1)
       .collect()
+    require(rows.length <= maxRows,
+      s"centroid update exceeds $maxRows (cell, dim) rows — the cell " +
+        "column does not look like a bounded cluster assignment")
     rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (c, rs) =>
       val dim = rs.map(_.getInt(1)).max + 1
       val arr = new Array[Double](dim)

@@ -38,6 +38,11 @@ object Pq {
     * is a top-k, the mean update is one aggregation) regardless of m. */
   def fit(df: DataFrame, id: String, vec: String, m: Int, sub: Int, k: Int,
           scaleBits: Int = 24): Codebooks = {
+    require(m > 0 && sub > 0 && k > 0,
+      s"m, sub, k must be positive, got m=$m sub=$sub k=$k")
+    require(m.toLong * sub * k <= Clustering.MaxDriverCentroidScalars,
+      s"codebooks are driver-held: m*sub*k = ${m.toLong * sub * k} exceeds " +
+        s"${Clustering.MaxDriverCentroidScalars} doubles")
     val seedRows = df.select(col(id), Similarity.vecDouble(col(vec)).as("v"))
       .orderBy(col(id)).limit(k).collect()
     val seeds: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
@@ -92,7 +97,10 @@ object Pq {
     * indexed by CELL ID (gaps from dropped cells hold 0.0 and are never
     * referenced — encode can only emit live cells). Sequential left-fold
     * accumulation, matching the SQL `list_sum` shape. */
-  def adcLut(q: Array[Double], cb: Codebooks): Array[Array[Double]] =
+  def adcLut(q: Array[Double], cb: Codebooks): Array[Array[Double]] = {
+    require(cb.books.forall(_.nonEmpty),
+      "codebooks have an empty subspace — fit ran over an empty or " +
+        "too-small corpus; refit with a non-empty input")
     (0 until cb.m).map { s =>
       val arr = new Array[Double](cb.books(s).map(_._1).max + 1)
       cb.books(s).foreach { case (cell, c) =>
@@ -107,6 +115,7 @@ object Pq {
       }
       arr
     }.toArray
+  }
 
   /** ADC distance column: m LUT lookups chained by explicit left-to-right
     * adds (a fixed association both engines replicate — an aggregate over
@@ -209,8 +218,8 @@ object Pq {
     * point sits in). Correspondingly the ADC tables become per
     * (query, probed cell): the query's residual differs per cell, so
     * each probed cell gets its own m×k LUT — still probe-set-bounded
-    * driver state (nProbe LUTs per query). Scoring becomes a BROADCAST
-    * HASH JOIN on the coarse cell (replacing q139's crossJoin+filter):
+    * driver state (nProbe LUTs per query). Scoring is a BROADCAST HASH
+    * JOIN on the coarse cell (the same shape as [[ivfAdcTopK]]):
     * a corpus row meets exactly the queries probing its cell. Everything
     * else — fused fit (now over the in-scan residual column), in-scan
     * encoding, exact rerank on raw vectors — is unchanged and equally
@@ -281,16 +290,22 @@ object Pq {
       .select(col(id).cast("long").as("query_id"),
         Similarity.vecDouble(col(vec)).as("v"))
       .orderBy("query_id").collect()
-    val lutDf = qRows.toSeq.map { row =>
+    // One LUT row per (query, probed cell) — same raw-vector LUT repeated
+    // across the query's probed cells — so scoring is a BROADCAST HASH
+    // JOIN on the coarse cell (the q145 shape): a corpus row meets exactly
+    // the queries probing its cell, instead of every query pre-filter as
+    // the old crossJoin+array_contains nested-loop did. Broadcast size is
+    // nProbe× the per-query LUT list — still probe-set-bounded.
+    val lutRows = qRows.toSeq.flatMap { row =>
       val q = row.getSeq[Double](1).toArray
-      (row.getLong(0), probeCells(q, coarse, nProbe),
-        adcLut(q, cb).map(_.toSeq).toSeq)
-    }.toDF("query_id", "probed", "lut")
+      val lut = adcLut(q, cb).map(_.toSeq).toSeq
+      probeCells(q, coarse, nProbe).map(cell => (row.getLong(0), cell, lut))
+    }
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
     val coded = corpus.select(col(id).as("vec_id"),
       Clustering.assignCell(col(vec), coarse).as("cell"),
       encode(col(vec), cb).as("codes"))
-    val short = shortlistTopR(coded.crossJoin(broadcast(lutDf))
-      .where(array_contains(col("probed"), col("cell")))
+    val short = shortlistTopR(coded.join(broadcast(lutDf), Seq("cell"))
       .withColumn("adc_dist", adcDist(col("lut"), col("codes"), m)), shortlist)
     rerankExact(corpus, queries, id, vec, k, short)
   }

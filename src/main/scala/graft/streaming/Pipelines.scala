@@ -337,8 +337,10 @@ object Pipelines {
     * the check). Because the ring spans micro-batch boundaries, a
     * per-key-ordered replay produces EXACTLY the batch query's flags —
     * the batch SQL is the oracle — while state per key stays n longs no
-    * matter how long the stream runs. Rows must arrive per-key ordered
-    * (the staging contract); out-of-order production streams put a
+    * matter how long the stream runs. WITHIN a micro-batch the processor
+    * sorts each key's rows by `ord` itself (Spark only groups by key, it
+    * does not order the intra-key iterator); ACROSS micro-batches rows
+    * must still arrive in order — out-of-order production streams put a
     * watermark sort in front (q44's pattern). */
   def streamingAnomaly(spark: SparkSession, stream: DataFrame,
                        key: String, ord: String, cents: String,
@@ -369,7 +371,12 @@ object Pipelines {
         tv: TimerValues): Iterator[(String, Long, Long)] = {
       var buf = if (ring.exists()) ring.get().toVector else Vector.empty[Long]
       val out = Vector.newBuilder[(String, Long, Long)]
-      rows.foreach { case (_, ord, c) =>
+      // Spark only groups stateful-operator input by key — intra-key
+      // iterator order within a micro-batch is NOT guaranteed with a
+      // multi-partition source. Sort the batch's rows by `ord` (cheap:
+      // per key per batch) so the replay matches the batch oracle
+      // regardless of source partitioning.
+      rows.toVector.sortBy(_._2).foreach { case (_, ord, c) =>
         if (buf.length == n) {
           var s = 0L
           var s2 = 0L

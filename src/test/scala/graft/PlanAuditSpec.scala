@@ -355,15 +355,18 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
-  test("q139 IVF-PQ: probe filter prunes candidates pre-ADC, all joins broadcast") {
+  test("q139 IVF-PQ: ADC scoring is a broadcast HASH join on the probed cell (no nested loop)") {
     val df = SparkEntry.queries("q139_ivf_pq_topk")(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==").head
-    // the probe-membership filter must sit in the scored stage (cells
-    // pruned before ADC lookups), and nothing shuffle-joins the corpus
-    assert(plan.contains("array_contains"),
-      "probe filter missing from the plan:\n" + plan.take(3000))
+    // probe pruning IS the equi-join: per-(query, probed cell) LUT rows
+    // broadcast and hash-join the coded corpus on `cell`, so a corpus row
+    // meets exactly the queries probing its cell — never every query
+    // pre-filter (the old crossJoin+array_contains nested loop)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "ADC scoring fell back to a nested loop:\n" + plan.take(3000))
     assert(!plan.contains("SortMergeJoin"),
       "corpus entered a shuffle join:\n" + plan.take(3000))
   }
