@@ -8,8 +8,9 @@ import graft.tables.Tables
 
 /** Similarity-search queries over `embeddings` (north-star ANN ops).
   * q40/q41 carry DuckDB oracles (list-comprehension dot products with the
-  * same sequential fold); q42's LSH buckets depend on seeded hyperplanes →
-  * rows-only check, recall cross-validated against q41 in unit tests. */
+  * same sequential fold); q42's seeded hyperplanes are emitted into its
+  * oracle as literals (the q39 full-replay discipline applied to
+  * sign-LSH), so the whole bucket→join→cosine→rank pipeline hash-checks. */
 object SimilarityQueries extends QueryPack {
 
   /** Embedding-cosine near-dup pairs within label blocks. Explicitly
@@ -224,7 +225,52 @@ object SimilarityQueries extends QueryPack {
     "q109_ivf_quantized_topk" -> ivfQuantizedTopK
   )
 
+  /** q42's oracle, generated: the 2-plane × 8-table seeded hyperplanes
+    * are DETERMINISTIC (scala.util.Random(seed).nextGaussian — identical
+    * in the query and here), so they embed as double literals that
+    * round-trip exactly (shortest-repr toString), and DuckDB replays the
+    * whole pipeline: per-(vec, table) sign-bit bucket, bucket equi-join,
+    * pair dedup across tables, the q41 cosine, rank. Any drift in the
+    * plane generation, the bucket arithmetic, or the amplification logic
+    * hash-fails. */
+  private def lshTopKOracle: String = {
+    val tables = Array.tabulate(8)(t => Similarity.hyperplanes(2, 64, 42L + t))
+    val planeRows = (for { t <- 0 until 8; p <- 0 until 2 } yield {
+      val coefs = tables(t)(p).map(_.toString).mkString("[", ", ", "]")
+      s"($t, $p, $coefs::DOUBLE[])"
+    }).mkString(",\n    ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |pl(tbl, p, coef) AS (VALUES
+       |    $planeRows),
+       |b AS (
+       |  SELECT v.vec_id, pl.tbl,
+       |         CAST(sum(CASE WHEN list_sum([v.dv[i]*pl.coef[i]
+       |                                      for i in range(1, 65)]) >= 0
+       |                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM v CROSS JOIN pl
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+       |s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])
+       |           / (sqrt(list_sum([q.dv[i]*q.dv[i] for i in range(1, 65)]))
+       |              * sqrt(list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)]))) AS cosine
+       |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+       |            JOIN v c ON c.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q42_ann_lsh_topk" -> lshTopKOracle,
     // q139's coarse layer + PQ over RESIDUALS (x − centroid(cell)):
     // per-(query, probed cell) LUTs on the query's per-cell residual,
     // scoring joined on the coarse cell, exact rerank on raw vectors.
