@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for the training-data pipeline (north star):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * The decode step is a clearly-marked STUB — the container ships no
-  * image/audio codecs, so `fakeDecode` derives deterministic pseudo
-  * features (byte histogram moments) from the payload. Everything around
-  * it is the real Spark plumbing this operator needs at 100 TB: explicit
-  * schema, binary payload column, typed Dataset boundary, batched
-  * per-partition processing (the Scala analog of `mapInPandas` batch
-  * shape), and partition-friendly outputs.
+  * IMAGE decode is REAL: PNG payloads (magic-sniffed) decode through the
+  * JDK's `javax.imageio` — no external codec needed — and features come
+  * from actual pixels ([[pngStats]] / the PNG branch of [[fakeDecode]]).
+  * Audio/video decode remains a clearly-marked STUB (the container ships
+  * no media codecs): `fakeDecode` derives deterministic pseudo features
+  * (byte histogram moments) from the raw payload. Everything around the
+  * decode is the real Spark plumbing this operator needs at 100 TB:
+  * explicit schema, binary payload column, typed Dataset boundary,
+  * batched per-partition processing (the Scala analog of `mapInPandas`
+  * batch shape), and partition-friendly outputs.
   */
 object Multimodal {
 
@@ -44,14 +47,47 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: byte histogram moments + a 16-dim pseudo-embedding.
-    * Replace with a real codec (JNI/ImageIO/ffmpeg) in deployment; the
-    * signature and batch shape are the contract. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  /** Real PNG decode via the JDK's `javax.imageio` (no external codec):
+    * Some((width, height, gray samples row-major)) for a decodable PNG
+    * payload, None otherwise. Pixel values are band-0 raster samples —
+    * exact for the TYPE_BYTE_GRAY images [[pngFromDocuments]] writes
+    * (PNG is lossless). */
+  private[multimodal] def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < PngMagic.length ||
+        !bytes.startsWith(PngMagic)) return None
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+  }
+
+  /** Decode: REAL for PNG payloads (histogram moments + 16-bin features
+    * over actual `javax.imageio`-decoded pixels), STUB for everything
+    * else (same moments over raw payload bytes — the container has no
+    * audio/video codecs; replace with JNI/ffmpeg in deployment, the
+    * signature and batch shape are the contract). */
   private[multimodal] def fakeDecode(rec: MediaRecord): MediaFeatures = {
+    val values: Array[Int] = decodePng(rec.bytes) match {
+      case Some((_, _, px)) => px
+      case None => rec.bytes.map(b => b & 0xff)
+    }
     val hist = new Array[Long](256)
-    rec.bytes.foreach(b => hist(b & 0xff) += 1)
-    val n = math.max(rec.bytes.length, 1)
-    val mean = rec.bytes.map(b => (b & 0xff).toDouble).sum / n
+    values.foreach(v => hist(v) += 1)
+    val n = math.max(values.length, 1)
+    val mean = values.map(_.toDouble).sum / n
     val entropy = -hist.filter(_ > 0).map { c =>
       val p = c.toDouble / n; p * math.log(p) / math.log(2)
     }.sum
@@ -72,6 +108,71 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init hook would live here (codec/model handle)
         batch.iterator.map(fakeDecode)
+      }
+    }
+  }
+
+  /** Per-image stats decoded from REAL pixels — the oracle-checkable
+    * surface of the imageio path. */
+  case class PngStats(media_id: Long, img_w: Int, img_h: Int,
+                      px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Deterministic REAL PNGs over `documents`: each doc renders a small
+    * TYPE_BYTE_GRAY image (w = n_chars mod 13 + 4, h = doc_id mod 9 + 4)
+    * whose pixel (x, y) is (doc_id·31 + 7x + 13y) mod 256, encoded with
+    * `javax.imageio` ON THE EXECUTORS (the encode is distributed work,
+    * not fixture prep). Because PNG is lossless and the formula is pure
+    * column arithmetic, a DuckDB oracle can replay the decoded pixel
+    * aggregates without any codec — the decode itself is what's under
+    * test. */
+  def pngFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (pmod(col("n_chars"), lit(13)) + 4).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(9)) + 4).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        val bos = new java.io.ByteArrayOutputStream()
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y, 256L).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          bos.reset()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image", bos.toByteArray,
+            MediaMeta(w, h, 0, 0L, "png"))
+        }
+      }
+  }
+
+  /** Decode every PNG payload (REAL `javax.imageio` decode) to
+    * per-image dimension + pixel aggregates. Fails loudly on a payload
+    * that does not decode — a silent skip would make a corrupt corpus
+    * look clean. */
+  def pngStats(media: Dataset[MediaRecord]): Dataset[PngStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val (w, h, px) = decodePng(rec.bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"media_id=${rec.media_id}: payload is not a decodable PNG"))
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        px.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+        PngStats(rec.media_id, w, h, sum, mn, mx)
       }
     }
   }

@@ -46,10 +46,22 @@ object MultimodalQueries extends QueryPack {
       .orderBy("kind")
   }
 
+  /** q149: REAL image decode — executors render deterministic gray PNGs
+    * with `javax.imageio`, then decode them back and aggregate actual
+    * pixels. The oracle replays the pixel formula ((doc_id·31 + 7x + 13y)
+    * mod 256 over w×h) as pure SQL, so a wrong decoded dimension, a lossy
+    * roundtrip, or a raster-order bug all hash-fail. This closes the one
+    * decode the container allows to be real; audio/video stay stubbed. */
+  private def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.pngFromDocuments(Tables.documents(spark, dir))
+    Multimodal.pngStats(media).toDF().orderBy("media_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_media_features" -> mediaFeatures,
     "q77_frame_sample" -> frameSample,
-    "q78_resize_meta" -> resizeMeta
+    "q78_resize_meta" -> resizeMeta,
+    "q149_png_decode" -> pngDecode
   )
 
   override def oracles: Map[String, String] = Map(
@@ -72,6 +84,26 @@ object MultimodalQueries extends QueryPack {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |                       ELSE 'video' END AS kind,
         |       count(*) AS n, 224 AS min_w, 224 AS max_h
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pixel-formula replay: p runs row-major over w×h, x = p mod w,
+    // y = p div w — the same raster order the Spark side writes and
+    // reads. PNG is lossless, so the decoded aggregates must match the
+    // formula exactly.
+    "q149_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 9 + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         [ (doc_id*31 + (p % w)*7 + (p // w)*13) % 256
+        |           for p in range(0, w*h) ] AS vs
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS INTEGER) AS img_w,
+        |       CAST(h AS INTEGER) AS img_h,
+        |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
+        |       CAST(list_min(vs) AS INTEGER) AS px_min,
+        |       CAST(list_max(vs) AS INTEGER) AS px_max
+        |FROM px ORDER BY media_id""".stripMargin
   )
 }

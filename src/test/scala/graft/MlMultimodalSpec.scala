@@ -129,4 +129,40 @@ class MlMultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resize(media, 224, 224).collect()
     assert(resized.forall(r => r.meta.width == 224 && r.meta.height == 224))
   }
+
+  test("multimodal: PNG encode→decode roundtrip is lossless and matches the pixel formula") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val media = Multimodal.pngFromDocuments(docs)
+    // payloads are genuine PNGs (magic + imageio-decodable)
+    val recs = media.collect()
+    assert(recs.nonEmpty && recs.forall(r =>
+      (r.bytes(0) & 0xff) == 0x89 && r.bytes(1) == 'P'.toByte))
+    val stats = Multimodal.pngStats(media).collect().sortBy(_.media_id)
+    val expected = docs.select("doc_id", "n_chars")
+      .collect().map { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        val w = (nc % 13 + 4).toInt
+        val h = (id % 9 + 4).toInt
+        val vs = for { y <- 0 until h; x <- 0 until w }
+          yield java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y, 256L)
+        (id, w, h, vs.sum, vs.min.toInt, vs.max.toInt)
+      }.sortBy(_._1)
+    assert(stats.map(s =>
+      (s.media_id, s.img_w, s.img_h, s.px_sum, s.px_min, s.px_max)).toSeq
+      == expected.toSeq)
+  }
+
+  test("multimodal: fakeDecode's PNG branch features real pixels, not payload bytes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
+    val media = Multimodal.pngFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val stats = Multimodal.pngStats(media).collect().sortBy(_.media_id)
+    feats.zip(stats).foreach { case (f, s) =>
+      val pixelMean = s.px_sum.toDouble / (s.img_w * s.img_h)
+      assert(math.abs(f.byte_mean - pixelMean) < 1e-9,
+        s"media ${f.media_id}: decode fell back to raw bytes")
+      // n_bytes is the ENCODED payload size (PNG header alone is > 8)
+      assert(f.n_bytes > 8)
+    }
+  }
 }
