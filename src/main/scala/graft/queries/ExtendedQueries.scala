@@ -184,9 +184,37 @@ object ExtendedQueries extends QueryPack {
         (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
       .orderBy("event_type")
 
+  /** q150: DYNAMIC PARTITION PRUNING driver-visible — the classic star
+    * shape at 100 TB: a fact table PARTITIONED on the join key and a dim
+    * side whose surviving keys are only known at runtime (here an
+    * aggregate + filter over orders). Catalyst inserts a dynamic pruning
+    * subquery on the fact scan's partition column, so only the dim's
+    * partitions are ever read — file-level pruning decided at RUNTIME,
+    * the partition-granularity sibling of q118's min/max file pruning.
+    * PlanAuditSpec asserts `dynamicpruningexpression` on the scan. The
+    * fact rewrite is part of the query (the sf dirs are unpartitioned);
+    * sums ride exact cents so the oracle hash-matches. */
+  private def dppPartitionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val factDir = MlQueries.tempDirDeletedOnExit("graft_dpp_")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(factDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = orders.groupBy("o_orderpriority")
+      .agg(max("o_totalprice").as("prio_max_price"))
+      .where(col("o_orderpriority") < "3")
+    fact.join(broadcast(dim), Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        max(when(col("o_totalprice") === col("prio_max_price"),
+          col("o_orderkey"))).as("max_price_orderkey"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
+    "q150_dpp_partition_join" -> dppPartitionJoin,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -198,6 +226,21 @@ object ExtendedQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the dim aggregate + filter replayed, then the fact join — the
+    // partitioned rewrite is byte-lossless parquet→parquet, so the
+    // original orders table stands in for the fact
+    "q150_dpp_partition_join" ->
+      """WITH dim AS (
+        |  SELECT o_orderpriority, max(o_totalprice) AS mp
+        |  FROM orders WHERE o_orderpriority < '3' GROUP BY 1)
+        |SELECT o.o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       max(CASE WHEN o.o_totalprice = d.mp THEN o.o_orderkey END)
+        |         AS max_price_orderkey
+        |FROM orders o JOIN dim d USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q138_topk_aggregate" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS n,

@@ -388,6 +388,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus-sized SinglePartition exchange leaked ($singles):\n" + plan.take(3000))
   }
 
+  test("q150 DPP: a runtime dynamic pruning filter reaches the partitioned fact scan") {
+    val df = SparkEntry.queries("q150_dpp_partition_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruningexpression"),
+      "no dynamic partition pruning on the fact scan:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
