@@ -315,7 +315,33 @@ object RelationalQueries extends QueryPack {
       .orderBy("o_year", "o_month")
   }
 
+  /** q151: broadcast bloom-filter join pre-filter ([[graft.ops.BloomJoin]])
+    * — a selective dim (urgent+finished orders, ~10% of keys) builds a
+    * bloom that rides the fact SCAN as the codegen'd
+    * `might_contain(xxhash64(key))` predicate, so at scale the join
+    * shuffles only the matching share of lineitem instead of all of it
+    * (the explicit form of Spark's InjectRuntimeFilter, not subject to
+    * its size thresholds). No false negatives; the join removes false
+    * positives — the result is exactly the plain join, which is the
+    * oracle. */
+  private def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val pre = graft.ops.BloomJoin.bloomPrefilter(
+      Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey",
+      expectedDimKeys = math.max(dim.count(), 1L))
+    pre.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_bloom_join" -> bloomJoin,
     "q02_pricing_summary" -> pricingSummary,
     "q03_top_revenue_orders" -> topRevenueOrders,
     "q04_late_priorities" -> latePriorities,
@@ -338,6 +364,18 @@ object RelationalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the bloom is a pure pre-filter (no false negatives, join removes
+    // false positives) — the plain selective join IS the semantics
+    "q151_bloom_join" ->
+      """SELECT l.l_returnflag,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       count(DISTINCT l.l_orderkey) AS n_orders
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q02_pricing_summary" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus, l_quantity,

@@ -210,8 +210,22 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q152: Matryoshka-style two-stage retrieval — prefix-16 cosine
+    * shortlists 50 per query (the stage-1 join moves only a quarter of
+    * the float volume), full-64-dim exact cosine reranks to top-5.
+    * Deterministic arithmetic end to end, so the oracle replays both
+    * stages (list_slice fold + the q41 fold). */
+  private def prefixRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.prefixRerankTopK(emb, emb.where(col("vec_id") < 10),
+        id = "vec_id", vec = "embedding", k = 5, prefixDim = 16,
+        shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_neardup" -> cosineNearDup,
+    "q152_prefix_rerank_topk" -> prefixRerank,
     "q130_pq_adc_topk" -> pqAdcTopK,
     "q139_ivf_pq_topk" -> ivfPqTopK,
     "q145_ivf_residual_pq_topk" -> ivfResidualPqTopK,
@@ -271,6 +285,37 @@ object SimilarityQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q42_ann_lsh_topk" -> lshTopKOracle,
+    // both stages replayed: prefix-16 shortlist (same DESC/id tie order),
+    // then the full-dim q41 fold over shortlisted pairs only
+    "q152_prefix_rerank_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |p AS (SELECT vec_id, dv[1:16] AS pv FROM v),
+        |s1 AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.pv[i]*c.pv[i] for i in range(1, 17)])
+        |           / (sqrt(list_sum([q.pv[i]*q.pv[i] for i in range(1, 17)]))
+        |              * sqrt(list_sum([c.pv[i]*c.pv[i] for i in range(1, 17)]))) AS pcos
+        |  FROM p q JOIN p c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY pcos DESC, neighbor_id ASC) AS srn
+        |    FROM s1) WHERE srn <= 50),
+        |s2 AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])
+        |           / (sqrt(list_sum([q.dv[i]*q.dv[i] for i in range(1, 65)]))
+        |              * sqrt(list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)]))) AS cosine
+        |  FROM short s JOIN v q ON q.vec_id = s.query_id
+        |               JOIN v c ON c.vec_id = s.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM s2)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q139's coarse layer + PQ over RESIDUALS (x − centroid(cell)):
     // per-(query, probed cell) LUTs on the query's per-cell residual,
     // scoring joined on the coarse cell, exact rerank on raw vectors.

@@ -146,6 +146,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Coarse-to-fine retrieval on PREFIX dimensions — the Matryoshka-
+    * representation trick (Kusupati et al., NeurIPS 2022): embeddings
+    * trained front-loaded carry most of the signal in their first dims,
+    * so stage 1 scores every candidate on only the first `prefixDim`
+    * dims and stage 2 exact-reranks the per-query `shortlist` on full
+    * vectors. At 100 TB the win is bandwidth, not pair count: the
+    * stage-1 join moves prefixDim/dim of the float volume (the slice is
+    * projected IN THE SCAN, before the broadcast join), and full
+    * vectors are read only for shortlist×queries rows — the same
+    * "heavy side never shuffles floats" shape as [[graft.similarity.Pq]]'s
+    * rerank. Both stages are plain deterministic arithmetic, so the
+    * oracle replays them exactly (list_slice + the q41 fold). */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                       vec: String, k: Int, prefixDim: Int,
+                       shortlist: Int): DataFrame = {
+    require(prefixDim > 0 && shortlist >= k,
+      s"need prefixDim > 0 and shortlist >= k, got $prefixDim/$shortlist/$k")
+    def prefixed(df: DataFrame, idOut: String, pOut: String, nOut: String) =
+      df.select(col(id).as(idOut),
+          slice(vecDouble(col(vec)), 1, prefixDim).as(pOut))
+        .withColumn(nOut, norm(col(pOut)))
+    val qp = prefixed(queries, "query_id", "qp", "qpn")
+    val cp = prefixed(corpus, "neighbor_id", "cp", "cpn")
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(desc("pcos"), asc("neighbor_id"))
+    val short = cp.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+      .withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(id).as("neighbor_id"),
+      vecDouble(col(vec)).as("cv")).withColumn("cn", norm(col("cv")))
+    val qv = queries.select(col(id).as("query_id"),
+      vecDouble(col(vec)).as("qv")).withColumn("qn", norm(col("qv")))
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wFull))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCells` cells over L2-NORMALIZED vectors (unit-sphere
     * L2 is monotone in cosine, so cells respect angular locality); each

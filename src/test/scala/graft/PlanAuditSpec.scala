@@ -397,6 +397,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q151 bloom join: might_contain rides the fact scan stage (codegen, pre-join)") {
+    val df = SparkEntry.queries("q151_bloom_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"),
+      "bloom pre-filter missing from the plan:\n" + plan.take(3000))
+    // the filter must sit BELOW the join: in the plan string the join
+    // node prints before its children, so might_contain appearing only
+    // after the first Join line means it filters a join INPUT
+    assert(!plan.contains("ScalaUDF"),
+      "bloom probe fell back to a UDF:\n" + plan.take(3000))
+  }
+
+  test("q152 prefix rerank: stage-1 join moves only the 16-dim slice, rerank joins broadcast") {
+    val df = SparkEntry.queries("q152_prefix_rerank_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus floats entered a shuffle join:\n" + plan.take(3000))
+    // stage 1 must slice in the scan projection: the full 64-dim
+    // vecDouble transform appears only in the rerank leg's scan
+    assert(plan.contains("slice"), plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)

@@ -21,6 +21,22 @@ class StreamingSpec extends AnyFunSuite {
     name
   }
 
+  /** Stop a continuously-triggering stream INSIDE its idle window: a
+    * timeout-mode stream can never drain (`processAllAvailable` never
+    * returns — shouldRunAnotherBatch is unconditionally true), so a bare
+    * `stop()` lands mid-batch and aborts an in-flight RocksDB commit —
+    * benign, but it spews ERROR stack traces into a green run. Waiting
+    * for `!isTriggerActive` (with the trigger interval comfortably above
+    * the batch time) makes the stop land between batches. */
+  private def quiesceStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val deadline = System.currentTimeMillis() + 15000L
+    try {
+      while (q.status.isTriggerActive && System.currentTimeMillis() < deadline)
+        Thread.sleep(5L)
+    } catch { case _: Throwable => () } // a failed stream still must stop
+    q.stop()
+  }
+
   test("E1: wire JSON parses through the declared schema (features_engineering.py:38-40)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[String]
@@ -74,9 +90,11 @@ class StreamingSpec extends AnyFunSuite {
     val filtered = Pipelines.highWatermarkFilterTtl(spark, stream,
       "symbol", "ts", ttlMs = 2000L)
     val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // 500 ms trigger: far above the ~100-300 ms batch time, so the
+    // stream has real idle windows for quiesceStop to land in
     val q = filtered.writeStream.outputMode("append").format("memory")
       .queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
       .start()
     def awaitRows(n: Long): Unit = {
       val deadline = System.currentTimeMillis() + 60000L
@@ -97,7 +115,7 @@ class StreamingSpec extends AnyFunSuite {
       // The SAME stale row now re-admits (key restarted cold).
       input.addData(("AAPL", 150L))
       awaitRows(2L)
-    } finally q.stop()
+    } finally quiesceStop(q)
     val got = spark.table(name).as[(String, Long)].collect().toSeq
       .groupBy(identity).view.mapValues(_.size).toMap
     // exactly one admission of the stale row — the in-TTL copy was
@@ -118,9 +136,10 @@ class StreamingSpec extends AnyFunSuite {
       val filtered = Pipelines.highWatermarkFilterTws(spark, stream,
         "symbol", "ts", ttlMs = 2000L)
       val name = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // 500 ms trigger + quiesced stop: see the fMGWS TTL test above
       val q = filtered.writeStream.outputMode("append").format("memory")
         .queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
         .start()
       def awaitRows(n: Long): Unit = {
         val deadline = System.currentTimeMillis() + 60000L
@@ -138,7 +157,7 @@ class StreamingSpec extends AnyFunSuite {
         // the SAME stale row now re-admits (key restarted cold)
         input.addData(("AAPL", 150L))
         awaitRows(2L)
-      } finally q.stop()
+      } finally quiesceStop(q)
       val got = spark.table(name).as[(String, Long)].collect().toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       assert(got == Map(("AAPL", 200L) -> 1, ("AAPL", 150L) -> 1),
