@@ -211,10 +211,30 @@ object ExtendedQueries extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** q154: semi-structured data through Spark 4's VARIANT type — the
+    * engine-native answer to JSON columns at scale: `parse_json` once
+    * into the binary variant encoding (parsed in the scan, no
+    * re-tokenizing per field access), then typed `variant_get` paths.
+    * Against q17's string-functions approach this is the production
+    * shape: one parse, typed extraction, codegen end to end. The oracle
+    * extracts the same paths with DuckDB's JSON operators. */
+  private def variantJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
+    "q154_variant_json" -> variantJson,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -241,6 +261,16 @@ object ExtendedQueries extends QueryPack {
         |         AS max_price_orderkey
         |FROM orders o JOIN dim d USING (o_orderpriority)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB JSON path extraction of the same field; ->> returns text,
+    // cast to the variant_get target type
+    "q154_variant_json" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q138_topk_aggregate" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS n,

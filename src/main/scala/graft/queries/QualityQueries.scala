@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.quality.Profile
 import graft.tables.Tables
@@ -182,7 +183,33 @@ object QualityQueries extends QueryPack {
       .orderBy("fk")
   }
 
+  /** q153: pipeline telemetry via `Dataset.observe` (CollectMetrics) —
+    * production jobs attach metrics to a pass they're ALREADY making
+    * (row counts, checksums, freshness) instead of paying a second scan
+    * for monitoring. The metrics ride the task stream as accumulator-
+    * style partial aggregates (no shuffle, no extra action); the driver
+    * reads ONE bounded row per named observation. The oracle recomputes
+    * the same aggregates in SQL — proving the piggybacked metrics equal
+    * a dedicated aggregation pass. */
+  private def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 0)
+      .observe("scan_metrics",
+        count(lit(1)).as("n_rows"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("first_ship"))
+    // drive THIS frame's own QueryExecution (a write/count would build a
+    // NEW one and leave these metrics accumulators empty); the rows are
+    // consumed on the executors, nothing returns to the driver
+    obs.queryExecution.toRdd.foreach(_ => ())
+    val row = obs.queryExecution.observedMetrics("scan_metrics")
+    spark.createDataFrame(java.util.Arrays.asList(row), row.schema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_observed_metrics" -> observedMetrics,
     "q134_key_skew_profile" -> keySkewProfile,
     "q135_fk_audit" -> fkAudit,
     "q100_column_profile" -> ordersProfile,
@@ -193,6 +220,14 @@ object QualityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the piggybacked observe metrics must equal a dedicated aggregation
+    "q153_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       max(l_orderkey) AS max_orderkey,
+        |       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship
+        |FROM lineitem WHERE l_quantity > 0""".stripMargin,
     "q134_key_skew_profile" ->
       """WITH g AS (
         |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
