@@ -200,7 +200,39 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q155: deterministic integer PageRank over the customer↔supplier
+    * interaction graph ([[graft.ops.PageRank]]) — link analysis as a
+    * crawl-curation signal, reproducible on a cluster because every
+    * step is exact int64 arithmetic (float PageRank isn't even
+    * run-to-run stable distributed). 3 iterations, damping 85/100;
+    * node ids disambiguate the bipartite sides by parity. The final
+    * top-20 window runs over the NODE table (dimension-sized) — the
+    * corpus-scale work is the per-iteration edge join + sum. The
+    * oracle unrolls all three iterations in SQL with the same integral
+    * divisions. */
+  private def pagerankTop(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cust"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("supp"))
+    val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust").as("a"), col("supp").as("b")).distinct()
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rank_fixed"), asc("node"))
+    graft.ops.PageRank.integerPageRank(edges, "a", "b", iters = 3)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 20)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("node_type"),
+        shiftright(col("node"), 1).as("entity_id"),
+        col("rank_fixed"), col("rank"))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_pagerank" -> pagerankTop,
     "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
@@ -213,6 +245,45 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // all three integer iterations unrolled; // is floor division ==
+    // Spark's truncating div on these all-positive values. S = 2^20,
+    // teleport = S*15/100 = 157286.
+    "q155_pagerank" ->
+      """WITH base AS (
+        |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT a, b FROM base UNION ALL SELECT b, a FROM base),
+        |nodes AS (SELECT DISTINCT a AS node FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1048576 AS BIGINT) AS r FROM nodes),
+        |it1 AS (
+        |  SELECT n.node, 157286 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.b AS node, sum(r.r // d.deg) AS c
+        |    FROM e JOIN r0 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |    GROUP BY 1) s ON s.node = n.node),
+        |it2 AS (
+        |  SELECT n.node, 157286 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.b AS node, sum(r.r // d.deg) AS c
+        |    FROM e JOIN it1 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |    GROUP BY 1) s ON s.node = n.node),
+        |it3 AS (
+        |  SELECT n.node, 157286 + (85 * COALESCE(s.c, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.b AS node, sum(r.r // d.deg) AS c
+        |    FROM e JOIN it2 r ON r.node = e.a JOIN deg d ON d.a = e.a
+        |    GROUP BY 1) s ON s.node = n.node),
+        |ranked AS (
+        |  SELECT node, r,
+        |         row_number() OVER (ORDER BY r DESC, node) AS rank
+        |  FROM it3)
+        |SELECT CASE node % 2 WHEN 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       node // 2 AS entity_id,
+        |       CAST(r AS BIGINT) AS rank_fixed,
+        |       rank
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // Distinct 5-token spans per doc (same set semantics as
     // WordShingles), span df across docs, >=2 → shared.
     "q122_shared_spans" ->

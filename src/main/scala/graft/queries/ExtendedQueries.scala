@@ -230,11 +230,40 @@ object ExtendedQueries extends QueryPack {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** q156: schema evolution across parquet batches — production tables
+    * DRIFT (columns appear over time), and a reader must reconcile old
+    * and new files without rewriting history. Two batches with
+    * different schemas (the second adds `user_id`) are read back with
+    * `mergeSchema`: old rows surface the new column as null, and the
+    * aggregate proves exactly which rows carry it. mergeSchema is a
+    * FOOTER-level merge (per-file metadata, no data read) — at 100 TB
+    * the reconciliation cost is file-count-, not byte-, proportional. */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = MlQueries.tempDirDeletedOnExit("graft_evolve_")
+    val base = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"),
+      col("user_id"))
+    base.where(pmod(col("event_id"), lit(2)) === 0)
+      .drop("user_id") // the old schema, before user_id existed
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    base.where(pmod(col("event_id"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        count(col("user_id")).as("n_with_user"),
+        sum("user_id").as("sum_users"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
     "q154_variant_json" -> variantJson,
+    "q156_schema_evolution" -> schemaEvolution,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -271,6 +300,15 @@ object ExtendedQueries extends QueryPack {
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merged read = all rows, with user_id present only for odd
+    // event_ids (the new-schema batch)
+    "q156_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_user,
+        |       CAST(sum(CASE WHEN event_id % 2 = 1 THEN user_id END) AS BIGINT)
+        |         AS sum_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q138_topk_aggregate" ->
       """WITH a AS (
         |  SELECT event_type, count(*) AS n,
