@@ -28,4 +28,24 @@ object Merge {
       .where(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Latest-wins merge WITH TOMBSTONES — the full CDC contract: an
+    * update stream carries inserts/updates AND deletes (`opCol` = "D"),
+    * and a key whose NEWEST version is a delete leaves the snapshot
+    * entirely (a stale update arriving after the delete must NOT
+    * resurrect it — that is exactly what latest-wins gives for free).
+    * Same scale shape as [[upsertLatest]]: one key shuffle, one window
+    * pass, the tombstone filter rides the same stage. Base rows are
+    * implicit upserts (op = ""). */
+  def mergeWithDeletes(base: DataFrame, updates: DataFrame, key: String,
+                       version: String, tiebreak: String,
+                       opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).desc, col(tiebreak).desc)
+    base.withColumn(opCol, lit(""))
+      .unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol)
+  }
 }

@@ -258,12 +258,37 @@ object ExtendedQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q158: the rank-family window surface — ntile / percent_rank /
+    * cume_dist — per event type over exact cents. The window ORDER is
+    * made total with the unique event_id tiebreak, so ntile's
+    * positional buckets are deterministic; percent_rank/cume_dist are
+    * exact rational arithmetic ((rank−1)/(n−1), frac ≤) computed
+    * identically by both engines, and only order-safe aggregates (max)
+    * touch the doubles. */
+  private def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("q", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("event_type", "q")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_c"), max("cents").as("max_c"),
+        max("pr").as("max_pr"), max("cd").as("max_cd"))
+      .orderBy("event_type", "q")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
     "q154_variant_json" -> variantJson,
     "q156_schema_evolution" -> schemaEvolution,
+    "q158_window_rank_stats" -> windowRankStats,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -300,6 +325,24 @@ object ExtendedQueries extends QueryPack {
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_window_rank_stats" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, cents,
+        |         ntile(4) OVER (PARTITION BY event_type
+        |                        ORDER BY cents, event_id) AS q,
+        |         percent_rank() OVER (PARTITION BY event_type
+        |                              ORDER BY cents, event_id) AS pr,
+        |         cume_dist() OVER (PARTITION BY event_type
+        |                           ORDER BY cents, event_id) AS cd
+        |  FROM c)
+        |SELECT event_type, q, count(*) AS n,
+        |       min(cents) AS min_c, max(cents) AS max_c,
+        |       max(pr) AS max_pr, max(cd) AS max_cd
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the merged read = all rows, with user_id present only for odd
     // event_ids (the new-schema batch)
     "q156_schema_evolution" ->

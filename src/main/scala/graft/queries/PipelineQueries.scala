@@ -34,6 +34,35 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q157: CDC merge WITH TOMBSTONES ([[Merge.mergeWithDeletes]]) — the
+    * full change-stream contract: updates double every 10th event an
+    * hour later, deletes tombstone every 7th two hours later, so keys
+    * divisible by 70 see an update THEN a delete — latest-wins makes
+    * the delete stick and the stale update cannot resurrect the row.
+    * One key shuffle, one window pass; oracle replays union + window +
+    * tombstone filter. */
+  private def mergeDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "event_type", "value", "ts")
+    val base = ev.withColumn("src", lit(0))
+    val ups = ev.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      .withColumn("src", lit(1))
+      .withColumn("op", lit("U"))
+    val dels = ev.where(col("event_id") % 7 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 2 HOUR"))
+      .withColumn("src", lit(2))
+      .withColumn("op", lit("D"))
+    Merge.mergeWithDeletes(base, ups.unionByName(dels),
+        key = "event_id", version = "ts", tiebreak = "src", opCol = "op")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   /** q66: salted skew join lineitem ⋈ supplier — result must equal the
     * plain equi-join (the oracle IS the unsalted SQL). */
   private def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -512,6 +541,7 @@ object PipelineQueries extends QueryPack {
     "q132_reservoir_sample" -> reservoirSample,
     "q146_curation_funnel" -> curationFunnel,
     "q65_upsert_latest" -> upsertLatest,
+    "q157_merge_deletes" -> mergeDeletes,
     "q66_salted_join" -> saltedJoin,
     "q67_stream_static_enrich" -> streamStaticEnrich,
     "q68_countmin_check" -> countMinCheck,
@@ -708,6 +738,26 @@ object PipelineQueries extends QueryPack {
         |       CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
         |       min(z) AS z_min, max(z) AS z_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q157_merge_deletes" ->
+      """WITH u AS (
+        |  SELECT event_id, event_type, value, ts, 0 AS src, '' AS op
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, value * 2, ts + INTERVAL 1 HOUR, 1, 'U'
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, ts + INTERVAL 2 HOUR, 2, 'D'
+        |  FROM events WHERE event_id % 7 = 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |                               ORDER BY ts DESC, src DESC) AS rn
+        |  FROM u)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       max(event_id) AS max_id
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q65_upsert_latest" ->
       """WITH u AS (
         |  SELECT event_id, event_type, value, ts FROM events

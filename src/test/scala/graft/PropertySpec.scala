@@ -196,4 +196,38 @@ class PropertySpec extends AnyFunSuite {
       .as[(Double, Double)].collect()
     got.foreach { case (d, h) => assert(d == h) } // exact, not approx
   }
+
+  test("property: bloom pre-filter never drops a matching fact row (no false negatives)") {
+    forAll(Gen.chooseNum(1, 500), n = 3) { dimSize =>
+      val fact = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 3).as("v"))
+      val dim = spark.range(0, dimSize.toLong)
+        .select((col("id") * 7 % 2000).as("k")).distinct()
+      val pre = graft.ops.BloomJoin.bloomPrefilter(
+        fact, "k", dim, "k", expectedDimKeys = dimSize.toLong)
+      val exact = fact.join(dim, "k").count()
+      val prefiltered = pre.join(dim, "k").count()
+      assert(prefiltered == exact,
+        s"bloom dropped matching rows: $prefiltered != $exact")
+      // and it actually filters: the pass-through superset stays small
+      assert(pre.count() >= exact)
+    }
+  }
+
+  test("property: tombstone merge — newest delete wins, stale updates cannot resurrect") {
+    import graft.ops.Merge
+    // key 1: update then delete (delete newest) → gone
+    // key 2: delete then LATER update → resurrected legitimately
+    // key 3: base only → survives
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("k", "payload", "ver").withColumn("src", lit(0))
+    val changes = Seq(
+      (1L, "a2", 1L, 1, "U"), (1L, "GONE", 2L, 1, "D"),
+      (2L, "DEAD", 1L, 1, "D"), (2L, "b2", 2L, 1, "U"))
+      .toDF("k", "payload", "ver", "src", "op")
+    val got = Merge.mergeWithDeletes(base, changes,
+        key = "k", version = "ver", tiebreak = "src", opCol = "op")
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b2"), (3L, "c")), got)
+  }
 }
