@@ -50,15 +50,19 @@ object Bench {
                 recordFailure: Boolean): Double = {
       val warm = run1(name, fn, recordFailure)
       if (!warm._2) return warm._1
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val okTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failTime = -1.0
       var rep = 0
-      var broke = false
-      while (rep < reps && !broke) {
+      while (rep < reps && failTime < 0) {
         val (t, ok) = run1(name, fn, recordFailure)
-        if (ok) times += t else { broke = true; times += t }
+        if (ok) okTimes += t else failTime = t
         rep += 1
       }
-      times.toSeq.sorted.apply(times.size / 2)
+      // median over SUCCESSFUL reps only — a mid-run failure must not
+      // become the reported median when clean measurements exist;
+      // elapsed-to-failure is the headline only when nothing succeeded
+      if (okTimes.nonEmpty) okTimes.toSeq.sorted.apply(okTimes.size / 2)
+      else failTime
     }
 
     // Deterministic execution order (Map iteration order is not).

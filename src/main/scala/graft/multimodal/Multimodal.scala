@@ -58,7 +58,15 @@ object Multimodal {
   private[multimodal] def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes.length < PngMagic.length ||
         !bytes.startsWith(PngMagic)) return None
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // in-memory streams only — the default ImageIO disk cache would
+    // create+delete a temp file per image
+    javax.imageio.ImageIO.setUseCache(false)
+    // a CORRUPT payload behind a valid magic makes ImageIO.read THROW
+    // (it returns null only when no reader claims the stream); the
+    // contract here is None for anything undecodable
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -133,6 +141,7 @@ object Multimodal {
         (pmod(col("doc_id"), lit(9)) + 4).cast("int").as("h"))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // keep encode in memory
         val bos = new java.io.ByteArrayOutputStream()
         it.map { case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(w, h,

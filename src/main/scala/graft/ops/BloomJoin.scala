@@ -32,7 +32,12 @@ object BloomJoin {
                      dim: DataFrame, dimKey: String,
                      expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedDimKeys > 0, "expectedDimKeys must be positive")
-    val bloom = dim.select(xxhash64(col(dimKey)).as("__h"))
+    // xxhash64 is TYPE-sensitive (an INT and a BIGINT with equal values
+    // hash differently), so a dim/fact key dtype mismatch would make
+    // every probe miss — silent false negatives, the one thing a bloom
+    // must never do. Hash the dim key AS the fact key's type.
+    val factType = fact.schema(factKey).dataType
+    val bloom = dim.select(xxhash64(col(dimKey).cast(factType)).as("__h"))
       .stat.bloomFilter("__h", expectedDimKeys, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

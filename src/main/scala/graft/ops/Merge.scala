@@ -45,7 +45,10 @@ object Merge {
     base.withColumn(opCol, lit(""))
       .unionByName(updates)
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col(opCol) =!= "D")
+      // coalesce: a NULL op (feeds often mark only deletes) must read as
+      // an upsert — bare `op =!= "D"` is NULL for it and the WHERE would
+      // silently DELETE the key
+      .where(col("__rn") === 1 && coalesce(col(opCol), lit("")) =!= "D")
       .drop("__rn", opCol)
   }
 }

@@ -329,9 +329,12 @@ object RelationalQueries extends QueryPack {
       .where(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderstatus") === "F")
       .select("o_orderkey")
+    // sizing is a hint (an undersized bloom only raises fpp, never
+    // drops a key) — a generous constant avoids paying a whole count
+    // scan of orders just to size the sketch
     val pre = graft.ops.BloomJoin.bloomPrefilter(
       Tables.lineitem(spark, dir), "l_orderkey", dim, "o_orderkey",
-      expectedDimKeys = math.max(dim.count(), 1L))
+      expectedDimKeys = 1L << 20)
     pre.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),

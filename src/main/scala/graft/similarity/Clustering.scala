@@ -39,8 +39,15 @@ object Clustering {
     * as (cellId, centroid) pairs. Driver-held k×dim doubles. */
   def seedCentroids(df: DataFrame, id: String, vec: String,
                     k: Int): Seq[(Int, Array[Double])] = {
-    require(k > 0 && k <= (1 << 16),
-      s"k must be in [1, 65536] (driver holds k x dim doubles), got $k")
+    require(k > 0, s"k must be positive, got $k")
+    // the driver cost is k×dim, not k — probe dim with a 1-row scan so
+    // k=60000 over 4096-dim vectors fails HERE, not as a driver OOM
+    // inside the collect
+    val dim = df.select(size(Similarity.vecDouble(col(vec)))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(k.toLong * math.max(dim, 1) <= MaxDriverCentroidScalars,
+      s"k*dim = ${k.toLong * dim} exceeds $MaxDriverCentroidScalars " +
+        "driver-held doubles")
     df.select(col(id), Similarity.vecDouble(col(vec)).as("v"))
       .orderBy(col(id)).limit(k)
       .collect().zipWithIndex

@@ -176,10 +176,8 @@ object Similarity {
       .withColumn("srn", row_number().over(wShort))
       .where(col("srn") <= shortlist)
       .select("query_id", "neighbor_id")
-    val cv = corpus.select(col(id).as("neighbor_id"),
-      vecDouble(col(vec)).as("cv")).withColumn("cn", norm(col("cv")))
-    val qv = queries.select(col(id).as("query_id"),
-      vecDouble(col(vec)).as("qv")).withColumn("qn", norm(col("qv")))
+    val cv = withNorm(corpus, id, vec, "neighbor_id", "cv", "cn")
+    val qv = withNorm(queries, id, vec, "query_id", "qv", "qn")
     val wFull = Window.partitionBy("query_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
     cv.join(broadcast(short), Seq("neighbor_id"))

@@ -15,11 +15,11 @@ class GuardSpec extends AnyFunSuite {
   private def tinyVecs = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0)))
     .toDF("id", "vec")
 
-  test("seedCentroids rejects a driver-unboundable k") {
+  test("seedCentroids rejects a driver-unboundable k*dim") {
     val e = intercept[IllegalArgumentException] {
       Clustering.seedCentroids(tinyVecs, "id", "vec", 1 << 20)
     }
-    assert(e.getMessage.contains("65536"), e.getMessage)
+    assert(e.getMessage.contains("k*dim"), e.getMessage)
     intercept[IllegalArgumentException] {
       Clustering.seedCentroids(tinyVecs, "id", "vec", 0)
     }

@@ -404,9 +404,14 @@ class PlanAuditSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head
     assert(plan.contains("might_contain"),
       "bloom pre-filter missing from the plan:\n" + plan.take(3000))
-    // the filter must sit BELOW the join: in the plan string the join
-    // node prints before its children, so might_contain appearing only
-    // after the first Join line means it filters a join INPUT
+    // the filter must sit BELOW the join (a parent prints before its
+    // children, so a post-join Filter would print BEFORE the join line;
+    // the scan-stage pre-filter prints after it)
+    val ji = plan.indexOf("Join")
+    val mi = plan.indexOf("might_contain")
+    assert(ji >= 0 && mi > ji,
+      s"might_contain (at $mi) does not filter a join input (join at $ji):\n" +
+        plan.take(3000))
     assert(!plan.contains("ScalaUDF"),
       "bloom probe fell back to a UDF:\n" + plan.take(3000))
   }
