@@ -33,7 +33,19 @@ object PageRank {
 
   /** Ranks after `iters` exact integer iterations over the DIRECTED
     * edge list (symmetrize upstream for an undirected walk). Returns
-    * (node, rank_fixed). `damp` is the damping numerator out of 100. */
+    * (node, rank_fixed). `damp` is the damping numerator out of 100.
+    *
+    * Iteration shape — measured, not assumed: the whole bounded-depth
+    * loop stays LAZY in one plan, because whole-plan optimization
+    * reuses the edge/degree/node exchanges across iterations
+    * (`ReusedExchange`), and at iters ≤ 16 that beats checkpointing —
+    * both the up-front `localCheckpoint` of the edge list and the
+    * per-iteration checkpoint-and-evict loop benched ~2× SLOWER here
+    * (eager materialization + cache traffic outweigh the re-derivation
+    * they avoid). For the high-iteration / unbounded regime — where
+    * plan depth, not data volume, becomes the limit — switch to the
+    * [[graft.dedup.Dedup.connectedComponents]] checkpoint-and-evict
+    * loop; the `iters <= 16` require marks that boundary. */
   def integerPageRank(edges: DataFrame, src: String, dst: String,
                       iters: Int, scaleBits: Int = 20,
                       damp: Int = 85): DataFrame = {
