@@ -231,8 +231,33 @@ object DedupQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** q159: edit-distance VERIFY of shingle-generated candidates — the
+    * refinement step fuzzy dedup runs after candidate generation:
+    * q37's shared-shingle Jaccard stage proposes the pairs (bounded,
+    * shuffle-shaped for scale), then the exact `levenshtein` DP scores
+    * ONLY those pairs. The O(n·m) DP never sees the corpus cross
+    * product — a naive (lang, length-bucket) blocking was measured
+    * quadratic-slow at sf0.1, which is exactly why the candidate set
+    * must come from the shingle join. Both engines implement the
+    * classic unit-cost DP, so pair set and distances hash-match. */
+  private def editDistanceNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.blockedJaccardPairs(docs,
+        id = "doc_id", text = "text", blockCols = Seq("lang", "source"),
+        k = 3, threshold = 0.3)
+      .select("doc_a", "doc_b")
+    val t = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_pagerank" -> pagerankTop,
+    "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
@@ -245,6 +270,25 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // q37's candidate stage (same shingles, same jaccard gate) +
+    // DuckDB's levenshtein — the same unit-cost DP
+    "q159_edit_distance_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source, text,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.text, b.text) AS edit_dist
+        |FROM s a JOIN s b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     // all three integer iterations unrolled; // is floor division ==
     // Spark's truncating div on these all-positive values. S = 2^20,
     // teleport = S*15/100 = 157286.

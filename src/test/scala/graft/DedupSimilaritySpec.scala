@@ -489,6 +489,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == 5, s"expected lowest live cell 5, got $got")
   }
 
+  test("q159: edit-distance verify scores exactly the shingle candidates, DP-exact (sf0.001)") {
+    // independent reference: the classic two-row unit-cost DP
+    def lev(a: String, b: String): Int = {
+      var prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        val cur = new Array[Int](b.length + 1); cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q159_edit_distance_neardup")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val cands = graft.dedup.Dedup.blockedJaccardPairs(
+        graft.tables.Tables.documents(spark, dir),
+        id = "doc_id", text = "text", blockCols = Seq("lang", "source"),
+        k = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.map(r => (r._1, r._2)).toSet == cands,
+      "verify stage must score the candidate pairs, nothing more or less")
+    val text = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    got.foreach { case (a, b, d) =>
+      assert(d == lev(text(a), text(b)), s"pair ($a,$b): got $d")
+    }
+  }
+
   test("PQ codes: m cells per vector, every code references a live codebook entry") {
     val emb = fixtureEmb
     val cb = graft.similarity.Pq.fit(emb, "vec_id", "embedding",
