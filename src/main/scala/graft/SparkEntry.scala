@@ -34,7 +34,8 @@ object SparkEntry {
     CompletenessQueries,
     RetrievalQueries,
     QualityQueries,
-    FinanceQueries
+    FinanceQueries,
+    BehaviorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-sequence analytics over `events`: the behavioral queries a
+  * training-data/product pipeline runs on interaction logs (reference
+  * consumes the same per-user event stream in `streaming/consumer.py`).
+  *
+  * Determinism note shared by all three: per-user event order is
+  * `(ts, event_id)`. The parquet carries nanosecond timestamps (Spark
+  * reads them truncated to µs, DuckDB natively) — verified across all
+  * three SFs that no two same-user events share a microsecond, so the
+  * truncation cannot reorder; `event_id` is still there as the total-
+  * order tiebreak. Second-granularity arithmetic floors on both sides
+  * (Spark `cast(ts as long)`, DuckDB `floor(epoch(ts))`).
+  */
+object BehaviorQueries extends QueryPack {
+
+  /** q160: first-order Markov transition matrix over per-user event
+    * sequences — `lead` over (user_id; ts, event_id), then one count
+    * shuffle on (from, to). The row-probability denominator rides the
+    * SAME grouped output via a tiny window over the from-type (at most
+    * |event_type|² rows reach it — nothing corpus-sized is windowed).
+    * Probabilities are ratios of exact counts, rounded on both sides. */
+  private def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(seq))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(
+        col("n") / sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** q161: ordered conversion funnel signup → view → purchase. Each
+    * stage's gate is "first qualifying event STRICTLY AFTER the prior
+    * stage" — three chained conditional-min windows over the same
+    * `user_id` partitioning, so the plan carries ONE exchange and three
+    * Window nodes (no self-joins, no per-stage scans). Emits one row per
+    * user with the stage reached and floor-second conversion latency. */
+  private def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy("user_id")
+    Tables.events(spark, dir)
+      .withColumn("s_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byU))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view" && col("ts") > col("s_ts"),
+          col("ts"))).over(byU))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("v_ts"),
+          col("ts"))).over(byU))
+      .groupBy("user_id")
+      .agg(first(col("s_ts")).as("s0"), first(col("v_ts")).as("v0"),
+        first(col("p_ts")).as("p0"))
+      .select(col("user_id"),
+        when(col("p0").isNotNull, 3).when(col("v0").isNotNull, 2)
+          .when(col("s0").isNotNull, 1).otherwise(0).as("funnel_stage"),
+        (col("p0").cast("long") - col("s0").cast("long")).as("secs_to_convert"))
+      .orderBy("user_id")
+  }
+
+  /** q162: interval-union coverage — each event claims [sec, sec+300);
+    * covered seconds per user without double-counting overlaps. The
+    * classic one-pass sweep: sort by start within the user, clamp each
+    * interval's start to the running max end of everything before it.
+    * One exchange + one window + one agg — never materializes the
+    * pairwise overlap join a naive formulation would (O(n²) per hot
+    * user at log scale). All arithmetic is integer seconds. */
+  private def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sweep = Window.partitionBy("user_id").orderBy("start_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("start_s"))
+      .withColumn("end_s", col("start_s") + 300)
+      .withColumn("prev_max_end",
+        coalesce(max(col("end_s")).over(sweep), col("start_s")))
+      .withColumn("contrib",
+        greatest(col("end_s") - greatest(col("start_s"), col("prev_max_end")),
+          lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(col("contrib")).as("covered_secs"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_markov_transitions" -> markovTransitions,
+    "q161_event_funnel" -> eventFunnel,
+    "q162_interval_coverage" -> intervalCoverage
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q160_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q161_event_funnel" ->
+      """WITH a AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+        |              OVER (PARTITION BY user_id) AS s_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > s_ts THEN ts END)
+        |              OVER (PARTITION BY user_id) AS v_ts
+        |  FROM a),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+        |              OVER (PARTITION BY user_id) AS p_ts
+        |  FROM b)
+        |SELECT DISTINCT user_id,
+        |       CASE WHEN p_ts IS NOT NULL THEN 3
+        |            WHEN v_ts IS NOT NULL THEN 2
+        |            WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+        |       CAST(floor(epoch(p_ts)) AS BIGINT)
+        |         - CAST(floor(epoch(s_ts)) AS BIGINT) AS secs_to_convert
+        |FROM c ORDER BY user_id""".stripMargin,
+    "q162_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+        |         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS end_s
+        |  FROM events),
+        |sw AS (
+        |  SELECT user_id, start_s, end_s,
+        |         coalesce(max(end_s) OVER (PARTITION BY user_id
+        |                                   ORDER BY start_s, event_id
+        |                                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                     AND 1 PRECEDING),
+        |                  start_s) AS prev_max_end
+        |  FROM iv)
+        |SELECT user_id,
+        |       CAST(sum(greatest(end_s - greatest(start_s, prev_max_end), 0))
+        |            AS BIGINT) AS covered_secs,
+        |       count(*) AS n_events
+        |FROM sw GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
