@@ -186,6 +186,42 @@ object Multimodal {
     }
   }
 
+  case class PngHash(media_id: Long, img_w: Int, img_h: Int, dhash: Long)
+
+  /** 56-bit difference hash over an 8×8 nearest-neighbor sample grid:
+    * bit (r·7+c) is set when the sampled pixel at grid (c+1, r) is
+    * brighter than at (c, r). Pure integer — no resize interpolation,
+    * so a codec-free oracle can replay it from the generator formula. */
+  private[multimodal] def dHash(w: Int, h: Int, px: Array[Int]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < 56) {
+      val c = i % 7
+      val y = (i / 7) * h / 8
+      if (px(y * w + (c + 1) * w / 8) > px(y * w + c * w / 8))
+        hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual hash of every PNG payload from REAL decoded pixels —
+    * the image-dedup signal (near-identical renders collide; distinct
+    * content doesn't). Decode + hash are per-row in-scan work; the only
+    * shuffle downstream is whatever the caller groups on. */
+  def pngDHash(media: Dataset[MediaRecord]): Dataset[PngHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val (w, h, px) = decodePng(rec.bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"media_id=${rec.media_id}: payload is not a decodable PNG"))
+        PngHash(rec.media_id, w, h, dHash(w, h, px))
+      }
+    }
+  }
+
   /** STUB resize: metadata-only transform + payload passthrough (a real
     * implementation re-encodes pixels; the plumbing — new meta, same
     * partitioning — is what the engine contracts). */

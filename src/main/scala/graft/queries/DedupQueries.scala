@@ -231,6 +231,33 @@ object DedupQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** q163: multi-source BFS hop distance over the symmetrized
+    * customer–supplier order graph (q155's graph), seeded by nation-0
+    * customers — distance-from-trusted-seeds, the TrustRank-style
+    * crawl-curation companion to PageRank. Frontier expansion with
+    * LEFT ANTI reached-pruning per round ([[graft.ops.Bfs]]); the
+    * oracle replays it as three unrolled neighbor levels + min(hop),
+    * which is equal by BFS optimality. */
+  private def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cust"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("supp"))
+    val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust").as("a"), col("supp").as("b")).distinct()
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Tables.customer(spark, dir)
+      .where(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.ops.Bfs.hopDistance(edges, "a", "b", seeds, "node", maxHops = 3)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, "customer")
+          .otherwise("supplier").as("node_type"),
+        shiftright(col("node"), 1).as("entity_id"),
+        col("hop"))
+      .orderBy("node_type", "entity_id")
+  }
+
   /** q159: edit-distance VERIFY of shingle-generated candidates — the
     * refinement step fuzzy dedup runs after candidate generation:
     * q37's shared-shingle Jaccard stage proposes the pairs (bounded,
@@ -258,6 +285,7 @@ object DedupQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_pagerank" -> pagerankTop,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
+    "q163_bfs_hops" -> bfsHops,
     "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
@@ -270,6 +298,27 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // unrolled BFS levels: l_k = neighbors(l_{k-1}); min(hop) over the
+    // union equals the frontier BFS distance by optimality
+    "q163_bfs_hops" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |l0 AS (SELECT DISTINCT c_custkey*2 AS node FROM customer
+        |       WHERE c_nationkey = 0),
+        |l1 AS (SELECT DISTINCT e.b AS node FROM e JOIN l0 ON e.a = l0.node),
+        |l2 AS (SELECT DISTINCT e.b AS node FROM e JOIN l1 ON e.a = l1.node),
+        |l3 AS (SELECT DISTINCT e.b AS node FROM e JOIN l2 ON e.a = l2.node),
+        |u AS (SELECT node, 0 AS hop FROM l0
+        |      UNION ALL SELECT node, 1 FROM l1
+        |      UNION ALL SELECT node, 2 FROM l2
+        |      UNION ALL SELECT node, 3 FROM l3)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |       node // 2 AS entity_id,
+        |       CAST(min(hop) AS INTEGER) AS hop
+        |FROM u GROUP BY 1, 2 ORDER BY node_type, entity_id""".stripMargin,
     // q37's candidate stage (same shingles, same jaccard gate) +
     // DuckDB's levenshtein — the same unit-cost DP
     "q159_edit_distance_neardup" ->

@@ -57,11 +57,26 @@ object MultimodalQueries extends QueryPack {
     Multimodal.pngStats(media).toDF().orderBy("media_id")
   }
 
+  /** q164: image near-dup via 56-bit dHash over REAL decoded pixels —
+    * the perceptual-dedup stage of a multimodal corpus pipeline. The
+    * hash itself is in-scan per-image work (decode + integer grid
+    * comparisons); the dedup grouping is ONE window over the hash. The
+    * oracle replays the grid formula from the generator arithmetic, so
+    * any decode/raster/sampling bug flips bits and hash-fails. */
+  private def imageDHash(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.pngFromDocuments(Tables.documents(spark, dir))
+    Multimodal.pngDHash(media).toDF()
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dhash")))
+      .orderBy("media_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_media_features" -> mediaFeatures,
     "q77_frame_sample" -> frameSample,
     "q78_resize_meta" -> resizeMeta,
-    "q149_png_decode" -> pngDecode
+    "q149_png_decode" -> pngDecode,
+    "q164_image_dhash" -> imageDHash
   )
 
   override def oracles: Map[String, String] = Map(
@@ -104,6 +119,26 @@ object MultimodalQueries extends QueryPack {
         |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
         |       CAST(list_min(vs) AS INTEGER) AS px_min,
         |       CAST(list_max(vs) AS INTEGER) AS px_max
-        |FROM px ORDER BY media_id""".stripMargin
+        |FROM px ORDER BY media_id""".stripMargin,
+    // dHash grid replay: sample x = gx*w//8, y = gy*h//8; bit (gy*7+gx)
+    // set when the right neighbor sample is brighter. Same generator
+    // arithmetic as q149; << and // are exact integer ops on both sides.
+    "q164_image_dhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 13 + 4 AS w, doc_id % 9 + 4 AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, h, CAST(list_sum(
+        |    [ CASE WHEN (doc_id*31 + (((i % 7) + 1) * w // 8) * 7
+        |                  + ((i // 7) * h // 8) * 13) % 256
+        |               > (doc_id*31 + ((i % 7) * w // 8) * 7
+        |                  + ((i // 7) * h // 8) * 13) % 256
+        |           THEN 1::BIGINT << i ELSE 0::BIGINT END
+        |      for i in range(0, 56) ]) AS BIGINT) AS dhash
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |       CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |       dhash, count(*) OVER (PARTITION BY dhash) AS n_same
+        |FROM b ORDER BY media_id""".stripMargin
   )
 }

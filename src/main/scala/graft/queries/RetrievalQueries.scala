@@ -100,17 +100,69 @@ object RetrievalQueries extends QueryPack {
       .orderBy("lang", "pack_id")
   }
 
+  /** q166: deterministic negative sampling for contrastive training —
+    * every 10th doc anchors k=3 negatives drawn by an explicit LCG-style
+    * residue (`(a·anchor + c + j·step) mod N`), nudged off the anchor on
+    * self-collision. Reproducibility IS the point: RNG-based sampling
+    * (`rand`, `sampleBy`) differs per engine/partitioning, this formula
+    * is exact int64 on any engine, so resampled epochs are stable and
+    * auditable. The residue join back to `documents` is the only
+    * shuffle; anchors×k stays anchor-sized. At larger corpora keep
+    * `a·max_id` inside int64 or switch the product to modular steps. */
+  private def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val raw = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), explode(array(lit(0), lit(1), lit(2))).as("j"),
+        col("n_docs"))
+      .withColumn("neg_raw",
+        pmod(col("anchor_id") * 48271L + 11L + col("j") * 7919L, col("n_docs")))
+      .withColumn("neg_id",
+        when(col("neg_raw") === col("anchor_id"),
+          pmod(col("neg_raw") + 1, col("n_docs"))).otherwise(col("neg_raw")))
+    raw.join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+        "neg_id")
+      .select("anchor_id", "j", "neg_id", "neg_lang")
+      .orderBy("anchor_id", "j")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_bm25_topk" -> bm25TopK,
     "q96_doc_chunks" -> docChunks,
     "q97_sequence_packing" -> sequencePacking,
-    "q136_rag_chunk_topk" -> ragChunkTopK
+    "q136_rag_chunk_topk" -> ragChunkTopK,
+    "q166_negative_sampling" -> negativeSampling
   )
 
   // The SQL mirrors the Spark expression tree node for node (same casts,
   // same association); every float input is an exact integer and every
   // constant is binary-exact, so the scores hash-match bit for bit.
   override def oracles: Map[String, String] = Map(
+    // the LCG residue is plain int64 arithmetic; doc_ids are contiguous
+    // 0..N-1 in the fixture but the join-back would also surface a gap
+    // as a row-count mismatch rather than silently passing
+    "q166_negative_sampling" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |a AS (
+        |  SELECT doc_id AS anchor_id, j, n.n_docs
+        |  FROM documents CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        |  WHERE doc_id % 10 = 0),
+        |r AS (
+        |  SELECT anchor_id, j, n_docs,
+        |         (anchor_id * 48271 + 11 + j * 7919) % n_docs AS neg_raw
+        |  FROM a),
+        |s AS (
+        |  SELECT anchor_id, j,
+        |         CASE WHEN neg_raw = anchor_id THEN (neg_raw + 1) % n_docs
+        |              ELSE neg_raw END AS neg_id
+        |  FROM r)
+        |SELECT s.anchor_id, CAST(s.j AS INTEGER) AS j, s.neg_id,
+        |       d.lang AS neg_lang
+        |FROM s JOIN documents d ON d.doc_id = s.neg_id
+        |ORDER BY anchor_id, j""".stripMargin,
     "q92_bm25_topk" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

@@ -152,7 +152,58 @@ object TextQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  /** q165: TF-IDF keyword extraction — top-3 terms per doc. Scoring is
+    * INTEGER end-to-end: idf is computed once per TERM (vocab-sized,
+    * never corpus-sized) and immediately quantized to micro-units
+    * (`round(ln((N+1)/(df+1))·1e6)`), so ranking and the emitted score
+    * are exact int64 arithmetic — no float tie ambiguity between
+    * engines. Shape: one explode→(doc,term) count shuffle, a vocab-
+    * sized df agg reusing it, a term-keyed join, and the per-doc top-k
+    * window; the corpus count joins as a 1-row broadcast. */
+  private def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_micro"), asc("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 1e6).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q167: character-entropy quality signal — Shannon entropy of the
+    * per-doc character distribution, the cheap gibberish/boilerplate
+    * detector (low entropy = repeated filler, high = noise). Entirely
+    * in-scan higher-order array functions (sort → distinct → counts →
+    * fold): zero shuffles, zero explodes — the per-doc char histogram
+    * never leaves the row. Determinism: the fold runs over the SORTED
+    * distinct char list, so both engines sum the same IEEE terms in the
+    * same order; the result is still rounded as belt-and-braces. */
+  private def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(array_sort(split(col("text"), "")), c => c =!= "")
+    val uniq = array_distinct(chars) // sorted input => sorted distinct
+    val n = size(chars).cast("double")
+    val counts = transform(uniq, d =>
+      size(filter(chars, c => c === d)).cast("double"))
+    val ent = -aggregate(counts, lit(0.0),
+      (acc, c) => acc + (c / n) * log(2.0, c / n))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("len_chars"),
+        size(uniq).as("n_unique_chars"),
+        round(ent, 6).as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_tfidf_keywords" -> tfidfKeywords,
+    "q167_char_entropy" -> charEntropy,
     "q133_vocab_oov" -> vocabOov,
     "q121_pii_redaction" -> piiRedaction,
     "q119_lm_familiarity" -> lmFamiliarity,
@@ -165,6 +216,47 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // identical sorted-fold: list_sort → list_distinct keeps the same
+    // term order, so the float sum sequences match term for term
+    "q167_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS len_chars,
+        |         list_filter(list_sort(regexp_split_to_array(text, '')),
+        |                     x -> x <> '') AS chars
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, len_chars, chars,
+        |         list_sort(list_distinct(chars)) AS uniq,
+        |         CAST(len(chars) AS DOUBLE) AS n
+        |  FROM c)
+        |SELECT doc_id, len_chars,
+        |       CAST(len(uniq) AS INTEGER) AS n_unique_chars,
+        |       round(-list_sum(list_transform(uniq,
+        |           d -> (CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n)
+        |                * log2(CAST(len(list_filter(chars, x -> x = d)) AS DOUBLE) / n))),
+        |         6) AS char_entropy
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // same whitespace tokens as q70; idf quantized to int64 micro-units
+    // before any ranking, so ordering ties are impossible cross-engine
+    "q165_tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * CAST(round(ln((n.n_docs + 1.0) / (df.df + 1.0))
+        |                            * 1000000) AS BIGINT) AS score_micro
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score_micro DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, score_micro, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q133_vocab_oov" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -489,6 +489,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == 5, s"expected lowest live cell 5, got $got")
   }
 
+  test("Bfs.hopDistance: exact hops on a chain, isolated seed kept, each node reached once") {
+    // chain 1-2-3-4-5 (undirected), seeds {1, 99}; 99 is isolated
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = graft.ops.Bfs.hopDistance(edges, "a", "b", seeds, "node", maxHops = 3)
+      .as[(Long, Int)].collect()
+    assert(got.length == got.map(_._1).distinct.length,
+      "anti-join prune must emit each node exactly once")
+    assert(got.toMap == Map(1L -> 0, 99L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      got.toMap.toString)
+  }
+
+  test("Bfs.hopDistance rejects depth beyond the lazy-plan regime") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.ops.Bfs.hopDistance(e, "a", "b", Seq(1L).toDF("node"), "node", maxHops = 9)
+    }
+  }
+
   test("q159: edit-distance verify scores exactly the shingle candidates, DP-exact (sf0.001)") {
     // independent reference: the classic two-row unit-cost DP
     def lev(a: String, b: String): Int = {

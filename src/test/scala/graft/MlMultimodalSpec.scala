@@ -152,6 +152,29 @@ class MlMultimodalSpec extends AnyFunSuite {
       == expected.toSeq)
   }
 
+  test("multimodal: dHash replays the grid formula; identical renders collide, near ids differ") {
+    import spark.implicits._
+    // doc_id 1 and 1+2304 (lcm(9,256)·…) render IDENTICAL pixels for the
+    // same n_chars: 31·2304 ≡ 0 (mod 256) and 2304 ≡ 0 (mod 9)
+    // id=7's base offset 7·31 = 217 wraps mod 256 mid-row (217+7x crosses
+    // 256), flipping gradient bits; id=1 (offset 31) never wraps
+    val docs = Seq((1L, 100L), (2305L, 100L), (7L, 100L))
+      .toDF("doc_id", "n_chars")
+    val got = Multimodal.pngDHash(Multimodal.pngFromDocuments(docs))
+      .collect().map(p => p.media_id -> p.dhash).toMap
+    assert(got(1L) == got(2305L), "identical renders must share a dhash")
+    assert(got(1L) != got(7L), "a mod-256 wrap must flip difference bits")
+    // independent replay of the 56-bit grid formula for doc_id=1
+    val (id, w, h) = (1L, (100 % 13 + 4), (1 % 9 + 4))
+    def px(x: Int, y: Int) = java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y, 256L)
+    var want = 0L
+    for (i <- 0 until 56) {
+      val c = i % 7; val y = (i / 7) * h / 8
+      if (px((c + 1) * w / 8, y) > px(c * w / 8, y)) want |= 1L << i
+    }
+    assert(got(1L) == want, s"dhash ${got(1L)} != replay $want")
+  }
+
   test("multimodal: fakeDecode's PNG branch features real pixels, not payload bytes") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
     val media = Multimodal.pngFromDocuments(docs)
