@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree-ordered edge orientation —
+  * the standard scalable algorithm (each undirected edge is directed
+  * from the (degree, id)-smaller endpoint to the larger; every triangle
+  * then has exactly one node with two out-edges, so enumerating
+  * out-wedges and probing the closing edge counts each triangle once).
+  *
+  * Why orientation matters at scale: the wedge join's size is
+  * Σ outdeg(v)², and orientation bounds outdeg by O(√m) even when a
+  * celebrity node has raw degree in the millions — the naive
+  * Σ deg(v)² blow-up (the thing that kills hub-heavy graphs) never
+  * happens. Three equi-joins total, all on node ids, no nested loop.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as CANONICAL edges (a < b, no duplicates, no self-loops).
+    * Returns (node, n_triangles) for nodes in >= 1 triangle. */
+  def perNodeCounts(edges: DataFrame, a: String, b: String): DataFrame = {
+    val canon = edges.select(col(a).as("a"), col(b).as("b"))
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient u -> v when (deg, id) of u < of v; ids break degree ties,
+    // so the order is total and the orientation acyclic
+    val oriented = canon
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+    // out-wedges of u, ordered so (x, y) is (deg, id)-ascending: the
+    // closing edge, if present, is oriented exactly x -> y
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.u") === col("e2.u")
+        && (col("e1.dv") < col("e2.dv")
+          || (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    tris.select(explode(array(col("w0"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

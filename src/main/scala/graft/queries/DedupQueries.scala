@@ -258,6 +258,24 @@ object DedupQueries extends QueryPack {
       .orderBy("node_type", "entity_id")
   }
 
+  /** q171: per-node triangle counts over the part co-purchase graph
+    * (parts sharing an order are connected) — the graph-density /
+    * community-structure signal next to CC (q86), PageRank (q155) and
+    * BFS (q163). Degree-ordered orientation bounds the wedge join by
+    * Σ outdeg² = O(m^1.5) regardless of hub degrees
+    * ([[graft.ops.Triangles]]); the oracle enumerates each triangle in
+    * canonical a<b<c form — the same set by definition. */
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    graft.ops.Triangles.perNodeCounts(edges, "a", "b")
+      .withColumnRenamed("node", "part_id")
+      .orderBy("part_id")
+  }
+
   /** q159: edit-distance VERIFY of shingle-generated candidates — the
     * refinement step fuzzy dedup runs after candidate generation:
     * q37's shared-shingle Jaccard stage proposes the pairs (bounded,
@@ -286,6 +304,7 @@ object DedupQueries extends QueryPack {
     "q155_pagerank" -> pagerankTop,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
+    "q171_triangle_counts" -> triangleCounts,
     "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
@@ -298,6 +317,22 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // canonical a<b<c enumeration: e1=(a,b), e2=(b,c), e3=(a,c) — the
+    // same triangle set the degree-ordered algorithm finds, per node
+    "q171_triangle_counts" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+        |t AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([a, b, c]) AS part_id FROM t)
+        |SELECT part_id, count(*) AS n_triangles
+        |FROM n GROUP BY part_id ORDER BY part_id""".stripMargin,
     // unrolled BFS levels: l_k = neighbors(l_{k-1}); min(hop) over the
     // union equals the frontier BFS distance by optimality
     "q163_bfs_hops" ->

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
 import graft.text.Retrieval
+import graft.text.TextAnalysis.tokens
 
 /** Ranked-retrieval queries (round 3): the scoring leg of the text-
   * analysis pipeline — BM25 over the documents corpus with a fixed query
@@ -128,8 +129,37 @@ object RetrievalQueries extends QueryPack {
       .orderBy("anchor_id", "j")
   }
 
+  /** q169: inverted-index construction with delta-encoded, CAPPED
+    * posting lists — the IR build step. Per term: exact document
+    * frequency plus the first 1000 doc ids, sorted and gap-encoded
+    * (`first, id−prev, …` — the standard postings compression input).
+    * The cap is the 100 TB guard: `collect_list` only ever holds the
+    * <= 1000 sub-cap ids per term (nulls are skipped), so a stop-word's
+    * billion-doc posting list never materializes anywhere while its df
+    * stays exact. The rank window and the aggregation share one
+    * term-hash exchange. */
+  private def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val post = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    post.withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("rn") <= 1000, 1L).otherwise(0L)).as("n_stored"),
+        sort_array(collect_list(when(col("rn") <= 1000, col("doc_id"))))
+          .as("ids"))
+      .withColumn("postings_delta", array_join(
+        transform(col("ids"), (x, i) =>
+          when(i === 0, x).otherwise(x - element_at(col("ids"), i))
+            .cast("string")), ","))
+      .select("term", "df", "n_stored", "postings_delta")
+      .orderBy("term")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_bm25_topk" -> bm25TopK,
+    "q169_inverted_index" -> invertedIndex,
     "q96_doc_chunks" -> docChunks,
     "q97_sequence_packing" -> sequencePacking,
     "q136_rag_chunk_topk" -> ragChunkTopK,
@@ -140,6 +170,28 @@ object RetrievalQueries extends QueryPack {
   // same association); every float input is an exact integer and every
   // constant is binary-exact, so the scores hash-match bit for bit.
   override def oracles: Map[String, String] = Map(
+    // same rank cap, same sorted gap encoding; the joined string
+    // compares exactly
+    "q169_inverted_index" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents) t),
+        |r AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |  FROM dt),
+        |a AS (
+        |  SELECT term, count(*) AS df,
+        |         count(*) FILTER (WHERE rn <= 1000) AS n_stored,
+        |         list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 1000) AS ids
+        |  FROM r GROUP BY term)
+        |SELECT term, df, n_stored,
+        |       array_to_string(list_transform(ids, (x, i) ->
+        |         CASE WHEN i = 1 THEN x ELSE x - ids[i-1] END), ',')
+        |         AS postings_delta
+        |FROM a ORDER BY term""".stripMargin,
     // the LCG residue is plain int64 arithmetic; doc_ids are contiguous
     // 0..N-1 in the fixture but the join-back would also surface a gap
     // as a row-count mismatch rather than silently passing

@@ -201,9 +201,56 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q168: segment-level boilerplate removal (the CCNet/RefinedWeb
+    * stage) — 4-token segments recurring in >= 5 distinct docs are
+    * dropped corpus-wide, survivors reassembled in order. The boiler-
+    * plate list is threshold-bounded and tiny, so the removal pass is a
+    * broadcast anti-join; see [[graft.text.Boilerplate]]. */
+  private def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Boilerplate.removeBoilerplate(
+        Tables.documents(spark, dir), id = "doc_id", text = "text",
+        segW = 4, minDocDf = 5)
+      .orderBy("doc_id")
+
+  /** q170: PMI term co-occurrence — pointwise mutual information over
+    * distinct-term pairs within a doc, the classic corpus-statistics /
+    * embedding-prep signal. All counts are exact int64; PMI is
+    * quantized to micro-units from one double division + ln, the same
+    * cross-engine contract q165 uses. The quadratic pair stage is
+    * explicitly bounded: only docs with <= 64 distinct terms join
+    * (at corpus scale the cap is the guard that keeps a pathological
+    * doc from emitting 10^8 pairs); the per-term and per-pair aggs are
+    * map-side combinable. */
+  private def pmiCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("ts"))
+      .where(size(col("ts")) <= 64)
+      .select(col("doc_id"), explode(col("ts")).as("term"))
+    val n = dt.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val ca = dt.groupBy("term").agg(count(lit(1)).as("n_term"))
+    val pairs = dt.as("x")
+      .join(dt.as("y"), col("x.doc_id") === col("y.doc_id")
+        && col("x.term") < col("y.term"))
+      .select(col("x.term").as("t1"), col("y.term").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(ca.select(col("term").as("t1"), col("n_term").as("n_t1")), "t1")
+      .join(ca.select(col("term").as("t2"), col("n_term").as("n_t2")), "t2")
+      .crossJoin(broadcast(n))
+      .where(col("n_pair") >= 5)
+      .withColumn("pmi_micro",
+        round(log((col("n_docs") * col("n_pair")).cast("double")
+          / (col("n_t1") * col("n_t2")).cast("double")) * 1e6).cast("long"))
+      .select("t1", "t2", "n_pair", "n_t1", "n_t2", "pmi_micro")
+      .orderBy("t1", "t2")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_tfidf_keywords" -> tfidfKeywords,
     "q167_char_entropy" -> charEntropy,
+    "q168_boilerplate_removal" -> boilerplateRemoval,
+    "q170_pmi_cooccurrence" -> pmiCooccurrence,
     "q133_vocab_oov" -> vocabOov,
     "q121_pii_redaction" -> piiRedaction,
     "q119_lm_familiarity" -> lmFamiliarity,
@@ -216,6 +263,59 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same segments (slice clamps the tail on both engines), same df >= 5
+    // hot list, same ordered reassembly; strings compare exactly
+    "q168_boilerplate_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+        |         array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS seg
+        |  FROM t, unnest(range(0, (len(toks)+3)//4)) u(i)),
+        |hot AS (
+        |  SELECT seg FROM s GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (
+        |  SELECT doc_id, seg_idx, seg FROM s
+        |  WHERE seg NOT IN (SELECT seg FROM hot)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, (len(t.toks)+3)//4 AS n_segs,
+        |       coalesce(agg.n_kept, 0) AS n_kept,
+        |       coalesce(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // exact-integer counts; one double divide + ln quantized to micro
+    // units (the q165 cross-engine contract)
+    "q170_pmi_cooccurrence" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, t.term FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents) t),
+        |b AS (
+        |  SELECT doc_id, term FROM dt
+        |  WHERE doc_id IN (SELECT doc_id FROM dt GROUP BY doc_id
+        |                   HAVING count(*) <= 64)),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM b),
+        |ca AS (SELECT term, count(*) AS n_term FROM b GROUP BY term),
+        |p AS (
+        |  SELECT x.term AS t1, y.term AS t2, count(*) AS n_pair
+        |  FROM b x JOIN b y ON x.doc_id = y.doc_id AND x.term < y.term
+        |  GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_pair, a1.n_term AS n_t1, a2.n_term AS n_t2,
+        |       CAST(round(ln(CAST(n.n_docs * p.n_pair AS DOUBLE)
+        |                     / CAST(a1.n_term * a2.n_term AS DOUBLE))
+        |                  * 1000000) AS BIGINT) AS pmi_micro
+        |FROM p
+        |JOIN ca a1 ON a1.term = p.t1
+        |JOIN ca a2 ON a2.term = p.t2
+        |CROSS JOIN n
+        |WHERE p.n_pair >= 5
+        |ORDER BY t1, t2""".stripMargin,
     // identical sorted-fold: list_sort → list_distinct keeps the same
     // term order, so the float sum sequences match term for term
     "q167_char_entropy" ->

@@ -214,4 +214,53 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 6L, 1L, false),  // only qponmlk hits
       (3L, 4L, 3L, true)))  // zzzyyy is the one miss
   }
+
+  test("Boilerplate: hot segment dropped everywhere, order kept, all-boilerplate doc survives as empty") {
+    // segW=2, minDocDf=2: "share this" appears in docs 1,2,3 -> hot;
+    // every other segment is unique to its doc
+    val docs = Seq(
+      (1L, "share this alpha beta gamma delta"),
+      (2L, "epsilon zeta share this eta theta"),
+      (3L, "share this"), // nothing but boilerplate
+      (4L, "iota kappa")  // untouched
+    ).toDF("doc_id", "text")
+    val got = graft.text.Boilerplate
+      .removeBoilerplate(docs, "doc_id", "text", segW = 2, minDocDf = 2)
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 2L, "alpha beta gamma delta"),
+      (2L, 3L, 2L, "epsilon zeta eta theta"), // mid-doc removal keeps order
+      (3L, 1L, 0L, ""),                       // row not lost
+      (4L, 1L, 1L, "iota kappa")), got.toString)
+  }
+
+  test("Triangles: K4 gives 3 per node, chordless square gives none") {
+    // K4 on 1..4 (4 triangles, each node in 3) + square 10-11-12-13
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val edges = (k4 ++ square).toDF("a", "b")
+    val got = graft.ops.Triangles.perNodeCounts(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+  }
+
+  test("inverted index cap: df stays exact while stored postings are bounded") {
+    // the q169 aggregation shape with cap 1000: "hot" is in all 2000
+    // docs, "rare" in 3 — df exact for both, storage capped for hot
+    val docs = (0L until 2000L)
+      .map(i => (i, if (i % 667 == 0) "hot rare" else "hot"))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val post = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val got = post.withColumn("rn", row_number().over(w))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("rn") <= 1000, 1L).otherwise(0L)).as("n_stored"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, df, s) => t -> (df, s) }.toMap
+    assert(got == Map("hot" -> (2000L, 1000L), "rare" -> (3L, 3L)), got.toString)
+  }
 }
