@@ -90,13 +90,59 @@ object BehaviorQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q172: rolling 7-day distinct active users per day — the DAU/WAU
+    * retention metric. The naive shape (each day joins its trailing
+    * week, COUNT DISTINCT per day — the oracle) recounts every user up
+    * to 7×; this plans the sweep-line rewrite instead: per user, merge
+    * overlapping [day, day+6] contribution intervals (gaps-and-islands,
+    * one user-key window), emit ±1 boundary deltas, and take a running
+    * sum over days. No count-distinct anywhere, no 7× row blowup, and
+    * the only global window runs over DAY-cardinality rows (bounded by
+    * the calendar, never by event volume). Equality with the per-day
+    * COUNT DISTINCT oracle is the proof of the rewrite. */
+  private def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val isl = ud
+      .withColumn("gap", when(lag("day", 1).over(w).isNull
+        || datediff(col("day"), lag("day", 1).over(w)) > 6, 1L).otherwise(0L))
+      .withColumn("island", sum("gap").over(w))
+    val iv = isl.groupBy("user_id", "island")
+      .agg(min("day").as("s"), date_add(max("day"), 6).as("e"))
+    // seed every EVENT day with a zero delta: the running sum must be
+    // evaluated at all observation days, not only at island boundaries
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("d"))
+      .unionAll(iv.select(date_add(col("e"), 1).as("day"), lit(-1L).as("d")))
+      .unionAll(ud.select(col("day"), lit(0L).as("d")).distinct())
+      .groupBy("day").agg(sum("d").as("delta"))
+    val act = deltas.withColumn("active_users_7d",
+      sum("delta").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    act.join(ud.select("day").distinct(), Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active_users_7d"))
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_markov_transitions" -> markovTransitions,
     "q161_event_funnel" -> eventFunnel,
-    "q162_interval_coverage" -> intervalCoverage
+    "q162_interval_coverage" -> intervalCoverage,
+    "q172_rolling_active_users" -> rollingActiveUsers
   )
 
   override def oracles: Map[String, String] = Map(
+    // the naive trailing-week COUNT DISTINCT — the sweep-line result
+    // must equal it day for day
+    "q172_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM ud)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       count(DISTINCT ud.user_id) AS active_users_7d
+        |FROM d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY day""".stripMargin,
     "q160_markov_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type AS from_type,

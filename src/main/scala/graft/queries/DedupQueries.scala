@@ -276,6 +276,33 @@ object DedupQueries extends QueryPack {
       .orderBy("part_id")
   }
 
+  /** q174: item-item cosine similarity over the co-purchase matrix —
+    * the collaborative-filtering recommendation primitive
+    * (sim(a,b) = co(a,b) / √(n_a·n_b), cosine over binary order-
+    * incidence vectors). Counts are exact int64; the single float step
+    * (one multiply, one IEEE sqrt — correctly rounded by spec on both
+    * engines — one divide) is quantized to micro-units. The co >= 3
+    * support floor is the scale guard: pairs below it never leave the
+    * count aggregation, so the output is support-bounded, not
+    * pairs-bounded. */
+  private def itemItemCosine(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val deg = li.groupBy("p").agg(count(lit(1)).as("n_ord"))
+    val co = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("co"))
+      .where(col("co") >= 3)
+    co.join(deg.select(col("p").as("a"), col("n_ord").as("na")), "a")
+      .join(deg.select(col("p").as("b"), col("n_ord").as("nb")), "b")
+      .withColumn("cos_micro",
+        round(col("co") * lit(1e6) / sqrt((col("na") * col("nb")).cast("double")))
+          .cast("long"))
+      .select("a", "b", "co", "na", "nb", "cos_micro")
+      .orderBy("a", "b")
+  }
+
   /** q159: edit-distance VERIFY of shingle-generated candidates — the
     * refinement step fuzzy dedup runs after candidate generation:
     * q37's shared-shingle Jaccard stage proposes the pairs (bounded,
@@ -305,6 +332,7 @@ object DedupQueries extends QueryPack {
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
     "q171_triangle_counts" -> triangleCounts,
+    "q174_item_item_cosine" -> itemItemCosine,
     "q122_shared_spans" -> sharedSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
@@ -317,6 +345,24 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // exact-int counts; the lone float step mirrors the Spark tree
+    // (multiply, IEEE sqrt, divide) and is quantized to micro-units
+    "q174_item_item_cosine" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |deg AS (SELECT p, count(*) AS n_ord FROM li GROUP BY p),
+        |co AS (
+        |  SELECT x.p AS a, y.p AS b, count(*) AS co
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT co.a, co.b, co.co, da.n_ord AS na, db.n_ord AS nb,
+        |       CAST(round(co.co * 1000000.0
+        |                  / sqrt(CAST(da.n_ord * db.n_ord AS DOUBLE)))
+        |            AS BIGINT) AS cos_micro
+        |FROM co
+        |JOIN deg da ON da.p = co.a
+        |JOIN deg db ON db.p = co.b
+        |ORDER BY a, b""".stripMargin,
     // canonical a<b<c enumeration: e1=(a,b), e2=(b,c), e3=(a,c) — the
     // same triangle set the degree-ordered algorithm finds, per node
     "q171_triangle_counts" ->

@@ -103,6 +103,35 @@ object QualityQueries extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** q173: incremental JOIN-view maintenance — q116's partial-merge
+    * discipline applied to a two-table join view. The enriched-orders
+    * view V = orders ⋈ customer is refreshed from append deltas
+    * (ΔO = every 10th order, ΔC = every 20th customer) by the standard
+    * delta algebra: V_new = V_old ∪ (ΔO ⋈ C_new) ∪ (O_old ⋈ ΔC) —
+    * three DISJOINT legs, so the refresh joins only delta-sized inputs
+    * against the full sides (broadcast-able deltas at scale); the
+    * already-materialized V_old is reused, never recomputed. The
+    * oracle recomputes the full join from scratch — the hash-match IS
+    * the proof that the delta algebra loses and duplicates nothing. */
+  private def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val (oNew, oOld) =
+      (o.where(col("o_orderkey") % 10 === 0), o.where(col("o_orderkey") % 10 =!= 0))
+    val (cNew, cOld) =
+      (c.where(col("c_custkey") % 20 === 0), c.where(col("c_custkey") % 20 =!= 0))
+    val vOld = oOld.join(cOld, col("o_custkey") === col("c_custkey"))
+    val legNewOrders = oNew.join(c, col("o_custkey") === col("c_custkey"))
+    val legNewCust = oOld.join(broadcast(cNew), col("o_custkey") === col("c_custkey"))
+    vOld.unionAll(legNewOrders).unionAll(legNewCust)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("total_cents"))
+      .orderBy("c_nationkey")
+  }
+
   /** q123: distribution-drift gate ([[graft.quality.Drift]]) between two
     * event snapshots — the "new" version doubles every 10th event's
     * value, shifting ~10% of mass to higher bins. Values histogram in
@@ -216,10 +245,19 @@ object QualityQueries extends QueryPack {
     "q108_snapshot_diff" -> snapshotDiff,
     "q110_profile_approx" -> ordersProfileApprox,
     "q116_incremental_agg" -> incrementalAgg,
-    "q123_histogram_drift" -> histogramDriftGate
+    "q123_histogram_drift" -> histogramDriftGate,
+    "q173_incremental_join_view" -> incrementalJoinView
   )
 
   override def oracles: Map[String, String] = Map(
+    // full recompute from scratch — delta-algebra refresh must equal it
+    "q173_incremental_join_view" ->
+      """SELECT c.c_nationkey,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS total_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
     // the piggybacked observe metrics must equal a dedicated aggregation
     "q153_observed_metrics" ->
       """SELECT count(*) AS n_rows,

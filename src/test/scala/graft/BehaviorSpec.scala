@@ -81,4 +81,40 @@ class BehaviorSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       plan.take(3000))
   }
+
+  test("q172 sweep formula: island merge, expiry after 7 days, mid-island day counted") {
+    // u1 active days 1,3 (one merged island [1..9]); u2 active day 1
+    // only (island [1..7]); day 8: u2 expired, u1 still covered by the
+    // day-3 contribution; day 10: everyone expired but u3 appears
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq(
+      (1L, d(1)), (1L, d(3)), (2L, d(1)), (1L, d(8)), (3L, d(10))
+    ).toDF("user_id", "ts")
+    // same pipeline as the query, against the fixture
+    import org.apache.spark.sql.expressions.Window
+    val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val isl = ud
+      .withColumn("gap", when(lag("day", 1).over(w).isNull
+        || datediff(col("day"), lag("day", 1).over(w)) > 6, 1L).otherwise(0L))
+      .withColumn("island", sum("gap").over(w))
+    val iv = isl.groupBy("user_id", "island")
+      .agg(min("day").as("s"), date_add(max("day"), 6).as("e"))
+    val deltas = iv.select(col("s").as("day"), lit(1L).as("d"))
+      .unionAll(iv.select(date_add(col("e"), 1).as("day"), lit(-1L).as("d")))
+      .unionAll(ud.select(col("day"), lit(0L).as("d")).distinct())
+      .groupBy("day").agg(sum("d").as("delta"))
+    val got = deltas.withColumn("n",
+        sum("delta").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(ud.select("day").distinct(), Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2024-01-01" -> 2L, // u1 + u2
+      "2024-01-03" -> 2L, // both still in-window
+      "2024-01-08" -> 1L, // u2's day-1 expired; u1 re-upped day 8 (merged island)
+      "2024-01-10" -> 2L  // u1 (day 8 still covers) + u3
+    ), got.toString)
+  }
 }

@@ -430,6 +430,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("slice"), plan.take(3000))
   }
 
+  test("q168 boilerplate removal: the corpus filter is a broadcast LEFT ANTI, never a shuffle join") {
+    val df = SparkEntry.queries("q168_boilerplate_removal")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "hot-segment filter must be a broadcast anti-join:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin LeftAnti"),
+      "corpus was shuffled to apply the hot list:\n" + plan.take(3000))
+  }
+
+  test("q169 inverted index: rank window and postings agg ride ONE term exchange") {
+    val df = SparkEntry.queries("q169_inverted_index")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // exchanges: the term hash partitioning + the final orderBy range —
+    // a second hash exchange would mean window and agg don't share one
+    val hashEx = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"expected 1 term hash exchange shared by window+agg, got $hashEx:\n" +
+        plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
