@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics WITHOUT a global sort: iterative
+  * range narrowing (distributed quickselect on a histogram).
+  *
+  * `percentile`/`median` in both Spark and DuckDB materialize per-group
+  * sorted state; at 100 TB a global exact median that way is a
+  * single-partition sort of the corpus. This operator finds the exact
+  * k-th smallest of a LONG column in O(log_B(range)) passes, each pass
+  * a full scan + ONE B-bucket histogram aggregate (map-side
+  * combinable, B rows to the driver — the bounded-collect discipline):
+  * cumulative counts locate the bucket containing rank k, the value
+  * range narrows to that bucket, and k is rebased. When the surviving
+  * value range is ≤ B the histogram IS per-value exact and the answer
+  * falls out directly — no tail sort of any kind, so the worst case
+  * (all rows equal, adversarial skew) still terminates in ≤
+  * ceil(64 / log2 B) passes.
+  */
+object Selection {
+
+  /** Exact k-th smallest (1-based) of `valueCol` cast to LONG, nulls
+    * ignored. Returns None on empty input or k out of range. */
+  def exactKth(df: DataFrame, valueCol: String, k: Long,
+      buckets: Int = 1024): Option[Long] = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val Array(b0) = vals.agg(count(lit(1)).as("n"),
+      min("v").as("lo"), max("v").as("hi")).collect()
+    val n = b0.getLong(0)
+    if (n == 0L || k < 1L || k > n) return None
+    var lo = b0.getLong(1)
+    var hi = b0.getLong(2)
+    var rank = k
+    // A full-width value range would overflow (hi - lo) — and ANSI mode
+    // makes (v - lo) a runtime error, not a silent wrap. One sign-split
+    // pass (count of negatives) picks the half containing rank; either
+    // half's span then fits in a signed long.
+    if (lo < 0 && hi > 0 && hi - lo < 0) {
+      val nNeg = vals.where(col("v") < 0).agg(count(lit(1))).head().getLong(0)
+      if (rank <= nNeg) hi = -1L
+      else { lo = 0L; rank -= nNeg }
+    }
+    var guard = 0
+    while (lo < hi) {
+      guard += 1
+      require(guard <= 64, s"selection failed to converge on [$lo, $hi]")
+      // ceil-div width so (hi-lo)/w < buckets always holds; w ≥ 1 keeps
+      // every pass strictly narrowing.
+      val span = hi - lo // both bounds finite; span ≥ 1 here
+      val w = span / buckets + 1
+      // exact long DIV, not `/` (double division rounds (2^63-2)/2^61
+      // up to 4.0 — an out-of-range bucket index)
+      val hist = vals.where(col("v").between(lo, hi))
+        .groupBy(expr(s"(v - ${lo}L) DIV ${w}L").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var below = 0L
+      var idx = 0
+      while (below + hist(idx)._2 < rank) { below += hist(idx)._2; idx += 1 }
+      val b = hist(idx)._1
+      rank -= below
+      val newLo = lo + b * w
+      val newHi = math.min(hi, newLo + w - 1)
+      lo = newLo; hi = newHi
+      if (w == 1L) return Some(lo) // per-value exact histogram
+    }
+    Some(lo)
+  }
+
+  /** Exact lower median: k = ceil(n/2) = (n+1)/2. Returns (n, median). */
+  def exactMedian(df: DataFrame, valueCol: String,
+      buckets: Int = 1024): Option[(Long, Long)] = {
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val n = vals.count()
+    if (n == 0) None
+    else exactKth(df, valueCol, (n + 1) / 2, buckets).map(m => (n, m))
+  }
+}

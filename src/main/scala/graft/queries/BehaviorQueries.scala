@@ -125,14 +125,137 @@ object BehaviorQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** q176: weekly retention cohort matrix — users grouped by first-seen
+    * week, activity tracked by week offset. Week index is a raw integer
+    * division of epoch seconds (no ISO-week convention to bridge across
+    * engines). One user-key window finds each user's cohort; the
+    * per-(cohort, offset) distinct-user count is a map-combinable
+    * aggregate; the cohort-size denominator rides a window over the
+    * already-aggregated matrix (≤ weeks² rows — calendar-bounded, never
+    * event-bounded). Retention is a ratio of exact counts, rounded
+    * identically on both sides. */
+  private def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), (col("ts").cast("long") / 604800).cast("long").as("wk"))
+      .withColumn("cohort_wk", min("wk").over(byUser))
+      .withColumn("week_offset", col("wk") - col("cohort_wk"))
+      .select("user_id", "cohort_wk", "week_offset").distinct()
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("active_users")))
+          .over(Window.partitionBy("cohort_wk")))
+      .withColumn("retention", round(col("active_users") / col("cohort_size"), 6))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** q177: last-touch revenue attribution — each purchase's value is
+    * credited to the user's most recent PRECEDING non-purchase event
+    * type (the touch "channel"); purchases with no prior touch fall to
+    * 'direct'. One user-key window (`last(..., ignoreNulls)` over the
+    * strictly-preceding frame — an O(n)-per-partition running carry,
+    * not a per-row rescan), then one tiny channel aggregate. Values sum
+    * in exact integer micro-units; doubles never accumulate. */
+  private def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val carry = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(carry))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("channel"),
+        round(col("value") * 1000000).cast("long").as("value_micro"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("value_micro").as("attributed_micro"))
+      .orderBy("channel")
+  }
+
+  /** q179: per-user activity bitmap — day-presence packed into ONE int64
+    * (bit i = active on day i of a 64-day window) via `bit_or`
+    * aggregation, distinct active days read back with `bit_count`. The
+    * roaring-bitmap primitive at engine scale: per-user state is 8
+    * bytes however many events they have, the aggregate is fully
+    * map-side combinable, and bitmap intersections/unions across
+    * cohorts become bitwise ops instead of set joins. The oracle
+    * derives active_days via an independent COUNT(DISTINCT day) — the
+    * popcount must match it user for user. */
+  private def activityBitmap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("idx"))
+      .where(col("idx").between(0, 63))
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx AS INT))").as("bit"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(bit)").as("bitmap"))
+      .select(col("user_id"), col("bitmap"),
+        bit_count(col("bitmap")).cast("bigint").as("active_days"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_markov_transitions" -> markovTransitions,
+    "q176_cohort_retention" -> cohortRetention,
+    "q177_last_touch_attribution" -> lastTouchAttribution,
+    "q179_activity_bitmap" -> activityBitmap,
     "q161_event_funnel" -> eventFunnel,
     "q162_interval_coverage" -> intervalCoverage,
     "q172_rolling_active_users" -> rollingActiveUsers
   )
 
   override def oracles: Map[String, String] = Map(
+    "q176_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, wk,
+        |         min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        |  FROM e),
+        |m AS (
+        |  SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |         count(DISTINCT user_id) AS active_users
+        |  FROM c GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, max(CASE WHEN week_offset = 0 THEN active_users END)
+        |              OVER (PARTITION BY cohort_wk) AS cohort_size
+        |  FROM m)
+        |SELECT cohort_wk, week_offset, active_users, cohort_size,
+        |       round(CAST(active_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM s ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q177_last_touch_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS attributed_micro
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // active_days via an INDEPENDENT COUNT(DISTINCT day) — hash equality
+    // proves the engine's popcount-over-bit_or path.
+    "q179_activity_bitmap" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx
+        |  FROM events
+        |  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |          BETWEEN 0 AND 63)
+        |SELECT user_id,
+        |       bit_or(CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) AS bitmap,
+        |       count(DISTINCT idx) AS active_days
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
     // the naive trailing-week COUNT DISTINCT — the sweep-line result
     // must equal it day for day
     "q172_rolling_active_users" ->

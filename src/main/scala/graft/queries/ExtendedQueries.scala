@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
-import graft.ops.Salting
+import graft.ops.{Salting, Selection, Skyline}
 import graft.tables.Tables
 
 /** Coverage extensions beyond the round-1 inventory: multi-dimensional
@@ -282,7 +282,42 @@ object ExtendedQueries extends QueryPack {
       .orderBy("event_type", "q")
   }
 
+  // --------------------------------------------------------------- q175
+  /** Pareto skyline over orders: the non-dominated (price, recency)
+    * frontier via `Skyline.skylineMax` — grid prune bounds what reaches
+    * the exact sweep (see Skyline scaladoc for the 100 TB shape). The
+    * oracle runs the DUAL sweep (sorted by date, running max price; the
+    * engine sweeps by price with running max date), so hash equality
+    * checks the frontier from an independent derivation, and the
+    * grid-prune ≡ naive-quadratic equivalence is spec-checked besides. */
+  private def paretoSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderdate").cast("long").as("order_epoch_s"))
+    Skyline.skylineMax(pts, "price_cents", "order_epoch_s")
+      .select(col("x").as("price_cents"), col("y").as("order_epoch_s"),
+        col("n").as("n_orders"))
+      .orderBy(col("price_cents").desc)
+  }
+
+  // --------------------------------------------------------------- q180
+  /** Exact global median WITHOUT a global sort: `Selection.exactMedian`
+    * narrows the value range through bounded histogram passes (see its
+    * scaladoc). The oracle computes the same lower median the blunt
+    * way — row_number over a full sort — so equality proves the
+    * narrowing loop lands on exactly the right order statistic. */
+  private def exactMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val (n, m) = Selection.exactMedian(cents, "pc")
+      .getOrElse(sys.error("empty lineitem"))
+    Seq((n, m)).toDF("n_rows", "median_cents")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_pareto_skyline" -> paretoSkyline,
+    "q180_exact_median" -> exactMedianPrice,
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
@@ -300,6 +335,35 @@ object ExtendedQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // DUAL sweep: sort by date desc, keep iff price strictly exceeds the
+    // running max of everything later-or-tied — drop ⇔ dominated, from
+    // the mirrored dimension vs the engine's price-ordered sweep.
+    "q175_pareto_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch_s,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, max(price_cents)
+        |              OVER (ORDER BY order_epoch_s DESC, price_cents DESC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS runmax
+        |  FROM pts)
+        |SELECT price_cents, order_epoch_s, n_orders FROM s
+        |WHERE runmax IS NULL OR price_cents > runmax
+        |ORDER BY price_cents DESC""".stripMargin,
+    // the blunt full-sort lower median the narrowing loop must hit
+    "q180_exact_median" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT pc, row_number() OVER (ORDER BY pc) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM s)
+        |SELECT n AS n_rows, pc AS median_cents FROM r
+        |WHERE rn = (n + 1) // 2""".stripMargin,
     // the dim aggregate + filter replayed, then the fact join — the
     // partitioned rewrite is byte-lossless parquet→parquet, so the
     // original orders table stands in for the fact

@@ -119,7 +119,30 @@ object MlQueries extends QueryPack {
     } finally bars.unpersist()
   }
 
+  /** q178: the hashing trick — namespaced categorical features
+    * (`brand=…`, `type=…`) hashed into 64 buckets via the codegen'd
+    * FNV-1a64 expression, with the per-bucket collision census (distinct
+    * source categories vs rows) a featurizer needs to size D. Entirely
+    * in-scan until one 64-row aggregate; no vocabulary state anywhere —
+    * the property that makes the trick the 100 TB featurizer. The
+    * oracle replays FNV-1a64 in SQL (the q39 discipline) over the same
+    * namespaced strings. */
+  private def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
+    Tables.part(spark, dir)
+      .select(explode(array(
+        concat(lit("brand="), col("p_brand")),
+        concat(lit("type="), col("p_type")))).as("feat"))
+      .select(col("feat"),
+        pmod(HashFunctions.fnv1a(col("feat")), lit(64L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("feat")).as("n_feats"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_feature_hashing" -> featureHashing,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
     "q64_streaming_inference" -> streamingInference,
@@ -127,6 +150,28 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // FNV-1a64 replayed in SQL over the same namespaced feature strings
+    // (ASCII corpus: unicode(c) == UTF-8 byte; HUGEINT mod-2^64
+    // wraparound) — the q39 discipline. pmod(signed, 64) == unsigned
+    // low-6-bits because 64 is a power of two.
+    "q178_feature_hashing" ->
+      """WITH f AS (
+        |  SELECT unnest([concat('brand=', p_brand),
+        |                 concat('type=', p_type)]) AS feat
+        |  FROM part),
+        |h AS (
+        |  SELECT feat,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |             list_transform(regexp_split_to_array(feat, ''),
+        |                            c -> CAST(unicode(c) AS UBIGINT))),
+        |           (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+        |                          % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM f)
+        |SELECT CAST(hv % 64 AS BIGINT) AS bucket,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT feat) AS n_feats
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q63_training_base_rate" ->
       """WITH bars AS (
         |  SELECT event_type AS symbol, user_id, strftime(ts, '%Y-%m-%d') AS day,
