@@ -197,8 +197,29 @@ object BehaviorQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q185: frequent-path mining — the top order-3 event-type paths
+    * across all user journeys (the "common flows" product query;
+    * order-3 where q160's Markov matrix is order-1). Two `lead`s ride
+    * ONE user-key window exchange; the path census that follows groups
+    * ≤ |event_type|³ keys, so the top-k sort sees a bounded input no
+    * matter the corpus. Boundary ties break on path text — a total
+    * order, same on both engines. */
+  private def pathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(seq))
+      .withColumn("t3", lead("t1", 2).over(seq))
+      .where(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_markov_transitions" -> markovTransitions,
+    "q185_path_trigrams" -> pathTrigrams,
     "q176_cohort_retention" -> cohortRetention,
     "q177_last_touch_attribution" -> lastTouchAttribution,
     "q179_activity_bitmap" -> activityBitmap,
@@ -208,6 +229,18 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q185_path_trigrams" ->
+      """WITH s AS (
+        |  SELECT event_type AS t1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS t2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |c AS (
+        |  SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |  FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q176_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id,

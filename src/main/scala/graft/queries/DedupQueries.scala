@@ -327,7 +327,20 @@ object DedupQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** q181: prefix-filtered set-similarity self-join (PPJoin family) —
+    * exact token-set Jaccard ≥ 0.3 where candidates come only from each
+    * doc's rarest-token prefix (`Dedup.prefixFilterPairs`). The oracle
+    * is the EXHAUSTIVE all-pairs Jaccard join — hash equality proves
+    * the prefix filter dropped no qualifying pair on real data (the
+    * prefix theorem, verified rather than assumed). */
+  private def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(
+      Tables.documents(spark, dir), "doc_id", "text", thresholdTenths = 3)
+      .select(col("doc_a"), col("doc_b"), col("jac_micro"))
+      .orderBy("doc_a", "doc_b")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_prefix_filter_pairs" -> prefixFilterPairs,
     "q155_pagerank" -> pagerankTop,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
@@ -345,6 +358,33 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // candidates from ANY shared shingle (complete for J > 0 by
+    // definition — no prefix anywhere), then the exact integer gate.
+    // Equality with the engine's prefix-only candidates is the
+    // losslessness proof. J >= 0.3 ⇔ 13·|∩| >= 3(|A|+|B|).
+    "q181_prefix_filter_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS ws
+        |  FROM t),
+        |n AS (SELECT doc_id, ws, len(ws) AS nn FROM s WHERE len(ws) > 0),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM n),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM e a JOIN e b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_intersect(x.ws, y.ws)) AS i,
+        |         x.nn AS na, y.nn AS nb
+        |  FROM cand c JOIN n x ON x.doc_id = c.doc_a
+        |              JOIN n y ON y.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, (1000000 * i) // (na + nb - i) AS jac_micro
+        |FROM p WHERE 13 * i >= 3 * (na + nb)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // exact-int counts; the lone float step mirrors the Spark tree
     // (multiply, IEEE sqrt, divide) and is quantized to micro-units
     "q174_item_item_cosine" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.quality.Profile
+import graft.quality.{Otsu, Profile}
 import graft.tables.Tables
 
 /** Data-quality queries (round 3): the profiling gate a pipeline runs on
@@ -237,7 +237,18 @@ object QualityQueries extends QueryPack {
     spark.createDataFrame(java.util.Arrays.asList(row), row.schema)
   }
 
+  /** q182: data-derived quality threshold via Otsu's method over the
+    * doc-length distribution (`Otsu.otsuTable`): one histogram
+    * aggregate, exact-BigInt argmax on the driver, every candidate row
+    * emitted with its micro-quantized between-class variance. The
+    * oracle replays bins, cumulative moments, score, and the argmax
+    * tie-break in HUGEINT. */
+  private def otsuThreshold(spark: SparkSession, dir: String): DataFrame =
+    Otsu.otsuTable(spark, Tables.documents(spark, dir), "n_chars", bins = 16)
+      .orderBy("k")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_otsu_threshold" -> otsuThreshold,
     "q153_observed_metrics" -> observedMetrics,
     "q134_key_skew_profile" -> keySkewProfile,
     "q135_fk_audit" -> fkAudit,
@@ -250,6 +261,44 @@ object QualityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // full replay: bin width, cumulative class moments, the HUGEINT
+    // variance rational floor-quantized to micro-units, argmax with
+    // smallest-k tie-break
+    "q182_otsu_threshold" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+        |h AS (
+        |  SELECT (v.v - b.lo) // ((b.hi - b.lo) // 16 + 1) AS k,
+        |         count(*) AS c
+        |  FROM v, b GROUP BY 1),
+        |tot AS (SELECT (SELECT n FROM b) AS n,
+        |               (SELECT CAST(sum(k * c) AS BIGINT) FROM h) AS s),
+        |cand AS (SELECT unnest(range(0, 15)) AS k),
+        |cum AS (
+        |  SELECT cand.k,
+        |         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+        |          FROM h WHERE h.k <= cand.k) AS n0,
+        |         (SELECT CAST(coalesce(sum(h.k * c), 0) AS BIGINT)
+        |          FROM h WHERE h.k <= cand.k) AS s0
+        |  FROM cand),
+        |sc AS (
+        |  SELECT k, n0, (SELECT n FROM tot) - n0 AS n1,
+        |         CAST(s0 AS HUGEINT) * ((SELECT n FROM tot) - n0)
+        |           - (CAST((SELECT s FROM tot) AS HUGEINT) - s0) * n0 AS d,
+        |         CAST((SELECT n FROM tot) AS HUGEINT) AS nn
+        |  FROM cum
+        |  WHERE n0 > 0 AND (SELECT n FROM tot) - n0 > 0),
+        |fin AS (
+        |  SELECT k, n0, n1,
+        |         CAST((d * d * 1000000)
+        |              // (CAST(n0 AS HUGEINT) * n1 * nn * nn) AS BIGINT)
+        |           AS score_micro
+        |  FROM sc)
+        |SELECT k, n0, n1, score_micro,
+        |       row_number() OVER (ORDER BY score_micro DESC, k) = 1 AS is_best
+        |FROM fin ORDER BY k""".stripMargin,
     // full recompute from scratch — delta-algebra refresh must equal it
     "q173_incremental_join_view" ->
       """SELECT c.c_nationkey,

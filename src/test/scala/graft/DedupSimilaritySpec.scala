@@ -555,4 +555,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("prefix-filtered similarity join == brute force over shingle sets (lossless)") {
+    import spark.implicits._
+    // seeded corpus with planted near-dups: doc 2i+1 is doc 2i with one
+    // word changed, plus unrelated docs from a shared vocabulary
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 80).map(i => s"w$i")
+    val docs = (0 until 30).flatMap { i =>
+      val base = Seq.fill(20)(vocab(rnd.nextInt(vocab.size)))
+      val edit = base.updated(rnd.nextInt(base.size), "CHANGED" + i)
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, edit.mkString(" ")))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.prefixFilterPairs(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: every pair, shingle sets, exact integer gate
+    def sh(s: String): Set[String] =
+      s.split("\\s+").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> sh(t) }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      i = (sets(a) & sets(b)).size.toLong
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+      if 13 * i >= 3 * (na + nb)
+    } yield (a, b) -> (1000000L * i) / (na + nb - i)).toMap
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(got == want)
+    // and the filter actually filters: candidate prefixes must be
+    // narrower than the full sets (sanity that we're not degenerate)
+    assert(got.size < docs.size * (docs.size - 1) / 2)
+  }
 }

@@ -82,4 +82,41 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.0) // amax
     assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("otsu: bimodal distribution thresholds between the modes") {
+    // 100 values at 10, 80 at 100 → the best split must put exactly the
+    // low mode in class 0
+    val vals = Seq.fill(100)(10L) ++ Seq.fill(80)(100L)
+    val df = vals.toDF("v")
+    val rows = graft.quality.Otsu.otsuTable(spark, df, "v", bins = 16)
+      .collect()
+    val best = rows.filter(_.getBoolean(4))
+    assert(best.length == 1)
+    assert(best(0).getLong(1) == 100L && best(0).getLong(2) == 80L)
+    // every candidate here yields the same split (middle bins are
+    // empty) — the tie must break to the SMALLEST k, matching the
+    // oracle's row_number order
+    assert(best(0).getLong(0) == 0L)
+    val bs = best(0).getLong(3)
+    rows.filterNot(_.getBoolean(4)).foreach(r => assert(r.getLong(3) <= bs))
+    // three-mode fixture where splits genuinely differ: the best
+    // threshold must separate the two heavy modes (10s vs 100s),
+    // putting the light middle mode (55) with the low side — and must
+    // be strictly better than splitting inside a mode
+    val tri = Seq.fill(90)(10L) ++ Seq.fill(20)(55L) ++ Seq.fill(90)(100L)
+    val rows3 = graft.quality.Otsu.otsuTable(spark, tri.toDF("v"), "v", 16)
+      .collect()
+    val best3 = rows3.filter(_.getBoolean(4)).head
+    assert(best3.getLong(1) == 110L && best3.getLong(2) == 90L)
+  }
+
+  test("otsu: uniform single-value column is rejected loudly") {
+    val df = Seq.fill(10)(5L).toDF("v")
+    // all mass in bin 0 → no candidate with both classes non-empty →
+    // maxBy on empty must not silently succeed
+    val e = intercept[Exception] {
+      graft.quality.Otsu.otsuTable(spark, df, "v").collect()
+    }
+    assert(e != null)
+  }
 }
