@@ -80,4 +80,77 @@ object Selection {
     if (n == 0) None
     else exactKth(df, valueCol, (n + 1) / 2, buckets).map(m => (n, m))
   }
+
+  /** Exact lower median PER GROUP, all groups narrowed simultaneously:
+    * each pass joins the corpus against a broadcast of per-group
+    * [lo, hi] bounds and takes ONE (group × bucket) histogram — so the
+    * number of full scans stays O(log_B(range)) regardless of how many
+    * groups there are, where a per-group `exactKth` loop would scan per
+    * group. Driver state is (groups × few longs) and each collect is ≤
+    * groups × B rows; `maxGroups` fails loudly before that stops being
+    * the bounded-collect discipline. Returns (group, n, median) rows. */
+  def exactMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int = 1024, maxGroups: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    val base = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val init = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect()
+    require(init.length <= maxGroups,
+      s"${init.length} groups exceed maxGroups=$maxGroups — driver state " +
+        "would stop being bounded; raise the cap deliberately or pre-aggregate")
+    // g -> (lo, hi, remaining rank); median rank = (n+1)/2 within group
+    val state = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    val nBy = init.map(r => r.getString(0) -> r.getLong(1)).toMap
+    init.foreach { r =>
+      var (lo, hi) = (r.getLong(2), r.getLong(3))
+      var rank = (r.getLong(1) + 1) / 2
+      // same full-width-span guard as exactKth: sign-split via one
+      // per-group negative count
+      if (lo < 0 && hi > 0 && hi - lo < 0) {
+        val nNeg = base.where(col("g") === r.getString(0) && col("v") < 0)
+          .count()
+        if (rank <= nNeg) hi = -1L else { lo = 0L; rank -= nNeg }
+      }
+      state(r.getString(0)) = (lo, hi, rank)
+    }
+    var guard = 0
+    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      guard += 1
+      require(guard <= 64, "per-group selection failed to converge")
+      val active = state.filter { case (_, (lo, hi, _)) => lo < hi }.toSeq
+      import spark.implicits._
+      val bounds = active.map { case (g, (lo, hi, _)) =>
+        (g, lo, hi, (hi - lo) / buckets + 1)
+      }.toDF("g", "lo", "hi", "w")
+      val hist = base
+        .join(broadcast(bounds), Seq("g"))
+        .where(col("v").between(col("lo"), col("hi")))
+        .groupBy(col("g"), expr("(v - lo) DIV w").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          g -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      active.foreach { case (g, (lo, hi, rank)) =>
+        val w = (hi - lo) / buckets + 1
+        val h = hist(g)
+        var below = 0L; var idx = 0
+        while (below + h(idx)._2 < rank) { below += h(idx)._2; idx += 1 }
+        val b = h(idx)._1
+        val newLo = lo + b * w
+        val newHi = math.min(hi, newLo + w - 1)
+        state(g) = (newLo, if (w == 1L) newLo else newHi, rank - below)
+      }
+    }
+    import spark.implicits._
+    state.toSeq.sortBy(_._1)
+      .map { case (g, (lo, _, _)) => (g, nBy(g), lo) }
+      .toDF("g", "n", "median")
+  }
 }

@@ -81,6 +81,48 @@ object AdvancedQueries extends QueryPack {
       .orderBy("user_id", "signup_id", "purchase_id")
   }
 
+  /** q184: stream-stream FULL OUTER join — both sides hold state and
+    * both emit null-padded rows on watermark eviction (q104 covers only
+    * the left side). Same range condition and watermarks; the closed
+    * region gates on `coalesce(s_ts, p_ts)`: matched and signup-only
+    * rows close on s_ts, purchase-only rows (null signup — the side
+    * q104 cannot produce) close on p_ts. Both the streamed result and
+    * the batch FULL JOIN twin apply the identical gate, so the
+    * emission boundary's strictness never reaches the compare. */
+  private def streamStreamFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+        col("s_user") === col("p_user") &&
+          col("p_ts") >= col("s_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(coalesce(col("s_user"), col("p_user")).as("user_id"),
+        col("s_ts"), col("p_ts"), col("signup_id"), col("purchase_id"))
+    val streamed = StreamingQueries.runToMemorySink(joined, "ssfo", mode = "append")
+    val ev = Tables.events(spark, dir)
+    val wm = ev.groupBy()
+      .agg(least(
+        max(when(col("event_type") === "signup", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts"))))
+        .as("__maxts"))
+    streamed.crossJoin(broadcast(wm))
+      .where(coalesce(col("s_ts"), col("p_ts")) + expr("INTERVAL 35 MINUTES") <
+        col("__maxts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
   /** Custom expressions through the SQL surface: functions registered on
     * the live session (GraftExtensions covers the builder path). */
   private def sqlCustomFunctions(spark: SparkSession, dir: String): DataFrame = {
@@ -108,7 +150,8 @@ object AdvancedQueries extends QueryPack {
     "q56_stream_stream_join" -> streamStreamJoin,
     "q57_sql_custom_functions" -> sqlCustomFunctions,
     "q58_typed_ohlc" -> typedOhlc,
-    "q104_stream_stream_left_outer" -> streamStreamLeftOuter
+    "q104_stream_stream_left_outer" -> streamStreamLeftOuter,
+    "q184_stream_stream_full_outer" -> streamStreamFullOuter
   )
 
   override def oracles: Map[String, String] = Map(
@@ -136,6 +179,24 @@ object AdvancedQueries extends QueryPack {
         | AND p.ts >= s.ts - INTERVAL 30 MINUTE
         | AND p.ts <= s.ts + INTERVAL 30 MINUTE
         |WHERE s.ts + INTERVAL 35 MINUTE < (SELECT w FROM wm)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // Batch FULL JOIN twin with the identical coalesce-gated closed
+    // region — purchase-only null rows included.
+    "q184_stream_stream_full_outer" ->
+      """WITH s AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(ts) FROM s),
+        |                    (SELECT max(ts) FROM p))
+        |              - INTERVAL 1 HOUR AS w)
+        |SELECT coalesce(s.user_id, p.user_id) AS user_id,
+        |       s.event_id AS signup_id,
+        |       p.event_id AS purchase_id
+        |FROM s FULL JOIN p ON s.user_id = p.user_id
+        | AND p.ts >= s.ts - INTERVAL 30 MINUTE
+        | AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        |WHERE coalesce(s.ts, p.ts) + INTERVAL 35 MINUTE < (SELECT w FROM wm)
         |ORDER BY 1, 2, 3""".stripMargin,
     "q57_sql_custom_functions" ->
       """WITH t AS (

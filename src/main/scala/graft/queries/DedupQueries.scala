@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -339,8 +340,37 @@ object DedupQueries extends QueryPack {
       .select(col("doc_a"), col("doc_b"), col("jac_micro"))
       .orderBy("doc_a", "doc_b")
 
+  /** q183: quality-aware canonical selection — q87 picks each dup
+    * cluster's minimum id; a curation pipeline keeps the BEST member
+    * instead. Same pair + connected-components stages as q87 (natural
+    * near-dups, no injection), then per cluster the member with max
+    * n_chars (ties → min doc_id) via one rank window over the
+    * label-keyed members — cluster-sized input, never corpus-sized.
+    * The oracle replays pairs, the recursive-CTE clustering, and the
+    * (n_chars DESC, doc_id) pick. */
+  private def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars", "text")
+    val edges = Dedup.blockedJaccardPairs(
+        docs.withColumn("g", lit(1)), "doc_id", "text",
+        blockCols = Seq("g"), k = 3, threshold = 0.3, maxShingleDf = 20)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+    val members = labels.join(
+      docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+    val byLabel = Window.partitionBy("label")
+    members
+      .withColumn("rn", row_number().over(
+        byLabel.orderBy(col("n_chars").desc, col("node"))))
+      .withColumn("n_members", count(lit(1)).over(byLabel))
+      .where(col("rn") === 1)
+      .select(col("label").as("cluster"), col("node").as("canonical_doc"),
+        col("n_members"), col("n_chars").as("canonical_chars"))
+      .orderBy("cluster")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_prefix_filter_pairs" -> prefixFilterPairs,
+    "q183_canonical_selection" -> canonicalSelection,
     "q155_pagerank" -> pagerankTop,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
@@ -358,6 +388,45 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // q87's pair + recursive-CTE clustering replay (no dup injection),
+    // then the (n_chars DESC, doc_id) canonical pick per cluster
+    "q183_canonical_selection" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |keepsh AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
+        |fex AS (SELECT ex.doc_id, ex.sg FROM ex JOIN keepsh USING (sg)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+        |  FROM fex a JOIN fex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT x, y FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.x
+        |  JOIN sizes sb ON sb.doc_id = inter.y
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+        |sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |reach AS (
+        |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT s2.x, r.label FROM sym s2 JOIN reach r ON s2.y = r.x),
+        |lab AS (SELECT x AS node, min(label) AS label FROM reach GROUP BY x),
+        |m AS (
+        |  SELECT lab.label, lab.node, d.n_chars,
+        |         row_number() OVER (PARTITION BY lab.label
+        |                            ORDER BY d.n_chars DESC, lab.node) AS rn,
+        |         count(*) OVER (PARTITION BY lab.label) AS n_members
+        |  FROM lab JOIN documents d ON d.doc_id = lab.node)
+        |SELECT label AS cluster, node AS canonical_doc, n_members,
+        |       n_chars AS canonical_chars
+        |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin,
     // candidates from ANY shared shingle (complete for J > 0 by
     // definition — no prefix anywhere), then the exact integer gate.
     // Equality with the engine's prefix-only candidates is the

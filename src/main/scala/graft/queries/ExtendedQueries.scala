@@ -315,9 +315,27 @@ object ExtendedQueries extends QueryPack {
     Seq((n, m)).toDF("n_rows", "median_cents")
   }
 
+  // --------------------------------------------------------------- q186
+  /** Exact PER-GROUP medians, all groups narrowed simultaneously
+    * (`Selection.exactMedianByGroup`): each pass is one broadcast-join
+    * filter + one (group × bucket) histogram, so scan count stays
+    * O(log range) however many groups there are — where `percentile`
+    * materializes per-group sorted state. Oracle: per-group full-sort
+    * row_number twin. */
+  private def groupMedians(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    Selection.exactMedianByGroup(cents, "l_returnflag", "pc")
+      .select(col("g").as("l_returnflag"), col("n").as("n_rows"),
+        col("median").as("median_cents"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_pareto_skyline" -> paretoSkyline,
     "q180_exact_median" -> exactMedianPrice,
+    "q186_group_medians" -> groupMedians,
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
@@ -353,6 +371,19 @@ object ExtendedQueries extends QueryPack {
         |SELECT price_cents, order_epoch_s, n_orders FROM s
         |WHERE runmax IS NULL OR price_cents > runmax
         |ORDER BY price_cents DESC""".stripMargin,
+    // per-group full-sort lower medians the simultaneous narrowing must hit
+    "q186_group_medians" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, pc,
+        |         row_number() OVER (PARTITION BY g ORDER BY pc) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n
+        |  FROM s)
+        |SELECT g AS l_returnflag, n AS n_rows, pc AS median_cents
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY l_returnflag""".stripMargin,
     // the blunt full-sort lower median the narrowing loop must hit
     "q180_exact_median" ->
       """WITH s AS (

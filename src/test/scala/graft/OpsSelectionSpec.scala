@@ -78,4 +78,34 @@ class OpsSelectionSpec extends AnyFunSuite {
       .toDF("v")
     assert(Selection.exactMedian(withNulls, "v") == Some((3L, 3L)))
   }
+
+  test("exactMedianByGroup == per-group sorted lower median") {
+    val rnd = new scala.util.Random(13)
+    // uneven group sizes, one constant group, one full-width-span group
+    val data =
+      (0 until 301).map(i => ("a", rnd.nextLong() % 100000L)) ++
+      (0 until 40).map(_ => ("b", rnd.nextLong())) ++
+      (0 until 7).map(_ => ("c", 42L)) ++
+      Seq(("d", Long.MinValue + 1), ("d", -5L), ("d", 9L),
+        ("d", Long.MaxValue - 1), ("d", 10L))
+    val got = Selection
+      .exactMedianByGroup(data.toDF("g", "v"), "g", "v", buckets = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      g -> (sorted.size.toLong, sorted(((sorted.size + 1) / 2) - 1))
+    }
+    assert(got == want)
+    assert(got("d")._2 == 9L) // sign-split path exercised
+  }
+
+  test("exactMedianByGroup fails loudly past the group cap") {
+    val many = (0 until 50).map(i => (s"g$i", i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      Selection.exactMedianByGroup(many.toDF("g", "v"), "g", "v",
+        maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+  }
 }
