@@ -81,6 +81,76 @@ object Selection {
     else exactKth(df, valueCol, (n + 1) / 2, buckets).map(m => (n, m))
   }
 
+  /** Exact order statistics for SEVERAL quantiles at once, sharing the
+    * narrowing passes: per pass, each still-active quantile contributes
+    * a (percent, bucket) pair via a literal-bounds projection (a
+    * `when(v BETWEEN lo_p AND hi_p)` per quantile, exploded) — no join
+    * of any kind, one map-combinable histogram for ALL quantiles, ≤
+    * |percents| × B rows to the driver. Rank for percent p is the
+    * lower quantile ceil(p·n/100). Returns (percent, n, value) rows. */
+  def exactQuantiles(df: DataFrame, valueCol: String, percents: Seq[Int],
+      buckets: Int = 1024): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be 1..100, got $percents")
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val Array(b0) = vals.agg(count(lit(1)).as("n"),
+      min("v").as("lo"), max("v").as("hi")).collect()
+    val n = b0.getLong(0)
+    require(n > 0, "exactQuantiles over an empty column")
+    val (lo0, hi0) = (b0.getLong(1), b0.getLong(2))
+    // shared sign-split (one count) if the full span overflows
+    lazy val nNeg = vals.where(col("v") < 0).agg(count(lit(1)))
+      .head().getLong(0)
+    val state = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    percents.distinct.foreach { p =>
+      var (lo, hi) = (lo0, hi0)
+      var rank = (p.toLong * n + 99) / 100
+      if (lo < 0 && hi > 0 && hi - lo < 0) {
+        if (rank <= nNeg) hi = -1L else { lo = 0L; rank -= nNeg }
+      }
+      state(p) = (lo, hi, rank)
+    }
+    var guard = 0
+    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      guard += 1
+      require(guard <= 64, "quantile narrowing failed to converge")
+      val active = state.filter { case (_, (lo, hi, _)) => lo < hi }.toSeq
+      val probes = active.map { case (p, (lo, hi, _)) =>
+        val w = (hi - lo) / buckets + 1
+        struct(lit(p).as("p"),
+          when(col("v").between(lo, hi),
+            expr(s"(v - ${lo}L) DIV ${w}L")).as("b"))
+      }
+      val hist = vals
+        .select(explode(array(probes: _*)).as("s"))
+        .where(col("s.b").isNotNull)
+        .groupBy(col("s.p").as("p"), col("s.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (p, rows) =>
+          p -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      active.foreach { case (p, (lo, hi, rank)) =>
+        val w = (hi - lo) / buckets + 1
+        val h = hist(p)
+        var below = 0L; var idx = 0
+        while (below + h(idx)._2 < rank) { below += h(idx)._2; idx += 1 }
+        val b = h(idx)._1
+        val newLo = lo + b * w
+        val newHi = math.min(hi, newLo + w - 1)
+        state(p) = (newLo, if (w == 1L) newLo else newHi, rank - below)
+      }
+    }
+    import spark.implicits._
+    state.toSeq.sortBy(_._1)
+      .map { case (p, (lo, _, _)) => (p, n, lo) }
+      .toDF("percent", "n", "value")
+  }
+
   /** Exact lower median PER GROUP, all groups narrowed simultaneously:
     * each pass joins the corpus against a broadcast of per-group
     * [lo, hi] bounds and takes ONE (group × bucket) histogram — so the

@@ -217,9 +217,34 @@ object BehaviorQueries extends QueryPack {
       .orderBy(col("n").desc, col("path")).limit(20)
   }
 
+  /** q188: out-of-orderness profile — the stats that size a watermark.
+    * Arrival order is event_id (the ingest sequence); an event is LATE
+    * by how far the running max event time of everything that arrived
+    * BEFORE it exceeds its own event time. One key-ordered window +
+    * one aggregate; all integer seconds, the late fraction in exact
+    * micro-units. */
+  private def disorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    val arr = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("t"))
+      .withColumn("late_s",
+        greatest(coalesce(max("t").over(arr) - col("t"), lit(0L)), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("late_s").as("max_late_s"),
+        sum("late_s").as("sum_late_s"))
+      .withColumn("late_frac_micro",
+        expr("(1000000 * n_late) DIV n_events"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_markov_transitions" -> markovTransitions,
     "q185_path_trigrams" -> pathTrigrams,
+    "q188_disorder_profile" -> disorderProfile,
     "q176_cohort_retention" -> cohortRetention,
     "q177_last_touch_attribution" -> lastTouchAttribution,
     "q179_activity_bitmap" -> activityBitmap,
@@ -229,6 +254,29 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q188_disorder_profile" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY event_type ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND 1 PRECEDING) AS runmax
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         greatest(coalesce(runmax - t, 0), 0) AS late_s
+        |  FROM a),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |         CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_late,
+        |         max(late_s) AS max_late_s,
+        |         CAST(sum(late_s) AS BIGINT) AS sum_late_s
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_events, n_late, max_late_s, sum_late_s,
+        |       (1000000 * n_late) // n_events AS late_frac_micro
+        |FROM g ORDER BY event_type""".stripMargin,
     "q185_path_trigrams" ->
       """WITH s AS (
         |  SELECT event_type AS t1,

@@ -368,9 +368,28 @@ object DedupQueries extends QueryPack {
       .orderBy("cluster")
   }
 
+  /** q189: dup-cluster size histogram — the dedup-health metric a
+    * curation run reports (how much mass sits in 2-clusters vs
+    * boilerplate blobs). Same natural pair + CC stages as q183, then
+    * two tiny aggregates over label-sized data: label → size →
+    * (size, n_clusters, n_docs). */
+  private def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val edges = Dedup.blockedJaccardPairs(
+        docs.withColumn("g", lit(1)), "doc_id", "text",
+        blockCols = Seq("g"), k = 3, threshold = 0.3, maxShingleDf = 20)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    Dedup.connectedComponents(edges, "a", "b")
+      .groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .orderBy("sz")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q181_prefix_filter_pairs" -> prefixFilterPairs,
     "q183_canonical_selection" -> canonicalSelection,
+    "q189_cluster_size_histogram" -> clusterSizeHistogram,
     "q155_pagerank" -> pagerankTop,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
@@ -388,6 +407,38 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // same clustering replay as q183, aggregated to the size census
+    "q189_cluster_size_histogram" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+        |keepsh AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
+        |fex AS (SELECT ex.doc_id, ex.sg FROM ex JOIN keepsh USING (sg)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fex GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+        |  FROM fex a JOIN fex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT x, y FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.x
+        |  JOIN sizes sb ON sb.doc_id = inter.y
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+        |sym AS (SELECT x, y FROM e UNION SELECT y, x FROM e),
+        |reach AS (
+        |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM sym)
+        |  UNION
+        |  SELECT s2.x, r.label FROM sym s2 JOIN reach r ON s2.y = r.x),
+        |lab AS (SELECT x AS node, min(label) AS label FROM reach GROUP BY x),
+        |cs AS (SELECT label, count(*) AS sz FROM lab GROUP BY label)
+        |SELECT sz, count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY sz ORDER BY sz""".stripMargin,
     // q87's pair + recursive-CTE clustering replay (no dup injection),
     // then the (n_chars DESC, doc_id) canonical pick per cluster
     "q183_canonical_selection" ->

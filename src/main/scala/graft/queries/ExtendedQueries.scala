@@ -332,10 +332,26 @@ object ExtendedQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // --------------------------------------------------------------- q187
+  /** Exact p25/p50/p75/p95 contour in shared narrowing passes
+    * (`Selection.exactQuantiles`): all four order statistics come out
+    * of the same O(log range) histogram scans — no sort, no join, no
+    * per-quantile rescans. Oracle: full-sort row_number twin picking
+    * each ceil(p·n/100) rank. */
+  private def quantileContour(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    Selection.exactQuantiles(cents, "pc", Seq(25, 50, 75, 95))
+      .select(col("percent"), col("n").as("n_rows"),
+        col("value").as("value_cents"))
+      .orderBy("percent")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_pareto_skyline" -> paretoSkyline,
     "q180_exact_median" -> exactMedianPrice,
     "q186_group_medians" -> groupMedians,
+    "q187_quantile_contour" -> quantileContour,
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
@@ -371,6 +387,19 @@ object ExtendedQueries extends QueryPack {
         |SELECT price_cents, order_epoch_s, n_orders FROM s
         |WHERE runmax IS NULL OR price_cents > runmax
         |ORDER BY price_cents DESC""".stripMargin,
+    // each quantile picked at rank ceil(p*n/100) off one full sort
+    "q187_quantile_contour" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT pc, row_number() OVER (ORDER BY pc) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM s),
+        |q AS (SELECT unnest([25, 50, 75, 95]) AS percent)
+        |SELECT q.percent, r.n AS n_rows, r.pc AS value_cents
+        |FROM q JOIN r ON r.rn = (q.percent * r.n + 99) // 100
+        |ORDER BY q.percent""".stripMargin,
     // per-group full-sort lower medians the simultaneous narrowing must hit
     "q186_group_medians" ->
       """WITH s AS (

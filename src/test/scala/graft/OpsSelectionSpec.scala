@@ -100,6 +100,35 @@ class OpsSelectionSpec extends AnyFunSuite {
     assert(got("d")._2 == 9L) // sign-split path exercised
   }
 
+  test("exactQuantiles == sorted rank pick for every percent at once") {
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 317).map(_ => rnd.nextLong() % 1000000L) ++
+      Seq(Long.MinValue + 1, Long.MaxValue - 1, 0L, 0L, -1L)
+    val sorted = vals.sorted
+    val n = vals.size.toLong
+    val ps = Seq(1, 10, 25, 50, 75, 95, 99, 100)
+    val got = Selection.exactQuantiles(vals.toDF("v"), "v", ps, buckets = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ps.foreach { p =>
+      val rank = ((p.toLong * n + 99) / 100).toInt
+      assert(got(p) == (n, sorted(rank - 1)), s"p=$p")
+    }
+  }
+
+  test("exactQuantiles handles constants, duplicates in percents, nulls") {
+    val const = Seq.fill(40)(9L).toDF("v")
+    assert(Selection.exactQuantiles(const, "v", Seq(50, 50, 95))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+      == Set((50, 9L), (95, 9L)))
+    val withNulls = (Seq(5L, 1L, 3L).map(Option(_)) ++ Seq(None, None))
+      .toDF("v")
+    assert(Selection.exactQuantiles(withNulls, "v", Seq(50))
+      .head().getLong(2) == 3L)
+    intercept[IllegalArgumentException] {
+      Selection.exactQuantiles(const, "v", Seq(0))
+    }
+  }
+
   test("exactMedianByGroup fails loudly past the group cap") {
     val many = (0 until 50).map(i => (s"g$i", i.toLong))
     val e = intercept[IllegalArgumentException] {
