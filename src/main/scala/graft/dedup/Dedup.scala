@@ -405,4 +405,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("(1000000 * i) DIV (na + nb - i)").as("jac_micro"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (SNM): globally sort documents
+    * by (simhash, id) and compare each doc only with its next `window`
+    * neighbors in that order — the third pair-generation strategy next
+    * to banded buckets ([[simhashPairs]]) and prefix filtering
+    * ([[prefixFilterPairs]]). Near-identical docs have near-identical
+    * simhashes, so they land adjacent in the sorted order; candidate
+    * count is EXACTLY window·n regardless of any hot value (no bucket
+    * cap needed — the property banding can't give).
+    *
+    * Scale shape: no global single-partition sort anywhere. The global
+    * position comes from [[graft.ops.Ranking.distributedRank]] (bucket
+    * histogram + bucket-local windows; `id` tie-break makes the order
+    * total and deterministic, so the rank itself is joinable). Each row
+    * then emits `window` probe rows (rn+1..rn+window) and an equi-join
+    * on rn pairs physical neighbors — one bounded fan-out, one hash
+    * join, never a self-join on the value. Verification is the same
+    * exact `bit_count(xor)` gate as the banded path. */
+  def sortedNeighborhoodPairs(docs: DataFrame, id: String, text: String,
+      window: Int = 4, maxHamming: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 64, s"window must be 1..64, got $window")
+    val sh = simhash(docs, id, text).select(col(id).as("doc"), col("simhash"))
+    // 2^48-wide buckets: at most 65536 of them are addressable and only
+    // populated ones materialize, so the offset table stays tiny.
+    val ranked = graft.ops.Ranking.distributedRank(
+      sh, "simhash", Nil, 1L << 48, "rn", tieCols = Seq("doc"))
+    val probes = ranked
+      .select(col("doc").as("doc_a"), col("simhash").as("sh_a"),
+        explode(sequence(lit(1), lit(window))).as("gap"),
+        col("rn"))
+      .withColumn("rn", col("rn") + col("gap"))
+    probes
+      .join(ranked.select(col("doc").as("doc_b"),
+        col("simhash").as("sh_b"), col("rn")), Seq("rn"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("gap"), col("hamming"))
+  }
 }

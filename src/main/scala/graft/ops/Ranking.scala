@@ -28,9 +28,14 @@ object Ranking {
   /** Add `rankCol` = 1-based rank of `valueCol` (a long) within each
     * `scope` group (empty scope = global rank). `bucketWidth` splits the
     * value domain; any positive width is correct — width tunes only the
-    * bucket-count/parallelism trade. */
+    * bucket-count/parallelism trade. `tieCols` break ties WITHIN equal
+    * values (append a unique key to get a fully deterministic total
+    * order — required when downstream joins on the rank itself, e.g.
+    * sorted-neighborhood dedup); ties never cross buckets (equal values
+    * share a bucket), so the offsets are unaffected. */
   def distributedRank(df: DataFrame, valueCol: String, scope: Seq[String],
-                      bucketWidth: Long, rankCol: String): DataFrame = {
+                      bucketWidth: Long, rankCol: String,
+                      tieCols: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     // Pure long floor division (Math.floorDiv): a double cast loses
     // precision past 2^53, which could order-invert buckets near a
@@ -58,7 +63,7 @@ object Ranking {
       .drop("__n")
     val wIn = Window
       .partitionBy(scopeCols :+ col("__bkt"): _*)
-      .orderBy(valueCol)
+      .orderBy(col(valueCol) +: tieCols.map(col): _*)
     withB.join(broadcast(offsets), scope :+ "__bkt")
       .withColumn(rankCol, col("__off") + row_number().over(wIn))
       .drop("__bkt", "__off")

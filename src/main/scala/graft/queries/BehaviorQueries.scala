@@ -241,8 +241,67 @@ object BehaviorQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q191: gaps-and-islands — longest consecutive-DAY activity streak per
+    * user, the classic engagement metric. Distinct (user, day), then the
+    * island key `day − row_number` is constant exactly across consecutive
+    * days: two window functions over one `user_id` exchange, aggregates
+    * over day-sized data. No self-join, no sequence materialization —
+    * the shape that survives a 100 TB event log is exactly this
+    * dedup → window → two tiny aggregates chain. */
+  private def dailyStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .withColumn("island",
+        datediff(col("d"), lit("2024-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(sum("streak").as("n_days"), max("streak").as("best_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** q193: market-basket association rules at brand granularity —
+    * support / confidence / lift for brand pairs co-bought in one order.
+    * The pair generator self-joins the DISTINCT (order, brand) set on the
+    * order key, so fan-out is bounded by (brands-per-order choose 2) —
+    * never |lineitem|² — and the brand-marginal and total-order counts
+    * broadcast (≤ |brands| rows) onto the pair aggregate. Confidence and
+    * lift are integral-divide micro-units of exact counts: no float ever
+    * forms, so the hash matches at any partitioning. */
+  private def brandRules(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val totals = ob.agg(countDistinct("okey").as("n_orders"))
+    val sup = ob.groupBy("brand").agg(count(lit(1)).as("sup"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .where(col("sup_ab") >= 5)
+    pairs
+      .join(broadcast(sup.select(col("brand").as("brand_a"),
+        col("sup").as("sup_a"))), Seq("brand_a"))
+      .join(broadcast(sup.select(col("brand").as("brand_b"),
+        col("sup").as("sup_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("brand_a"), col("brand_b"), col("sup_ab"),
+        expr("(1000000 * sup_ab) DIV sup_a").as("conf_ab_micro"),
+        expr("(1000000 * sup_ab) DIV sup_b").as("conf_ba_micro"),
+        expr("(1000000 * sup_ab * n_orders) DIV (sup_a * sup_b)")
+          .as("lift_micro"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_markov_transitions" -> markovTransitions,
+    "q191_daily_streaks" -> dailyStreaks,
+    "q193_brand_rules" -> brandRules,
     "q185_path_trigrams" -> pathTrigrams,
     "q188_disorder_profile" -> disorderProfile,
     "q176_cohort_retention" -> cohortRetention,
@@ -254,6 +313,41 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q191_daily_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |i AS (
+        |  SELECT user_id, d,
+        |         d - DATE '2024-01-01'
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |           AS island
+        |  FROM d),
+        |s AS (
+        |  SELECT user_id, island, count(*) AS streak
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_days,
+        |       max(streak) AS best_streak, count(*) AS n_streaks
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q193_brand_rules" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+        |sup AS (SELECT brand, count(*) AS sup FROM ob GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS sup_ab
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.brand_a, p.brand_b, p.sup_ab,
+        |       (1000000 * p.sup_ab) // sa.sup AS conf_ab_micro,
+        |       (1000000 * p.sup_ab) // sb.sup AS conf_ba_micro,
+        |       (1000000 * p.sup_ab * t.n_orders) // (sa.sup * sb.sup)
+        |         AS lift_micro
+        |FROM pairs p
+        |JOIN sup sa ON sa.brand = p.brand_a
+        |JOIN sup sb ON sb.brand = p.brand_b
+        |CROSS JOIN t
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "q188_disorder_profile" ->
       """WITH a AS (
         |  SELECT event_type, event_id,

@@ -106,9 +106,109 @@ object CompletenessQueries extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q190: correlated LATERAL subquery — "for each nation, run this
+    * dependent top-2 query" declared literally. The naive reading is a
+    * per-outer-row re-execution; Catalyst DECORRELATES it
+    * (DecorrelateInnerQuery rewrites the correlated ORDER BY/LIMIT into a
+    * partitioned rank over ONE customer scan joined back to nation), so
+    * the declarative form survives a 100 TB outer side where per-row
+    * subquery execution would not. Balance ranks on exact cents with a
+    * custkey tiebreak so the top-2 set is engine-identical. */
+  private def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat_v")
+    spark.sql(
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation_v n
+        |JOIN LATERAL (
+        |  SELECT c.c_custkey,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer_lat_v c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY CAST(round(c.c_acctbal * 100) AS BIGINT) DESC, c.c_custkey
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin)
+  }
+
+  /** q195: null-aware anti join — NOT IN against a subquery whose column
+    * is NOT provably non-null (`nullif` keeps static nullability open, no
+    * runtime null exists for the -1 sentinel). NOT IN's three-valued
+    * logic differs from NOT EXISTS (one list NULL empties the result), so
+    * Spark plans the dedicated single-column null-aware anti join — a
+    * BROADCAST build with an isNullAware flag — instead of q08's plain
+    * LeftAnti. The build side is the dim (customer subset); the 100 TB
+    * fact side streams through unshuffled. */
+  private def nullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_naaj_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_naaj_v")
+    spark.sql(
+      """SELECT o.o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders_naaj_v o
+        |WHERE o.o_custkey NOT IN
+        |      (SELECT nullif(c.c_custkey, -1) FROM customer_naaj_v c
+        |       WHERE c.c_mktsegment = 'BUILDING')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** q194: RECURSIVE CTE (Spark 4's UnionLoop operator) — per-row
+    * unbounded iteration declared in SQL. A synthetic decimal ancestry
+    * tree over the REAL customer keys (parent(k) = k DIV 10) is walked
+    * from every customer to the root in one recursive union; the
+    * aggregate pins every frontier (depth) exactly. Scale shape: each
+    * recursion step is ONE map over the previous frontier (no driver
+    * loop, no lineage blow-up — the engine materializes per-step
+    * frontiers), depth is bounded by the key's digit count, and the
+    * final aggregate is map-side combinable. DuckDB replays the same
+    * recursion verbatim. */
+  private def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_rec_v")
+    spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+        |  FROM customer_rec_v
+        |  UNION ALL
+        |  SELECT start_key, cur DIV 10, depth + 1 FROM chain WHERE cur > 0)
+        |SELECT depth, count(*) AS n_nodes,
+        |       CAST(sum(cur) AS BIGINT) AS sum_keys,
+        |       count(DISTINCT cur) AS n_distinct
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  /** q197: higher-order array functions — transform / filter /
+    * aggregate / zip_with / exists over the embedding vectors, entirely
+    * inside the scan projection: per-row array programs with ZERO
+    * shuffle and no UDF (every lambda is a codegen'd Catalyst
+    * expression — the idiomatic replacement for an explode→groupBy
+    * round-trip, which at 100 TB would shuffle dims× the table to
+    * compute a per-row reduction). Arithmetic rides exact milli-unit
+    * longs so every engine agrees bit-for-bit; DuckDB's list lambdas
+    * replay each program. */
+  private def higherOrderArrays(spark: SparkSession, dir: String): DataFrame = {
+    val milli = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), milli.as("m"))
+      .select(col("vec_id"),
+        size(col("m")).as("n_dims"),
+        size(filter(col("m"), x => x > 0)).as("n_pos"),
+        aggregate(col("m"), lit(0L), (acc, x) => acc + x * x).as("sumsq_milli"),
+        aggregate(col("m"), lit(0L), (acc, x) => acc + abs(x)).as("l1_milli"),
+        aggregate(zip_with(col("m"), reverse(col("m")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("pal_dot_milli"),
+        exists(col("m"), x => abs(x) >= lit(900L)).as("has_extreme"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_intersect_except" -> intersectExcept,
     "q83_correlated_subquery" -> correlatedSubquery,
+    "q190_lateral_topn" -> lateralTopN,
+    "q194_recursive_cte" -> recursiveCte,
+    "q195_null_aware_anti" -> nullAwareAnti,
+    "q197_higher_order_arrays" -> higherOrderArrays,
     "q84_range_frame" -> rangeFrame,
     "q85_positional_windows" -> positionalWindows,
     "q88_rank_distributions" -> rankDistributions,
@@ -117,6 +217,56 @@ object CompletenessQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q194_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT start_key, cur // 10, depth + 1 FROM chain WHERE cur > 0)
+        |SELECT depth, count(*) AS n_nodes,
+        |       CAST(sum(cur) AS BIGINT) AS sum_keys,
+        |       count(DISTINCT cur) AS n_distinct
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
+    "q197_higher_order_arrays" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(len(m) AS INTEGER) AS n_dims,
+        |       CAST(len(list_filter(m, x -> x > 0)) AS INTEGER) AS n_pos,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), m),
+        |                   (a, x) -> a + x * x) AS sumsq_milli,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), m),
+        |                   (a, x) -> a + abs(x)) AS l1_milli,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, len(m) + 1),
+        |                          i -> m[i] * m[len(m) + 1 - i])),
+        |         (a, x) -> a + x) AS pal_dot_milli,
+        |       len(list_filter(m, x -> abs(x) >= 900)) > 0 AS has_extreme
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q190_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.bal_cents
+        |FROM nation n
+        |JOIN LATERAL (
+        |  SELECT c.c_custkey,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY CAST(round(c.c_acctbal * 100) AS BIGINT) DESC, c.c_custkey
+        |  LIMIT 2) t ON true
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
+    "q195_null_aware_anti" ->
+      """SELECT o.o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders o
+        |WHERE o.o_custkey NOT IN
+        |      (SELECT nullif(c.c_custkey, -1) FROM customer c
+        |       WHERE c.c_mktsegment = 'BUILDING')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
     "q82_intersect_except" ->
       """WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
         |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

@@ -72,6 +72,21 @@ object DedupQueries extends QueryPack {
         maxHamming = 16)
       .orderBy("doc_a", "doc_b")
 
+  /** q198: sorted-neighborhood near-dup pairs — the third candidate
+    * strategy beside q39's banded buckets and q181's prefix filter:
+    * global (simhash, id) order via the bucket-histogram rank (NO
+    * single-partition sort), each doc compared with its next 4
+    * neighbors through a bounded explode + rn equi-join. Candidate
+    * volume is exactly 4·n whatever the value distribution — the
+    * guarantee bucket blocking needs a cap to approximate. The oracle
+    * replays the entire chain (FNV-1a token hashes, bit-majority
+    * simhash, signed-order global row_number, neighborhood join, exact
+    * Hamming) in SQL. */
+  private def sortedNeighborhoodPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(Tables.documents(spark, dir), "doc_id",
+        "text", window = 4, maxHamming = 16)
+      .orderBy("doc_a", "doc_b")
+
   /** q143: dedup signal fusion — the q38 MinHash-verified pairs and the
     * q39 SimHash pairs FULL-OUTER merged into per-pair agreement
     * verdicts (both / minhash_only / simhash_only), aggregated per
@@ -400,6 +415,7 @@ object DedupQueries extends QueryPack {
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
     "q39_simhash_pairs" -> simhashPairs,
+    "q198_sorted_neighborhood" -> sortedNeighborhoodPairs,
     "q143_dedup_signal_fusion" -> dedupSignalFusion,
     "q86_dedup_clusters" -> dedupClusters,
     "q87_corpus_dedup_e2e" -> corpusDedupE2e,
@@ -807,6 +823,45 @@ object DedupQueries extends QueryPack {
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
         |FROM p WHERE bit_count(xor(sh_a, sh_b)) <= 16
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q39's simhash replay, then: signed 64-bit order, global
+    // row_number, join each row to its next 4 neighbors, exact Hamming
+    "q198_sorted_neighborhood" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |             list_transform(regexp_split_to_array(w, ''),
+        |                            c -> CAST(unicode(c) AS UBIGINT))),
+        |           (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+        |                          % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b
+        |                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sh
+        |  FROM v GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, sh,
+        |         row_number() OVER (ORDER BY
+        |           CAST(CASE WHEN CAST(sh AS HUGEINT) >= 9223372036854775808
+        |                     THEN CAST(sh AS HUGEINT) - 18446744073709551616
+        |                     ELSE CAST(sh AS HUGEINT) END AS BIGINT),
+        |           doc_id) AS rn
+        |  FROM sh)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(b.rn - a.rn AS INTEGER) AS gap,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 16
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q87_corpus_dedup_e2e" ->
       """WITH RECURSIVE u AS (

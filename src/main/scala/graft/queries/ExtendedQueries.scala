@@ -184,6 +184,78 @@ object ExtendedQueries extends QueryPack {
         (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
       .orderBy("event_type")
 
+  /** Conf bracket for [[aqeSkewJoin]]/its plan audit: force the
+    * sort-merge path (both broadcast thresholds off) and lower the AQE
+    * skew thresholds so the fixture-scale skew actually trips the
+    * splitter; always restores the session's previous values. */
+  private[graft] def withSkewSplitConfigs[T](spark: SparkSession)(body: => T): T = {
+    val wanted = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = wanted.map { case (k, _) => k -> spark.conf.getOption(k) }
+    wanted.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** The skewed join itself (separate from [[aqeSkewJoin]] so the plan
+    * audit can execute it under [[withSkewSplitConfigs]] and inspect the
+    * final adaptive plan). Three shapes matter, each load-bearing:
+    *   - 90% of events collapse onto ONE join key (a real customer key,
+    *     so the hot key matches without fan-out) — the skew;
+    *   - BOTH join children are bare shuffles (the dim is the ALREADY
+    *     UNIQUE customer table, no groupBy) — OptimizeSkewedJoin only
+    *     fires on Sort(ShuffleQueryStage) children, and an aggregate
+    *     between sort and shuffle suppresses it (correctly: a split
+    *     below a final agg would duplicate agg input);
+    *   - the downstream aggregate groups on a DIFFERENT key, so
+    *     splitting the join's output partitioning costs nothing.
+    * Skew splits are also map-output-range granular: a reduce partition
+    * only splits BETWEEN map segments, and the fixture's single parquet
+    * row group scans as ONE map task (a production scan yields
+    * thousands) — the explicit round-robin repartition materializes the
+    * map-side parallelism; AQE honors the explicit count. */
+  private[graft] def skewJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      when(pmod(col("user_id"), lit(10)) < 9, lit(1L))
+        .otherwise(col("user_id")).as("k"),
+      round(col("value") * 100).cast("long").as("cents"))
+      .repartition(16)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+    ev.hint("merge").join(dim.hint("merge"), Seq("k"))
+      .groupBy(pmod(col("cents"), lit(10L)).as("cb"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("sum_cents"),
+        sum(length(col("seg"))).as("sum_seg_len"))
+      .orderBy("cb")
+  }
+
+  /** q196: AQE skew-join split — the runtime answer to key skew, next
+    * to q54/q66's manual salting: the 90%-hot key makes one sort-merge
+    * partition ~10× the median, and AQE's OptimizeSkewedJoin splits it
+    * into advisory-sized sub-partitions (duplicating the matching dim
+    * rows) so the straggler disappears WITHOUT changing the query. At
+    * 100 TB this is the difference between one task processing 10 TB
+    * and 300 tasks processing 30 GB each. Executed inside the conf
+    * bracket (a temp-parquet materialization pins execution to the
+    * bracket; the tiny readback is what the driver hashes); the plan
+    * audit asserts `skew=true` on the final SMJ. The result is
+    * split-invariant, so the oracle is the plain join replay. */
+  private def aqeSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = MlQueries.tempDirDeletedOnExit("graft_skew_")
+    withSkewSplitConfigs(spark) {
+      skewJoinFrame(spark, dir).write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out).orderBy("cb")
+  }
+
   /** q150: DYNAMIC PARTITION PRUNING driver-visible — the classic star
     * shape at 100 TB: a fact table PARTITIONED on the join key and a dim
     * side whose surviving keys are only known at runtime (here an
@@ -347,6 +419,37 @@ object ExtendedQueries extends QueryPack {
       .orderBy("percent")
   }
 
+  /** q192: bucketed co-located join — the shuffle-free big×big join.
+    * Both sides are written `bucketBy(8, key)` (one-time layout cost a
+    * warehouse amortizes over every later join), so each scan reports
+    * `HashPartitioning(key, 8)` and the SortMergeJoin consumes them with
+    * NO Exchange; the follow-up aggregate groups on the SAME key and
+    * rides the same distribution. At 100 TB this is the difference
+    * between joining in place and re-shuffling both tables every query —
+    * only the final cosmetic orderBy range-partitions (result is
+    * customer-sized). PlanAuditSpec asserts zero hash-partition
+    * exchanges. The merge hint pins SMJ so the audit can't be satisfied
+    * vacuously by a broadcast. */
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = MlQueries.tempDirDeletedOnExit("graft_bucket_")
+    Tables.orders(spark, dir)
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders_b").mode("overwrite")
+      .saveAsTable("graft_orders_b")
+    Tables.customer(spark, dir)
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer_b").mode("overwrite")
+      .saveAsTable("graft_customer_b")
+    val o = spark.table("graft_orders_b")
+    val c = spark.table("graft_customer_b")
+    o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        max(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+      .orderBy("o_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_pareto_skyline" -> paretoSkyline,
     "q180_exact_median" -> exactMedianPrice,
@@ -355,9 +458,11 @@ object ExtendedQueries extends QueryPack {
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
+    "q196_aqe_skew_join" -> aqeSkewJoin,
     "q154_variant_json" -> variantJson,
     "q156_schema_evolution" -> schemaEvolution,
     "q158_window_rank_stats" -> windowRankStats,
+    "q192_bucketed_join" -> bucketedJoin,
     "q48_cube_orders" -> cubeOrders,
     "q49_grouping_sets" -> groupingSetsEvents,
     "q50_math_functions" -> mathFunctions,
@@ -425,6 +530,17 @@ object ExtendedQueries extends QueryPack {
         |SELECT n AS n_rows, pc AS median_cents FROM r
         |WHERE rn = (n + 1) // 2""".stripMargin,
     // the dim aggregate + filter replayed, then the fact join — the
+    "q196_aqe_skew_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 1 ELSE user_id END AS k,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+        |SELECT ((cents % 10) + 10) % 10 AS cb, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       CAST(sum(length(seg)) AS BIGINT) AS sum_seg_len
+        |FROM e JOIN d USING (k)
+        |GROUP BY 1 ORDER BY cb""".stripMargin,
     // partitioned rewrite is byte-lossless parquet→parquet, so the
     // original orders table stands in for the fact
     "q150_dpp_partition_join" ->
@@ -449,6 +565,14 @@ object ExtendedQueries extends QueryPack {
         |       CAST(sum(k) AS BIGINT) AS sum_k,
         |       min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q192_bucketed_join" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       max(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "q158_window_rank_stats" ->
       """WITH c AS (
         |  SELECT event_type, event_id,

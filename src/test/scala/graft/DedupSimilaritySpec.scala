@@ -130,6 +130,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(one.subsetOf(four))
   }
 
+  test("sortedNeighborhoodPairs = the naive global-window neighborhood (fixture)") {
+    val got = Dedup.sortedNeighborhoodPairs(fixtureDocs, "doc_id", "text",
+        window = 4, maxHamming = 16)
+      .select("doc_a", "doc_b", "gap", "hamming")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    // naive reference: collect, sort by (simhash, id), compare neighbors
+    val sh = Dedup.simhash(fixtureDocs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, h) => (h, id) }
+    val expected = (for {
+      i <- sh.indices; g <- 1 to 4 if i + g < sh.length
+      d = java.lang.Long.bitCount(sh(i)._2 ^ sh(i + g)._2) if d <= 16
+    } yield (sh(i)._1, sh(i + g)._1, g, d)).toSet
+    assert(got == expected)
+    // candidate volume is bounded by window·n by construction
+    assert(Dedup.sortedNeighborhoodPairs(fixtureDocs, "doc_id", "text",
+      window = 4, maxHamming = 64).count() <= 4L * sh.length)
+  }
+
+  test("sortedNeighborhoodPairs pairs exact duplicates at hamming 0 regardless of hot values") {
+    // 20 identical docs: banding needs a cap-raise to see these; the
+    // sorted neighborhood pairs each with its next 4 at hamming 0 and
+    // NEVER exceeds window·n candidates
+    val same = Seq.tabulate(20)(i =>
+      (i.toLong, "the very same text in every single document here")).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(same, "doc_id", "text",
+      window = 4, maxHamming = 0)
+    assert(pairs.count() == (16 * 4 + 3 + 2 + 1).toLong)
+    assert(pairs.where($"hamming" =!= 0).isEmpty)
+  }
+
   test("simhash bucket cap bounds degenerate buckets (no O(n²) blowup path)") {
     val same = Seq.tabulate(20)(i =>
       (i.toLong, "the very same text in every single document here")).toDF("doc_id", "text")

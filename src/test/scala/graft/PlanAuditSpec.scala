@@ -454,6 +454,88 @@ class PlanAuditSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("q190 lateral: correlated ORDER BY/LIMIT decorrelates to a window rank (no per-row subquery)") {
+    val df = SparkEntry.queries("q190_lateral_topn")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Window"),
+      "lateral LIMIT did not decorrelate into a window rank:\n" + plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "lateral executed as a per-row nested loop:\n" + plan.take(3000))
+  }
+
+  test("q192 bucketed join: SMJ consumes the bucketed scans — zero hash exchanges") {
+    val df = SparkEntry.queries("q192_bucketed_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount"),
+      "scans are not bucketed:\n" + plan.take(3000))
+    // join AND the same-key aggregate must both ride the bucket
+    // distribution; the only exchange is the cosmetic output range sort
+    assert(!plan.contains("hashpartitioning"),
+      "bucketed join still shuffled:\n" + plan.take(3000))
+  }
+
+  test("q196 AQE splits the skewed sort-merge partition (skew=true in the final plan)") {
+    queries.ExtendedQueries.withSkewSplitConfigs(spark) {
+      val df = queries.ExtendedQueries.skewJoinFrame(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"),
+        "skew query lost its sort-merge join:\n" + plan.take(3000))
+      assert(plan.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + plan.take(3000))
+    }
+  }
+
+  test("q194 recursive CTE executes as the engine's loop operator (no driver iteration)") {
+    val df = SparkEntry.queries("q194_recursive_cte")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("UnionLoop"),
+      "recursion did not plan as UnionLoop:\n" + plan.take(3000))
+  }
+
+  test("q197 higher-order arrays: per-row array programs stay in the scan (no shuffle, no explode)") {
+    val df = SparkEntry.queries("q197_higher_order_arrays")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("hashpartitioning"),
+      "array reduction shuffled:\n" + plan.take(3000))
+    assert(!plan.contains("Generate"),
+      "array program fell back to explode:\n" + plan.take(3000))
+  }
+
+  test("q198 sorted neighborhood: global order rides bucket-partitioned windows, not one sort") {
+    val df = SparkEntry.queries("q198_sorted_neighborhood")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("hashpartitioning\\(__bkt".r.findFirstIn(plan).isDefined,
+      "rank window lost its bucket partitioning:\n" + plan.take(3000))
+    // the only SinglePartition exchange is the bucket-offset cumsum over
+    // the tiny per-bucket counts table
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1,
+      s"corpus-sized SinglePartition exchange leaked ($singles):\n" + plan.take(3000))
+  }
+
+  test("q195 NOT IN plans the single-column null-aware anti join (broadcast hash, no BNL)") {
+    val df = SparkEntry.queries("q195_null_aware_anti")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "NOT IN fell back to a nested-loop anti join:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
