@@ -35,7 +35,8 @@ object SparkEntry {
     RetrievalQueries,
     QualityQueries,
     FinanceQueries,
-    BehaviorQueries
+    BehaviorQueries,
+    EngineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+
+/** Engine-surface completions: Spark 4 native XML ingestion, collation-
+  * aware grouping, exchange reuse (compute-once subplans), ordered
+  * listagg, int8 scalar quantization (SQ8) fidelity stats, and BPE
+  * first-iteration pair-merge induction.
+  *
+  * Everything here follows the QueryPack determinism rules; floats that
+  * undergo arithmetic are converted to exact integer micro-units at the
+  * earliest point where per-element (not cross-row) math allows it, so
+  * every cross-row aggregate is an order-independent integer sum.
+  */
+object EngineQueries extends QueryPack {
+
+  /** q199: native XML ingestion (Spark 4 `from_xml`). The wire payload is
+    * built per-row from the order columns (exact integer cents — no float
+    * formatting in the payload), parsed back with a declared schema, and
+    * aggregated FROM THE PARSED STRUCT — a lossy parse, wrong field
+    * mapping, or type coercion bug breaks the hash against the oracle
+    * computed from the base columns.
+    *
+    * Scale: `from_xml` is a per-row StAX parse in the scan stage — no
+    * shuffle, no driver involvement; the aggregate is the only exchange.
+    * This is the XML twin of q43 (JSON wire) and q137 (CSV roundtrip).
+    */
+  private def xmlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val payload = Tables.orders(spark, dir).select(
+      concat(
+        lit("<order><id>"), col("o_orderkey"),
+        lit("</id><status>"), col("o_orderstatus"),
+        lit("</status><cents>"), round(col("o_totalprice") * 100).cast("long"),
+        lit("</cents><prio>"), col("o_orderpriority"),
+        lit("</prio></order>")).as("payload"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("status", StringType),
+      StructField("cents", LongType),
+      StructField("prio", StringType)))
+    payload
+      .select(from_xml(col("payload"), schema).as("o"))
+      .select(col("o.id").as("id"), col("o.status").as("status"),
+        col("o.cents").as("cents"), col("o.prio").as("prio"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("id")).as("min_id"),
+        countDistinct(col("prio")).as("n_prios"))
+      .orderBy("status")
+  }
+
+  /** q200: collation-aware grouping (Spark 4 collations). The segment
+    * column is deliberately emitted in three case variants (lower / UPPER
+    * / Initcap, keyed off custkey mod 3); grouping on the column collated
+    * to `UTF8_LCASE` merges the variants in the HASH AGGREGATE itself —
+    * no `lower()` normalization pass — which is the engine-native shape
+    * for case-insensitive entity keys (URLs, hostnames, tickers).
+    *
+    * Scale: collation support lives in the hash function and comparator
+    * of the aggregate, so partial aggregation still map-side combines;
+    * there is exactly one exchange on the collated key. The oracle
+    * normalizes with lower() — identical semantics for ASCII segments.
+    */
+  private def collatedGroup(spark: SparkSession, dir: String): DataFrame = {
+    val m = pmod(col("c_custkey"), lit(3))
+    val seg = when(m === 0, lower(col("c_mktsegment")))
+      .when(m === 1, upper(col("c_mktsegment")))
+      .otherwise(initcap(lower(col("c_mktsegment"))))
+    Tables.customer(spark, dir)
+      .select(seg.as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("seg_ci"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("bal_cents")).as("bal_cents"))
+      .select(collate(lower(col("seg_ci")), "UTF8_BINARY").as("segment"),
+        col("n_customers"), col("bal_cents"))
+      .orderBy("segment")
+  }
+
+  /** q201: exchange reuse — month-over-month revenue delta via a self-join
+    * of ONE aggregated subplan. Spark replaces the second reference's
+    * scan+partial-agg+shuffle with a `ReusedExchange`, so the orders table
+    * is read and shuffled ONCE however many times the rollup is referenced.
+    *
+    * The join key is a `row_number` sequence derived ABOVE the shared
+    * subplan. Joining directly on a derived month key (`add_months` on one
+    * side) defeats reuse: the inferred `isnotnull(add_months(month))` join
+    * filter pushes below the aggregate into that side's scan, making the
+    * two subtrees canonically unequal — Catalyst then plans two full
+    * scans. Deriving the sequence above a Window blocks that pushdown
+    * (row_number is not a partition key), so the subtrees stay identical.
+    *
+    * Scale: the reused part is the 100 TB scan + partial agg + shuffle —
+    * the part that matters. The global row_number window runs AFTER the
+    * rollup, over a dimension-sized input (one row per month), so its
+    * single-partition sort is O(months), not O(rows). The audit
+    * (PlanAuditSpec) asserts reuse is present — a refactor that perturbs
+    * one side's subtree silently doubles the scan, which is exactly the
+    * regression the plan test exists to catch.
+    */
+  private def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .withColumn("rn", row_number().over(Window.orderBy("month")))
+    val prev = seq.select((col("rn") + 1).as("rn"),
+      col("rev_cents").as("prev_cents"))
+    seq.join(prev, Seq("rn"))
+      .select(col("month"), col("rev_cents"), col("prev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"))
+      .orderBy("month")
+  }
+
+  /** q202: ordered string aggregation (Spark 4 `LISTAGG ... WITHIN GROUP`)
+    * — the SQL-standard form; the WITHIN GROUP order makes the result
+    * deterministic without a cross-row collect_list + array_sort detour.
+    *
+    * Scale: listagg partials concatenate bounded per-group strings; the
+    * per-group result must fit in memory (as with any collect-like
+    * aggregate) — fine for dimension-sized groups like nations-per-region.
+    */
+  private def listaggNations(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_la_v")
+    Tables.region(spark, dir).createOrReplaceTempView("region_la_v")
+    spark.sql(
+      """SELECT r_name,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation_la_v JOIN region_la_v ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  /** q203: int8 scalar quantization (SQ8) fidelity report — the vector-DB
+    * compression baseline beside PQ (q130): per-vector max-abs scale,
+    * codes = clamp(round(v/scale), ±127), per-label aggregate of code
+    * mass, clip count, and reconstruction SSE.
+    *
+    * Determinism: all cross-row sums are exact integer sums. The only
+    * float math is per-ELEMENT (scale, code, residual), evaluated in a
+    * fixed left-to-right array fold on both engines, and each element's
+    * contribution is rounded to an integer (pico-units for SSE) BEFORE
+    * any reordering aggregate can touch it.
+    *
+    * Scale: one narrow pass over the corpus — codes and stats are
+    * computed in-scan (codegen'd higher-order functions), the only
+    * exchange is the label-sized final aggregate. A 4× memory cut
+    * (float32 → int8) with measured fidelity is the standard first step
+    * before ANN indexing at 100 TB.
+    */
+  private def sq8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val vec = transform(col("embedding"), (x: Column) => x.cast("double"))
+    val scale = aggregate(col("vec"), lit(0.0),
+      (acc: Column, x: Column) => greatest(acc, abs(x))) / 127.0
+    // per-element code as double (clamped); cast to int only at output
+    def codeOf(x: Column): Column =
+      least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0))
+    val sumCode = aggregate(col("vec"), lit(0L),
+      (acc: Column, x: Column) => acc + codeOf(x).cast("long"))
+    val nClip = aggregate(col("vec"), lit(0L),
+      (acc: Column, x: Column) =>
+        acc + when(abs(round(x / col("scale"))) > 127.0, 1L).otherwise(0L))
+    val ssePico = aggregate(col("vec"), lit(0L),
+      (acc: Column, x: Column) =>
+        acc + round(pow(x - codeOf(x) * col("scale"), 2.0) * 1e12).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vec.as("vec"))
+      .withColumn("scale", scale)
+      .filter(col("scale") > 0.0) // all-zero vectors carry no signal
+      .select(col("label"), sumCode.as("sum_code"), nClip.as("n_clip"),
+        ssePico.as("sse_pico"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sum_code")).as("code_mass"),
+        sum(col("n_clip")).as("clipped"),
+        sum(col("sse_pico")).as("sse_pico"))
+      .orderBy("label")
+  }
+
+  /** q204: BPE vocabulary induction, first merge iteration — the
+    * adjacent-character-pair frequency table over the corpus words, top-20
+    * by count (total order: count DESC, pair ASC). This is exactly the
+    * statistic byte-pair-encoding training computes each round; one
+    * distributed round is the building block (the merge loop re-runs it
+    * on re-segmented words).
+    *
+    * Scale: the pair stage is a flat map in the scan (split → explode →
+    * in-scan substring transform, O(total chars) rows); the aggregate
+    * map-side combines to ≤ 26² keys, and the top-20 is a TakeOrdered —
+    * no full sort, no wide shuffle.
+    */
+  private def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_xml_ingest" -> xmlIngest,
+    "q200_collated_group" -> collatedGroup,
+    "q201_exchange_reuse" -> exchangeReuse,
+    "q202_listagg_nations" -> listaggNations,
+    "q203_sq8_quantize" -> sq8Quantize,
+    "q204_bpe_pair_counts" -> bpePairCounts
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q199_xml_ingest" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(o_orderkey) AS min_id,
+        |       count(DISTINCT o_orderpriority) AS n_prios
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q200_collated_group" ->
+      """SELECT lower(c_mktsegment) AS segment, count(*) AS n_customers,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q201_exchange_reuse" ->
+      """WITH seq AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |         row_number() OVER (ORDER BY strftime(o_orderdate, '%Y-%m')) AS rn
+        |  FROM orders GROUP BY 1)
+        |SELECT c.month, c.rev_cents, p.rev_cents AS prev_cents,
+        |       c.rev_cents - p.rev_cents AS delta_cents
+        |FROM seq c JOIN seq p ON c.rn = p.rn + 1
+        |ORDER BY c.month""".stripMargin,
+    "q202_listagg_nations" ->
+      """SELECT r_name,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |       count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q203_sq8_quantize" ->
+      """WITH pervec AS (
+        |  SELECT label,
+        |         list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT label,
+        |         list_sum(list_transform(vec, x ->
+        |           CAST(least(greatest(round(x / scale), -127.0), 127.0) AS BIGINT)))
+        |           AS sum_code,
+        |         list_sum(list_transform(vec, x ->
+        |           CASE WHEN abs(round(x / scale)) > 127.0
+        |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+        |           AS n_clip,
+        |         list_sum(list_transform(vec, x ->
+        |           CAST(round(pow(x - least(greatest(round(x / scale), -127.0),
+        |                                    127.0) * scale, 2) * 1e12) AS BIGINT)))
+        |           AS sse_pico
+        |  FROM pervec WHERE scale > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(sum_code) AS BIGINT) AS code_mass,
+        |       CAST(sum(n_clip) AS BIGINT) AS clipped,
+        |       CAST(sum(sse_pico) AS BIGINT) AS sse_pico
+        |FROM stats GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q204_bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INT), 2) AS pair
+        |  FROM (SELECT w FROM words WHERE length(w) >= 2) fw,
+        |       LATERAL (SELECT unnest(range(1, length(w))) AS i) t)
+        |SELECT pair, count(*) AS cnt FROM pairs
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  )
+}

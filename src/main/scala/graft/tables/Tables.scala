@@ -68,11 +68,9 @@ object Tables {
     * timestamp/symbol/close (`data_collection/fetch_stock.py:54-58`);
     * `props` exercises `from_json` like `features_engineering.py:38`.
     *
-    * The fixture's `ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * as TimestampType ([PARQUET_TYPE_ILLEGAL]); it is read as raw nanos
-    * (LongType + `nanosAsLong`) and converted to µs TimestampType in
-    * [[events]]. Integer `div` — ns-since-epoch ≈ 1.7e18 exceeds 2^53, so
-    * double division would corrupt the low bits. */
+    * `ts` is read as a raw int64 (LongType + `nanosAsLong`) and converted
+    * to µs TimestampType via [[rawTsToMicros]], because the fixture's
+    * parquet unit has varied across generations — see that doc. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -104,10 +102,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem", lineitemSchema)
+  /** SQL fragment converting the raw int64 `ts` read via
+    * [[eventsRawSchema]] to µs TimestampType whatever unit the fixture
+    * generation used. Early fixtures write parquet TIMESTAMP(NANOS)
+    * (~1.7e18 since epoch — Spark 4 rejects it as TimestampType with
+    * [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong` read);
+    * later generations write TIMESTAMP(MICROS) (~1.7e15, which the same
+    * LongType read surfaces as raw µs). Magnitude disambiguates: any
+    * |value| ≥ 1e17 is ns (every date past 1973; µs would mean year
+    * 5138) and gets integer-divided — ns-since-epoch exceeds 2^53, so
+    * double division would corrupt the low bits. Shared by the batch
+    * reader below and every streaming reader over `events*.parquet`. */
+  val rawTsToMicros: String =
+    "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events", eventsRawSchema)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(rawTsToMicros))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings", embeddingsSchema)

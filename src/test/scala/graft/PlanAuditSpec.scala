@@ -536,6 +536,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "NOT IN fell back to a nested-loop anti join:\n" + plan.take(3000))
   }
 
+  test("q201 self-joined rollup reuses the aggregate exchange (one orders scan)") {
+    val df = SparkEntry.queries("q201_exchange_reuse")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      "monthly rollup is computed twice — exchange not reused:\n" +
+        plan.take(3000))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans == 1,
+      s"expected exactly one orders scan in the final plan, saw $scans:\n" +
+        finalPlan.take(3000))
+  }
+
+  test("q199 XML parse is engine-native (no UDF) and rides the scan stage") {
+    val df = SparkEntry.queries("q199_xml_ingest")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("from_xml"), plan.take(3000))
+    assert(!plan.contains("ScalaUDF"),
+      "XML parse fell back to a UDF:\n" + plan.take(3000))
+  }
+
+  test("q203 SQ8 stats are in-scan: exactly one exchange (the label aggregate)") {
+    val df = SparkEntry.queries("q203_sq8_quantize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // hashpartitioning(label) for the final agg + the cosmetic output
+    // range sort are the only exchanges; per-vector math shuffles nothing
+    val shuffles = "hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"SQ8 per-vector stats shuffled $shuffles times:\n" + plan.take(3000))
+    assert(!plan.contains("ScalaUDF"), plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
