@@ -36,7 +36,8 @@ object SparkEntry {
     QualityQueries,
     FinanceQueries,
     BehaviorQueries,
-    EngineQueries
+    EngineQueries,
+    IntegrityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

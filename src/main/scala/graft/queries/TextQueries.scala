@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -181,22 +181,37 @@ object TextQueries extends QueryPack {
   /** q167: character-entropy quality signal — Shannon entropy of the
     * per-doc character distribution, the cheap gibberish/boilerplate
     * detector (low entropy = repeated filler, high = noise). Entirely
-    * in-scan higher-order array functions (sort → distinct → counts →
-    * fold): zero shuffles, zero explodes — the per-doc char histogram
-    * never leaves the row. Determinism: the fold runs over the SORTED
-    * distinct char list, so both engines sum the same IEEE terms in the
-    * same order; the result is still rounded as belt-and-braces. */
+    * in-scan higher-order array functions: zero shuffles, zero explodes —
+    * the per-doc char histogram never leaves the row.
+    *
+    * The histogram is folded in ONE O(len) pass over the SORTED char
+    * array as run lengths (state = current run's char/count + entropy
+    * accumulator; `aggregate`'s finish lambda flushes the last run). The
+    * first version counted each distinct char with a nested
+    * `filter(chars, _ === d)` scan — O(len × uniq) interpreted-lambda
+    * evals, which benched at 117 s over the sf0.1 corpus vs ~2 s for
+    * this fold. Determinism: runs complete in sorted order, so both
+    * engines sum the same IEEE terms in the same order as the oracle's
+    * sorted-distinct fold; the result is rounded as belt-and-braces. */
   private def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     val chars = filter(array_sort(split(col("text"), "")), c => c =!= "")
-    val uniq = array_distinct(chars) // sorted input => sorted distinct
     val n = size(chars).cast("double")
-    val counts = transform(uniq, d =>
-      size(filter(chars, c => c === d)).cast("double"))
-    val ent = -aggregate(counts, lit(0.0),
-      (acc, c) => acc + (c / n) * log(2.0, c / n))
+    def contrib(cnt: Column): Column = {
+      val p = cnt.cast("double") / n
+      when(cnt > 0, p * log(2.0, p)).otherwise(lit(0.0))
+    }
+    def state(prev: Column, cnt: Column, acc: Column): Column =
+      struct(prev.as("prev"), cnt.as("cnt"), acc.as("acc"))
+    val ent = -aggregate(chars,
+      state(lit(""), lit(0L), lit(0.0)),
+      (st, c) => when(c === st.getField("prev"),
+          state(st.getField("prev"), st.getField("cnt") + 1, st.getField("acc")))
+        .otherwise(
+          state(c, lit(1L), st.getField("acc") + contrib(st.getField("cnt")))),
+      st => st.getField("acc") + contrib(st.getField("cnt")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).as("len_chars"),
-        size(uniq).as("n_unique_chars"),
+        size(array_distinct(chars)).as("n_unique_chars"),
         round(ent, 6).as("char_entropy"))
       .orderBy("doc_id")
   }
