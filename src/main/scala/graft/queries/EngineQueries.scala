@@ -70,7 +70,7 @@ object EngineQueries extends QueryPack {
     val m = pmod(col("c_custkey"), lit(3))
     val seg = when(m === 0, lower(col("c_mktsegment")))
       .when(m === 1, upper(col("c_mktsegment")))
-      .otherwise(initcap(lower(col("c_mktsegment"))))
+      .otherwise(initcap(col("c_mktsegment")))
     Tables.customer(spark, dir)
       .select(seg.as("seg"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
@@ -138,8 +138,12 @@ object EngineQueries extends QueryPack {
 
   /** q203: int8 scalar quantization (SQ8) fidelity report — the vector-DB
     * compression baseline beside PQ (q130): per-vector max-abs scale,
-    * codes = clamp(round(v/scale), ±127), per-label aggregate of code
-    * mass, clip count, and reconstruction SSE.
+    * codes = round(v/scale) (max-abs scaling makes the ±127 clamp a
+    * no-op, so none is computed), per-label aggregate of code mass,
+    * rail-saturation count (elements whose code hits ±127 — how much of
+    * the vector's mass the top of the range absorbs; ≥1 per vector by
+    * construction since the max element defines the scale), and
+    * reconstruction SSE.
     *
     * Determinism: all cross-row sums are exact integer sums. The only
     * float math is per-ELEMENT (scale, code, residual), evaluated in a
@@ -157,14 +161,14 @@ object EngineQueries extends QueryPack {
     val vec = transform(col("embedding"), (x: Column) => x.cast("double"))
     val scale = aggregate(col("vec"), lit(0.0),
       (acc: Column, x: Column) => greatest(acc, abs(x))) / 127.0
-    // per-element code as double (clamped); cast to int only at output
-    def codeOf(x: Column): Column =
-      least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0))
+    // per-element code as double; |round(x/scale)| <= 127 by the max-abs
+    // scale definition, so no clamp is needed; cast to int only at output
+    def codeOf(x: Column): Column = round(x / col("scale"))
     val sumCode = aggregate(col("vec"), lit(0L),
       (acc: Column, x: Column) => acc + codeOf(x).cast("long"))
-    val nClip = aggregate(col("vec"), lit(0L),
+    val nSat = aggregate(col("vec"), lit(0L),
       (acc: Column, x: Column) =>
-        acc + when(abs(round(x / col("scale"))) > 127.0, 1L).otherwise(0L))
+        acc + when(abs(codeOf(x)) === 127.0, 1L).otherwise(0L))
     val ssePico = aggregate(col("vec"), lit(0L),
       (acc: Column, x: Column) =>
         acc + round(pow(x - codeOf(x) * col("scale"), 2.0) * 1e12).cast("long"))
@@ -172,12 +176,12 @@ object EngineQueries extends QueryPack {
       .select(col("vec_id"), col("label"), vec.as("vec"))
       .withColumn("scale", scale)
       .filter(col("scale") > 0.0) // all-zero vectors carry no signal
-      .select(col("label"), sumCode.as("sum_code"), nClip.as("n_clip"),
+      .select(col("label"), sumCode.as("sum_code"), nSat.as("n_sat"),
         ssePico.as("sse_pico"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("sum_code")).as("code_mass"),
-        sum(col("n_clip")).as("clipped"),
+        sum(col("n_sat")).as("saturated"),
         sum(col("sse_pico")).as("sse_pico"))
       .orderBy("label")
   }
@@ -253,20 +257,18 @@ object EngineQueries extends QueryPack {
         |stats AS (
         |  SELECT label,
         |         list_sum(list_transform(vec, x ->
-        |           CAST(least(greatest(round(x / scale), -127.0), 127.0) AS BIGINT)))
-        |           AS sum_code,
+        |           CAST(round(x / scale) AS BIGINT))) AS sum_code,
         |         list_sum(list_transform(vec, x ->
-        |           CASE WHEN abs(round(x / scale)) > 127.0
+        |           CASE WHEN abs(round(x / scale)) = 127.0
         |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))
-        |           AS n_clip,
+        |           AS n_sat,
         |         list_sum(list_transform(vec, x ->
-        |           CAST(round(pow(x - least(greatest(round(x / scale), -127.0),
-        |                                    127.0) * scale, 2) * 1e12) AS BIGINT)))
-        |           AS sse_pico
+        |           CAST(round(pow(x - round(x / scale) * scale, 2) * 1e12)
+        |                AS BIGINT))) AS sse_pico
         |  FROM pervec WHERE scale > 0)
         |SELECT label, count(*) AS n_vecs,
         |       CAST(sum(sum_code) AS BIGINT) AS code_mass,
-        |       CAST(sum(n_clip) AS BIGINT) AS clipped,
+        |       CAST(sum(n_sat) AS BIGINT) AS saturated,
         |       CAST(sum(sse_pico) AS BIGINT) AS sse_pico
         |FROM stats GROUP BY 1 ORDER BY 1""".stripMargin,
     "q204_bpe_pair_counts" ->

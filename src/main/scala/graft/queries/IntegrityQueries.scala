@@ -52,8 +52,7 @@ object IntegrityQueries extends QueryPack {
         sum(col("price_c")).as("sum_price_c"))
 
     val original = fingerprint(Tables.lineitem(spark, dir))
-    val copyDir = java.nio.file.Files.createTempDirectory("graft_fp_copy_")
-      .toString
+    val copyDir = MlQueries.tempDirDeletedOnExit("graft_fp_copy_")
     Tables.lineitem(spark, dir).repartition(7).write
       .mode("overwrite").parquet(copyDir)
     val copy = fingerprint(spark.read.parquet(copyDir))

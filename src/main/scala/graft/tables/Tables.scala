@@ -108,11 +108,17 @@ object Tables {
     * (~1.7e18 since epoch — Spark 4 rejects it as TimestampType with
     * [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong` read);
     * later generations write TIMESTAMP(MICROS) (~1.7e15, which the same
-    * LongType read surfaces as raw µs). Magnitude disambiguates: any
-    * |value| ≥ 1e17 is ns (every date past 1973; µs would mean year
-    * 5138) and gets integer-divided — ns-since-epoch exceeds 2^53, so
-    * double division would corrupt the low bits. Shared by the batch
-    * reader below and every streaming reader over `events*.parquet`. */
+    * LongType read surfaces as raw µs). Magnitude disambiguates WITHIN
+    * the fixtures' actual domain (2024-dated events): a value ≥ 1e17 is
+    * ns (any date past 1973-03; as µs it would mean year 5138) and gets
+    * integer-divided — ns-since-epoch exceeds 2^53, so double division
+    * would corrupt the low bits. The guard is NOT general: ns values
+    * before 1973-03 (or negative, i.e. pre-1970) would pass through as
+    * µs, and `div` truncates toward zero rather than flooring for
+    * negatives — acceptable only because the fixture generator has never
+    * produced such dates; a unit change that moves the domain needs this
+    * threshold revisited, not trusted. Shared by the batch reader below
+    * and every streaming reader over `events*.parquet`. */
   val rawTsToMicros: String =
     "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
 
