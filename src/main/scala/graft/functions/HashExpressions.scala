@@ -223,6 +223,76 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Per-row character-distribution stats in ONE compiled pass:
+  * struct(n_chars, n_unique, ent_sum) where ent_sum = Σ p·log2(p) over
+  * the char histogram (negate for Shannon entropy). Sort + run-length
+  * scan, so contributions accumulate in sorted-char order — the same
+  * IEEE summation order as a fold over the sorted distinct chars, which
+  * is what the q167 DuckDB oracle replays. log2 is evaluated exactly as
+  * Spark's `log(2.0, x)` (Math.log(x)/Math.log(2.0)).
+  *
+  * Exists because the HOF formulations are interpreted per element:
+  * the nested per-distinct `filter(chars, _ === d)` count benched at
+  * 117 s over the sf0.1 corpus (O(len·uniq) lambda evals), and even the
+  * O(len) run-length `aggregate` with struct state took 78 s (a struct
+  * allocation per char). This expression is the same run-length scan as
+  * compiled Java. Chars are UTF-16 code units (identical to codepoints
+  * for the fixtures' BMP/ASCII text, matching `split(text, '')`). */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_unique", IntegerType, nullable = false),
+    StructField("ent_sum", DoubleType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[UTF8String].toString.toCharArray
+    java.util.Arrays.sort(a)
+    val n = a.length
+    var uniq = 0
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && a(j) == a(i)) j += 1
+      uniq += 1
+      val p = (j - i).toDouble / n.toDouble
+      acc += p * (java.lang.Math.log(p) / java.lang.Math.log(2.0))
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, uniq, acc))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.freshName("a")
+      val n = ctx.freshName("n")
+      val uniq = ctx.freshName("uniq")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      s"""
+         |char[] $a = $c.toString().toCharArray();
+         |java.util.Arrays.sort($a);
+         |int $n = $a.length;
+         |int $uniq = 0;
+         |double $acc = 0.0;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  int $j = $i;
+         |  while ($j < $n && $a[$j] == $a[$i]) $j++;
+         |  $uniq++;
+         |  double $p = (double) ($j - $i) / (double) $n;
+         |  $acc += $p * (java.lang.Math.log($p) / java.lang.Math.log(2.0));
+         |  $i = $j;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$n, $uniq, $acc});
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
 /** Column-level API for the expressions above (Spark 4 wraps expressions
   * via the classic ExpressionUtils bridge). */
 object HashFunctions {
@@ -241,6 +311,8 @@ object HashFunctions {
     column(ArgMinSqDist(expression(x), cells, csq, ctrs, dim))
   def top_k_longs(c: Column, k: Int): Column =
     column(TopKLongs(expression(c), k).toAggregateExpression())
+  def char_entropy_stats(c: Column): Column =
+    column(CharEntropyStats(expression(c)))
 }
 
 /** Sequential-fold dot product of two double arrays, codegen'd. Bitwise

@@ -180,39 +180,27 @@ object TextQueries extends QueryPack {
 
   /** q167: character-entropy quality signal — Shannon entropy of the
     * per-doc character distribution, the cheap gibberish/boilerplate
-    * detector (low entropy = repeated filler, high = noise). Entirely
-    * in-scan higher-order array functions: zero shuffles, zero explodes —
-    * the per-doc char histogram never leaves the row.
+    * detector (low entropy = repeated filler, high = noise). One
+    * codegen'd pass in the scan ([[graft.functions.CharEntropyStats]]:
+    * sort + run-length histogram scan in compiled Java): zero shuffles,
+    * zero explodes — the per-doc char histogram never leaves the row.
     *
-    * The histogram is folded in ONE O(len) pass over the SORTED char
-    * array as run lengths (state = current run's char/count + entropy
-    * accumulator; `aggregate`'s finish lambda flushes the last run). The
-    * first version counted each distinct char with a nested
-    * `filter(chars, _ === d)` scan — O(len × uniq) interpreted-lambda
-    * evals, which benched at 117 s over the sf0.1 corpus vs ~2 s for
-    * this fold. Determinism: runs complete in sorted order, so both
-    * engines sum the same IEEE terms in the same order as the oracle's
-    * sorted-distinct fold; the result is rounded as belt-and-braces. */
+    * Performance history, measured at sf0.1 (the reason this is a
+    * custom Expression, SURVEY §4's escalation path): nested
+    * `filter(chars, _ === d)` per-distinct count = 117 s (O(len·uniq)
+    * interpreted-lambda evals); O(len) run-length `aggregate` fold with
+    * struct state = 78 s (still a per-char interpreted lambda + struct
+    * alloc); this expression ≈ 1 s. Determinism: runs complete in
+    * sorted-char order, so the IEEE summation order matches the
+    * oracle's sorted-distinct fold exactly; the result is rounded as
+    * belt-and-braces. */
   private def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(array_sort(split(col("text"), "")), c => c =!= "")
-    val n = size(chars).cast("double")
-    def contrib(cnt: Column): Column = {
-      val p = cnt.cast("double") / n
-      when(cnt > 0, p * log(2.0, p)).otherwise(lit(0.0))
-    }
-    def state(prev: Column, cnt: Column, acc: Column): Column =
-      struct(prev.as("prev"), cnt.as("cnt"), acc.as("acc"))
-    val ent = -aggregate(chars,
-      state(lit(""), lit(0L), lit(0.0)),
-      (st, c) => when(c === st.getField("prev"),
-          state(st.getField("prev"), st.getField("cnt") + 1, st.getField("acc")))
-        .otherwise(
-          state(c, lit(1L), st.getField("acc") + contrib(st.getField("cnt")))),
-      st => st.getField("acc") + contrib(st.getField("cnt")))
+    import graft.functions.HashFunctions.char_entropy_stats
     Tables.documents(spark, dir)
-      .select(col("doc_id"), length(col("text")).as("len_chars"),
-        size(array_distinct(chars)).as("n_unique_chars"),
-        round(ent, 6).as("char_entropy"))
+      .select(col("doc_id"), char_entropy_stats(col("text")).as("s"))
+      .select(col("doc_id"), col("s.n_chars").as("len_chars"),
+        col("s.n_unique").as("n_unique_chars"),
+        round(-col("s.ent_sum"), 6).as("char_entropy"))
       .orderBy("doc_id")
   }
 
