@@ -55,6 +55,8 @@ object GraftFunctions {
       WordShingles(es.head, intLit(es, "word_shingles(text, k)"))),
     "minhash_signature" -> (es =>
       MinHashSignature(es.head, intLit(es, "minhash_signature(tokens, n)"))),
+    "char_entropy_stats" -> { es =>
+      arity(es, 1, "char_entropy_stats(text)"); CharEntropyStats(es.head) },
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression when it appears in an aggregation context
     "top_k_longs" -> (es =>

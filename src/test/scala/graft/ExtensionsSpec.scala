@@ -49,6 +49,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Seq("a" -> Seq(9L, 7L), "b" -> Seq(3L)), got)
   }
 
+  test("char_entropy_stats agrees between SQL and the Column API") {
+    GraftFunctions.register(spark)
+    Seq(("aab", 1L)).toDF("t", "id").createOrReplaceTempView("ext_e")
+    val viaSql = spark.sql(
+      """SELECT char_entropy_stats(t).n_chars AS n,
+        |       char_entropy_stats(t).n_unique AS u,
+        |       char_entropy_stats(t).ent_sum AS e
+        |FROM ext_e""".stripMargin).collect()(0)
+    val viaCol = spark.table("ext_e")
+      .select(HashFunctions.char_entropy_stats(col("t")).as("s"))
+      .select(col("s.n_chars"), col("s.n_unique"), col("s.ent_sum"))
+      .collect()(0)
+    assert(viaSql.getInt(0) == 3 && viaCol.getInt(0) == 3)
+    assert(viaSql.getInt(1) == 2 && viaCol.getInt(1) == 2)
+    // sorted runs: 'a' (p=2/3) then 'b' (p=1/3), summed in that order
+    val expected = (2.0 / 3) * (math.log(2.0 / 3) / math.log(2.0)) +
+      (1.0 / 3) * (math.log(1.0 / 3) / math.log(2.0))
+    assert(viaSql.getDouble(2) == expected && viaCol.getDouble(2) == expected)
+  }
+
   test("GraftExtensions registers via a fresh session builder") {
     // newSession shares state; validate the extensions class wiring by
     // invoking it against a fresh SparkSessionExtensions instance.
