@@ -211,13 +211,89 @@ object EngineQueries extends QueryPack {
       .limit(20)
   }
 
+  /** q208: ORC sink+source roundtrip — the remaining built-in columnar
+    * format beside parquet (q137 covers CSV/JSON text wires; q199 XML).
+    * Unlike the text formats, ORC carries NATIVE types, so the real
+    * TimestampType column rides the roundtrip (µs fidelity checked by
+    * the min/max formatted output against the parquet-derived oracle)
+    * and the re-read filter is PUSHED into the ORC scan
+    * (plan-audited in PlanAuditSpec — searchArgument/PushedFilters), the
+    * property that makes a columnar interchange format worth having.
+    */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("ts"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val orcDir = MlQueries.tempDirDeletedOnExit("graft_orc_")
+    src.write.mode("overwrite").orc(orcDir)
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "ts TIMESTAMP, cents BIGINT")
+      .orc(orcDir)
+      .where(col("event_type") =!= "error")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("event_id")).as("sum_ids"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("first_ts_str"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_ts_str"))
+      .orderBy("event_type")
+  }
+
+  /** q209: `binaryFile` source ingest — the first stage of every real
+    * multimodal pipeline (q47/q77/q78/q149 start from binary COLUMNS;
+    * this is how those columns get in from object storage). The query
+    * writes deterministic payload files (ASCII so the oracle can replay
+    * them: `repeat('blob-<id10>;', id mod 7 + 1)`), reads the directory
+    * back through the binaryFile format, and reduces each file's
+    * CONTENT (length + polynomial hash + a first-bytes probe) so a
+    * truncated, reordered, or mis-decoded payload breaks the hash.
+    *
+    * Scale: binaryFile lists once and streams file bytes into the scan —
+    * each file is one row, no driver materialization; the aggregate is
+    * the only exchange. Oracle replays payload generation in SQL.
+    */
+  private def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.poly_hash
+    val binDir = MlQueries.tempDirDeletedOnExit("graft_bin_")
+    // fixture staging, not the operator: one raw file per nation key
+    // (dimension-bounded driver loop — 25 files)
+    Tables.nation(spark, dir).select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).foreach { id =>
+        val unit = f"blob-$id%010d;"
+        val payload = unit * (id % 7 + 1).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(binDir, f"blob_$id%010d.bin"),
+          payload.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(binDir)
+      .select(col("length"),
+        col("content").cast("string").as("payload"))
+      .select(
+        col("length"),
+        poly_hash(col("payload")).as("content_hash"),
+        substring(col("payload"), 1, 16).as("head16"))
+      .groupBy(lit("bin").as("fmt"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        sum(col("content_hash")).as("hash_mass"),
+        min(col("head16")).as("min_head"),
+        max(col("head16")).as("max_head"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_xml_ingest" -> xmlIngest,
     "q200_collated_group" -> collatedGroup,
     "q201_exchange_reuse" -> exchangeReuse,
     "q202_listagg_nations" -> listaggNations,
     "q203_sq8_quantize" -> sq8Quantize,
-    "q204_bpe_pair_counts" -> bpePairCounts
+    "q204_bpe_pair_counts" -> bpePairCounts,
+    "q208_orc_roundtrip" -> orcRoundtrip,
+    "q209_binary_ingest" -> binaryIngest
   )
 
   override def oracles: Map[String, String] = Map(
@@ -271,6 +347,33 @@ object EngineQueries extends QueryPack {
         |       CAST(sum(n_sat) AS BIGINT) AS saturated,
         |       CAST(sum(sse_pico) AS BIGINT) AS sse_pico
         |FROM stats GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q208_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts_str,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_str
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q209_binary_ingest" ->
+      """WITH p AS (
+        |  SELECT repeat('blob-' || lpad(CAST(n_nationkey AS VARCHAR), 10, '0')
+        |                || ';', CAST(n_nationkey % 7 + 1 AS INT)) AS payload
+        |  FROM nation),
+        |h AS (
+        |  SELECT payload, length(payload) AS len,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(regexp_split_to_array(payload, ''),
+        |                            ch -> CAST(unicode(ch) AS BIGINT))),
+        |           (a, cp) -> (a * 31 + cp) % 1000000007) AS hv
+        |  FROM p)
+        |SELECT 'bin' AS fmt, count(*) AS n_files,
+        |       CAST(sum(len) AS BIGINT) AS total_bytes,
+        |       CAST(sum(hv) AS BIGINT) AS hash_mass,
+        |       min(substring(payload, 1, 16)) AS min_head,
+        |       max(substring(payload, 1, 16)) AS max_head
+        |FROM h""".stripMargin,
     "q204_bpe_pair_counts" ->
       """WITH words AS (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

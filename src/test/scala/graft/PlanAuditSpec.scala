@@ -572,6 +572,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan.take(3000))
   }
 
+  test("q208 re-read filter is pushed into the ORC scan") {
+    val df = SparkEntry.queries("q208_orc_roundtrip")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("orc"), plan.take(2000))
+    assert(plan.contains("Not(EqualTo(event_type,error))"),
+      "event_type filter did not reach the ORC scan:\n" + plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
