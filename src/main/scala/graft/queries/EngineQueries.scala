@@ -285,6 +285,42 @@ object EngineQueries extends QueryPack {
         max(col("head16")).as("max_head"))
   }
 
+  /** q210: explicit columnar cache — the OTHER compute-once mechanism
+    * beside q201's ReusedExchange. The priority rollup is persisted
+    * (MEMORY_AND_DISK) and referenced by two derived reports (ppm share
+    * of total, dense revenue rank) that join back together; both
+    * references scan the `InMemoryTableScan` columnar cache
+    * (plan-audited) instead of re-aggregating orders.
+    *
+    * Scale discipline: cache DIMENSION-SIZED intermediates (this one is
+    * five rows), never raw scans — a 100 TB scan in MEMORY_AND_DISK
+    * evicts everything else and spills; for one-action reuse of big
+    * subplans, exchange reuse (q201) is the right tool since shuffle
+    * files already persist. The cache is deliberately left session-
+    * lived (five rows); production brackets it with unpersist() when
+    * the consuming job finishes — which a lazily-returned DataFrame
+    * cannot do without tearing the cache down before evaluation.
+    */
+  private def cachedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rollup = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = rollup.select(sum(col("rev_cents")).as("total_cents"))
+    // DIV (IntegralDivide): Divide on longs would return a double
+    val share = rollup.crossJoin(broadcast(total))
+      .select(col("prio"),
+        expr("rev_cents * 1000000 DIV total_cents").as("share_ppm"))
+    val ranked = rollup.select(col("prio"), col("rev_cents"), col("n_orders"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_cents").desc, col("prio"))).as("rev_rank"))
+    ranked.join(share, Seq("prio"))
+      .select(col("prio"), col("n_orders"), col("rev_cents"),
+        col("rev_rank"), col("share_ppm"))
+      .orderBy("prio")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_xml_ingest" -> xmlIngest,
     "q200_collated_group" -> collatedGroup,
@@ -293,7 +329,8 @@ object EngineQueries extends QueryPack {
     "q203_sq8_quantize" -> sq8Quantize,
     "q204_bpe_pair_counts" -> bpePairCounts,
     "q208_orc_roundtrip" -> orcRoundtrip,
-    "q209_binary_ingest" -> binaryIngest
+    "q209_binary_ingest" -> binaryIngest,
+    "q210_cached_rollup" -> cachedRollup
   )
 
   override def oracles: Map[String, String] = Map(
@@ -374,6 +411,19 @@ object EngineQueries extends QueryPack {
         |       min(substring(payload, 1, 16)) AS min_head,
         |       max(substring(payload, 1, 16)) AS max_head
         |FROM h""".stripMargin,
+    "q210_cached_rollup" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS rev_cents,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM r)
+        |SELECT prio, n_orders, rev_cents,
+        |       CAST(row_number() OVER (ORDER BY rev_cents DESC, prio)
+        |            AS INT) AS rev_rank,
+        |       rev_cents * 1000000 // total_cents AS share_ppm
+        |FROM r, t ORDER BY prio""".stripMargin,
     "q204_bpe_pair_counts" ->
       """WITH words AS (
         |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w

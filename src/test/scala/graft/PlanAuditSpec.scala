@@ -580,6 +580,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "event_type filter did not reach the ORC scan:\n" + plan.take(3000))
   }
 
+  test("q210 both derived reports scan the columnar cache, not orders") {
+    val df = SparkEntry.queries("q210_cached_rollup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 2,
+      s"expected both references to hit InMemoryTableScan, saw $cacheScans:\n" +
+        plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)

@@ -230,4 +230,29 @@ class PropertySpec extends AnyFunSuite {
       .select("k", "payload").as[(Long, String)].collect().toSet
     assert(got == Set((2L, "b2"), (3L, "c")), got)
   }
+
+  test("property: CharEntropyStats matches a reference histogram computation") {
+    import graft.functions.HashFunctions.char_entropy_stats
+    val strGen = Gen.listOfN(40,
+      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', ',', '!')))
+      .map(_.mkString)
+    forAll(strGen, n = 8) { s =>
+      val row = Seq(Tuple1(s)).toDF("t")
+        .select(char_entropy_stats(col("t")).as("st"))
+        .select(col("st.n_chars"), col("st.n_unique"), col("st.ent_sum"))
+        .head
+      // reference: histogram over sorted distinct chars, summed in order
+      val runs = s.toCharArray.sorted.toSeq
+        .groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+      val n = s.length
+      val expected = runs.foldLeft(0.0) { (acc, cnt) =>
+        val p = cnt.toDouble / n.toDouble
+        acc + p * (math.log(p) / math.log(2.0))
+      }
+      assert(row.getInt(0) == n)
+      assert(row.getInt(1) == runs.length)
+      assert(row.getDouble(2) == expected,
+        s"entropy mismatch for ${s.take(20)}…: ${row.getDouble(2)} vs $expected")
+    }
+  }
 }
