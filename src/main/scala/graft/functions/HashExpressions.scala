@@ -236,15 +236,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * 117 s over the sf0.1 corpus (O(len·uniq) lambda evals), and even the
   * O(len) run-length `aggregate` with struct state took 78 s (a struct
   * allocation per char). This expression is the same run-length scan as
-  * compiled Java. Chars are UTF-16 code units (identical to codepoints
-  * for the fixtures' BMP/ASCII text, matching `split(text, '')`). */
+  * compiled Java. Chars are Unicode CODEPOINTS (`String.codePoints()`),
+  * matching `length(text)`, `split(text, '')`, and the oracle's
+  * per-codepoint split for ALL text, not just the BMP — an emoji is one
+  * histogram entry, not a surrogate pair. */
 case class CharEntropyStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_unique", IntegerType, nullable = false),
     StructField("ent_sum", DoubleType, nullable = false)))
   override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[UTF8String].toString.toCharArray
+    val a = input.asInstanceOf[UTF8String].toString.codePoints().toArray
     java.util.Arrays.sort(a)
     val n = a.length
     var uniq = 0
@@ -271,7 +273,7 @@ case class CharEntropyStats(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val p = ctx.freshName("p")
       s"""
-         |char[] $a = $c.toString().toCharArray();
+         |int[] $a = $c.toString().codePoints().toArray();
          |java.util.Arrays.sort($a);
          |int $n = $a.length;
          |int $uniq = 0;

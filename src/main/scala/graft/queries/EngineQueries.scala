@@ -308,10 +308,14 @@ object EngineQueries extends QueryPack {
         count(lit(1)).as("n_orders"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = rollup.select(sum(col("rev_cents")).as("total_cents"))
-    // DIV (IntegralDivide): Divide on longs would return a double
+    // share in double then round: rev_cents * 1e6 in LONG overflows past
+    // ~9.2e12 cents per group (≈ sf3); the double product's 1e-16
+    // relative error is far below the ppm unit, and the multiply/divide/
+    // round sequence is replayed verbatim by the oracle
     val share = rollup.crossJoin(broadcast(total))
       .select(col("prio"),
-        expr("rev_cents * 1000000 DIV total_cents").as("share_ppm"))
+        round(col("rev_cents").cast("double") * 1e6 / col("total_cents"))
+          .cast("long").as("share_ppm"))
     val ranked = rollup.select(col("prio"), col("rev_cents"), col("n_orders"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("rev_cents").desc, col("prio"))).as("rev_rank"))
@@ -422,7 +426,8 @@ object EngineQueries extends QueryPack {
         |SELECT prio, n_orders, rev_cents,
         |       CAST(row_number() OVER (ORDER BY rev_cents DESC, prio)
         |            AS INT) AS rev_rank,
-        |       rev_cents * 1000000 // total_cents AS share_ppm
+        |       CAST(round(CAST(rev_cents AS DOUBLE) * 1e6 / total_cents)
+        |            AS BIGINT) AS share_ppm
         |FROM r, t ORDER BY prio""".stripMargin,
     "q204_bpe_pair_counts" ->
       """WITH words AS (

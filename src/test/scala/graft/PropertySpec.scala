@@ -233,18 +233,22 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: CharEntropyStats matches a reference histogram computation") {
     import graft.functions.HashFunctions.char_entropy_stats
+    // non-BMP codepoints included: an emoji must be ONE histogram entry
+    // (codepoint semantics), not a surrogate pair
     val strGen = Gen.listOfN(40,
-      Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', ',', '!')))
+      Gen.frequency(7 -> Gen.alphaNumChar.map(_.toString),
+        2 -> Gen.oneOf(" ", ".", ",", "!"),
+        1 -> Gen.oneOf("😀", "𝄞")))
       .map(_.mkString)
     forAll(strGen, n = 8) { s =>
       val row = Seq(Tuple1(s)).toDF("t")
         .select(char_entropy_stats(col("t")).as("st"))
         .select(col("st.n_chars"), col("st.n_unique"), col("st.ent_sum"))
         .head
-      // reference: histogram over sorted distinct chars, summed in order
-      val runs = s.toCharArray.sorted.toSeq
+      // reference: histogram over sorted distinct CODEPOINTS, in order
+      val runs = s.codePoints.toArray.sorted.toSeq
         .groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
-      val n = s.length
+      val n = s.codePointCount(0, s.length)
       val expected = runs.foldLeft(0.0) { (acc, cnt) =>
         val p = cnt.toDouble / n.toDouble
         acc + p * (math.log(p) / math.log(2.0))
