@@ -358,13 +358,29 @@ object Dedup {
     * shingle (complete for J > 0 by definition) — hash equality IS the
     * losslessness proof of the much narrower prefix on real data.
     *
+    * On top of the prefix, the paper's two other lossless candidate
+    * cuts (both integer-exact):
+    *   - SIZE filter, applied inside the candidate join: J ≥ t forces
+    *     `10·min(|A|,|B|) ≥ t'·max(|A|,|B|)` (|∩| ≤ min and
+    *     |∪| ≥ max), so wildly different-sized docs never become a
+    *     pair no matter how many prefix tokens they share.
+    *   - POSITIONAL filter, applied per pair before verification: at
+    *     the globally smallest shared prefix token (positions i in A,
+    *     j in B under the SAME (df, w) rank both docs use), overlap ≤
+    *     1 + min(|A|−i, |B|−j) — every other shared token must sit
+    *     after both positions. Require that bound to reach the minimum
+    *     overlap α = ceil(t'·(|A|+|B|)/(10+t')) implied by J ≥ t.
+    *     `min(pos_a)` and `min(pos_b)` are realized by the SAME token
+    *     because shared tokens are ordered identically in both docs.
+    *
     * All similarity math is integer-exact: the gate is
     * `(10+10t')·|∩| ≥ t'·(|A|+|B|)` cross-multiplied to longs (t in
     * tenths), the reported similarity is micro-units via integer DIV.
     * Shapes: one doc-key window (rank tokens per doc), one equi-join on
     * prefix tokens (rare by construction), verification joins bounded
-    * by the candidate set. Per-doc state is the token set — never the
-    * corpus. */
+    * by the (size- and position-pruned) candidate set; doc sizes ride
+    * the candidate rows, so verification adds NO size joins. Per-doc
+    * state is the token set — never the corpus. */
   def prefixFilterPairs(docs: DataFrame, id: String, text: String,
       thresholdTenths: Int = 3, shingleK: Int = 3): DataFrame = {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
@@ -386,20 +402,29 @@ object Dedup {
     // p = |x| - ceil(t|x|/10) + 1, ceil via (a + 9) DIV 10
     val prefix = ranked
       .where(col("pos") <= col("n") - ((col("n") * t + 9) / lit(10)).cast("long") + 1)
-      .select("doc", "w")
+      .select("doc", "w", "pos", "n")
     val cand = prefix.as("pa")
       .join(prefix.as("pb"), col("pa.w") === col("pb.w")
-        && col("pa.doc") < col("pb.doc"))
-      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"))
-      .distinct()
-    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n"))
+        && col("pa.doc") < col("pb.doc")
+        // size filter: 10·min(na,nb) ≥ t·max(na,nb), pruned IN the join
+        && least(col("pa.n"), col("pb.n")) * 10L >=
+          greatest(col("pa.n"), col("pb.n")) * t)
+      .select(col("pa.doc").as("doc_a"), col("pb.doc").as("doc_b"),
+        col("pa.pos").as("ia"), col("pb.pos").as("jb"),
+        col("pa.n").as("na"), col("pb.n").as("nb"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(min(col("ia")).as("ia"), min(col("jb")).as("jb"))
+      // positional filter: ubound = 1 + min(na−ia, nb−jb) must reach
+      // α = ceil(t·(na+nb)/(10+t)); integer ubound ≥ ceil(q) ⇔
+      // ubound·(10+t) ≥ t·(na+nb)
+      .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("jb")))
+        * (10L + t) >= (col("na") + col("nb")) * t)
+      .select("doc_a", "doc_b", "na", "nb")
     val inter = cand
       .join(tok.select(col("doc").as("doc_a"), col("w")), Seq("doc_a"))
       .join(tok.select(col("doc").as("doc_b"), col("w")), Seq("doc_b", "w"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       // J >= t/10  ⇔  (10+t)·|∩| >= t·(|A|+|B|), exact longs
       .where(col("i") * (10L + t) >= (col("na") + col("nb")) * t)
       .select(col("doc_a"), col("doc_b"),

@@ -39,13 +39,15 @@ object Hashing {
   }
 }
 
-/** Rolling polynomial hash over a string's UTF-16 code units:
-  * `acc = (acc*31 + c) mod 1e9+7`. Document fingerprinting primitive
+/** Rolling polynomial hash over a string's Unicode CODE POINTS:
+  * `acc = (acc*31 + cp) mod 1e9+7`. Document fingerprinting primitive
   * (north-star text analysis); whole-stage-codegen'd.
   *
-  * The DuckDB oracle twin is a `list_reduce` over `unicode(char)` —
-  * identical for the BMP text in the fixtures (surrogate pairs would
-  * differ; acceptable for a fingerprint). */
+  * Code points, not UTF-16 code units, because the DuckDB oracle twins
+  * (q205/q206/q209) replay this as a `list_reduce` over `unicode(ch)`
+  * per character — which is per codepoint. Iterating codepoints here
+  * makes the two hash domains match BY CONSTRUCTION (surrogate pairs
+  * included), not merely on the fixtures' current BMP/ASCII content. */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
@@ -53,8 +55,9 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * Hashing.PolyBase + s.charAt(i)) % Hashing.PolyMod
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * Hashing.PolyBase + cp) % Hashing.PolyMod
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -63,11 +66,15 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * ${Hashing.PolyBase}L + $s.charAt($i)) % ${Hashing.PolyMod}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * ${Hashing.PolyBase}L + $cp) % ${Hashing.PolyMod}L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin

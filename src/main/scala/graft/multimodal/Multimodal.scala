@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: PNG payloads (magic-sniffed) decode through the
   * JDK's `javax.imageio` — no external codec needed — and features come
   * from actual pixels ([[pngStats]] / the PNG branch of [[fakeDecode]]).
-  * Audio/video decode remains a clearly-marked STUB (the container ships
-  * no media codecs): `fakeDecode` derives deterministic pseudo features
+  * AUDIO decode is REAL too: WAV/PCM parses through the JDK's
+  * `javax.sound.sampled` ([[wavFromDocuments]] / [[wavStats]]) — header,
+  * format, and 16-bit sample extraction, no external codec. Only VIDEO
+  * decode remains a clearly-marked STUB (the container ships no video
+  * codecs): `fakeDecode` derives deterministic pseudo features
   * (byte histogram moments) from the raw payload. Everything around the
   * decode is the real Spark plumbing this operator needs at 100 TB:
   * explicit schema, binary payload column, typed Dataset boundary,
@@ -218,6 +221,98 @@ object Multimodal {
           throw new IllegalArgumentException(
             s"media_id=${rec.media_id}: payload is not a decodable PNG"))
         PngHash(rec.media_id, w, h, dHash(w, h, px))
+      }
+    }
+  }
+
+  /** Per-clip stats decoded from REAL PCM samples — the oracle-checkable
+    * surface of the `javax.sound.sampled` path (the audio twin of
+    * [[PngStats]]). All aggregates are exact int64 over the decoded
+    * 16-bit samples. */
+  case class WavStats(media_id: Long, sample_rate: Int, n_channels: Int,
+                      bits: Int, n_samples: Long, amp_sum: Long,
+                      amp_min: Int, amp_max: Int, energy: Long)
+
+  /** Deterministic REAL WAV clips over `documents`: each doc renders a
+    * mono 16-bit little-endian PCM clip at 8 kHz with
+    * n = n_chars mod 50 + 20 samples, sample(i) =
+    * (doc_id·37 + 11·i) mod 4096 − 2048, containerized with the JDK's
+    * `javax.sound.sampled.AudioSystem` ON THE EXECUTORS (the encode is
+    * distributed work, not fixture prep) — the audio analog of
+    * [[pngFromDocuments]]. PCM is lossless and the formula is pure
+    * integer arithmetic, so a codec-free DuckDB oracle can replay the
+    * decoded sample aggregates; the WAV header/decode path itself is
+    * what's under test. */
+  def wavFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (pmod(col("n_chars"), lit(50)) + 20).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // 8 kHz mono signed 16-bit LE
+        it.map { case (id, n) =>
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(id * 37 + 11L * i, 4096L) - 2048L).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          bos.reset()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(id, "audio", bos.toByteArray,
+            MediaMeta(0, 0, 8000, n * 1000L / 8000L, "wav"))
+        }
+      }
+  }
+
+  /** Decode every WAV payload (REAL `javax.sound.sampled` parse: header
+    * → format, frames → 16-bit samples honoring the stream's declared
+    * endianness) to per-clip format + amplitude aggregates. Fails
+    * loudly on an undecodable payload — same contract as [[pngStats]]. */
+  def wavStats(media: Dataset[MediaRecord]): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.bytes))
+          catch {
+            case e: javax.sound.sampled.UnsupportedAudioFileException =>
+              throw new IllegalArgumentException(
+                s"media_id=${rec.media_id}: payload is not a decodable WAV", e)
+          }
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"media_id=${rec.media_id}: expected 16-bit PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val nSamples = data.length / 2
+        var sum = 0L
+        var energy = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i < nSamples) {
+          val (lo, hi) =
+            if (fmt.isBigEndian) (data(2 * i + 1), data(2 * i))
+            else (data(2 * i), data(2 * i + 1))
+          val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+          sum += s
+          energy += s.toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        WavStats(rec.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, nSamples, sum, mn, mx, energy)
       }
     }
   }

@@ -20,7 +20,7 @@ object AdvancedQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val signups = src.where(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
       .withWatermark("s_ts", "1 hour")
@@ -53,7 +53,7 @@ object AdvancedQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val signups = src.where(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
       .withWatermark("s_ts", "1 hour")
@@ -93,7 +93,7 @@ object AdvancedQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val signups = src.where(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
         col("event_id").as("signup_id"))

@@ -292,6 +292,34 @@ object DedupQueries extends QueryPack {
       .orderBy("part_id")
   }
 
+  /** q212: deterministic label-propagation communities over the
+    * customer↔supplier order graph (q155's graph) — the 4th graph
+    * curation signal beside BFS/triangles/PageRank
+    * ([[graft.ops.LabelPropagation]]): synchronous rounds, self-vote,
+    * highest-count-then-smallest-label tie-break, so the communities
+    * are a pure function of (graph, rounds) and the oracle can unroll
+    * all 3 rounds in SQL (the q155 discipline). Output is the
+    * community roster aggregate (members per side + node checksum) —
+    * cluster-sized, never edge-sized. */
+  private def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cust"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("supp"))
+    val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust").as("a"), col("supp").as("b")).distinct()
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    graft.ops.LabelPropagation.propagate(edges, "a", "b", rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(pmod(col("node"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(when(pmod(col("node"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_suppliers"),
+        sum(col("node")).as("node_sum"))
+      .orderBy("community")
+  }
+
   /** q174: item-item cosine similarity over the co-purchase matrix —
     * the collaborative-filtering recommendation primitive
     * (sim(a,b) = co(a,b) / √(n_a·n_b), cosine over binary order-
@@ -406,6 +434,7 @@ object DedupQueries extends QueryPack {
     "q183_canonical_selection" -> canonicalSelection,
     "q189_cluster_size_histogram" -> clusterSizeHistogram,
     "q155_pagerank" -> pagerankTop,
+    "q212_lpa_communities" -> lpaCommunities,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
     "q171_triangle_counts" -> triangleCounts,
@@ -598,6 +627,7 @@ object DedupQueries extends QueryPack {
     // all three integer iterations unrolled; // is floor division ==
     // Spark's truncating div on these all-positive values. S = 2^20,
     // teleport = S*15/100 = 157286.
+    "q212_lpa_communities" -> lpaOracle,
     "q155_pagerank" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b
@@ -964,4 +994,39 @@ object DedupQueries extends QueryPack {
         |SELECT node, node % 1000000 AS label
         |FROM n ORDER BY node""".stripMargin
   )
+
+  /** q212 oracle: the 3 synchronous LPA rounds unrolled relationally
+    * (the q155 discipline). Per round: every node's vote multiset =
+    * neighbor labels (flowing a→b along the symmetrized edge list) plus
+    * its own current label; winner by (votes DESC, label ASC) via
+    * row_number — the identical total order the Spark side uses. */
+  private def lpaOracle: String = {
+    def round(i: Int): String = {
+      val p = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT e.b AS node, l.lbl FROM e JOIN $p l ON l.node = e.a
+         |  UNION ALL SELECT node, lbl FROM $p),
+         |f$i AS (SELECT node, lbl, count(*) AS votes FROM v$i GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY votes DESC, lbl) AS rn
+         |    FROM f$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT a, b FROM base UNION ALL SELECT b, a FROM base),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT lbl AS community, count(*) AS n_members,
+       |       CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_customers,
+       |       CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_suppliers,
+       |       CAST(sum(node) AS BIGINT) AS node_sum
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -211,6 +211,74 @@ object EngineQueries extends QueryPack {
       .limit(20)
   }
 
+  /** q213: BPE tokenizer-TRAINING loop — q204's single pair-count round
+    * iterated into the real merge recursion (3 rounds): each round
+    * counts adjacent symbol pairs corpus-wide (weighted by word
+    * frequency), picks the winner under the total order
+    * (count DESC, pair ASC), and RE-SEGMENTS every word by applying the
+    * merge greedily left-to-right before the next count. Driver state
+    * is exactly the merge table (k rows) — the q194/q155
+    * bounded-iteration discipline; all per-word work stays in-scan.
+    *
+    * The greedy merge is an `aggregate` HOF fold over the (vocab-sized,
+    * short) symbol arrays: merging into the fold's last element equals
+    * the left-to-right non-overlapping scan because the merged symbol
+    * `L+R` can never equal `L` (|L+R| > |L|), so a merge output is
+    * never itself the left side of another merge of the same round.
+    * Per round the output row carries `total_symbols_after` =
+    * Σ freq·|syms| — a corpus-wide checksum of the re-segmentation, so
+    * a wrong merge application (not just a wrong winner) hash-fails.
+    * The oracle unrolls all 3 rounds relationally: per-round winner by
+    * the same total order, then the greedy scan as a parity rule over
+    * runs of consecutive matches (active ⇔ odd rank within run), which
+    * equals the left-to-right scan.
+    *
+    * Scale: pair counting aggregates to symbol-pair keys (vocab-bounded
+    * with map-side combine); segmentation state is the distinct-word
+    * table, NOT the corpus — the standard BPE trainer shape. Rounds are
+    * checkpoint-evicted like the CC loop so k rounds hold O(1) cached
+    * frames. */
+  private def bpeTrainLoop(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    var prevCp = seg
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long, Long)]
+    for (round <- 1 to 3) {
+      val win = seg.select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |  THEN transform(sequence(1, size(syms) - 1),
+            |         i -> struct(syms[i - 1] AS l, syms[i] AS r))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+      // symbols are [a-z]+ by construction — safe to inline as SQL literals
+      seg = seg.withColumn("syms", expr(
+        s"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+           |  (acc, s) -> CASE
+           |    WHEN element_at(acc, -1) = '$l' AND s = '$r'
+           |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+           |    ELSE concat(acc, array(s)) END)""".stripMargin))
+        .localCheckpoint(false)
+      val total = seg.agg(sum(col("freq") * size(col("syms"))))
+        .collect()(0).getLong(0)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+      prevCp = seg
+      merges += ((round, l, r, cnt, total))
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_round", "lsym", "rsym", "pair_count", "total_symbols_after")
+      .orderBy("merge_round")
+  }
+
   /** q208: ORC sink+source roundtrip — the remaining built-in columnar
     * format beside parquet (q137 covers CSV/JSON text wires; q199 XML).
     * Unlike the text formats, ORC carries NATIVE types, so the real
@@ -255,19 +323,28 @@ object EngineQueries extends QueryPack {
     * each file is one row, no driver materialization; the aggregate is
     * the only exchange. Oracle replays payload generation in SQL.
     */
+  /** q209's fixture dir, staged ONCE per session per sf dir (the
+    * staging — a dimension-bounded driver loop writing 25 files — is
+    * test scaffolding, not the operator; caching it keeps repeated
+    * bench invocations measuring the binaryFile scan, not file
+    * creation, and stops temp dirs accumulating per call). */
+  private val binFixtureByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def binaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions.poly_hash
-    val binDir = MlQueries.tempDirDeletedOnExit("graft_bin_")
-    // fixture staging, not the operator: one raw file per nation key
-    // (dimension-bounded driver loop — 25 files)
-    Tables.nation(spark, dir).select("n_nationkey").collect()
-      .map(_.getAs[Number](0).longValue).foreach { id =>
-        val unit = f"blob-$id%010d;"
-        val payload = unit * (id % 7 + 1).toInt
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(binDir, f"blob_$id%010d.bin"),
-          payload.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      }
+    val binDir = binFixtureByDir.computeIfAbsent(dir, _ => {
+      val d = MlQueries.tempDirDeletedOnExit("graft_bin_")
+      Tables.nation(spark, dir).select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).foreach { id =>
+          val unit = f"blob-$id%010d;"
+          val payload = unit * (id % 7 + 1).toInt
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, f"blob_$id%010d.bin"),
+            payload.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        }
+      d
+    })
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(binDir)
@@ -332,6 +409,7 @@ object EngineQueries extends QueryPack {
     "q202_listagg_nations" -> listaggNations,
     "q203_sq8_quantize" -> sq8Quantize,
     "q204_bpe_pair_counts" -> bpePairCounts,
+    "q213_bpe_train_loop" -> bpeTrainLoop,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
     "q210_cached_rollup" -> cachedRollup
@@ -392,8 +470,8 @@ object EngineQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |       CAST(sum(event_id) AS BIGINT) AS sum_ids,
-        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts_str,
-        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_str
+        |       strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts_str,
+        |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_str
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q209_binary_ingest" ->
@@ -438,6 +516,78 @@ object EngineQueries extends QueryPack {
         |  FROM (SELECT w FROM words WHERE length(w) >= 2) fw,
         |       LATERAL (SELECT unnest(range(1, length(w))) AS i) t)
         |SELECT pair, count(*) AS cnt FROM pairs
-        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q213_bpe_train_loop" -> bpeLoopOracle
   )
+
+  /** q213 oracle: the 3 merge rounds unrolled relationally. Per round:
+    * pair counts from the dense-position segmentation, winner by
+    * (count DESC, pair ASC), then the greedy left-to-right merge as a
+    * parity rule — mark matches (sym=L ∧ next=R), group CONSECUTIVE
+    * match positions into runs, activate the odd ranks of each run
+    * (greedy consumes pairs left to right, so within a run every other
+    * match fires), drop the row AFTER an active match, renumber. Runs
+    * of length > 1 only arise when L = R (e.g. 'aaa'), which is exactly
+    * where naive "merge every match" would double-consume. */
+  private def bpeLoopOracle: String = {
+    def round(i: Int): String = {
+      val p = s"seg${i - 1}"
+      s"""p$i AS (
+         |  SELECT a.sym AS l, b.sym AS r2, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM $p a JOIN $p b ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |w$i AS (SELECT l, r2, cnt FROM p$i ORDER BY cnt DESC, l, r2 LIMIT 1),
+         |m$i AS (
+         |  SELECT s.w, s.freq, s.pos, s.sym,
+         |         coalesce(s.sym = ww.l AND
+         |           lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = ww.r2,
+         |           false) AS m
+         |  FROM $p s CROSS JOIN w$i ww),
+         |g$i AS (
+         |  SELECT *, CASE WHEN m THEN pos - row_number()
+         |                 OVER (PARTITION BY w, m ORDER BY pos) END AS grp
+         |  FROM m$i),
+         |a$i AS (
+         |  SELECT *, CASE WHEN m THEN row_number()
+         |                 OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+         |            ELSE false END AS active
+         |  FROM g$i),
+         |e$i AS (
+         |  SELECT w, freq, pos, sym, active,
+         |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         |         coalesce(lag(active) OVER (PARTITION BY w ORDER BY pos),
+         |                  false) AS prev_active
+         |  FROM a$i),
+         |seg$i AS (
+         |  SELECT w, freq,
+         |         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         |         CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+         |  FROM e$i WHERE NOT prev_active)""".stripMargin
+    }
+    def out(i: Int): String =
+      s"""SELECT $i AS merge_round, l AS lsym, r2 AS rsym,
+         |       cnt AS pair_count,
+         |       (SELECT CAST(sum(freq) AS BIGINT) FROM seg$i)
+         |         AS total_symbols_after
+         |FROM w$i""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |seg0 AS (
+       |  SELECT w, freq,
+       |         unnest(generate_series(1, length(w))) AS pos,
+       |         unnest(regexp_split_to_array(w, '')) AS sym
+       |  FROM words),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |${out(1)}
+       |UNION ALL
+       |${out(2)}
+       |UNION ALL
+       |${out(3)}
+       |ORDER BY merge_round""".stripMargin
+  }
 }

@@ -419,6 +419,38 @@ object ExtendedQueries extends QueryPack {
       .orderBy("percent")
   }
 
+  // --------------------------------------------------------------- q214
+  /** Exact↔approx quantile parity: bounds `approx_percentile`'s rank
+    * error against the exact narrowing engine (q187's
+    * `Selection.exactQuantiles`) on the SAME column — closing the loop
+    * the profile pair q100/q110 has, for order statistics. The sketch
+    * (accuracy 100) guarantees an actual data element within n/100 rank
+    * of the target; values are monotone in rank, so the estimate must
+    * land between the exact quantiles at p ± 2 (2% of rank ≥ n/100 + 1
+    * at every fixture SF, absorbing the rank slack with margin). Same
+    * tolerance-boolean pattern as q68/q69/q80: the sketch is
+    * deterministic, DuckDB asserts TRUE, and the driver hash-fails if
+    * the bound ever breaks. All driver state is ≤ 12 exact-quantile
+    * rows + 4 sketch values — the bounded-collect discipline. */
+  private def sketchRankBound(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val targets = Seq(25, 50, 75, 95)
+    val probes = targets.flatMap(p => Seq(p - 2, p, p + 2)).distinct
+    val exact = Selection.exactQuantiles(cents, "pc", probes)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = cents
+      .agg(expr("approx_percentile(pc, array(0.25, 0.50, 0.75, 0.95), 100)"))
+      .head().getSeq[Long](0)
+    import spark.implicits._
+    targets.zipWithIndex.map { case (p, i) =>
+      val (n, v) = exact(p)
+      val ok = approx(i) >= exact(p - 2)._2 && approx(i) <= exact(p + 2)._2
+      (p, n, v, ok)
+    }.toDF("percent", "n_rows", "value_cents", "approx_ok")
+      .orderBy("percent")
+  }
+
   /** q192: bucketed co-located join — the shuffle-free big×big join.
     * Both sides are written `bucketBy(8, key)` (one-time layout cost a
     * warehouse amortizes over every later join), so each scan reports
@@ -455,6 +487,7 @@ object ExtendedQueries extends QueryPack {
     "q180_exact_median" -> exactMedianPrice,
     "q186_group_medians" -> groupMedians,
     "q187_quantile_contour" -> quantileContour,
+    "q214_sketch_rank_bound" -> sketchRankBound,
     "q137_format_roundtrip" -> formatRoundtrip,
     "q138_topk_aggregate" -> topKAggregate,
     "q150_dpp_partition_join" -> dppPartitionJoin,
@@ -492,6 +525,21 @@ object ExtendedQueries extends QueryPack {
         |SELECT price_cents, order_epoch_s, n_orders FROM s
         |WHERE runmax IS NULL OR price_cents > runmax
         |ORDER BY price_cents DESC""".stripMargin,
+    // exact quantiles at rank ceil(p*n/100); the sketch bound is a
+    // deterministic TRUE (see scaladoc) so DuckDB asserts it
+    "q214_sketch_rank_bound" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT pc, row_number() OVER (ORDER BY pc) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM s),
+        |q AS (SELECT unnest([25, 50, 75, 95]) AS percent)
+        |SELECT q.percent, r.n AS n_rows, r.pc AS value_cents,
+        |       TRUE AS approx_ok
+        |FROM q JOIN r ON r.rn = (q.percent * r.n + 99) // 100
+        |ORDER BY q.percent""".stripMargin,
     // each quantile picked at rank ceil(p*n/100) off one full sort
     "q187_quantile_contour" ->
       """WITH s AS (

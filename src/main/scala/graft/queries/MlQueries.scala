@@ -88,7 +88,7 @@ object MlQueries extends QueryPack {
         numTrees = 10)
       val raw = spark.readStream.schema(Tables.eventsRawSchema)
         .parquet(s"$dir/events*.parquet")
-        .withColumn("ts", expr(Tables.rawTsToMicros))
+        .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
       val out = tempDirDeletedOnExit("graft_infer_")
       val q = raw.writeStream
         .option("checkpointLocation", tempDirDeletedOnExit("graft_infer_ckpt_"))

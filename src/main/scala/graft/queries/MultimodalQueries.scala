@@ -71,12 +71,27 @@ object MultimodalQueries extends QueryPack {
       .orderBy("media_id")
   }
 
+  /** q211: REAL audio decode — executors render deterministic mono
+    * 16-bit PCM WAV clips with `javax.sound.sampled`, then decode them
+    * back (header → format, frames → samples) and aggregate actual
+    * amplitudes. The oracle replays the sample formula
+    * ((doc_id·37 + 11·i) mod 4096 − 2048 over n = n_chars mod 50 + 20)
+    * as pure SQL, so a wrong sample rate, an endianness flip, a header
+    * mis-parse, or a lossy roundtrip all hash-fail. With q149 this
+    * closes BOTH decodes the JDK allows to be real; only video stays
+    * stubbed. */
+  private def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.wavFromDocuments(Tables.documents(spark, dir))
+    Multimodal.wavStats(media).toDF().orderBy("media_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_media_features" -> mediaFeatures,
     "q77_frame_sample" -> frameSample,
     "q78_resize_meta" -> resizeMeta,
     "q149_png_decode" -> pngDecode,
-    "q164_image_dhash" -> imageDHash
+    "q164_image_dhash" -> imageDHash,
+    "q211_wav_decode" -> wavDecode
   )
 
   override def oracles: Map[String, String] = Map(
@@ -139,6 +154,27 @@ object MultimodalQueries extends QueryPack {
         |SELECT doc_id AS media_id,
         |       CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
         |       dhash, count(*) OVER (PARTITION BY dhash) AS n_same
-        |FROM b ORDER BY media_id""".stripMargin
+        |FROM b ORDER BY media_id""".stripMargin,
+    // Sample-formula replay: PCM is lossless, so the decoded amplitude
+    // aggregates must match the generator arithmetic exactly; format
+    // fields (8 kHz mono 16-bit) come from the parsed WAV header on the
+    // Spark side and are literals here.
+    "q211_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 50 + 20 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         [ (doc_id*37 + 11*i) % 4096 - 2048
+        |           for i in range(0, n) ] AS vs
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |       8000 AS sample_rate, 1 AS n_channels, 16 AS bits,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(list_sum(vs) AS BIGINT) AS amp_sum,
+        |       CAST(list_min(vs) AS INTEGER) AS amp_min,
+        |       CAST(list_max(vs) AS INTEGER) AS amp_max,
+        |       CAST(list_sum(list_transform(vs, v -> v*v)) AS BIGINT)
+        |         AS energy
+        |FROM s ORDER BY media_id""".stripMargin
   )
 }

@@ -217,15 +217,16 @@ object PipelineQueries extends QueryPack {
     * shuffle — at 100 TB this is what cuts shuffle input when the dim is
     * too large to broadcast; the exact join then removes the bloom's
     * false positives, so the result equals the plain join (the oracle).
-    * (UDF exception: Spark's might_contain expression is internal-only.) */
+    * The probe is the codegen'd Catalyst `BloomFilterMightContain` via
+    * [[graft.ops.BloomJoin.bloomPrefilter]] (sketch built over
+    * `xxhash64(key)` so build and probe agree) — no per-row Scala
+    * closure, the predicate stays inside whole-stage codegen on the
+    * hottest scan. */
   private def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_suppkey", "l_extendedprice")
     val sup = Tables.supplier(spark, dir).where(col("s_nationkey") < 5)
       .select("s_suppkey", "s_nationkey")
-    val bloom = sup.stat.bloomFilter("s_suppkey", 10000L, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
-    li.where(mightContain(col("l_suppkey")))
+    graft.ops.BloomJoin.bloomPrefilter(li, "l_suppkey", sup, "s_suppkey", 10000L)
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n"),

@@ -64,7 +64,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val bars = raw
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(min(col("value")).as("low"), max(col("value")).as("high"),
@@ -86,7 +86,7 @@ object StreamingQueries extends QueryPack {
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
     val dup = src.unionByName(src)
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     Pipelines.watermarkDedup(dup, ts = "ts", key = "event_id")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
@@ -103,7 +103,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val sess = raw
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -129,7 +129,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     raw.withWatermark("ts", "30 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -153,7 +153,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
       .withColumn("vc", round(col("value") * 100).cast("long"))
     val windows = raw
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -176,7 +176,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
       .select("event_id", "ts", "event_type", "value")
     val base = src.withColumn("rev", lit(0))
     val updates = src.where(col("event_id") % 10 === 0)
@@ -212,7 +212,7 @@ object StreamingQueries extends QueryPack {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(Tables.eventsRawSchema)
       .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr(Tables.rawTsToMicros))
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
     val agg = raw
       .groupBy(window(col("ts"), "1 day"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),

@@ -102,30 +102,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem", lineitemSchema)
+  /** Whether the `ts` column at `path` is int64 NANOS (vs µs), decided
+    * ONCE from the parquet footer and cached per path. Early fixtures
+    * write parquet TIMESTAMP(NANOS) (Spark 4 rejects it as TimestampType
+    * with [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong`
+    * read); later generations write TIMESTAMP(MICROS). Under
+    * `nanosAsLong`, schema inference surfaces NANOS (and any raw-ns
+    * int64 column) as LongType while MICROS infers as TimestampType —
+    * so the footer, not per-row value magnitude, picks the unit. This
+    * is metadata-only (no row reads) and is value-domain-independent:
+    * pre-1970 or pre-1973 timestamps parse correctly under either
+    * encoding, unlike the magnitude heuristic this replaced. */
+  private val tsNanosByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def tsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosByPath.computeIfAbsent(path, p => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dt = spark.read.parquet(p).schema.find(_.name == "ts").map(_.dataType)
+      java.lang.Boolean.valueOf(dt.contains(org.apache.spark.sql.types.LongType))
+    })
+
   /** SQL fragment converting the raw int64 `ts` read via
-    * [[eventsRawSchema]] to µs TimestampType whatever unit the fixture
-    * generation used. Early fixtures write parquet TIMESTAMP(NANOS)
-    * (~1.7e18 since epoch — Spark 4 rejects it as TimestampType with
-    * [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong` read);
-    * later generations write TIMESTAMP(MICROS) (~1.7e15, which the same
-    * LongType read surfaces as raw µs). Magnitude disambiguates WITHIN
-    * the fixtures' actual domain (2024-dated events): a value ≥ 1e17 is
-    * ns (any date past 1973-03; as µs it would mean year 5138) and gets
-    * integer-divided — ns-since-epoch exceeds 2^53, so double division
-    * would corrupt the low bits. The guard is NOT general: ns values
-    * before 1973-03 (or negative, i.e. pre-1970) would pass through as
-    * µs, and `div` truncates toward zero rather than flooring for
-    * negatives — acceptable only because the fixture generator has never
-    * produced such dates; a unit change that moves the domain needs this
-    * threshold revisited, not trusted. Shared by the batch reader below
-    * and every streaming reader over `events*.parquet`. */
-  val rawTsToMicros: String =
-    "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
+    * [[eventsRawSchema]] to µs TimestampType, with the ns-vs-µs unit
+    * detected once from the footer of `path` (the same path/glob the
+    * caller reads). ns is integer-divided — ns-since-epoch exceeds 2^53,
+    * so double division would corrupt the low bits. Shared by the batch
+    * reader below and every streaming reader over `events*.parquet`. */
+  def rawTsToMicrosFor(spark: SparkSession, path: String): String =
+    if (tsIsNanos(spark, path)) "timestamp_micros(ts div 1000)"
+    else "timestamp_micros(ts)"
+
+  /** The events path/glob the readers share, so unit detection and the
+    * actual read always agree on the same footer. */
+  def eventsGlob(dir: String): String = s"$dir/events*.parquet"
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events", eventsRawSchema)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(rawTsToMicros))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        rawTsToMicrosFor(spark, eventsGlob(dir))))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings", embeddingsSchema)

@@ -416,6 +416,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "bloom probe fell back to a UDF:\n" + plan.take(3000))
   }
 
+  test("q79 bloom join: might_contain rides the fact scan (no closure-UDF probe)") {
+    val df = SparkEntry.queries("q79_bloom_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"),
+      "bloom pre-filter missing from the plan:\n" + plan.take(3000))
+    val ji = plan.indexOf("Join")
+    val mi = plan.indexOf("might_contain")
+    assert(ji >= 0 && mi > ji,
+      s"might_contain (at $mi) does not filter a join input (join at $ji):\n" +
+        plan.take(3000))
+    assert(!plan.contains("ScalaUDF"),
+      "bloom probe fell back to a UDF:\n" + plan.take(3000))
+  }
+
   test("q152 prefix rerank: stage-1 join moves only the 16-dim slice, rerank joins broadcast") {
     val df = SparkEntry.queries("q152_prefix_rerank_topk")(spark, dir)
     df.collect()

@@ -7,12 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.tables.Tables
 
-/** Pins `Tables.rawTsToMicros` against BOTH physical encodings the
-  * driver's fixture generator has produced: TIMESTAMP(MICROS) (current)
-  * and int64 nanos (earlier rounds' TIMESTAMP(NANOS), which the
-  * LongType + nanosAsLong read surfaces as raw ns). The round-6
-  * regeneration flipped the unit and silently broke 37 green queries;
-  * this spec fails fast if either read path regresses. */
+/** Pins `Tables.rawTsToMicrosFor` (footer-detected ns-vs-µs unit)
+  * against BOTH physical encodings the driver's fixture generator has
+  * produced: TIMESTAMP(MICROS) (current, infers as TimestampType) and
+  * int64 nanos (earlier rounds' TIMESTAMP(NANOS), which nanosAsLong
+  * inference surfaces as LongType). The round-6 regeneration flipped
+  * the unit and silently broke 37 green queries; this spec fails fast
+  * if either read path regresses. */
 class TsUnitSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -48,7 +49,7 @@ class TsUnitSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .schema("ts LONG, event_id LONG").parquet(dir)
-        .withColumn("ts", expr(Tables.rawTsToMicros))
+        .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, dir)))
         .select(col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"))
         .as[(Long, String)].collect().sortBy(_._1).toSeq
