@@ -18,6 +18,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load sentinels: BENCH_r06's main pass carried 2.5× load
+    // inflation on two queries that only the isolated section exposed.
+    // Recording the OS 1-min load average at start/end makes a loaded
+    // run self-diagnosing from the artifact alone (loadavg >> cpus ⇒
+    // treat main-pass medians with suspicion, trust isolated re-runs).
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     // Untimed warmup: one tiny end-to-end job absorbs JVM/codegen startup
     // so the first timed query isn't charged for it.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -72,15 +81,17 @@ object Bench {
       name -> measure(name, fn, recordFailure = true)
     }
 
-    // Slowest-5 isolated re-runs: the main pass's medians can still carry
+    // Slowest-10 isolated re-runs: the main pass's medians can still carry
     // ambient load (GC from the previous query, page-cache pressure);
     // re-measuring the slowest queries alone at the end separates "this
     // query is slow" from "this query ran at a bad moment" — the r5
-    // q109 4.19→5.81 ambiguity, made adjudicable in the artifact itself.
+    // q109 4.19→5.81 ambiguity, made adjudicable in the artifact itself
+    // (widened from 5 to 10 after r6's load inflation reached rank 6+).
     val okResults = results.filterNot { case (n, _) => failed.exists(_.startsWith(n + ":")) }
-    val isolated = okResults.sortBy(-_._2).take(5).map { case (name, _) =>
+    val isolated = okResults.sortBy(-_._2).take(10).map { case (name, _) =>
       name -> measure(name, SparkEntry.queries(name), recordFailure = false)
     }
+    val loadEnd = loadAvg()
 
     def jnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -92,7 +103,7 @@ object Bench {
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowest = jmap(results.sortBy(-_._2).take(5))
     val isoJson = jmap(isolated)
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"isolated_slowest":$isoJson,"failed":$failedJson,"reps":$reps,"warmup_reps":1,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"isolated_slowest":$isoJson,"failed":$failedJson,"reps":$reps,"warmup_reps":1,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)},"cpus":$cpus,"sf":"$sfDir"}"""
     println(full)
     // Self-contained artifact: the driver's tail capture has truncated the
     // full stdout line before (BENCH_r05.json parsed:null) — persist the
@@ -106,7 +117,7 @@ object Bench {
     // Compact trailer: repeat the headline LAST so a tail-truncated
     // stdout capture still carries it. Locale.ROOT everywhere: a default
     // de_DE locale would emit comma decimals and corrupt the JSON.
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","slowest":$slowest,"isolated_slowest":$isoJson,"n_failed":${failed.size},"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","slowest":$slowest,"isolated_slowest":$isoJson,"n_failed":${failed.size},"n_queries":${results.size},"reps":$reps,"loadavg_start":${jnum(loadStart)},"loadavg_end":${jnum(loadEnd)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

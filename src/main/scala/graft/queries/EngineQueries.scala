@@ -238,6 +238,18 @@ object EngineQueries extends QueryPack {
     * table, NOT the corpus — the standard BPE trainer shape. Rounds are
     * checkpoint-evicted like the CC loop so k rounds hold O(1) cached
     * frames. */
+  /** The greedy left-to-right merge of pair (l, r) over a `syms`
+    * array column, as a SQL fold (see [[bpeTrainLoop]]'s scaladoc for
+    * the equivalence argument). Symbols are [a-z]+ by construction —
+    * safe to inline as SQL literals. `private[graft]` so the spec can
+    * pin the fold against a reference greedy scan. */
+  private[graft] def bpeMergeExpr(l: String, r: String): String =
+    s"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+       |  (acc, s) -> CASE
+       |    WHEN element_at(acc, -1) = '$l' AND s = '$r'
+       |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+       |    ELSE concat(acc, array(s)) END)""".stripMargin
+
   private def bpeTrainLoop(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
@@ -259,13 +271,7 @@ object EngineQueries extends QueryPack {
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()(0)
       val (l, r, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
-      // symbols are [a-z]+ by construction — safe to inline as SQL literals
-      seg = seg.withColumn("syms", expr(
-        s"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
-           |  (acc, s) -> CASE
-           |    WHEN element_at(acc, -1) = '$l' AND s = '$r'
-           |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
-           |    ELSE concat(acc, array(s)) END)""".stripMargin))
+      seg = seg.withColumn("syms", expr(bpeMergeExpr(l, r)))
         .localCheckpoint(false)
       val total = seg.agg(sum(col("freq") * size(col("syms"))))
         .collect()(0).getLong(0)

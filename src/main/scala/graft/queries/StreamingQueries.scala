@@ -143,6 +143,53 @@ object StreamingQueries extends QueryPack {
       .where(col("n_events") >= 2)
       .orderBy("user_id", "session_start")
 
+  /** q215: CHAINED stateful operators in ONE streaming query (the
+    * Spark-4 multiple-stateful-operators surface): a tumbling 15-minute
+    * pre-aggregate feeds a 1-hour window rollup — `window(window, 1h)`
+    * re-windows the first operator's window struct — with ONE watermark
+    * driving late-data semantics and state eviction through BOTH
+    * operators. This is the production telescoping-rollup shape: the
+    * second operator's state is sub-window-sized (≤ 4 rows/hour/type),
+    * never event-sized, and both levels evict as the watermark passes.
+    *
+    * Append emits exactly the hours the final watermark closed. The
+    * closed-region gate (win_end ≤ max ts − 31 s: delay 30 s plus a
+    * 1 s margin strictly inside the emitted set) is applied IDENTICALLY
+    * to the streamed result and the batch oracle, so the emission
+    * boundary's exact strictness never reaches the compare — the q104
+    * discipline. Exposed `private[graft]` so StreamingSpec can assert
+    * the plan carries BOTH stateful operators and the watermark. */
+  private[graft] def chainedWindowStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    val w15 = raw.withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_ev"), sum("vc").as("sum_c"))
+    w15
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_subwindows"),
+        sum("n_ev").as("n_events"), sum("sum_c").as("sum_cents"))
+      .select(unix_micros(col("window.end")).as("end_us"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_subwindows"), col("n_events"),
+        col("sum_cents"))
+  }
+
+  private def chainedWindowRollup(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    val sunk = runToMemorySink(chainedWindowStream(spark, dir), "chain",
+      mode = "append")
+    val maxUs = Tables.events(spark0, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    sunk.where(col("end_us") <= maxUs - 31L * 1000000L)
+      .select("hour_start", "event_type", "n_subwindows", "n_events",
+        "sum_cents")
+      .orderBy("event_type", "hour_start")
+  }
+
   /** q107: SLIDING event-time windows (the T6 leg tumbling q44 and
     * session q51/q76/q91 don't cover): width 2 h, slide 1 h — every
     * event lands in exactly two overlapping windows. The oracle derives
@@ -399,10 +446,38 @@ object StreamingQueries extends QueryPack {
     "q91_streaming_sessions_append" -> streamingSessionsAppend,
     "q98_streaming_window_distinct" -> streamingWindowDistinct,
     "q103_streaming_cdc_apply" -> streamingCdcApply,
-    "q107_streaming_sliding_windows" -> streamingSlidingWindows
+    "q107_streaming_sliding_windows" -> streamingSlidingWindows,
+    "q215_chained_window_rollup" -> chainedWindowRollup
   )
 
   override def oracles: Map[String, String] = Map(
+    // 15-min buckets then 1-h rollup on exact integer µs flooring
+    // (make_timestamp(epoch_us // grid * grid) — NOT epoch(ts)::BIGINT,
+    // which ROUNDS in DuckDB while Spark floors); closed-region gate
+    // identical to the Spark side's post-sink filter.
+    "q215_chained_window_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |w15 AS (
+        |  SELECT event_type, us // 900000000 * 900000000 AS w15_us,
+        |         count(*) AS n_ev, sum(vc) AS sum_c
+        |  FROM e GROUP BY 1, 2),
+        |w60 AS (
+        |  SELECT event_type, w15_us // 3600000000 * 3600000000 AS h_us,
+        |         count(*) AS n_subwindows,
+        |         CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |         CAST(sum(sum_c) AS BIGINT) AS sum_cents
+        |  FROM w15 GROUP BY 1, 2),
+        |wm AS (SELECT max(us) AS mx FROM e)
+        |SELECT strftime(make_timestamp(h_us), '%Y-%m-%d %H:%M:%S')
+        |         AS hour_start,
+        |       event_type, n_subwindows, n_events, sum_cents
+        |FROM w60, wm
+        |WHERE h_us + 3600000000 <= mx - 31000000
+        |ORDER BY event_type, hour_start""".stripMargin,
     // exact-integer moment sums are batch/replay-order invariant, so the
     // one-shot batch aggregate is the oracle for the two-batch streaming
     // run; window sums CAST to BIGINT (HUGEINT guard), doubles derived by

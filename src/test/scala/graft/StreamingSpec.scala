@@ -297,6 +297,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("DeduplicateWithinWatermark"), plan)
   }
 
+  test("q215's chained rollup: TWO stateful aggregates under one watermark, and the chain evicts") {
+    val df = graft.queries.StreamingQueries
+      .chainedWindowStream(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan)
+    // both windowed aggregates must survive analysis as separate
+    // stateful Aggregate nodes
+    assert("Aggregate \\[".r.findAllIn(plan).size >= 2,
+      s"expected 2 chained aggregates:\n$plan")
+    // end-to-end: the chain runs in append mode and emits closed hours
+    // (multiple-stateful-operators actually executing, not just planned)
+    implicit val sc = spark.sqlContext
+    val sunk = graft.queries.StreamingQueries.queries(
+      "q215_chained_window_rollup")(spark, "/root/testdata/sf0.001")
+    assert(sunk.count() > 0, "chained rollup emitted nothing")
+  }
+
   test("q91's append sessions plan carries an event-time watermark (bounded state)") {
     val plan = graft.queries.StreamingQueries
       .sessionsAppendStream(spark, "/root/testdata/sf0.001")
