@@ -43,7 +43,14 @@ object LabelPropagation {
   /** Labels after `rounds` synchronous votes over the DIRECTED edge
     * list (labels flow src→dst along each edge; pass a symmetrized
     * list for undirected propagation, as the graph queries do).
-    * Returns (node, label). */
+    * Returns (node, label).
+    *
+    * Checkpoint contract — same as `connectedComponents`: the returned
+    * frame reads from the FINAL round's localCheckpoint, which stays
+    * pinned (node-sized) until the session ends; the edge list and all
+    * intermediate rounds are evicted here. A caller that invokes this
+    * repeatedly in one session accumulates one node-sized block set per
+    * call — consume and drop the result promptly if that matters. */
   def propagate(edges: DataFrame, src: String, dst: String,
                 rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds in [1,16], got $rounds")

@@ -279,6 +279,10 @@ object EngineQueries extends QueryPack {
       prevCp = seg
       merges += ((round, l, r, cnt, total))
     }
+    // the output below is driver-local (the k-row merge table), so the
+    // final round's checkpoint has no remaining reader — release it, or
+    // every bench rep of this query would pin another vocab-sized RDD
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
     import spark.implicits._
     merges.toSeq
       .toDF("merge_round", "lsym", "rsym", "pair_count", "total_symbols_after")

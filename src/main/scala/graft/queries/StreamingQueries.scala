@@ -179,10 +179,9 @@ object StreamingQueries extends QueryPack {
   }
 
   private def chainedWindowRollup(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
     val sunk = runToMemorySink(chainedWindowStream(spark, dir), "chain",
       mode = "append")
-    val maxUs = Tables.events(spark0, dir)
+    val maxUs = Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     sunk.where(col("end_us") <= maxUs - 31L * 1000000L)
       .select("hour_start", "event_type", "n_subwindows", "n_events",
@@ -565,7 +564,7 @@ object StreamingQueries extends QueryPack {
     // is empirical (StreamingSpec boundary probe: a session whose end
     // equals the watermark IS emitted). CAST(ts AS TIMESTAMP) truncates
     // DuckDB timestamps (ns or µs fixture alike) to µs, mirroring the
-    // Spark-side Tables.rawTsToMicros normalization.
+    // Spark-side Tables.rawTsToMicrosFor normalization.
     "q91_streaming_sessions_append" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -69,7 +69,7 @@ object Tables {
     * `props` exercises `from_json` like `features_engineering.py:38`.
     *
     * `ts` is read as a raw int64 (LongType + `nanosAsLong`) and converted
-    * to µs TimestampType via [[rawTsToMicros]], because the fixture's
+    * to µs TimestampType via [[rawTsToMicrosFor]], because the fixture's
     * parquet unit has varied across generations — see that doc. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -102,35 +102,79 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem", lineitemSchema)
-  /** Whether the `ts` column at `path` is int64 NANOS (vs µs), decided
-    * ONCE from the parquet footer and cached per path. Early fixtures
-    * write parquet TIMESTAMP(NANOS) (Spark 4 rejects it as TimestampType
-    * with [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong`
-    * read); later generations write TIMESTAMP(MICROS). Under
-    * `nanosAsLong`, schema inference surfaces NANOS (and any raw-ns
-    * int64 column) as LongType while MICROS infers as TimestampType —
-    * so the footer, not per-row value magnitude, picks the unit. This
-    * is metadata-only (no row reads) and is value-domain-independent:
-    * pre-1970 or pre-1973 timestamps parse correctly under either
-    * encoding, unlike the magnitude heuristic this replaced. */
-  private val tsNanosByPath =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  def tsIsNanos(spark: SparkSession, path: String): Boolean =
-    tsNanosByPath.computeIfAbsent(path, p => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val dt = spark.read.parquet(p).schema.find(_.name == "ts").map(_.dataType)
-      java.lang.Boolean.valueOf(dt.contains(org.apache.spark.sql.types.LongType))
+  /** The `ts` unit at `path`, decided ONCE per path from the parquet
+    * footers' LOGICAL TYPE ANNOTATIONS and cached. Early fixtures write
+    * parquet TIMESTAMP(NANOS) (Spark 4 rejects it as TimestampType with
+    * [PARQUET_TYPE_ILLEGAL], hence the LongType + `nanosAsLong` read);
+    * later generations write TIMESTAMP(MICROS). The annotation — not
+    * schema-inference dtype, not per-row value magnitude — is the exact
+    * signal: an UNANNOTATED int64 column would also infer as LongType
+    * but carries no unit promise, so it (and a dir mixing units across
+    * files) returns `TsUnitUnknown` and the reader falls back to the
+    * per-row magnitude CASE that handles either unit within the
+    * fixtures' dated domain. Every footer in the glob is checked
+    * (metadata-only reads, no row data), so a mixed-unit directory can
+    * never be silently classified by one file's footer. */
+  val TsUnitNanos = "ns"
+  val TsUnitMicros = "us"
+  val TsUnitUnknown = "unknown"
+  private val tsUnitByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def tsUnit(spark: SparkSession, path: String): String =
+    tsUnitByPath.computeIfAbsent(path, p => {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val leaves = Option(fs.globStatus(hp)).getOrElse(Array.empty).flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        else Array(st.getPath)
+      }
+      val units = leaves.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          if (!schema.containsField("ts")) TsUnitUnknown
+          else schema.getType(schema.getFieldIndex("ts"))
+            .getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case TimeUnit.NANOS => TsUnitNanos
+                case TimeUnit.MICROS => TsUnitMicros
+                case _ => TsUnitUnknown // MILLIS never produced; don't guess
+              }
+            case _ => TsUnitUnknown
+          }
+        } finally reader.close()
+      }.distinct
+      if (units.length == 1) units.head else TsUnitUnknown
     })
 
   /** SQL fragment converting the raw int64 `ts` read via
     * [[eventsRawSchema]] to µs TimestampType, with the ns-vs-µs unit
-    * detected once from the footer of `path` (the same path/glob the
-    * caller reads). ns is integer-divided — ns-since-epoch exceeds 2^53,
-    * so double division would corrupt the low bits. Shared by the batch
+    * read once from the parquet footers of `path` (the same path/glob
+    * the caller reads — see [[tsUnit]]). ns is integer-divided —
+    * ns-since-epoch exceeds 2^53, so double division would corrupt the
+    * low bits. When the footers don't pin a unit (unannotated int64, or
+    * files disagreeing), the per-row magnitude CASE takes over: a value
+    * ≥ 1e17 is ns (any date past 1973-03; as µs it would mean year
+    * 5138) — correct per row for the fixtures' dated domain even in a
+    * MIXED directory, at the cost of the documented pre-1973/negative
+    * blind spot the annotation path doesn't have. Shared by the batch
     * reader below and every streaming reader over `events*.parquet`. */
   def rawTsToMicrosFor(spark: SparkSession, path: String): String =
-    if (tsIsNanos(spark, path)) "timestamp_micros(ts div 1000)"
-    else "timestamp_micros(ts)"
+    tsUnit(spark, path) match {
+      case TsUnitNanos => "timestamp_micros(ts div 1000)"
+      case TsUnitMicros => "timestamp_micros(ts)"
+      case _ =>
+        "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 " +
+          "THEN ts div 1000 ELSE ts END)"
+    }
 
   /** The events path/glob the readers share, so unit detection and the
     * actual read always agree on the same footer. */

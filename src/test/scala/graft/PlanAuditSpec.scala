@@ -398,15 +398,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q151 bloom join: might_contain rides the fact scan stage (codegen, pre-join)") {
-    val df = SparkEntry.queries("q151_bloom_join")(spark, dir)
+    assertBloomPrefilterPlan("q151_bloom_join")
+  }
+
+  /** Shared bloom-prefilter plan contract (q151 and q79): the codegen'd
+    * `might_contain` predicate present, sitting BELOW the join (a parent
+    * prints before its children, so a post-join Filter would print
+    * BEFORE the join line; the scan-stage pre-filter prints after it),
+    * and no closure-UDF fallback. */
+  private def assertBloomPrefilterPlan(queryName: String): Unit = {
+    val df = SparkEntry.queries(queryName)(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==").head
     assert(plan.contains("might_contain"),
       "bloom pre-filter missing from the plan:\n" + plan.take(3000))
-    // the filter must sit BELOW the join (a parent prints before its
-    // children, so a post-join Filter would print BEFORE the join line;
-    // the scan-stage pre-filter prints after it)
     val ji = plan.indexOf("Join")
     val mi = plan.indexOf("might_contain")
     assert(ji >= 0 && mi > ji,
@@ -417,19 +423,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q79 bloom join: might_contain rides the fact scan (no closure-UDF probe)") {
-    val df = SparkEntry.queries("q79_bloom_join")(spark, dir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString()
-      .split("== Initial Plan ==").head
-    assert(plan.contains("might_contain"),
-      "bloom pre-filter missing from the plan:\n" + plan.take(3000))
-    val ji = plan.indexOf("Join")
-    val mi = plan.indexOf("might_contain")
-    assert(ji >= 0 && mi > ji,
-      s"might_contain (at $mi) does not filter a join input (join at $ji):\n" +
-        plan.take(3000))
-    assert(!plan.contains("ScalaUDF"),
-      "bloom probe fell back to a UDF:\n" + plan.take(3000))
+    assertBloomPrefilterPlan("q79_bloom_join")
   }
 
   test("q152 prefix rerank: stage-1 join moves only the 16-dim slice, rerank joins broadcast") {

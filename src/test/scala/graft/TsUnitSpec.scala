@@ -55,6 +55,12 @@ class TsUnitSpec extends AnyFunSuite {
         .as[(Long, String)].collect().sortBy(_._1).toSeq
     }
 
+    // branch coverage is explicit: the annotated write classifies from
+    // the footer; the raw-int64 write has no annotation and must take
+    // the per-row magnitude fallback
+    assert(Tables.tsUnit(spark, usDir) == Tables.TsUnitMicros)
+    assert(Tables.tsUnit(spark, nsDir) == Tables.TsUnitUnknown)
+
     val viaMicros = readBack(usDir)
     val viaNanos = readBack(nsDir)
     val expected = marks.map { case (s, id) => (id, s) }.sortBy(_._1)
