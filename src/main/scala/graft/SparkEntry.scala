@@ -37,7 +37,8 @@ object SparkEntry {
     FinanceQueries,
     BehaviorQueries,
     EngineQueries,
-    IntegrityQueries
+    IntegrityQueries,
+    SketchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

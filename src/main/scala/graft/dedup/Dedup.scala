@@ -431,6 +431,68 @@ object Dedup {
         expr("(1000000 * i) DIV (na + nb - i)").as("jac_micro"))
   }
 
+  /** Directional containment join: pairs (src, dst) with
+    * C(src→dst) = |S∩D| / |S| ≥ t — the ASYMMETRIC cousin of the
+    * Jaccard joins above, and the right primitive for doc-in-doc
+    * curation (quote extraction, boilerplate envelopes, near-superset
+    * snippets): a short document fully quoted inside a long one has
+    * tiny Jaccard but containment ≈ 1, so every symmetric filter above
+    * is structurally blind to it.
+    *
+    * Candidate generation is the containment form of the prefix
+    * theorem (Chaudhuri, Ganti & Kaushik, ICDE'06 SSJoin — public):
+    * if |S∩D| ≥ ⌈t·|S|⌉ then any (|S| − ⌈t·|S|⌉ + 1)-subset of S hits
+    * the intersection — in particular the df-rarest prefix of S. So
+    * candidates = src-prefix tokens ⋈ ALL tokens of other docs: the
+    * probe side carries only prefixes (rare tokens by construction),
+    * the build side is the full token table, and NO pair outside the
+    * theorem's bound is generated. The size gate for the direction
+    * (10·|D| ≥ t·|S|, else the intersection can't reach t·|S|) prunes
+    * inside the join.
+    *
+    * Integer-exact: gate `10·|∩| ≥ t·|S|` in longs, containment in
+    * micro-units by integer DIV. Shapes: one df join, one doc-key
+    * window, one prefix⋈token equi-join, candidate-bounded
+    * verification — the [[prefixFilterPairs]] scale discipline with an
+    * asymmetric gate. */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      thresholdTenths: Int = 6, shingleK: Int = 3): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 10,
+      s"threshold must be 0.1..1.0 in tenths, got $thresholdTenths")
+    val t = thresholdTenths.toLong
+    val tok = docs
+      .select(col(id).as("doc"),
+        explode(shingles(col(text), shingleK)).as("w"))
+      .where(col("w") =!= "")
+    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n"))
+    val withDf = tok.join(
+      tok.groupBy("w").agg(count(lit(1)).as("df")), Seq("w"))
+    val byDoc = Window.partitionBy("doc").orderBy("df", "w")
+    val ranked = withDf
+      .withColumn("pos", row_number().over(byDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc")))
+    // src prefix: p = |S| − ⌈t|S|/10⌉ + 1, ceil via (a + 9) DIV 10
+    val prefix = ranked
+      .where(col("pos") <= col("n") - ((col("n") * t + 9) / lit(10)).cast("long") + 1)
+      .select(col("doc").as("src"), col("w"), col("n").as("ns"))
+    val tokN = tok.join(sizes, Seq("doc"))
+      .select(col("doc").as("dst"), col("w"), col("n").as("nd"))
+    val cand = prefix
+      .join(tokN, Seq("w"))
+      .where(col("src") =!= col("dst")
+        // direction's size gate: |D| must be able to absorb t·|S|
+        && col("nd") * 10L >= col("ns") * t)
+      .select("src", "dst", "ns", "nd").distinct()
+    val inter = cand
+      .join(tok.select(col("doc").as("src"), col("w")), Seq("src"))
+      .join(tok.select(col("doc").as("dst"), col("w")), Seq("dst", "w"))
+      .groupBy("src", "dst", "ns", "nd").agg(count(lit(1)).as("i"))
+    inter
+      .where(col("i") * 10L >= col("ns") * t)
+      .select(col("src"), col("dst"), col("ns"), col("nd"),
+        expr("(1000000 * i) DIV ns").as("cont_micro"))
+  }
+
   /** Sorted-neighborhood near-dup pairs (SNM): globally sort documents
     * by (simhash, id) and compare each doc only with its next `window`
     * neighbors in that order — the third pair-generation strategy next

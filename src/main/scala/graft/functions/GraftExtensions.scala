@@ -60,7 +60,11 @@ object GraftFunctions {
     // aggregate function: the analyzer wraps a bare AggregateFunction in
     // an AggregateExpression when it appears in an aggregation context
     "top_k_longs" -> (es =>
-      TopKLongs(es.head, intLit(es, "top_k_longs(col, k)"))))
+      TopKLongs(es.head, intLit(es, "top_k_longs(col, k)"))),
+    "k_min_distinct" -> (es =>
+      KMinDistinctLongs(es.head, intLit(es, "k_min_distinct(col, k)"))),
+    "misra_gries" -> (es =>
+      MisraGriesStrings(es.head, intLit(es, "misra_gries(col, m)"))))
 
   /** Runtime registration on an already-built session (temp functions +
     * the binned-range-join optimizer rule via extraOptimizations). */

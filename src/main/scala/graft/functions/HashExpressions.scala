@@ -320,6 +320,10 @@ object HashFunctions {
     column(ArgMinSqDist(expression(x), cells, csq, ctrs, dim))
   def top_k_longs(c: Column, k: Int): Column =
     column(TopKLongs(expression(c), k).toAggregateExpression())
+  def k_min_distinct(c: Column, k: Int): Column =
+    column(KMinDistinctLongs(expression(c), k).toAggregateExpression())
+  def misra_gries(c: Column, m: Int): Column =
+    column(MisraGriesStrings(expression(c), m).toAggregateExpression())
   def char_entropy_stats(c: Column): Column =
     column(CharEntropyStats(expression(c)))
 }

@@ -1,0 +1,229 @@
+package graft.functions
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** KMV distinct-count sketch state: the k SMALLEST DISTINCT values of a
+  * long column (Bar-Yossef et al. 2002, "Counting distinct elements in a
+  * data stream" — the k-minimum-values estimator; public algorithm).
+  *
+  * Why an aggregate and not `slice(array_sort(collect_set(h)), 1, k)`:
+  * collect_set buffers EVERY distinct value in one partial — cardinality-
+  * sized state that OOMs exactly when a distinct-count sketch is needed.
+  * This buffer is k longs, map-side partials ship k longs, and merge is
+  * union→k-smallest — associative, commutative and DUPLICATE-IDEMPOTENT,
+  * so the merged sketch over partitioned data equals the sketch of the
+  * concatenated stream no matter how Spark orders or re-runs partials.
+  * That set-algebra identity (k-min of a distinct-union = k-min of the
+  * union of k-mins) is what makes KMV the canonical mergeable distinct
+  * sketch: per-group sketches roll up to any coarser grouping without
+  * rescanning rows (the 100 TB cube path), unlike an exact
+  * countDistinct, whose Expand+reshuffle must re-read the fact table.
+  *
+  * The result — ascending array of min(k, |distinct|) longs — is a pure
+  * function of the input VALUE SET, hence deterministic and exactly
+  * replayable by any engine (the DuckDB oracle recomputes it from the
+  * same hash preimages).
+  *
+  * Returns array<bigint>, ascending. Estimation from the sketch (kth-min
+  * scaling) is left to plain SQL over the returned array, so the
+  * estimator arithmetic is visible in the query and in its oracle. */
+case class KMinDistinctLongs(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Long]] {
+  require(k > 0 && k <= 4096, s"k must be in [1, 4096], got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    new ArrayBuffer[Long](k)
+
+  override def update(buf: ArrayBuffer[Long],
+                      input: InternalRow): ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  // O(k) linear membership + max scan: k is small by contract (≤ 4096)
+  // and the buffer is a primitive array — a tree/hash buys nothing until
+  // k is large enough that a different sketch (HLL) is the right tool
+  private def insert(buf: ArrayBuffer[Long], v: Long): Unit = {
+    var maxIdx = 0
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i) == v) return // distinctness: already tracked
+      if (buf(i) > buf(maxIdx)) maxIdx = i
+      i += 1
+    }
+    if (buf.length < k) buf += v
+    else if (v < buf(maxIdx)) buf(maxIdx) = v
+  }
+
+  override def merge(a: ArrayBuffer[Long],
+                     b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray.sorted)
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new ArrayBuffer[Long](math.max(n, k))
+    var i = 0
+    while (i < n) { buf += bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinDistinctLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinDistinctLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KMinDistinctLongs =
+    copy(child = newChildren.head)
+}
+
+/** Misra–Gries heavy-hitter summary over a string column (Misra & Gries
+  * 1982 "Finding repeated elements"; merge rule from Agarwal et al.
+  * PODS'12 "Mergeable summaries" — public algorithms). At most `m`
+  * tracked (item, count) entries per partial, with the classic
+  * frequency guarantees under ANY merge tree over any partitioning:
+  *
+  *   - UNDERestimate only: est(x) ≤ f(x);
+  *   - bounded residual:   f(x) − est(x) ≤ n / (m+1)  (n = stream size);
+  *   - total capture: every x with f(x) > n/(m+1) is in the summary.
+  *
+  * Update is the textbook counter scheme (hit → +1; room → insert; else
+  * decrement ALL and drop zeros — each decrement retires m+1 stream
+  * elements at once, which is where the n/(m+1) bound comes from).
+  * Merge sums counts pointwise, then restores the size bound by
+  * subtracting the (m+1)-th largest combined count from everything and
+  * dropping non-positives (PODS'12 Lemma 1: the residual bounds ADD, so
+  * the merged summary keeps f(x) − est(x) ≤ (n_a + n_b)/(m+1)).
+  *
+  * The surviving ENTRY SET can differ between merge orders (only the
+  * guarantees are order-invariant), so a deterministic query must reduce
+  * the summary to guarantee-derived facts — e.g. "every exact-heavy item
+  * is captured within bound", the q55/q214 tolerance-boolean pattern —
+  * rather than hash the raw summary. Both engine and oracle then agree
+  * by THEOREM, not by accident of scheduling.
+  *
+  * Scale shape: partials are m entries regardless of input size or key
+  * skew — the exact groupBy(word).count this replaces is
+  * vocabulary-sized per partition and shuffles the whole vocabulary;
+  * this ships m entries per partition and never shuffles the corpus.
+  *
+  * Returns array<struct<item:string, est:bigint>>, (est DESC, item ASC).
+  */
+case class MisraGriesStrings(child: Expression, m: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  require(m >= 1 && m <= 4096, s"m must be in [1, 4096], got $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1)
+        case None if buf.size < m => buf.update(s, 1L)
+        case None => // decrement-all; zeros drop out
+          val dead = buf.iterator.filter(_._2 == 1L).map(_._1).toList
+          buf.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: mutable.HashMap[String, Long],
+                     b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (s, c) => a.update(s, a.getOrElse(s, 0L) + c) }
+    if (a.size > m) {
+      // (m+1)-th largest count; subtracting it keeps ≤ m entries and
+      // adds ≤ that much residual to every survivor (PODS'12)
+      val counts = a.values.toArray.sorted(Ordering[Long].reverse)
+      val cut = counts(m)
+      val dead = a.iterator.filter(_._2 <= cut).map(_._1).toList
+      a.mapValuesInPlace((_, c) => c - cut)
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val rows = buf.toArray.sortBy { case (s, c) => (-c, s) }.map { case (s, c) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(s), c))
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val entries = buf.toArray
+    val bytes = entries.map { case (s, _) => s.getBytes("UTF-8") }
+    val size = 4 + bytes.map(12 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.indices.foreach { i =>
+      bb.putInt(bytes(i).length)
+      bb.put(bytes(i))
+      bb.putLong(entries(i)._2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytesIn: Array[Byte]): mutable.HashMap[String, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytesIn)
+    val n = bb.getInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.update(new String(arr, "UTF-8"), bb.getLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesStrings =
+    copy(child = newChildren.head)
+}

@@ -429,7 +429,46 @@ object DedupQueries extends QueryPack {
       .orderBy("sz")
   }
 
+  /** q218: bounded k-core peeling over the customer↔supplier order
+    * graph (q212's graph) — the 5th graph curation signal
+    * ([[graft.ops.KCore]]): 3 peel rounds at degree threshold 3, each
+    * round a pure function of the previous edge set (no node order),
+    * so the surviving degree table is deterministic and the oracle
+    * unrolls the identical rounds in SQL (the q155/q212 discipline).
+    * Where LPA labels cohesive regions, the k-core DROPS the tendrils
+    * — the densifier a link-graph curation pass runs before trusting
+    * any popularity signal. */
+  private def kcoreSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cust"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("supp"))
+    val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust").as("a"), col("supp").as("b")).distinct()
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    graft.ops.KCore.peel(edges, "a", "b", k = 3, rounds = 3)
+      .orderBy("node")
+  }
+
+  /** q219: directional containment join
+    * ([[graft.dedup.Dedup.containmentPairs]], C(src→dst) ≥ 0.5) — the
+    * asymmetric dedup signal the Jaccard family can't see (a snippet
+    * quoted inside a much longer doc has Jaccard ≈ |S|/|D| but
+    * containment ≈ 1). Candidates come only from each src's df-rarest
+    * prefix (SSJoin prefix theorem, containment form); the oracle is
+    * the EXHAUSTIVE any-shared-shingle join with the same integer
+    * gate, so hash equality proves the prefix+size filters dropped no
+    * qualifying directed pair — the q181 verified-losslessness
+    * discipline, asymmetric edition. */
+  private def containmentPairsQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(spark, dir), "doc_id", "text", thresholdTenths = 5)
+      .select(col("src"), col("dst"), col("ns"), col("nd"), col("cont_micro"))
+      .orderBy("src", "dst")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_kcore_survivors" -> kcoreSurvivors,
+    "q219_containment_pairs" -> containmentPairsQ,
     "q181_prefix_filter_pairs" -> prefixFilterPairs,
     "q183_canonical_selection" -> canonicalSelection,
     "q189_cluster_size_histogram" -> clusterSizeHistogram,
@@ -452,6 +491,54 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the 3 peel rounds unrolled: degree → alive (deg ≥ 3) → edges with
+    // both endpoints alive, then the surviving degree table
+    "q218_kcore_survivors" -> {
+      def round(i: Int): String = {
+        val p = s"e${i - 1}"
+        s"""d$i AS (SELECT a, count(*) AS deg FROM $p GROUP BY a),
+           |al$i AS (SELECT a FROM d$i WHERE deg >= 3),
+           |e$i AS (
+           |  SELECT e.a, e.b FROM $p e
+           |  JOIN al$i x ON x.a = e.a JOIN al$i y ON y.a = e.b)""".stripMargin
+      }
+      s"""WITH base AS (
+         |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e0 AS (SELECT a, b FROM base UNION ALL SELECT b, a FROM base),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT a AS node, count(*) AS deg FROM e3 GROUP BY a
+         |ORDER BY node""".stripMargin
+    },
+    // exhaustive directional containment: ANY-shared-shingle candidates
+    // (a pair with C ≥ t > 0 shares a shingle), exact intersect, same
+    // integer gate — losslessness of the prefix+size filters is what
+    // the hash equality proves
+    "q219_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS ws
+        |  FROM t),
+        |n AS (SELECT doc_id, ws, len(ws) AS nn FROM s WHERE len(ws) > 0),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM n),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM e a JOIN e b ON a.w = b.w AND a.doc_id <> b.doc_id),
+        |p AS (
+        |  SELECT c.src, c.dst,
+        |         len(list_intersect(x.ws, y.ws)) AS i,
+        |         x.nn AS ns, y.nn AS nd
+        |  FROM cand c JOIN n x ON x.doc_id = c.src
+        |              JOIN n y ON y.doc_id = c.dst)
+        |SELECT src, dst, ns, nd, (1000000 * i) // ns AS cont_micro
+        |FROM p WHERE 10 * i >= 5 * ns
+        |ORDER BY src, dst""".stripMargin,
     // same clustering replay as q183, aggregated to the size census
     "q189_cluster_size_histogram" ->
       """WITH RECURSIVE t AS (

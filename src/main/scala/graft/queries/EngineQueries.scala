@@ -250,12 +250,19 @@ object EngineQueries extends QueryPack {
        |      THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
        |    ELSE concat(acc, array(s)) END)""".stripMargin
 
-  private def bpeTrainLoop(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared trainer core for q213/q220: runs the 3 merge rounds and
+    * returns (merge table, final (w, freq, syms) segmentation). The
+    * returned frame reads from the FINAL round's localCheckpoint —
+    * vocab-sized, still pinned; the caller decides its fate (q213
+    * releases it, q220's output plan reads through it, the q212 CC
+    * contract). */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var seg = words.select(col("freq"), split(col("w"), "").as("syms"))
+    var seg = words.select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint(true)
     var prevCp = seg
     val merges = scala.collection.mutable.ArrayBuffer.empty[
@@ -279,14 +286,50 @@ object EngineQueries extends QueryPack {
       prevCp = seg
       merges += ((round, l, r, cnt, total))
     }
+    (merges.toSeq, seg)
+  }
+
+  private def bpeTrainLoop(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, seg) = bpeTrain(spark, dir)
     // the output below is driver-local (the k-row merge table), so the
     // final round's checkpoint has no remaining reader — release it, or
     // every bench rep of this query would pin another vocab-sized RDD
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
     import spark.implicits._
-    merges.toSeq
+    merges
       .toDF("merge_round", "lsym", "rsym", "pair_count", "total_symbols_after")
       .orderBy("merge_round")
+  }
+
+  /** q220: BPE ENCODE — apply the q213-trained merge table to the
+    * corpus and report per-document tokenization stats, i.e. the other
+    * half of a tokenizer's life: train once (driver state = k merges),
+    * then encode at corpus scale with NO driver state at all — the
+    * trained segmentation is a vocab-sized (word → symbol count) table
+    * broadcast-joined to the per-doc word stream, the exact shape a
+    * 100 TB tokenization pass has (merges are cluster-wide constants;
+    * encoding is embarrassingly parallel). Output per doc: word count,
+    * BPE token count, alpha char count, and tokens-per-char in
+    * micro-units — the fertility metric tokenizer evaluations report.
+    * The oracle re-derives the merges AND the greedy application
+    * relationally (q213's unrolled rounds) and re-encodes every doc
+    * from seg3, so a wrong merge, a wrong application, or a wrong
+    * join all hash-fail. */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = bpeTrain(spark, dir)
+    val wordTok = seg.select(col("w"), size(col("syms")).cast("long").as("n_toks"))
+    val docWords = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    docWords.join(broadcast(wordTok), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_toks").as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars_az"))
+      .withColumn("fertility_micro",
+        expr("(1000000 * n_tokens) DIV n_chars_az"))
+      .orderBy("doc_id")
   }
 
   /** q208: ORC sink+source roundtrip — the remaining built-in columnar
@@ -420,6 +463,7 @@ object EngineQueries extends QueryPack {
     "q203_sq8_quantize" -> sq8Quantize,
     "q204_bpe_pair_counts" -> bpePairCounts,
     "q213_bpe_train_loop" -> bpeTrainLoop,
+    "q220_bpe_encode" -> bpeEncode,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
     "q210_cached_rollup" -> cachedRollup
@@ -527,7 +571,8 @@ object EngineQueries extends QueryPack {
         |       LATERAL (SELECT unnest(range(1, length(w))) AS i) t)
         |SELECT pair, count(*) AS cnt FROM pairs
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
-    "q213_bpe_train_loop" -> bpeLoopOracle
+    "q213_bpe_train_loop" -> bpeLoopOracle,
+    "q220_bpe_encode" -> bpeEncodeOracle
   )
 
   /** q213 oracle: the 3 merge rounds unrolled relationally. Per round:
@@ -539,8 +584,10 @@ object EngineQueries extends QueryPack {
     * match fires), drop the row AFTER an active match, renumber. Runs
     * of length > 1 only arise when L = R (e.g. 'aaa'), which is exactly
     * where naive "merge every match" would double-consume. */
-  private def bpeLoopOracle: String = {
-    def round(i: Int): String = {
+  /** One unrolled BPE round as DuckDB CTEs (shared by the q213 and q220
+    * oracles): pair counts from seg{i−1}, winner by (count DESC, pair
+    * ASC), greedy application via the run-parity rule → seg{i}. */
+  private def bpeOracleRound(i: Int): String = {
       val p = s"seg${i - 1}"
       s"""p$i AS (
          |  SELECT a.sym AS l, b.sym AS r2, CAST(sum(a.freq) AS BIGINT) AS cnt
@@ -573,7 +620,9 @@ object EngineQueries extends QueryPack {
          |         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
          |         CASE WHEN active THEN sym || nxt ELSE sym END AS sym
          |  FROM e$i WHERE NOT prev_active)""".stripMargin
-    }
+  }
+
+  private def bpeLoopOracle: String = {
     def out(i: Int): String =
       s"""SELECT $i AS merge_round, l AS lsym, r2 AS rsym,
          |       cnt AS pair_count,
@@ -590,9 +639,9 @@ object EngineQueries extends QueryPack {
        |         unnest(generate_series(1, length(w))) AS pos,
        |         unnest(regexp_split_to_array(w, '')) AS sym
        |  FROM words),
-       |${round(1)},
-       |${round(2)},
-       |${round(3)}
+       |${bpeOracleRound(1)},
+       |${bpeOracleRound(2)},
+       |${bpeOracleRound(3)}
        |${out(1)}
        |UNION ALL
        |${out(2)}
@@ -600,4 +649,34 @@ object EngineQueries extends QueryPack {
        |${out(3)}
        |ORDER BY merge_round""".stripMargin
   }
+
+  /** q220 oracle: q213's unrolled training rounds, then every document
+    * re-encoded from seg3 — per-word symbol counts joined back to the
+    * per-doc word stream. */
+  private def bpeEncodeOracle: String =
+    s"""WITH dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2),
+       |words AS (SELECT w, count(*) AS freq FROM dw GROUP BY 1),
+       |seg0 AS (
+       |  SELECT w, freq,
+       |         unnest(generate_series(1, length(w))) AS pos,
+       |         unnest(regexp_split_to_array(w, '')) AS sym
+       |  FROM words),
+       |${bpeOracleRound(1)},
+       |${bpeOracleRound(2)},
+       |${bpeOracleRound(3)},
+       |sz AS (SELECT w, CAST(count(*) AS BIGINT) AS n_toks
+       |       FROM seg3 GROUP BY w),
+       |agg AS (
+       |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(sz.n_toks) AS BIGINT) AS n_tokens,
+       |         CAST(sum(length(dw.w)) AS BIGINT) AS n_chars_az
+       |  FROM dw JOIN sz ON sz.w = dw.w GROUP BY 1)
+       |SELECT doc_id, n_words, n_tokens, n_chars_az,
+       |       (1000000 * n_tokens) // n_chars_az AS fertility_micro
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -249,7 +249,42 @@ object TextQueries extends QueryPack {
       .orderBy("t1", "t2")
   }
 
+  /** q221: winnowing document fingerprints (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS algorithm; public): hash every k-gram
+    * (k = 5 chars), slide a w = 4 window over the hash sequence, and
+    * select each window's minimum with RIGHTMOST tie-break; the
+    * distinct selected (hash, position) set is the fingerprint. The
+    * guarantee that makes this THE local fingerprinting scheme: any
+    * shared substring of length ≥ w + k − 1 = 8 yields at least one
+    * shared fingerprint, while density stays ≈ 2/(w+1) — the bounded
+    * alternative to "hash every k-gram" (q35's whole-doc fingerprints
+    * can't localize; this one powers substring-level reuse detection).
+    *
+    * Determinism trick: (min hash, rightmost position) is folded into
+    * ONE integer window-min — key = h·2²⁴ + (2²⁴ − p) — so the
+    * selection is a plain `min() OVER (ROWS w−1 FOLLOWING)`, identical
+    * in both engines, no argmin/tie ambiguity anywhere. Positions are
+    * < 2²⁴ by the documents schema (n_chars ≤ ~600); the polynomial
+    * hash < 2³⁰ keeps the fold collision-free in 54 bits.
+    *
+    * Scale shape: explode to (doc, pos) rows — corpus-chars-sized, the
+    * same cardinality any tokenizer pass touches — then one doc-keyed
+    * window and one distinct; all partitioned by doc_id, no global
+    * ordering anywhere. Output is doc-sized. */
+  private def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val fp = graft.text.Winnowing.fingerprints(docs, "doc_id", "text")
+    fp.groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), bit_xor(col("fh")).as("fp_xor"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).as("len")), Seq("doc_id"))
+      .withColumn("density_micro", expr("(1000000 * n_fp) DIV (len - 4)"))
+      .select("doc_id", "n_fp", "fp_xor", "density_micro")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_winnowing_fingerprints" -> winnowingFingerprints,
     "q165_tfidf_keywords" -> tfidfKeywords,
     "q167_char_entropy" -> charEntropy,
     "q168_boilerplate_removal" -> boilerplateRemoval,
@@ -266,6 +301,53 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the identical folded-key window min: poly_hash replayed per
+    // codepoint (q205 pattern), key = h·2^24 + (2^24 − p), min over
+    // ROWS 3 FOLLOWING, full windows only, distinct decoded picks
+    "q221_winnowing_fingerprints" ->
+      """WITH d AS (
+        |  SELECT doc_id, text AS txt, length(text) AS len
+        |  FROM documents WHERE length(text) >= 8),
+        |pos AS (
+        |  -- least() mirrors the op's 2^24 position-fold guard (inert on
+        |  -- these fixtures; documents are ≤ ~600 chars)
+        |  SELECT doc_id, len, txt,
+        |         unnest(generate_series(1, least(len - 4, 16777215))) AS p
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, len, p,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(
+        |               regexp_split_to_array(substr(txt, CAST(p AS INTEGER), 5), ''),
+        |               ch -> CAST(unicode(ch) AS BIGINT))),
+        |           (a, cp) -> (a * 31 + cp) % 1000000007) AS h
+        |  FROM pos),
+        |k AS (
+        |  SELECT doc_id, len, p,
+        |         h * 16777216 + (16777216 - p) AS key
+        |  FROM h),
+        |wnd AS (
+        |  SELECT doc_id, len,
+        |         min(key) OVER (PARTITION BY doc_id ORDER BY p
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        |           AS wmin,
+        |         count(*) OVER (PARTITION BY doc_id ORDER BY p
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        |           AS np
+        |  FROM k),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, len,
+        |         wmin // 16777216 AS fh,
+        |         16777216 - wmin % 16777216 AS fp
+        |  FROM wnd WHERE np = 4),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+        |         bit_xor(fh) AS fp_xor, max(len) AS len
+        |  FROM sel GROUP BY doc_id)
+        |SELECT doc_id, n_fp, fp_xor,
+        |       (1000000 * n_fp) // (len - 4) AS density_micro
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // same segments (slice clamps the tail on both engines), same df >= 5
     // hot list, same ordered reassembly; strings compare exactly
     "q168_boilerplate_removal" ->

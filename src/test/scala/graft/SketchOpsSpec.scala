@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.functions.HashFunctions.{k_min_distinct, misra_gries}
+import graft.ops.KCore
+import graft.text.Winnowing
+
+/** Pins for the round-7 sketch/graph/text additions: KMV exactness and
+  * mergeability, Misra–Gries guarantees under arbitrary partitioning,
+  * k-core peeling on a known graph, containment-join asymmetry, and the
+  * winnowing shared-substring guarantee. */
+class SketchOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------- KMinDistinctLongs
+  test("KMV sketch equals the exact k smallest distinct values") {
+    val vals = (1 to 5000).map(i => (i.toLong * 7919) % 104729) // dups included
+    val expected = vals.distinct.sorted.take(64)
+    val got = vals.toDF("v").repartition(13)
+      .agg(k_min_distinct(col("v"), 64).as("kmv"))
+      .as[Seq[Long]].head()
+    assert(got == expected)
+  }
+
+  test("KMV merges: re-sketching per-group sketches equals the direct sketch") {
+    val df = (1 to 4000).map(i => (i % 7, (i.toLong * 6271) % 15013)).toDF("g", "v")
+    val direct = df.agg(k_min_distinct(col("v"), 32).as("s")).as[Seq[Long]].head()
+    val merged = df.groupBy("g").agg(k_min_distinct(col("v"), 32).as("s"))
+      .select(explode(col("s")).as("v"))
+      .agg(k_min_distinct(col("v"), 32).as("s")).as[Seq[Long]].head()
+    assert(direct == merged)
+  }
+
+  test("KMV returns all distinct values ascending when |distinct| < k") {
+    val got = Seq(5L, 3L, 5L, 9L, 3L).toDF("v")
+      .agg(k_min_distinct(col("v"), 100).as("s")).as[Seq[Long]].head()
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  // ------------------------------------------------- MisraGriesStrings
+  test("Misra–Gries is exact when distinct keys fit the summary") {
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++ Seq.fill(9)("gamma")
+    val got = words.toDF("w").repartition(5)
+      .agg(misra_gries(col("w"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)]
+      .collect().toMap
+    assert(got == Map("alpha" -> 40L, "beta" -> 25L, "gamma" -> 9L))
+  }
+
+  test("Misra–Gries guarantees hold under different partitionings") {
+    // Zipf-ish stream: key i repeated (2000 / i) times, m = 8
+    val words = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"w$i"))
+    val n = words.length.toLong
+    val m = 8
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 4, 17)) {
+      val sk = words.toDF("w").repartition(parts)
+        .agg(misra_gries(col("w"), m).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item"), col("e.est")).as[(String, Long)]
+        .collect().toMap
+      assert(sk.size <= m, s"summary exceeded m at parts=$parts")
+      exact.foreach { case (wd, f) =>
+        if (f * (m + 1) > n)
+          assert(sk.contains(wd), s"heavy $wd (f=$f) lost at parts=$parts")
+        sk.get(wd).foreach { est =>
+          assert(est <= f, s"overestimate for $wd at parts=$parts: $est > $f")
+          assert((f - est) * (m + 1) <= n,
+            s"residual bound broken for $wd at parts=$parts: f=$f est=$est")
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- k-core
+  test("k-core peel keeps the clique and drops the tendril") {
+    // 4-clique {1,2,3,4} with a pendant chain 4–5–6
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val got = KCore.peel(edges, "a", "b", k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core should be exactly the clique at degree 3, got $got")
+  }
+
+  test("k-core peeling is monotone in rounds and stable at fixpoint") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val r1 = KCore.peel(edges, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    val r3 = KCore.peel(edges, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val r4 = KCore.peel(edges, "a", "b", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r3.keySet.subsetOf(r1.keySet), "peeling grew the graph")
+    assert(r3 == r4, "not stable at fixpoint")
+    assert(r3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core wrong: $r3")
+  }
+
+  // ------------------------------------------------- containment join
+  test("containment join finds snippet-in-doc pairs Jaccard misses") {
+    val snippet = "the quick brown fox jumps over the lazy dog today"
+    val long = snippet + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs = Seq((1L, snippet), (2L, long),
+      (3L, "completely different content about spark engines and parquet files"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", thresholdTenths = 8)
+      .select("src", "dst", "cont_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // snippet (1) fully contained in long (2): containment = 1.0
+    assert(got.contains((1L, 2L, 1000000L)), s"missed snippet-in-doc: $got")
+    // reverse direction fails the 0.8 gate; unrelated doc absent entirely
+    assert(!got.exists(p => p._1 == 2L || p._1 == 3L || p._2 == 3L), s"$got")
+    // and symmetric Jaccard over the same shingles stays below 0.3:
+    // |∩| = |snippet| shingles, union dominated by the long doc
+    val j = Dedup.prefixFilterPairs(docs, "doc_id", "text", thresholdTenths = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!j.exists(p => Set(p._1, p._2) == Set(1L, 2L)),
+      s"Jaccard unexpectedly caught the asymmetric pair: $j")
+  }
+
+  test("containment pairs match a brute-force check on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map(i => s"tok$i")
+    val docs = (1L to 12L).map { i =>
+      (i, (1 to 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(s: String): Set[String] =
+      s.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val brute = for {
+      (a, ta) <- docs; (b, tb) <- docs if a != b
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      i = (sa intersect sb).size
+      if sa.nonEmpty && 10 * i >= 5 * sa.size
+    } yield (a, b, 1000000L * i / sa.size)
+    val got = Dedup.containmentPairs(df, "doc_id", "text", thresholdTenths = 5)
+      .select("src", "dst", "cont_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == brute.toSet)
+  }
+
+  // --------------------------------------------------------- winnowing
+  test("winnowing guarantees a shared fingerprint for substring matches >= w+k-1") {
+    // two docs sharing an 11-char substring (>= 4+5-1 = 8 chars)
+    val shared = "xqzvbnmkljh"
+    val docs = Seq(
+      (1L, "aaaa" + shared + "pppppppp"),
+      (2L, "zzzzzzzzzz" + shared + "rrrr")).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val h1 = fp.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 intersect h2).nonEmpty,
+      s"no shared fingerprint despite an ${shared.length}-char match")
+  }
+
+  test("winnowing density and window-coverage invariants") {
+    val text = (1 to 50).map(i => ('a' + (i * 17) % 26).toChar).mkString * 4
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val nPos = text.length - 4 // k-gram positions
+    assert(fp.nonEmpty && fp.length <= nPos)
+    // selections are k-gram positions in range
+    assert(fp.forall(p => p._3 >= 1 && p._3 <= nPos))
+    // coverage: consecutive selected positions are < w apart (every
+    // window selects something within it)
+    val gaps = fp.map(_._3).sliding(2)
+      .collect { case Array(x, y) => y - x }.toSeq
+    assert(gaps.nonEmpty && gaps.forall(_ <= 4), s"coverage gaps: $gaps")
+  }
+
+  // ------------------------------------------- BPE encode consistency
+  test("BPE encode totals equal the train loop's final symbol count") {
+    val dir = "/root/testdata/sf0.001"
+    val train = SparkEntry.queries("q213_bpe_train_loop")(spark, dir)
+      .select("merge_round", "total_symbols_after")
+      .as[(Int, Long)].collect().toMap
+    val encoded = SparkEntry.queries("q220_bpe_encode")(spark, dir)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(encoded == train(3),
+      s"per-doc encode sum $encoded != corpus total after round 3 ${train(3)}")
+  }
+}
