@@ -394,6 +394,39 @@ object ExtendedQueries extends QueryPack {
     * O(log range) however many groups there are — where `percentile`
     * materializes per-group sorted state. Oracle: per-group full-sort
     * row_number twin. */
+  /** q226: robust outlier screen via MAD (median absolute deviation) —
+    * the quality gate that survives the contamination a mean/stddev
+    * z-score is broken by (outliers inflate σ and mask themselves; the
+    * median and MAD have a 50% breakdown point). Exact integer MADs
+    * with NO global sort: two [[graft.ops.Selection.exactMedianByGroup]]
+    * narrowing passes (per-group median, then per-group median of
+    * |x − med|), each O(log range) histogram scans, and two broadcast
+    * joins of the 3-row stat frames — the 100 TB robust-statistics
+    * shape. Lower-median convention matches q186's oracle twin; the
+    * outlier gate |x − med| > 5·MAD is exact int64. */
+  private def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val med = Selection.exactMedianByGroup(cents, "g", "pc")
+      .select(col("g"), col("median").as("med"))
+    val dev = cents.join(broadcast(med), Seq("g"))
+      .withColumn("dev", abs(col("pc") - col("med")))
+    val mad = Selection.exactMedianByGroup(
+        dev.select(col("g"), col("dev")), "g", "dev")
+      .select(col("g"), col("median").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        first(col("med")).as("median_cents"),
+        first(col("mad")).as("mad_cents"),
+        sum(when(col("dev") > col("mad") * 5, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g").as("l_returnflag"), col("n_rows"),
+        col("median_cents"), col("mad_cents"), col("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   private def groupMedians(spark: SparkSession, dir: String): DataFrame = {
     val cents = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
@@ -486,6 +519,7 @@ object ExtendedQueries extends QueryPack {
     "q175_pareto_skyline" -> paretoSkyline,
     "q180_exact_median" -> exactMedianPrice,
     "q186_group_medians" -> groupMedians,
+    "q226_mad_outliers" -> madOutliers,
     "q187_quantile_contour" -> quantileContour,
     "q214_sketch_rank_bound" -> sketchRankBound,
     "q137_format_roundtrip" -> formatRoundtrip,
@@ -553,6 +587,31 @@ object ExtendedQueries extends QueryPack {
         |SELECT q.percent, r.n AS n_rows, r.pc AS value_cents
         |FROM q JOIN r ON r.rn = (q.percent * r.n + 99) // 100
         |ORDER BY q.percent""".stripMargin,
+    // both medians via the q186 lower-median full-sort twin; the outlier
+    // gate and counts are exact integers
+    "q226_mad_outliers" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, pc, row_number() OVER (PARTITION BY g ORDER BY pc) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n
+        |  FROM s),
+        |med AS (SELECT g, pc AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT s.g, abs(s.pc - med.med) AS dev, med.med
+        |      FROM s JOIN med USING (g)),
+        |r2 AS (
+        |  SELECT g, dev, med,
+        |         row_number() OVER (PARTITION BY g ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS n
+        |  FROM d),
+        |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.g AS l_returnflag, count(*) AS n_rows,
+        |       max(d.med) AS median_cents, max(mad.mad) AS mad_cents,
+        |       CAST(sum(CASE WHEN d.dev > 5 * mad.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-group full-sort lower medians the simultaneous narrowing must hit
     "q186_group_medians" ->
       """WITH s AS (

@@ -157,7 +157,34 @@ object RetrievalQueries extends QueryPack {
       .orderBy("term")
   }
 
+  /** q223: PHRASE search over a positional inverted index — the
+    * retrieval primitive BM25's bag-of-words scoring can't express
+    * (exact multi-word match, "table scan" as a unit). The index is
+    * the classic (term, doc, position) postings relation; a phrase
+    * query is a POSTING-LIST MERGE, expressed relationally as an
+    * equi-join of the two terms' postings on (doc, adjacent position)
+    * — each term predicate prunes the exploded stream to that term's
+    * postings before any join (a real index lookup's access path, and
+    * at 100 TB the join is posting-list-sized, never corpus-sized;
+    * df-bounded like every inverted-index operator here). Output per
+    * matching doc: occurrence count and first match position — the
+    * fields a snippet generator consumes. */
+  private def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(t1, t2) = Seq("table", "scan")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val p1 = toks.where(col("tok") === t1).select(col("doc_id"), col("pos"))
+    val p2 = toks.where(col("tok") === t2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    p1.join(p2, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_phrase_search" -> phraseSearch,
     "q92_bm25_topk" -> bm25TopK,
     "q169_inverted_index" -> invertedIndex,
     "q96_doc_chunks" -> docChunks,
@@ -170,6 +197,20 @@ object RetrievalQueries extends QueryPack {
   // same association); every float input is an exact integer and every
   // constant is binary-exact, so the scores hash-match bit for bit.
   override def oracles: Map[String, String] = Map(
+    // positional postings replayed with the q213 parallel-unnest
+    // pattern; same adjacency join, same 1-based positions
+    "q223_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+        |         unnest(generate_series(1,
+        |           len(regexp_split_to_array(trim(lower(text)), '\s+')))) AS pos
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'table'),
+        |p2 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE tok = 'scan')
+        |SELECT p1.doc_id, count(*) AS n_matches, min(p1.pos) AS first_pos
+        |FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p1.pos = p2.pos
+        |GROUP BY p1.doc_id ORDER BY p1.doc_id""".stripMargin,
     // same rank cap, same sorted gap encoding; the joined string
     // compares exactly
     "q169_inverted_index" ->

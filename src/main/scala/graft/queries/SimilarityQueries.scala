@@ -223,7 +223,66 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q225: TF-IDF weighted-cosine RERANK of near-dup candidates — the
+    * weighted-set similarity the unweighted Jaccard family can't
+    * express (two docs sharing only stopwords score high on Jaccard
+    * over tokens but near zero here, because idf crushes common
+    * terms). Candidates come from the bounded q159 generator (blocked
+    * shared-shingle Jaccard ≥ 0.3); each pair is then rescored as
+    * cos(a,b) over integer tf·idf weights. The weighted all-pairs join
+    * is structurally DENSE on a shared-vocabulary corpus (Σ df² over
+    * common words is quadratic in docs — measured prohibitive at
+    * sf0.1), which is exactly why the scale shape is
+    * candidates-then-verify, the q159/q143 discipline.
+    *
+    * Integer discipline: idf quantized to milli-units ONCE per term
+    * (round(ln(N/df)·1000) — the q170 precedent), weights and the dot
+    * product exact int64 from there; the single float step
+    * (double-mult, IEEE sqrt, divide) mirrors q174 and is quantized to
+    * micro-units. The dot rides a per-doc weight MAP (one row per
+    * doc), so verification is O(|A|) lookups per candidate with no
+    * (candidate × token) join explosion — the q219 array-verify
+    * pattern, weighted. */
+  private def tfidfCosineRerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = graft.dedup.Dedup.blockedJaccardPairs(docs,
+        id = "doc_id", text = "text", blockCols = Seq("lang", "source"),
+        k = 3, threshold = 0.3)
+      .select("doc_a", "doc_b")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(dft, Seq("tok")).crossJoin(broadcast(nDocs))
+      .withColumn("wt", col("tf") *
+        round(log(col("n").cast("double") / col("df").cast("double")) * 1000)
+          .cast("long"))
+      .select("doc_id", "tok", "wt")
+    val norms = w.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("n2"))
+    val wmap = w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("wt"))))
+        .as("wm"))
+    cands
+      .join(wmap.select(col("doc_id").as("doc_a"), col("wm").as("ma")), "doc_a")
+      .join(wmap.select(col("doc_id").as("doc_b"), col("wm").as("mb")), "doc_b")
+      .withColumn("dot", expr(
+        """aggregate(map_keys(ma), 0L,
+          |  (acc, k) -> acc + element_at(ma, k) *
+          |                    coalesce(element_at(mb, k), 0L))""".stripMargin))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .withColumn("cos_micro",
+        round(col("dot").cast("double") * 1e6 /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .cast("long"))
+      .select("doc_a", "doc_b", "dot", "cos_micro")
+      .orderBy("doc_a", "doc_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_tfidf_cosine_rerank" -> tfidfCosineRerank,
     "q40_cosine_neardup" -> cosineNearDup,
     "q152_prefix_rerank_topk" -> prefixRerank,
     "q130_pq_adc_topk" -> pqAdcTopK,
@@ -284,6 +343,52 @@ object SimilarityQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // q159's candidate replay (blocked shared-shingle Jaccard >= 0.3),
+    // then the tf·idf_milli weights and the q174-shaped cosine in SQL
+    "q225_tfidf_cosine_rerank" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM t),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        |        >= 0.3),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         tf.tf * CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000)
+        |                      AS BIGINT) AS wt
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN nd),
+        |n2 AS (SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+        |       FROM w GROUP BY 1),
+        |dt AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(sum(x.wt * y.wt) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN w x ON x.doc_id = c.doc_a
+        |  JOIN w y ON y.doc_id = c.doc_b AND y.tok = x.tok
+        |  GROUP BY 1, 2)
+        |SELECT dt.doc_a, dt.doc_b, dt.dot,
+        |       CAST(round(CAST(dt.dot AS DOUBLE) * 1e6
+        |                  / sqrt(CAST(xa.n2 AS DOUBLE) * CAST(xb.n2 AS DOUBLE)))
+        |            AS BIGINT) AS cos_micro
+        |FROM dt JOIN n2 xa ON xa.doc_id = dt.doc_a
+        |        JOIN n2 xb ON xb.doc_id = dt.doc_b
+        |ORDER BY dt.doc_a, dt.doc_b""".stripMargin,
     "q42_ann_lsh_topk" -> lshTopKOracle,
     // both stages replayed: prefix-16 shortlist (same DESC/id tie order),
     // then the full-dim q41 fold over shortlisted pairs only

@@ -177,6 +177,79 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(gaps.nonEmpty && gaps.forall(_ <= 4), s"coverage gaps: $gaps")
   }
 
+  // ------------------------------------------------------------ truss
+  test("k-truss peels by edge support with cascade across rounds") {
+    // two triangles sharing edge (1,2), plus pendant edge (4,5)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (4L, 5L)).toDF("a", "b")
+    // support 1, 2 rounds: round 1 drops only the pendant; stable after
+    val s1 = graft.ops.Truss.peel(edges, "a", "b", minSupport = 1, rounds = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(s1 == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    // support 2: round 1 keeps only (1,2) (in both triangles), but with
+    // its triangle mates peeled its own support collapses — round 2
+    // empties the graph: the edge-cascade a node-degree core can't see
+    val s2r1 = graft.ops.Truss.peel(edges, "a", "b", minSupport = 2, rounds = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(s2r1 == Set((1L, 2L)))
+    val s2r2 = graft.ops.Truss.peel(edges, "a", "b", minSupport = 2, rounds = 2)
+    assert(s2r2.isEmpty)
+  }
+
+  // ---------------------------------------------------- phrase search
+  test("phrase search agrees with a direct substring scan of the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q223_phrase_search")(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)].collect()
+    docs.foreach { case (id, t) =>
+      val toks = t.trim.split("\\s+")
+      val hits = toks.indices.dropRight(1)
+        .filter(i => toks(i) == "table" && toks(i + 1) == "scan")
+      if (hits.nonEmpty) {
+        assert(got.contains(id), s"doc $id with phrase missing from result")
+        assert(got(id) == ((hits.size.toLong, hits.head + 1L)),
+          s"doc $id: got ${got(id)}, expected (${hits.size}, ${hits.head + 1})")
+      } else assert(!got.contains(id), s"doc $id false positive")
+    }
+  }
+
+  // ------------------------------------------------------ MAD outliers
+  test("MAD outlier screen matches a driver-side recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q226_mad_outliers")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val cents = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    cents.foreach { case (g, rows) =>
+      val pcs = rows.map(_._2).toSeq
+      val med = lowerMedian(pcs)
+      val devs = pcs.map(x => math.abs(x - med))
+      val mad = lowerMedian(devs)
+      val out = devs.count(_ > 5 * mad).toLong
+      assert(got(g) == ((pcs.size.toLong, med, mad, out)),
+        s"group $g: got ${got(g)}, expected (${pcs.size}, $med, $mad, $out)")
+    }
+  }
+
+  // ------------------------------------------------ TF-IDF cosine rerank
+  test("TF-IDF rerank scores are valid cosines and crush stopword-only overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q225_tfidf_cosine_rerank")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, dot, cos) =>
+      assert(a < b && dot >= 0 && cos >= 0 && cos <= 1000000,
+        s"invalid row ($a,$b,$dot,$cos)")
+    }
+  }
+
   // ------------------------------------------- BPE encode consistency
   test("BPE encode totals equal the train loop's final symbol count") {
     val dir = "/root/testdata/sf0.001"
