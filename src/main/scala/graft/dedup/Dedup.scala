@@ -377,10 +377,12 @@ object Dedup {
     * `(10+10t')·|∩| ≥ t'·(|A|+|B|)` cross-multiplied to longs (t in
     * tenths), the reported similarity is micro-units via integer DIV.
     * Shapes: one doc-key window (rank tokens per doc), one equi-join on
-    * prefix tokens (rare by construction), verification joins bounded
-    * by the (size- and position-pruned) candidate set; doc sizes ride
-    * the candidate rows, so verification adds NO size joins. Per-doc
-    * state is the token set — never the corpus. */
+    * prefix tokens (rare by construction); verification is the
+    * candidate set joined to ONE shingle-set array per doc, with |∩|
+    * via array_intersect — O(|A|+|B|) per candidate row, no
+    * candidate×token re-explosion, and doc sizes ride the candidate
+    * rows so no size joins either. Per-doc state is the token set —
+    * never the corpus. */
   def prefixFilterPairs(docs: DataFrame, id: String, text: String,
       thresholdTenths: Int = 3, shingleK: Int = 3): DataFrame = {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
@@ -420,11 +422,15 @@ object Dedup {
       .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("jb")))
         * (10L + t) >= (col("na") + col("nb")) * t)
       .select("doc_a", "doc_b", "na", "nb")
-    val inter = cand
-      .join(tok.select(col("doc").as("doc_a"), col("w")), Seq("doc_a"))
-      .join(tok.select(col("doc").as("doc_b"), col("w")), Seq("doc_b", "w"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("i"))
-    inter
+    // verification: one shingle-set array per doc riding two hash joins,
+    // |∩| per pair via array_intersect — O(|A|+|B|) per CANDIDATE row
+    // (the cand⋈tok⋈tok form re-exploded every candidate by its per-doc
+    // token count; same fix as containmentPairs, measured ~2× on q181)
+    val docSets = tok.groupBy("doc").agg(collect_list(col("w")).as("ws"))
+    cand
+      .join(docSets.select(col("doc").as("doc_a"), col("ws").as("sa")), Seq("doc_a"))
+      .join(docSets.select(col("doc").as("doc_b"), col("ws").as("sb")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       // J >= t/10  ⇔  (10+t)·|∩| >= t·(|A|+|B|), exact longs
       .where(col("i") * (10L + t) >= (col("na") + col("nb")) * t)
       .select(col("doc_a"), col("doc_b"),

@@ -73,6 +73,81 @@ object FinanceQueries extends QueryPack {
     * twice); every post-scan stage moves bar-sized data (symbols ×
     * hours), not the tick corpus. Finally the per-symbol sorted window
     * derives beta from exact int64 sums. */
+  /** q227: classical additive seasonal decomposition (moving-average
+    * method) of the per-type daily flow — value = trend + seasonal +
+    * residual, the series screen run before any forecasting. ALL
+    * INTEGER via common-denominator scaling: trend×7 is the centered
+    * 7-day window SUM (full windows only), dev7 = 7·value − trend×7,
+    * the weekday seasonal rides as its (Σdev7, n) pair, and the
+    * residual is dev7·n − Σdev7 — no division anywhere, which matters
+    * doubly because Spark's DIV truncates toward zero while DuckDB's
+    * // floors (they diverge exactly on the negative deviations this
+    * query produces). One shuffle to daily keys, one sorted window
+    * pass, one weekday-sized aggregate broadcast back. */
+  private def seasonalDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend_x7", sum(col("v")).over(w7))
+      .where(col("n7") === 7)
+      .withColumn("dev7", col("v") * 7 - col("trend_x7"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+    val seas = t.groupBy("event_type", "wd")
+      .agg(sum(col("dev7")).as("ssum7"), count(lit(1)).as("sn"))
+    t.join(seas, Seq("event_type", "wd"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day_str"),
+        col("v"), col("trend_x7"), col("dev7"), col("wd"),
+        col("sn"), col("ssum7"),
+        (col("dev7") * col("sn") - col("ssum7")).as("resid_sc"))
+      .orderBy("event_type", "day_str")
+  }
+
+  /** q228: lead–lag cross-correlation — Pearson r between the click
+    * and purchase daily flows at lags −2..+2 days, the signal-timing
+    * scan a quant pipeline runs to find which series LEADS (max |r| at
+    * a nonzero lag ⇒ predictive offset). Per lag: one date-shifted
+    * equi-join pairs the days, then five exact int64 sums (Σx, Σy,
+    * Σxy, Σx², Σy²) feed the textbook r = (nΣxy − ΣxΣy) /
+    * (√(nΣx²−Σx²)·√(nΣy²−Σy²)) with the q174 float discipline — the
+    * only float steps are two IEEE sqrts, one multiply, one divide,
+    * quantized to micro-units. The 5-row lag frame explodes from a
+    * literal array; everything else is one aggregation per lag over
+    * day-keyed joins — no windows, no collects. */
+  private def leadLagCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+    def series(t: String) = cents.where(col("event_type") === t)
+      .groupBy("day").agg(sum(col("c")).as("v"))
+    val x = series("click").select(col("day").as("xday"), col("v").as("x"))
+    val y = series("purchase").select(col("day").as("yday"), col("v").as("y"))
+    x.crossJoin(spark.range(1).select(explode(
+        array((-2 to 2).map(l => lit(l)): _*)).as("lag")))
+      .withColumn("yday", expr("date_add(xday, lag)"))
+      .join(y, Seq("yday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r_micro",
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * 1e6 /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .cast("long"))
+      .select(col("lag").cast("long").as("lag"), col("n"), col("r_micro"))
+      .orderBy("lag")
+  }
+
   private def rollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val bars = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
@@ -228,6 +303,8 @@ object FinanceQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_candlestick_patterns" -> candlestickPatterns,
+    "q227_seasonal_decomposition" -> seasonalDecomposition,
+    "q228_lead_lag_correlation" -> leadLagCorrelation,
     "q144_forward_labels" -> forwardLabels,
     "q124_tech_indicators" -> techIndicators,
     "q125_purged_split" -> purgedSplit,
@@ -237,6 +314,65 @@ object FinanceQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // all-integer decomposition (scaled by 7 and by the weekday count,
+    // so no division — Spark DIV truncates, DuckDB // floors, and dev7
+    // goes negative); Spark dayofweek (Sun=1) = DuckDB dayofweek + 1
+    "q227_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, v,
+        |         count(*) OVER w AS n7,
+        |         CAST(sum(v) OVER w AS BIGINT) AS trend_x7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |f AS (
+        |  SELECT event_type, day, v, trend_x7, v * 7 - trend_x7 AS dev7,
+        |         CAST(dayofweek(day) + 1 AS BIGINT) AS wd
+        |  FROM t WHERE n7 = 7),
+        |seas AS (
+        |  SELECT event_type, wd, CAST(sum(dev7) AS BIGINT) AS ssum7,
+        |         count(*) AS sn
+        |  FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, strftime(f.day, '%Y-%m-%d') AS day_str,
+        |       f.v, f.trend_x7, f.dev7, f.wd, s.sn, s.ssum7,
+        |       f.dev7 * s.sn - s.ssum7 AS resid_sc
+        |FROM f JOIN seas s ON s.event_type = f.event_type AND s.wd = f.wd
+        |ORDER BY f.event_type, day_str""".stripMargin,
+    // five exact integer sums per lag; the float tail mirrors the Spark
+    // tree node for node (double mult, two IEEE sqrts, divide, round)
+    "q228_lead_lag_correlation" ->
+      """WITH cents AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |x AS (SELECT day AS xday, CAST(sum(c) AS BIGINT) AS x
+        |      FROM cents WHERE event_type = 'click' GROUP BY 1),
+        |y AS (SELECT day AS yday, CAST(sum(c) AS BIGINT) AS y
+        |      FROM cents WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT CAST(unnest([-2, -1, 0, 1, 2]) AS BIGINT) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.x, y.y
+        |  FROM x CROSS JOIN l
+        |  JOIN y ON y.yday = x.xday + CAST(l.lag AS INTEGER)),
+        |s AS (
+        |  SELECT lag, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
+        |                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+        |            AS BIGINT) AS r_micro
+        |FROM s ORDER BY lag""".stripMargin,
     // Window sums are CAST to BIGINT immediately (DuckDB sums BIGINT →
     // HUGEINT — the q97 lesson); every double is derived from the exact
     // sums by the same expression shape as the Spark side.

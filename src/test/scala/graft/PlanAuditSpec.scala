@@ -355,6 +355,44 @@ class PlanAuditSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("q216/q217 sketches aggregate map-side (partial sketch before the shuffle)") {
+    // the entire point of a mergeable sketch: partials of bounded size
+    // combine BEFORE the exchange — m entries (MG) / k longs (KMV) per
+    // partition cross the wire, never the word stream
+    val mg = SparkEntry.queries("q216_mg_heavy_hitters")(spark, dir)
+    mg.collect()
+    val mgPlan = mg.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(mgPlan.contains("partial_misragriesstrings"),
+      "MisraGries lost its partial pass:\n" + mgPlan.take(3000))
+    val kmv = SparkEntry.queries("q217_kmv_distinct")(spark, dir)
+    kmv.collect()
+    val kmvPlan = kmv.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(kmvPlan.contains("partial_kmindistinctlongs"),
+      "KMV lost its partial pass:\n" + kmvPlan.take(3000))
+  }
+
+  test("q220 BPE encode joins the trained segmentation by broadcast (no shuffle of the word stream)") {
+    val df = SparkEntry.queries("q220_bpe_encode")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      "encode join is not broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "encode unexpectedly sort-merge joins:\n" + plan.take(3000))
+  }
+
+  test("q219/q181 verify via per-doc set arrays (array_intersect), not a token re-explosion") {
+    Seq("q219_containment_pairs", "q181_prefix_filter_pairs").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("array_intersect"),
+        s"$name verification no longer uses the set-array form")
+    }
+  }
+
   test("q139 IVF-PQ: ADC scoring is a broadcast HASH join on the probed cell (no nested loop)") {
     val df = SparkEntry.queries("q139_ivf_pq_topk")(spark, dir)
     df.collect()

@@ -250,6 +250,49 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------- seasonal decomposition / lead-lag
+  test("seasonal decomposition: residuals cancel within each weekday group") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q227_seasonal_decomposition")(spark, dir)
+      .select("event_type", "wd", "resid_sc", "dev7", "sn", "ssum7")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Σ resid_sc over a (type, weekday) group = sn·ssum7 − sn·ssum7 = 0
+    rows.groupBy(r => (r._1, r._2)).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sum == 0L, s"residuals don't cancel in $g")
+      // group bookkeeping: sn = group size, ssum7 = Σ dev7
+      assert(rs.head._5 == rs.size.toLong && rs.head._6 == rs.map(_._4).sum)
+    }
+  }
+
+  test("lead-lag correlation matches a driver-side Pearson at lag 0") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q228_lead_lag_correlation")(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(-2L, -1L, 0L, 1L, 2L))
+    got.values.foreach { case (n, r) =>
+      assert(n > 0 && math.abs(r) <= 1000000L)
+    }
+    val daily = graft.tables.Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("v"))
+      .as[(String, java.sql.Date, Long)].collect()
+    val x = daily.filter(_._1 == "click").map(r => r._2.toString -> r._3).toMap
+    val y = daily.filter(_._1 == "purchase").map(r => r._2.toString -> r._3).toMap
+    val paired = x.keySet.intersect(y.keySet).toSeq.map(d => (x(d), y(d)))
+    val n = paired.size.toLong
+    val (sx, sy) = (paired.map(_._1).sum, paired.map(_._2).sum)
+    val sxy = paired.map(p => p._1 * p._2).sum
+    val sxx = paired.map(p => p._1 * p._1).sum
+    val syy = paired.map(p => p._2 * p._2).sum
+    val r0 = math.round((n * sxy - sx * sy).toDouble * 1e6 /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)))
+    assert(got(0L) == ((n, r0)), s"lag-0: got ${got(0L)}, expected ($n, $r0)")
+  }
+
   // ------------------------------------------- BPE encode consistency
   test("BPE encode totals equal the train loop's final symbol count") {
     val dir = "/root/testdata/sf0.001"
