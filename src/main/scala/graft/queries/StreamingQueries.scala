@@ -276,6 +276,45 @@ object StreamingQueries extends QueryPack {
       .orderBy("day")
   }
 
+  /** q229: the CUSTOM sketch aggregate as STREAMING WINDOW STATE —
+    * [[graft.functions.MisraGriesStrings]] inside a tumbling 6-hour
+    * windowed aggregation. What this pins beyond q98's built-in HLL:
+    * a user-defined TypedImperativeAggregate's buffer is serialized
+    * into the state store between micro-batches and MERGED with each
+    * batch's partials — the full mergeable-summary contract under
+    * streaming's incremental execution, with partials arriving in
+    * micro-batch order rather than any batch plan's. State per window
+    * is m entries, never the event stream.
+    *
+    * EXACT oracle (not a tolerance boolean): within a window the
+    * distinct event_type count (5) is below m = 8, so the summary
+    * provably never evicts and its counts equal the exact group-by —
+    * the q55-style guarantee collapsed to equality, so a wrong merge
+    * or a buffer lost between batches hash-fails outright. */
+  private def streamingHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    // three staged micro-batches (event_id mod 3, the q120 replay
+    // discipline) — a single-file source would fold into ONE batch and
+    // never exercise the state-store buffer merge this query exists for
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val watch = stageBatches("graft_shh_",
+      (0 to 2).map(r => ev.where(pmod(col("event_id"), lit(3)) === r)))
+    val raw = spark.readStream
+      .schema("event_id BIGINT, ts_us BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val agg = raw
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(graft.functions.HashFunctions.misra_gries(col("event_type"), 8)
+        .as("sk"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), explode(col("sk")).as("e"))
+      .select(col("win_start"), col("e.item").as("event_type"),
+        col("e.est").as("n_events"))
+    runToMemorySink(agg, "shh").orderBy("win_start", "event_type")
+  }
+
   /** q120: the Spark 4 `transformWithState` high-watermark filter run as
     * a deterministic two-batch replay. Batch 0 delivers every event whose
     * id is not divisible by 3; batch 1 replays the FULL table. The
@@ -444,12 +483,22 @@ object StreamingQueries extends QueryPack {
     "q76_streaming_sessions" -> streamingSessions,
     "q91_streaming_sessions_append" -> streamingSessionsAppend,
     "q98_streaming_window_distinct" -> streamingWindowDistinct,
+    "q229_streaming_heavy_hitters" -> streamingHeavyHitters,
     "q103_streaming_cdc_apply" -> streamingCdcApply,
     "q107_streaming_sliding_windows" -> streamingSlidingWindows,
     "q215_chained_window_rollup" -> chainedWindowRollup
   )
 
   override def oracles: Map[String, String] = Map(
+    // exact equality: 5 distinct types < m = 8, so the MG summary never
+    // evicts and equals the plain windowed group-by
+    "q229_streaming_heavy_hitters" ->
+      """SELECT strftime(to_timestamp(
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+        |           * 21600000000 // 1000000),
+        |         '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // 15-min buckets then 1-h rollup on exact integer µs flooring
     // (make_timestamp(epoch_us // grid * grid) — NOT epoch(ts)::BIGINT,
     // which ROUNDS in DuckDB while Spark floors); closed-region gate

@@ -293,6 +293,34 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got(0L) == ((n, r0)), s"lag-0: got ${got(0L)}, expected ($n, $r0)")
   }
 
+  // ------------------------------------- streaming sketch state (q229 family)
+  test("streaming MG sketch: state merges across micro-batches, guarantees hold under eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF().select(lit(1).as("g"), col("value").as("w"))
+      .groupBy("g")
+      .agg(misra_gries(col("w"), 4).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"))
+    val name = "mg_stream_" + System.nanoTime()
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      // vocab (10) > m (4): eviction fires; "hot" is 60% of the stream,
+      // split across three micro-batches so the state-store buffer must
+      // deserialize + merge between batches
+      val batch = Seq.fill(30)("hot") ++ (1 to 20).map(i => s"w${i % 10}")
+      (1 to 3).foreach { _ => input.addData(batch: _*); q.processAllAvailable() }
+      val sk = spark.table(name).as[(String, Long)].collect().toMap
+      val n = 150L // 3 batches x 50 rows
+      assert(sk.size <= 4, s"summary exceeded m: $sk")
+      assert(sk.contains("hot"), s"heavy item lost across batches: $sk")
+      assert(sk("hot") <= 90L && (90L - sk("hot")) * 5 <= n,
+        s"MG bounds broken for hot: est=${sk("hot")}, n=$n")
+    } finally q.stop()
+  }
+
   // ------------------------------------------- BPE encode consistency
   test("BPE encode totals equal the train loop's final symbol count") {
     val dir = "/root/testdata/sf0.001"
