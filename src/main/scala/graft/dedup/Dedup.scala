@@ -383,11 +383,13 @@ object Dedup {
     * candidate×token re-explosion, and doc sizes ride the candidate
     * rows so no size joins either. Per-doc state is the token set —
     * never the corpus. */
-  def prefixFilterPairs(docs: DataFrame, id: String, text: String,
-      thresholdTenths: Int = 3, shingleK: Int = 3): DataFrame = {
-    require(thresholdTenths >= 1 && thresholdTenths <= 10,
-      s"threshold must be 0.1..1.0 in tenths, got $thresholdTenths")
-    val t = thresholdTenths.toLong
+  /** Shared scaffolding of the prefix-filtered joins: distinct shingles
+    * per doc ranked by the GLOBAL (df, w) total order (both docs of any
+    * pair order their tokens identically — what makes the positional
+    * filters sound), with the per-doc set size. Returns
+    * (doc, w, pos, n). */
+  private def rankedShingles(docs: DataFrame, id: String, text: String,
+      shingleK: Int): DataFrame = {
     // set elements are k-token shingles (order-sensitive): unigram sets
     // are near-degenerate on shared-vocabulary corpora (measured 95% of
     // ALL pairs ≥ 0.3 here), which starves any filter
@@ -398,9 +400,34 @@ object Dedup {
     val withDf = tok.join(
       tok.groupBy("w").agg(count(lit(1)).as("df")), Seq("w"))
     val byDoc = Window.partitionBy("doc").orderBy("df", "w")
-    val ranked = withDf
+    withDf
       .withColumn("pos", row_number().over(byDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc")))
+      .select("doc", "w", "pos", "n")
+  }
+
+  /** Shared verification of the prefix-filtered joins: one shingle-set
+    * array per doc riding two hash joins, |∩| per pair via
+    * array_intersect — O(|A|+|B|) per CANDIDATE row (the cand⋈tok⋈tok
+    * form re-exploded every candidate by its per-doc token count,
+    * measured ~50× the candidate set on a homogeneous corpus). Adds
+    * column `i` to `cand` (which must carry `aCol`/`bCol`). */
+  private def withIntersection(cand: DataFrame, ranked: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val docSets = ranked.groupBy("doc").agg(collect_list(col("w")).as("ws"))
+    cand
+      .join(docSets.select(col("doc").as(aCol), col("ws").as("__sa")), Seq(aCol))
+      .join(docSets.select(col("doc").as(bCol), col("ws").as("__sb")), Seq(bCol))
+      .withColumn("i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .drop("__sa", "__sb")
+  }
+
+  def prefixFilterPairs(docs: DataFrame, id: String, text: String,
+      thresholdTenths: Int = 3, shingleK: Int = 3): DataFrame = {
+    require(thresholdTenths >= 1 && thresholdTenths <= 10,
+      s"threshold must be 0.1..1.0 in tenths, got $thresholdTenths")
+    val t = thresholdTenths.toLong
+    val ranked = rankedShingles(docs, id, text, shingleK)
     // p = |x| - ceil(t|x|/10) + 1, ceil via (a + 9) DIV 10
     val prefix = ranked
       .where(col("pos") <= col("n") - ((col("n") * t + 9) / lit(10)).cast("long") + 1)
@@ -422,15 +449,7 @@ object Dedup {
       .where((lit(1L) + least(col("na") - col("ia"), col("nb") - col("jb")))
         * (10L + t) >= (col("na") + col("nb")) * t)
       .select("doc_a", "doc_b", "na", "nb")
-    // verification: one shingle-set array per doc riding two hash joins,
-    // |∩| per pair via array_intersect — O(|A|+|B|) per CANDIDATE row
-    // (the cand⋈tok⋈tok form re-exploded every candidate by its per-doc
-    // token count; same fix as containmentPairs, measured ~2× on q181)
-    val docSets = tok.groupBy("doc").agg(collect_list(col("w")).as("ws"))
-    cand
-      .join(docSets.select(col("doc").as("doc_a"), col("ws").as("sa")), Seq("doc_a"))
-      .join(docSets.select(col("doc").as("doc_b"), col("ws").as("sb")), Seq("doc_b"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    withIntersection(cand, ranked, "doc_a", "doc_b")
       // J >= t/10  ⇔  (10+t)·|∩| >= t·(|A|+|B|), exact longs
       .where(col("i") * (10L + t) >= (col("na") + col("nb")) * t)
       .select(col("doc_a"), col("doc_b"),
@@ -466,16 +485,7 @@ object Dedup {
     require(thresholdTenths >= 1 && thresholdTenths <= 10,
       s"threshold must be 0.1..1.0 in tenths, got $thresholdTenths")
     val t = thresholdTenths.toLong
-    val tok = docs
-      .select(col(id).as("doc"),
-        explode(shingles(col(text), shingleK)).as("w"))
-      .where(col("w") =!= "")
-    val withDf = tok.join(
-      tok.groupBy("w").agg(count(lit(1)).as("df")), Seq("w"))
-    val byDoc = Window.partitionBy("doc").orderBy("df", "w")
-    val ranked = withDf
-      .withColumn("pos", row_number().over(byDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc")))
+    val ranked = rankedShingles(docs, id, text, shingleK)
     // src prefix: p = |S| − ⌈t|S|/10⌉ + 1, ceil via (a + 9) DIV 10
     val prefix = ranked
       .where(col("pos") <= col("n") - ((col("n") * t + 9) / lit(10)).cast("long") + 1)
@@ -500,17 +510,7 @@ object Dedup {
       .where((lit(1L) + least(col("ns") - col("ia"), col("nd") - col("jb")))
         * 10L >= col("ns") * t)
       .select("src", "dst", "ns", "nd")
-    // verification: one shingle-set array per doc riding two hash joins,
-    // |∩| per pair via array_intersect — O(|S|+|D|) per CANDIDATE row,
-    // with no (candidate × per-doc-token) join explosion (the naive
-    // cand⋈tok⋈tok verify was measured 50× larger than the candidate
-    // set itself on a homogeneous corpus)
-    val docSets = tok.groupBy("doc").agg(collect_list(col("w")).as("ws"))
-    val inter = cand
-      .join(docSets.select(col("doc").as("src"), col("ws").as("sa")), Seq("src"))
-      .join(docSets.select(col("doc").as("dst"), col("ws").as("sb")), Seq("dst"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-    inter
+    withIntersection(cand, ranked, "src", "dst")
       .where(col("i") * 10L >= col("ns") * t)
       .select(col("src"), col("dst"), col("ns"), col("nd"),
         expr("(1000000 * i) DIV ns").as("cont_micro"))

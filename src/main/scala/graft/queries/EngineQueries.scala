@@ -304,11 +304,11 @@ object EngineQueries extends QueryPack {
   /** q220: BPE ENCODE — apply the q213-trained merge table to the
     * corpus and report per-document tokenization stats, i.e. the other
     * half of a tokenizer's life: train once (driver state = k merges),
-    * then encode at corpus scale with NO driver state at all — the
-    * trained segmentation is a vocab-sized (word → symbol count) table
-    * broadcast-joined to the per-doc word stream, the exact shape a
-    * 100 TB tokenization pass has (merges are cluster-wide constants;
-    * encoding is embarrassingly parallel). Output per doc: word count,
+    * then encode at corpus scale by re-applying the k merge RULES to
+    * each word occurrence in-scan — join-free, shuffle-free before the
+    * per-doc aggregate, the exact shape a 100 TB tokenization pass has
+    * (merges are cluster-wide constants; encoding is embarrassingly
+    * parallel). Output per doc: word count,
     * BPE token count, alpha char count, and tokens-per-char in
     * micro-units — the fertility metric tokenizer evaluations report.
     * The oracle re-derives the merges AND the greedy application
@@ -316,16 +316,28 @@ object EngineQueries extends QueryPack {
     * from seg3, so a wrong merge, a wrong application, or a wrong
     * join all hash-fail. */
   private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val (_, seg) = bpeTrain(spark, dir)
-    val wordTok = seg.select(col("w"), size(col("syms")).cast("long").as("n_toks"))
+    val (merges, seg) = bpeTrain(spark, dir)
+    // encode ships ONLY the k merge RULES (driver constants), applying
+    // them per word occurrence with the same greedy fold the trainer
+    // used — no segmentation table, no join, no shuffle before the
+    // per-doc aggregate. This both matches the 100 TB shape (rules are
+    // cluster-wide literals; encoding is embarrassingly parallel) and
+    // lets the trainer's vocab-sized checkpoint be RELEASED here (the
+    // q213 discipline — a broadcast of the segmentation would read
+    // through the checkpoint lazily and pin one copy per invocation).
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
     val docWords = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
-    docWords.join(broadcast(wordTok), Seq("w"))
+    var enc = docWords.withColumn("syms", split(col("w"), ""))
+    merges.foreach { case (_, l, r, _, _) =>
+      enc = enc.withColumn("syms", expr(bpeMergeExpr(l, r)))
+    }
+    enc
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum("n_toks").as("n_tokens"),
+        sum(size(col("syms")).cast("long")).as("n_tokens"),
         sum(length(col("w")).cast("long")).as("n_chars_az"))
       .withColumn("fertility_micro",
         expr("(1000000 * n_tokens) DIV n_chars_az"))

@@ -89,8 +89,13 @@ object FinanceQueries extends QueryPack {
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(sum(round(col("value") * 100).cast("long")).as("v"))
-    val w7 = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-3, 3)
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+    // RANGE on the day NUMBER, not ROWS on the day sequence: with a
+    // calendar gap a 7-ROW frame would silently span >7 days while
+    // n7 = 7 still passed; the RANGE frame keeps the window calendar-
+    // true and n7 = 7 then certifies all 7 days are present
+    val w7 = Window.partitionBy("event_type").orderBy("dn")
+      .rangeBetween(-3, 3)
     val t = daily
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("trend_x7", sum(col("v")).over(w7))
@@ -324,12 +329,14 @@ object FinanceQueries extends QueryPack {
         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
         |t AS (
+        |  -- RANGE on the day number: calendar-true centered week (the
+        |  -- Spark twin's rangeBetween on datediff-from-epoch)
         |  SELECT event_type, day, v,
         |         count(*) OVER w AS n7,
         |         CAST(sum(v) OVER w AS BIGINT) AS trend_x7
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |  FROM (SELECT *, day - DATE '1970-01-01' AS dn FROM daily) d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY dn
+        |               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |f AS (
         |  SELECT event_type, day, v, trend_x7, v * 7 - trend_x7 AS dev7,
         |         CAST(dayofweek(day) + 1 AS BIGINT) AS wd

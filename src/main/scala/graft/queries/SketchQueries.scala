@@ -84,14 +84,18 @@ object SketchQueries extends QueryPack {
     val direct = li.agg(k_min_distinct(col("h"), k).as("g_direct"))
     val merged = per.select(explode(col("kmv")).as("h"))
       .agg(k_min_distinct(col("h"), k).as("g_merged"))
+    // try_element_at, not element_at: Spark 4 runs ANSI by default, and
+    // a group with fewer than k distinct keys would otherwise throw on
+    // the out-of-bounds index; the oracle's CASE/max form yields NULL
+    // for the same case, and est_d's size<k branch handles it
     val global = direct.crossJoin(merged)
       .select((col("g_direct") === col("g_merged")).as("merge_eq"),
-        element_at(col("g_direct"), k).as("g_kth"))
+        expr(s"try_element_at(g_direct, $k)").as("g_kth"))
     per.crossJoin(broadcast(global))
       .select(col("flag"), col("exact_d"),
-        element_at(col("kmv"), k).as("kth_min"),
+        expr(s"try_element_at(kmv, $k)").as("kth_min"),
         when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
-          .otherwise(expr(s"${(k - 1).toLong * M}L DIV element_at(kmv, $k)"))
+          .otherwise(expr(s"${(k - 1).toLong * M}L DIV try_element_at(kmv, $k)"))
           .as("est_d"),
         col("merge_eq"),
         expr(s"${(k - 1).toLong * M}L DIV g_kth").as("g_est_d"))
@@ -170,7 +174,7 @@ object SketchQueries extends QueryPack {
          |ex AS (SELECT flag, count(*) AS exact_d FROM d GROUP BY flag),
          |gd AS (SELECT DISTINCT h FROM li),
          |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gd),
-         |gkth AS (SELECT max(h) AS g_kth FROM gr WHERE rn <= 128),
+         |gkth AS (SELECT max(CASE WHEN rn = 128 THEN h END) AS g_kth FROM gr),
          |-- merged route: re-rank the union of the per-group sketches
          |mu AS (SELECT DISTINCT h FROM kmv),
          |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mu),

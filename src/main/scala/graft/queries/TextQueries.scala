@@ -309,10 +309,10 @@ object TextQueries extends QueryPack {
         |  SELECT doc_id, text AS txt, length(text) AS len
         |  FROM documents WHERE length(text) >= 8),
         |pos AS (
-        |  -- least() mirrors the op's 2^24 position-fold guard (inert on
-        |  -- these fixtures; documents are ≤ ~600 chars)
+        |  -- the op ASSERTS len-4 < 2^24 (no silent clamp), so plain
+        |  -- positions mirror it exactly
         |  SELECT doc_id, len, txt,
-        |         unnest(generate_series(1, least(len - 4, 16777215))) AS p
+        |         unnest(generate_series(1, len - 4)) AS p
         |  FROM d),
         |h AS (
         |  SELECT doc_id, len, p,

@@ -43,9 +43,17 @@ object Winnowing {
         length(col(text)).as("__len"))
       .where(col("__len") >= k + w - 1)
     val keyed = base
+      // positions must fit the 2^24 fold: fail LOUDLY on a document too
+      // long for the scheme rather than silently dropping its tail
+      // fingerprints (which would break the shared-substring guarantee).
+      // assert_true rides a filter (NULL-on-success → coalesce true) so
+      // column pruning can't elide the check.
+      .where(coalesce(assert_true(
+        col("__len") - (k - 1) < lit(1L << 24),
+        concat(lit("winnowing: document too long for the 2^24 position" +
+          " fold (len="), col("__len"), lit(")"))), lit(true)))
       .select(col("doc"), col("__len"),
-        explode(sequence(lit(1), least(col("__len") - (k - 1),
-          lit((1L << 24) - 1)))).as("p"),
+        explode(sequence(lit(1), col("__len") - (k - 1))).as("p"),
         col("__txt"))
       .withColumn("h",
         graft.functions.HashFunctions.poly_hash(expr(s"substring(__txt, p, $k)")))
