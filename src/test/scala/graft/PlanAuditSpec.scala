@@ -373,15 +373,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "KMV lost its partial pass:\n" + kmvPlan.take(3000))
   }
 
-  test("q220 BPE encode is join-free (merge rules applied in-scan, one agg exchange)") {
+  test("q220 BPE encode: vocab table broadcast to the word stream (no sort-merge)") {
     val df = SparkEntry.queries("q220_bpe_encode")(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
       .split("== Initial Plan ==").head
-    // encode ships only the k merge-rule literals: no join of any kind
-    // between the word stream and trainer state
-    assert(!plan.contains("Join"),
-      "encode unexpectedly plans a join:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "encode join is not broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "encode unexpectedly sort-merge joins:\n" + plan.take(3000))
   }
 
   test("q219/q181 verify via per-doc set arrays (array_intersect), not a token re-explosion") {
