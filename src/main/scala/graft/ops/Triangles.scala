@@ -37,6 +37,12 @@ object Triangles {
             struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      // the oriented list feeds THREE consumers (both wedge sides + the
+      // closing-edge probe); without materialization each re-runs the
+      // caller's edge construction and both degree joins (measured ~2×
+      // on the co-purchase graph). Checkpointed edge-sized, released
+      // below once the node-sized result is materialized.
+      .localCheckpoint(true)
     // out-wedges of u, ordered so (x, y) is (deg, id)-ascending: the
     // closing edge, if present, is oriented exactly x -> y
     val wedges = oriented.as("e1")
@@ -46,7 +52,14 @@ object Triangles {
       .select(col("e1.u").as("w0"), col("e1.v").as("x"), col("e2.v").as("y"))
     val tris = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
-    tris.select(explode(array(col("w0"), col("x"), col("y"))).as("node"))
+    val out = tris
+      .select(explode(array(col("w0"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      // node-sized result checkpoint lets the edge-sized one go — the
+      // returned frame pins only O(nodes) blocks (the CC contract, at
+      // the smaller size class)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(oriented)
+    out
   }
 }
