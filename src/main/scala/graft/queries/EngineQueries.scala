@@ -253,9 +253,10 @@ object EngineQueries extends QueryPack {
   /** Shared trainer core for q213/q220: runs the 3 merge rounds and
     * returns (merge table, final (w, freq, syms) segmentation). The
     * returned frame reads from the FINAL round's localCheckpoint —
-    * vocab-sized, still pinned; the caller decides its fate (q213
-    * releases it, q220's output plan reads through it, the q212 CC
-    * contract). */
+    * vocab-sized, still pinned; both callers release it promptly (q213
+    * after collecting its result, q220 immediately, since bpeEncode
+    * re-derives the segmentation from the driver-side merge rules —
+    * the q212 CC eviction contract). */
   private def bpeTrain(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     val words = Tables.documents(spark, dir)

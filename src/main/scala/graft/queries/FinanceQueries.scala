@@ -143,12 +143,16 @@ object FinanceQueries extends QueryPack {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
+      .withColumn("dxx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("n") * col("syy") - col("sy") * col("sy"))
+      // a zero-variance series at some lag (dxx or dyy == 0) would make
+      // the divide NaN and the ANSI cast throw; null the lag instead
       .withColumn("r_micro",
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          * 1e6 /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-          .cast("long"))
+        when(col("dxx") > 0 && col("dyy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            * 1e6 /
+            (sqrt(col("dxx").cast("double")) * sqrt(col("dyy").cast("double"))))
+            .cast("long")))
       .select(col("lag").cast("long").as("lag"), col("n"), col("r_micro"))
       .orderBy("lag")
   }
@@ -375,10 +379,11 @@ object FinanceQueries extends QueryPack {
         |         CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM p GROUP BY 1)
         |SELECT lag, n,
-        |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
-        |                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
-        |            AS BIGINT) AS r_micro
+        |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |         CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1e6
+        |                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+        |              AS BIGINT) END AS r_micro
         |FROM s ORDER BY lag""".stripMargin,
     // Window sums are CAST to BIGINT immediately (DuckDB sums BIGINT →
     // HUGEINT — the q97 lesson); every double is derived from the exact

@@ -273,10 +273,13 @@ object SimilarityQueries extends QueryPack {
           |                    coalesce(element_at(mb, k), 0L))""".stripMargin))
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      // a doc whose every token has idf 0 gives n2 = 0; sqrt(0) in the
+      // divisor would NaN → ANSI-cast throw, so null those pairs out
       .withColumn("cos_micro",
-        round(col("dot").cast("double") * 1e6 /
-          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
-          .cast("long"))
+        when(col("na2") > 0 && col("nb2") > 0,
+          round(col("dot").cast("double") * 1e6 /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+            .cast("long")))
       .select("doc_a", "doc_b", "dot", "cos_micro")
       .orderBy("doc_a", "doc_b")
   }
@@ -383,9 +386,10 @@ object SimilarityQueries extends QueryPack {
         |  JOIN w y ON y.doc_id = c.doc_b AND y.tok = x.tok
         |  GROUP BY 1, 2)
         |SELECT dt.doc_a, dt.doc_b, dt.dot,
-        |       CAST(round(CAST(dt.dot AS DOUBLE) * 1e6
-        |                  / sqrt(CAST(xa.n2 AS DOUBLE) * CAST(xb.n2 AS DOUBLE)))
-        |            AS BIGINT) AS cos_micro
+        |       CASE WHEN xa.n2 > 0 AND xb.n2 > 0 THEN
+        |         CAST(round(CAST(dt.dot AS DOUBLE) * 1e6
+        |                    / sqrt(CAST(xa.n2 AS DOUBLE) * CAST(xb.n2 AS DOUBLE)))
+        |              AS BIGINT) END AS cos_micro
         |FROM dt JOIN n2 xa ON xa.doc_id = dt.doc_a
         |        JOIN n2 xb ON xb.doc_id = dt.doc_b
         |ORDER BY dt.doc_a, dt.doc_b""".stripMargin,
