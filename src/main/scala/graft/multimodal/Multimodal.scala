@@ -6,19 +6,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for the training-data pipeline (north star):
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
-  * IMAGE decode is REAL: PNG payloads (magic-sniffed) decode through the
-  * JDK's `javax.imageio` — no external codec needed — and features come
-  * from actual pixels ([[pngStats]] / the PNG branch of [[fakeDecode]]).
-  * AUDIO decode is REAL too: WAV/PCM parses through the JDK's
-  * `javax.sound.sampled` ([[wavFromDocuments]] / [[wavStats]]) — header,
-  * format, and 16-bit sample extraction, no external codec. Only VIDEO
-  * decode remains a clearly-marked STUB (the container ships no video
-  * codecs): `fakeDecode` derives deterministic pseudo features
-  * (byte histogram moments) from the raw payload. Everything around the
-  * decode is the real Spark plumbing this operator needs at 100 TB:
-  * explicit schema, binary payload column, typed Dataset boundary,
-  * batched per-partition processing (the Scala analog of `mapInPandas`
-  * batch shape), and partition-friendly outputs.
+  * Every decode on this surface is REAL — no stubs remain:
+  *  - IMAGE: PNG payloads (magic-sniffed) decode through the JDK's
+  *    `javax.imageio` ([[pngStats]] / [[pngDHash]] / the PNG branch of
+  *    [[fakeDecode]]); [[resize]] resamples actual pixels
+  *    (nearest-neighbor) and re-encodes.
+  *  - AUDIO: WAV/PCM parses through the JDK's `javax.sound.sampled`
+  *    ([[wavFromDocuments]] / [[wavStats]]) — header, format, and
+  *    16-bit sample extraction.
+  *  - VIDEO (multi-frame): animated GIF encodes/decodes through the
+  *    JDK's GIF `ImageWriter`/`ImageReader` ([[gifFromDocuments]] /
+  *    [[gifFrameStats]]); [[sampleFrames]] decodes the container,
+  *    selects every Nth frame, and re-encodes each as PNG.
+  * `fakeDecode`'s byte-histogram branch is the generic fallback for
+  * payloads with no JDK codec (it is a feature extractor over raw
+  * bytes, not a stand-in for a decode). Everything around the decodes
+  * is the real Spark plumbing this operator needs at 100 TB: explicit
+  * schema, binary payload column, typed Dataset boundary, batched
+  * per-partition processing (the Scala analog of `mapInPandas` batch
+  * shape), and partition-friendly outputs.
   */
 object Multimodal {
 
@@ -86,10 +92,10 @@ object Multimodal {
   }
 
   /** Decode: REAL for PNG payloads (histogram moments + 16-bin features
-    * over actual `javax.imageio`-decoded pixels), STUB for everything
-    * else (same moments over raw payload bytes — the container has no
-    * audio/video codecs; replace with JNI/ffmpeg in deployment, the
-    * signature and batch shape are the contract). */
+    * over actual `javax.imageio`-decoded pixels); for any other payload
+    * the same moments run over the raw bytes — a generic byte-level
+    * feature extractor for formats without a JDK codec (codec-backed
+    * paths are [[pngStats]]/[[wavStats]]/[[gifFrameStats]]). */
   private[multimodal] def fakeDecode(rec: MediaRecord): MediaFeatures = {
     val values: Array[Int] = decodePng(rec.bytes) match {
       case Some((_, _, px)) => px
@@ -317,27 +323,279 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: metadata-only transform + payload passthrough (a real
-    * implementation re-encodes pixels; the plumbing — new meta, same
-    * partitioning — is what the engine contracts). */
+  /** REAL resize: decode the PNG payload, nearest-neighbor resample to
+    * w×h (src(x) = x·w₀ div w, src(y) = y·h₀ div h — pure integer
+    * arithmetic, no interpolation, so a codec-free oracle can replay
+    * the resampled pixels from the generator formula), re-encode as a
+    * lossless gray PNG. Per-row in-scan codec work, zero shuffle; the
+    * mapPartitions batch shape amortizes the encoder across rows. */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val bos = new java.io.ByteArrayOutputStream()
+      it.map { rec =>
+        val (w0, h0, px) = decodePng(rec.bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"media_id=${rec.media_id}: resize needs a decodable PNG payload"))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          val sy = y * h0 / h
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, px(sy * w0 + x * w0 / w))
+            x += 1
+          }
+          y += 1
+        }
+        bos.reset()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        rec.copy(bytes = bos.toByteArray,
+          meta = rec.meta.copy(width = w, height = h, format = "png"))
+      }
+    }
   }
 
-  /** STUB frame sampling for video payloads: deterministic byte-range
-    * slices standing in for decoded frames; one output row per frame. */
+  // ---------------------------------------------------------------------
+  // Multi-frame video stand-in: animated GIF through the JDK codec.
+  // The third application of the PNG/WAV playbook — encode deterministic
+  // media ON THE EXECUTORS, decode it back through the real codec, and
+  // let a codec-free oracle replay the generator formula.
+  // ---------------------------------------------------------------------
+
+  /** Per-frame stats decoded from REAL multi-frame GIF payloads — the
+    * video analog of [[PngStats]]/[[WavStats]]: one row per frame with
+    * the frame count the reader reported and exact pixel aggregates. */
+  case class GifFrameStats(media_id: Long, n_frames: Int, frame_idx: Int,
+                           img_w: Int, img_h: Int, px_sum: Long,
+                           px_min: Int, px_max: Int)
+
+  /** 256-entry grayscale palette: the GIF color table becomes exactly
+    * the identity ramp, so the roundtrip is lossless and a decoded
+    * RGB's low byte IS the generator value (independent of any palette
+    * index permutation the writer might apply). */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Per-frame GIF metadata making the sequence a genuine ANIMATED GIF:
+    * a GraphicControlExtension (10 cs delay, no disposal) on every
+    * frame plus the NETSCAPE 2.0 infinite-loop ApplicationExtension on
+    * the first — the standard `javax_imageio_gif_image_1.0` tree.
+    *
+    * The LocalColorTable is REBUILT as the explicit identity gray ramp:
+    * the writer's default image metadata does NOT inherit the image's
+    * IndexColorModel palette (probed empirically — its LCT entries come
+    * back zeroed, and writing through it quantizes pixels onto the
+    * web-safe grays, a lossy roundtrip the q230 oracle would hash-fail).
+    * With the ramp spelled out entry by entry the container stores index
+    * i as gray level i and LZW keeps it exact. */
+  private def animatedGifMeta(writer: javax.imageio.ImageWriter,
+                              img: java.awt.image.BufferedImage,
+                              withLoop: Boolean)
+      : javax.imageio.metadata.IIOMetadata = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val meta = writer.getDefaultImageMetadata(
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), null)
+    val fmt = meta.getNativeMetadataFormatName
+    val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    // drop the default LocalColorTable (palette-less) and any default GCE;
+    // force sequential row order — the default ImageDescriptor says
+    // interlaceFlag=TRUE and the writer's interlaced output scrambles/
+    // drops rows at small heights (observed: an 11×4 frame came back
+    // row-permuted with its last row zeroed)
+    var n = root.getFirstChild
+    while (n != null) {
+      val next = n.getNextSibling
+      if (n.getNodeName == "LocalColorTable" ||
+          n.getNodeName == "GraphicControlExtension") root.removeChild(n)
+      else if (n.getNodeName == "ImageDescriptor")
+        n.asInstanceOf[IIOMetadataNode].setAttribute("interlaceFlag", "FALSE")
+      n = next
+    }
+    val lct = new IIOMetadataNode("LocalColorTable")
+    lct.setAttribute("sizeOfLocalColorTable", "256")
+    lct.setAttribute("sortFlag", "FALSE")
+    var i = 0
+    while (i < 256) {
+      val e = new IIOMetadataNode("ColorTableEntry")
+      e.setAttribute("index", i.toString)
+      e.setAttribute("red", i.toString)
+      e.setAttribute("green", i.toString)
+      e.setAttribute("blue", i.toString)
+      lct.appendChild(e)
+      i += 1
+    }
+    root.appendChild(lct)
+    val gce = new IIOMetadataNode("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", "none")
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", "10")
+    gce.setAttribute("transparentColorIndex", "0")
+    root.appendChild(gce)
+    if (withLoop) {
+      val apps = new IIOMetadataNode("ApplicationExtensions")
+      val app = new IIOMetadataNode("ApplicationExtension")
+      app.setAttribute("applicationID", "NETSCAPE")
+      app.setAttribute("authenticationCode", "2.0")
+      app.setUserObject(Array[Byte](1, 0, 0)) // loop forever
+      apps.appendChild(app)
+      root.appendChild(apps)
+    }
+    meta.setFromTree(fmt, root)
+    meta
+  }
+
+  /** Deterministic REAL animated GIFs over `documents`: each doc renders
+    * nf = doc_id mod 3 + 2 full frames of w = n_chars mod 11 + 4 by
+    * h = doc_id mod 7 + 4, frame f's pixel (x, y) =
+    * (doc_id·31 + 7x + 13y + 97f) mod 256 on the 256-gray palette,
+    * written as ONE multi-frame GIF89a via `ImageWriter.writeToSequence`
+    * ON THE EXECUTORS. GIF's LZW is lossless and the palette is the
+    * identity ramp, so a codec-free DuckDB oracle can replay the decoded
+    * per-frame aggregates; the multi-image container encode/decode path
+    * is what's under test. */
+  def gifFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        (pmod(col("n_chars"), lit(11)) + 4).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(7)) + 4).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(3)) + 2).cast("int").as("nf"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        // one writer per partition — setOutput resets it between rows
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        it.map { case (id, w, h, nf) =>
+          bos.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, java.lang.Math.floorMod(
+                  id * 31 + 7L * x + 13L * y + 97L * f, 256L).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null,
+              animatedGifMeta(writer, img, withLoop = f == 0)), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.flush(); ios.close()
+          MediaRecord(id, "video", bos.toByteArray,
+            MediaMeta(w, h, 0, nf * 100L, "gif"))
+        }
+      }
+  }
+
+  /** Real multi-frame decode via `javax.imageio`'s GIF `ImageReader`:
+    * `getNumImages(true)` walks the container, `read(i)` decodes frame
+    * i. Gray values come through `getRGB & 0xff` (palette lookup), so
+    * the result is palette-order-independent. Empty seq for anything
+    * undecodable. */
+  private[multimodal] def decodeGifFrames(bytes: Array[Byte])
+      : Seq[(Int, Int, Array[Int])] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (w, h, px)
+      }
+    } catch {
+      case _: java.io.IOException | _: IndexOutOfBoundsException => Seq.empty
+    } finally {
+      reader.dispose(); iis.close()
+    }
+  }
+
+  /** Decode every animated-GIF payload (REAL `javax.imageio` multi-frame
+    * decode) to per-frame dimension + pixel aggregates. Fails loudly on
+    * an undecodable payload — same contract as [[pngStats]]. */
+  def gifFrameStats(media: Dataset[MediaRecord]): Dataset[GifFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val frames = decodeGifFrames(rec.bytes)
+        if (frames.isEmpty)
+          throw new IllegalArgumentException(
+            s"media_id=${rec.media_id}: payload is not a decodable GIF")
+        frames.zipWithIndex.map { case ((w, h, px), i) =>
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          px.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+          GifFrameStats(rec.media_id, frames.length, i, w, h, sum, mn, mx)
+        }
+      }
+    }
+  }
+
+  /** REAL frame sampling: decode the multi-frame payload (animated GIF
+    * via `javax.imageio`), keep every Nth frame, and re-encode each kept
+    * frame as a standalone lossless gray PNG — one MediaRecord per kept
+    * frame (media_id·100 + frame index). Decode→select→re-encode is all
+    * per-row in-scan work; downstream [[pngStats]] closes the loop. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(_.kind == "video").flatMap { r =>
-      val frames = math.max(r.bytes.length / math.max(everyN, 1), 1)
-      (0 until math.min(frames, 8)).map { f =>
-        val start = f * everyN
-        val slice = r.bytes.slice(start, math.min(start + everyN, r.bytes.length))
-        r.copy(media_id = r.media_id * 100 + f, bytes = slice,
-          meta = r.meta.copy(durationMs = 0L))
+    media.filter(_.kind == "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val bos = new java.io.ByteArrayOutputStream()
+      it.flatMap { rec =>
+        val frames = decodeGifFrames(rec.bytes)
+        if (frames.isEmpty)
+          throw new IllegalArgumentException(
+            s"media_id=${rec.media_id}: payload is not a decodable GIF")
+        frames.zipWithIndex.collect {
+          case ((w, h, px), f) if f % math.max(everyN, 1) == 0 =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+              y += 1
+            }
+            bos.reset()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRecord(rec.media_id * 100 + f, "image", bos.toByteArray,
+              MediaMeta(w, h, 0, 0L, "png"))
+        }
       }
     }
   }

@@ -20,38 +20,52 @@ object MultimodalQueries extends QueryPack {
       .orderBy("media_id")
   }
 
-  /** q77: frame sampling through the typed Dataset path — per-video frame
-    * counts and sliced payload bytes. The slice arithmetic is exactly
-    * reproducible in SQL (frames = min(max(len/50,1),8); bytes =
-    * min(len, frames*50)), so the stubbed decode's PLUMBING is still
-    * oracle-gated end to end. */
+  /** q77: REAL frame sampling — executors encode multi-frame animated
+    * GIFs, [[Multimodal.sampleFrames]] decodes the container, keeps
+    * every 2nd frame, re-encodes each kept frame as PNG, and
+    * [[Multimodal.pngStats]] decodes those back. The oracle replays the
+    * per-frame pixel formula for exactly the sampled frame indices, so
+    * the WHOLE chain (GIF encode → multi-frame decode → select → PNG
+    * encode → PNG decode) is hash-gated. */
   private def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, dir))
-    Multimodal.sampleFrames(media, everyN = 50).toDF()
-      .groupBy(expr("media_id div 100").as("media_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("bytes"))).as("total_frame_bytes"))
+    val media = Multimodal.gifFromDocuments(Tables.documents(spark, dir))
+    Multimodal.pngStats(Multimodal.sampleFrames(media, everyN = 2)).toDF()
       .orderBy("media_id")
   }
 
-  /** q78: resize through the typed Dataset path — meta rewritten to the
-    * target dimensions, payload and cardinality untouched. */
-  private def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesizeFromDocuments(Tables.documents(spark, dir))
-    Multimodal.resize(media, 224, 224).toDF()
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n"),
-        min(col("meta.width")).as("min_w"),
-        max(col("meta.height")).as("max_h"))
-      .orderBy("kind")
+  /** q78: REAL resize — decode each generated PNG, nearest-neighbor
+    * resample to 8×6, re-encode, decode AGAIN and aggregate the
+    * resampled pixels. The oracle replays src(x) = x·w₀ div 8,
+    * src(y) = y·h₀ div 6 against the generator formula, so a wrong
+    * sampling offset, a lossy re-encode, or an interpolating resampler
+    * all hash-fail. */
+  private def resizePixels(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.pngFromDocuments(Tables.documents(spark, dir))
+    Multimodal.pngStats(Multimodal.resize(media, 8, 6)).toDF()
+      .orderBy("media_id")
+  }
+
+  /** q230: REAL multi-frame video decode — executors render
+    * deterministic ANIMATED GIFs (nf = doc_id mod 3 + 2 frames on a
+    * 256-gray palette, NETSCAPE loop + per-frame delay metadata) with
+    * `javax.imageio`, then decode them back frame by frame
+    * (`getNumImages(true)` / `read(i)`) and aggregate actual pixels.
+    * The oracle replays the per-frame formula ((doc_id·31 + 7x + 13y +
+    * 97f) mod 256), so a dropped frame, a palette permutation the gray
+    * ramp doesn't absorb, or a lossy quantization all hash-fail. With
+    * q149 (PNG) and q211 (WAV) this makes every decode on the
+    * multimodal surface real — no stubs remain. */
+  private def gifDecode(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.gifFromDocuments(Tables.documents(spark, dir))
+    Multimodal.gifFrameStats(media).toDF().orderBy("media_id", "frame_idx")
   }
 
   /** q149: REAL image decode — executors render deterministic gray PNGs
     * with `javax.imageio`, then decode them back and aggregate actual
     * pixels. The oracle replays the pixel formula ((doc_id·31 + 7x + 13y)
     * mod 256 over w×h) as pure SQL, so a wrong decoded dimension, a lossy
-    * roundtrip, or a raster-order bug all hash-fail. This closes the one
-    * decode the container allows to be real; audio/video stay stubbed. */
+    * roundtrip, or a raster-order bug all hash-fail. The audio twin is
+    * q211 (WAV) and the multi-frame video twin is q230 (animated GIF). */
   private def pngDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.pngFromDocuments(Tables.documents(spark, dir))
     Multimodal.pngStats(media).toDF().orderBy("media_id")
@@ -77,9 +91,8 @@ object MultimodalQueries extends QueryPack {
     * amplitudes. The oracle replays the sample formula
     * ((doc_id·37 + 11·i) mod 4096 − 2048 over n = n_chars mod 50 + 20)
     * as pure SQL, so a wrong sample rate, an endianness flip, a header
-    * mis-parse, or a lossy roundtrip all hash-fail. With q149 this
-    * closes BOTH decodes the JDK allows to be real; only video stays
-    * stubbed. */
+    * mis-parse, or a lossy roundtrip all hash-fail. With q149 (PNG) and
+    * q230 (animated GIF) every decode on this surface is real. */
   private def wavDecode(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.wavFromDocuments(Tables.documents(spark, dir))
     Multimodal.wavStats(media).toDF().orderBy("media_id")
@@ -88,8 +101,9 @@ object MultimodalQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_media_features" -> mediaFeatures,
     "q77_frame_sample" -> frameSample,
-    "q78_resize_meta" -> resizeMeta,
+    "q78_resize_pixels" -> resizePixels,
     "q149_png_decode" -> pngDecode,
+    "q230_gif_decode" -> gifDecode,
     "q164_image_dhash" -> imageDHash,
     "q211_wav_decode" -> wavDecode
   )
@@ -104,17 +118,46 @@ object MultimodalQueries extends QueryPack {
         |                                    c -> unicode(c))) AS DOUBLE)
         |         / length(text) AS byte_mean
         |FROM documents ORDER BY media_id""".stripMargin,
+    // Sampled-frame replay: frames f with f % 2 = 0 out of
+    // nf = doc_id % 3 + 2 survive sampling; each surviving frame's
+    // pixels follow the GIF generator formula with its own 97f offset
+    // and ride a PNG re-encode (lossless), so the aggregates are exact.
     "q77_frame_sample" ->
-      """SELECT doc_id AS media_id,
-        |       least(greatest(length(text) // 50, 1), 8) AS n_frames,
-        |       least(length(text),
-        |             least(greatest(length(text) // 50, 1), 8) * 50) AS total_frame_bytes
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
-    "q78_resize_meta" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |                       ELSE 'video' END AS kind,
-        |       count(*) AS n, 224 AS min_w, 224 AS max_h
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 11 + 4 AS w, doc_id % 7 + 4 AS h,
+        |         doc_id % 3 + 2 AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, fi,
+        |         [ (doc_id*31 + (p % w)*7 + (p // w)*13 + 97*fi) % 256
+        |           for p in range(0, w*h) ] AS vs
+        |  FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id * 100 + fi AS media_id,
+        |       CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
+        |       CAST(list_min(vs) AS INTEGER) AS px_min,
+        |       CAST(list_max(vs) AS INTEGER) AS px_max
+        |FROM px ORDER BY media_id""".stripMargin,
+    // Nearest-neighbor replay: resized pixel (x, y) samples the source
+    // at (x*w0 div 8, y*h0 div 6) — same integer arithmetic as the
+    // Spark-side resampler; p runs row-major over the 8×6 target.
+    "q78_resize_pixels" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 13 + 4 AS w0, doc_id % 9 + 4 AS h0
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         [ (doc_id*31 + ((p % 8) * w0 // 8)*7
+        |            + ((p // 8) * h0 // 6)*13) % 256
+        |           for p in range(0, 48) ] AS vs
+        |  FROM d)
+        |SELECT doc_id AS media_id, 8 AS img_w, 6 AS img_h,
+        |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
+        |       CAST(list_min(vs) AS INTEGER) AS px_min,
+        |       CAST(list_max(vs) AS INTEGER) AS px_max
+        |FROM px ORDER BY media_id""".stripMargin,
     // Pixel-formula replay: p runs row-major over w×h, x = p mod w,
     // y = p div w — the same raster order the Spark side writes and
     // reads. PNG is lossless, so the decoded aggregates must match the
@@ -155,6 +198,29 @@ object MultimodalQueries extends QueryPack {
         |       CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
         |       dhash, count(*) OVER (PARTITION BY dhash) AS n_same
         |FROM b ORDER BY media_id""".stripMargin,
+    // Per-frame pixel-formula replay: fi runs over the full frame range
+    // (a dropped or duplicated frame changes n_frames AND the row set);
+    // the gray-ramp palette makes GIF lossless, so aggregates are exact.
+    "q230_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 11 + 4 AS w, doc_id % 7 + 4 AS h,
+        |         doc_id % 3 + 2 AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, nf, fi,
+        |         [ (doc_id*31 + (p % w)*7 + (p // w)*13 + 97*fi) % 256
+        |           for p in range(0, w*h) ] AS vs
+        |  FROM f)
+        |SELECT doc_id AS media_id,
+        |       CAST(nf AS INTEGER) AS n_frames,
+        |       CAST(fi AS INTEGER) AS frame_idx,
+        |       CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |       CAST(list_sum(vs) AS BIGINT) AS px_sum,
+        |       CAST(list_min(vs) AS INTEGER) AS px_min,
+        |       CAST(list_max(vs) AS INTEGER) AS px_max
+        |FROM px ORDER BY media_id, frame_idx""".stripMargin,
     // Sample-formula replay: PCM is lossless, so the decoded amplitude
     // aggregates must match the generator arithmetic exactly; format
     // fields (8 kHz mono 16-bit) come from the parsed WAV header on the

@@ -121,13 +121,77 @@ class MlMultimodalSpec extends AnyFunSuite {
     assert(f1.forall(_.feature.length == 16))
   }
 
-  test("multimodal: frame sampling emits only video, resize rewrites meta") {
-    val media = Multimodal.synthesizeFromDocuments(
-      Tables.documents(spark, "/root/testdata/sf0.001"))
-    val frames = Multimodal.sampleFrames(media, everyN = 50)
-    assert(frames.collect().forall(_.kind == "video"))
-    val resized = Multimodal.resize(media, 224, 224).collect()
-    assert(resized.forall(r => r.meta.width == 224 && r.meta.height == 224))
+  test("multimodal: GIF encode→decode roundtrip is lossless and matches the per-frame formula") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(12)
+    val media = Multimodal.gifFromDocuments(docs)
+    // payloads are genuine multi-frame GIF89a containers
+    val recs = media.collect()
+    assert(recs.nonEmpty && recs.forall(r =>
+      new String(r.bytes.take(6), "US-ASCII") == "GIF89a"))
+    val stats = Multimodal.gifFrameStats(media).collect()
+      .sortBy(s => (s.media_id, s.frame_idx))
+    val expected = docs.select("doc_id", "n_chars").collect().flatMap { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val w = (nc % 11 + 4).toInt
+      val h = (id % 7 + 4).toInt
+      val nf = (id % 3 + 2).toInt
+      (0 until nf).map { f =>
+        val vs = for { y <- 0 until h; x <- 0 until w }
+          yield java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y + 97L * f, 256L)
+        (id, nf, f, w, h, vs.sum, vs.min.toInt, vs.max.toInt)
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(stats.map(s => (s.media_id, s.n_frames, s.frame_idx, s.img_w,
+      s.img_h, s.px_sum, s.px_min, s.px_max)).toSeq == expected.toSeq)
+  }
+
+  test("multimodal: sampleFrames keeps every Nth decoded frame as a decodable PNG") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(9)
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.gifFromDocuments(docs), everyN = 2)
+    val stats = Multimodal.pngStats(sampled).collect().sortBy(_.media_id)
+    val expected = docs.select("doc_id", "n_chars").collect().flatMap { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val w = (nc % 11 + 4).toInt
+      val h = (id % 7 + 4).toInt
+      val nf = (id % 3 + 2).toInt
+      (0 until nf).filter(_ % 2 == 0).map { f =>
+        val vs = for { y <- 0 until h; x <- 0 until w }
+          yield java.lang.Math.floorMod(id * 31 + 7L * x + 13L * y + 97L * f, 256L)
+        (id * 100 + f, w, h, vs.sum, vs.min.toInt, vs.max.toInt)
+      }
+    }.sortBy(_._1)
+    assert(stats.map(s => (s.media_id, s.img_w, s.img_h, s.px_sum,
+      s.px_min, s.px_max)).toSeq == expected.toSeq)
+  }
+
+  test("multimodal: resize resamples real pixels (nearest-neighbor) and re-encodes losslessly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(9)
+    val resized = Multimodal.resize(Multimodal.pngFromDocuments(docs), 8, 6)
+    // the payload really was re-encoded: new dims decode out of the PNG
+    val stats = Multimodal.pngStats(resized).collect().sortBy(_.media_id)
+    assert(stats.forall(s => s.img_w == 8 && s.img_h == 6))
+    val expected = docs.select("doc_id", "n_chars").collect().map { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val w0 = (nc % 13 + 4).toInt
+      val h0 = (id % 9 + 4).toInt
+      val vs = for { y <- 0 until 6; x <- 0 until 8 }
+        yield java.lang.Math.floorMod(
+          id * 31 + 7L * (x * w0 / 8) + 13L * (y * h0 / 6), 256L)
+      (id, vs.sum, vs.min.toInt, vs.max.toInt)
+    }.sortBy(_._1)
+    assert(stats.map(s => (s.media_id, s.px_sum, s.px_min, s.px_max)).toSeq
+      == expected.toSeq)
+  }
+
+  test("multimodal: gifFrameStats fails loudly on an undecodable payload") {
+    import spark.implicits._
+    val bad = spark.createDataset(Seq(Multimodal.MediaRecord(1L, "video",
+      Array[Byte](1, 2, 3, 4), Multimodal.MediaMeta(0, 0, 0, 0L, "gif"))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.gifFrameStats(bad).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("multimodal: PNG encode→decode roundtrip is lossless and matches the pixel formula") {
