@@ -64,7 +64,22 @@ object GraftFunctions {
     "k_min_distinct" -> (es =>
       KMinDistinctLongs(es.head, intLit(es, "k_min_distinct(col, k)"))),
     "misra_gries" -> (es =>
-      MisraGriesStrings(es.head, intLit(es, "misra_gries(col, m)"))))
+      MisraGriesStrings(es.head, intLit(es, "misra_gries(col, m)"))),
+    "count_min_longs" -> { es =>
+      val sig = "count_min_longs(col, depth, width, seed)"
+      arity(es, 4, sig)
+      def lit(i: Int): Int = {
+        if (!es(i).foldable) throw new IllegalArgumentException(
+          s"$sig: argument ${i + 1} must be an integer literal, got ${es(i).sql}")
+        es(i).eval(null) match {
+          case v: Int => v
+          case v: Long => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"$sig: argument ${i + 1} must be an integer literal, got $other")
+        }
+      }
+      CountMinLongs(es.head, lit(1), lit(2), lit(3))
+    })
 
   /** Runtime registration on an already-built session (temp functions +
     * the binned-range-join optimizer rule via extraOptimizations). */

@@ -324,6 +324,9 @@ object HashFunctions {
     column(KMinDistinctLongs(expression(c), k).toAggregateExpression())
   def misra_gries(c: Column, m: Int): Column =
     column(MisraGriesStrings(expression(c), m).toAggregateExpression())
+  def count_min_longs(c: Column, depth: Int, width: Int, seed: Int): Column =
+    column(CountMinLongs(expression(c), depth, width, seed)
+      .toAggregateExpression())
   def char_entropy_stats(c: Column): Column =
     column(CharEntropyStats(expression(c)))
 }

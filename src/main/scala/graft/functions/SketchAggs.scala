@@ -227,3 +227,117 @@ case class MisraGriesStrings(child: Expression, m: Int,
       newChildren: IndexedSeq[Expression]): MisraGriesStrings =
     copy(child = newChildren.head)
 }
+
+/** Count-min sketch over a long column (Cormode & Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications" — public algorithm). depth×width counters; row d
+  * hashes v to ((a_d·(v mod P) + b_d) mod P) mod width with
+  * P = 2³¹ − 1 (the classic Carter–Wegman pairwise-independent family,
+  * parameters derived deterministically from the seed by
+  * [[CountMinLongs.hashParams]]).
+  *
+  * Why repo-native instead of Spark's `count_min_sketch`: Spark returns
+  * an opaque binary with NO point-query expression, forcing the probe
+  * through a per-row Scala closure over a broadcast sketch (the old q68
+  * shape — the last closure UDF in this tree). This aggregate returns
+  * the counter matrix as a flat `array<bigint>` (depth-major), so the
+  * point estimate is plain SQL — `least(element_at(...))` over the same
+  * hash arithmetic, codegen'd end to end — and a DuckDB oracle can
+  * replay the ENTIRE sketch cell by cell (each cell is a pure function
+  * of the input multiset: count of rows hashing there).
+  *
+  * Scale shape: partials are depth·width longs regardless of input size
+  * or skew; merge is elementwise addition (associative + commutative),
+  * so map-side combine ships one small matrix per partition — never the
+  * row stream. Estimates NEVER under-count (every occurrence increments
+  * every row's cell) and over-count by ≤ e·N/width with prob 1 − e^−depth.
+  */
+case class CountMinLongs(child: Expression, depth: Int, width: Int, seed: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(depth > 0 && depth <= 16, s"depth must be in [1, 16], got $depth")
+  require(width > 0 && width <= (1 << 20),
+    s"width must be in [1, 2^20], got $width")
+
+  private val params = CountMinLongs.hashParams(seed, depth)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var d = 0
+      while (d < depth) {
+        val (a, b) = params(d)
+        buf(d * width + CountMinLongs.bucket(x, a, b, width)) += 1
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinLongs =
+    copy(child = newChildren.head)
+}
+
+object CountMinLongs {
+  /** 2³¹ − 1, Mersenne prime: a_d·(v mod P) + b_d stays < 2⁶² — no int64
+    * overflow on either engine, so the SQL replay is exact. */
+  val P: Long = 2147483647L
+
+  /** Deterministic per-row hash parameters (a_d ∈ [1, P−1], b_d ∈ [0, P−1])
+    * from a splitmix64-style scramble of (seed, d). Public so probes and
+    * oracles can inline the SAME literals the aggregate hashes with. */
+  def hashParams(seed: Int, depth: Int): IndexedSeq[(Long, Long)] =
+    (0 until depth).map { d =>
+      val a = java.lang.Math.floorMod(scramble(seed.toLong * 31 + d), P - 1) + 1
+      val b = java.lang.Math.floorMod(scramble(seed.toLong * 131 + d + 1000), P)
+      (a, b)
+    }
+
+  private def scramble(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The row-d bucket of value v — the exact arithmetic the SQL replay
+    * mirrors: ((a·(v mod P) + b) mod P) mod width, all floor-mod. */
+  def bucket(v: Long, a: Long, b: Long, width: Int): Int =
+    (java.lang.Math.floorMod(
+      a * java.lang.Math.floorMod(v, P) + b, P) % width).toInt
+}

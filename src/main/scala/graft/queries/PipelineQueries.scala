@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.ops.{Merge, Salting}
 import graft.tables.Tables
@@ -97,33 +96,42 @@ object PipelineQueries extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
-  /** q68: count-min sketch point estimates vs exact per-key counts. CMS
-    * never under-counts and over-counts by at most eps·N with the chosen
-    * confidence; with a fixed seed the check is deterministic, so the
-    * oracle asserts the bound as TRUE. The sketch aggregation is fully
-    * distributed + mergeable (the 100 TB partial-agg pattern); only the
-    * per-distinct-key bound check is key-cardinality-sized.
+  /** q68: count-min sketch point estimates vs exact per-key counts,
+    * through the REPO-NATIVE [[graft.functions.CountMinLongs]]
+    * aggregate. The sketch is the counter matrix as a flat
+    * `array<bigint>`, so the point estimate is plain SQL —
+    * `least(element_at(...))` over the Carter–Wegman hash arithmetic,
+    * codegen'd end to end with NO Scala closure on the probe path (the
+    * old shape — a UDF over a broadcast `CountMinSketch` binary — was
+    * the last closure UDF in this tree; Spark ships no point-query
+    * expression for its CMS format). The DuckDB oracle replays the
+    * ENTIRE sketch cell by cell (each cell is the count of rows hashing
+    * there) and the estimates hash-match EXACTLY — strictly stronger
+    * than the old bound-boolean check. cms_never_under is the CMS
+    * theorem (estimates never under-count), TRUE by construction.
     *
-    * (UDF exception: Spark exposes no point-query expression for its CMS
-    * binary, so the lookup closes over the broadcast sketch.) */
+    * Scale shape: the sketch build is one map-side-combined aggregation
+    * (depth·width longs per partial); the probe broadcasts the 64 KB
+    * matrix to the per-key count scan. */
   private def countMinCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinLongs
+    import graft.functions.HashFunctions.count_min_longs
     val ev = Tables.events(spark, dir)
-    val eps = 0.001
-    // Sketch bytes + total row count in ONE aggregation job (one scan).
-    val row = ev
-      .select(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)).as("s"),
-        count(lit(1)).as("n"))
-      .head()
-    val cms = CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("s")))
-    val slack = math.ceil(eps * row.getAs[Long]("n")).toLong
-    val bc = spark.sparkContext.broadcast(cms)
-    val est = udf((k: Long) => bc.value.estimateCount(k))
+    val (depth, width, seed) = (4, 2048, 42)
+    val sketch = ev.agg(count_min_longs(col("user_id"), depth, width, seed).as("s"))
+    val p = lit(CountMinLongs.P)
+    val ests = CountMinLongs.hashParams(seed, depth).zipWithIndex.map {
+      case ((a, b), d) =>
+        element_at(col("s"),
+          (lit(d.toLong * width) +
+            pmod(pmod(col("user_id"), p) * lit(a) + lit(b), p) % lit(width.toLong)
+            + lit(1L)).cast("int"))
+    }
     ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-      .withColumn("cms_est", est(col("user_id")))
-      .select(col("user_id"), col("exact_n"),
-        (col("cms_est") >= col("exact_n") &&
-          col("cms_est") <= col("exact_n") + lit(slack)).as("cms_ok"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est", least(ests: _*))
+      .select(col("user_id"), col("exact_n"), col("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("cms_never_under"))
       .orderBy("user_id")
   }
 
@@ -781,9 +789,34 @@ object PipelineQueries extends QueryPack {
         |       round(sum(CAST(round(value*100) AS BIGINT))/CAST(100 AS DOUBLE), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q68_countmin_check" ->
-      """SELECT user_id, count(*) AS exact_n, TRUE AS cms_ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full sketch replay: each CMS cell is the count of rows hashing
+    // there, so the counter matrix — and therefore every point
+    // estimate — is exactly reproducible from the hash literals
+    // (inlined from CountMinLongs.hashParams: same seed, same
+    // Carter–Wegman arithmetic, all int64-safe since P = 2^31 − 1).
+    "q68_countmin_check" -> {
+      val (depth, width, seed) = (4, 2048, 42)
+      val bigP = graft.functions.CountMinLongs.P
+      val paramRows = graft.functions.CountMinLongs.hashParams(seed, depth)
+        .zipWithIndex.map { case ((a, b), d) => s"($d, $a, $b)" }
+        .mkString(", ")
+      s"""WITH params(d, a, b) AS (VALUES $paramRows),
+         |cells AS (
+         |  SELECT p.d,
+         |         ((p.a * (e.user_id % $bigP) + p.b) % $bigP) % $width AS cell,
+         |         count(*) AS c
+         |  FROM events e CROSS JOIN params p GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+         |est AS (
+         |  SELECT x.user_id, x.exact_n, CAST(min(c.c) AS BIGINT) AS cms_est
+         |  FROM exact x CROSS JOIN params p
+         |  JOIN cells c
+         |    ON c.d = p.d
+         |   AND c.cell = ((p.a * (x.user_id % $bigP) + p.b) % $bigP) % $width
+         |  GROUP BY 1, 2)
+         |SELECT user_id, exact_n, cms_est, cms_est >= exact_n AS cms_never_under
+         |FROM est ORDER BY user_id""".stripMargin
+    },
     "q69_hll_merge" ->
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       count(DISTINCT user_id) AS exact_users,

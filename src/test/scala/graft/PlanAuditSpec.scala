@@ -403,6 +403,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"KMV lost its partial pass; partials=$kmvPartials")
   }
 
+  test("q68 CMS probe: no Scala closure UDF anywhere; sketch aggregates map-side") {
+    val df = SparkEntry.queries("q68_countmin_check")(spark, dir)
+    // the point estimate is least(element_at(...)) over native hash
+    // arithmetic — a ScalaUDF here would mean the probe regressed to
+    // the closure-over-broadcast-sketch shape this query retired
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val udfs = finalPlanNodes(df).flatMap(_.expressions)
+      .flatMap(_.collect { case u: ScalaUDF => u })
+    assert(udfs.isEmpty, s"closure UDF leaked into the CMS probe: $udfs")
+    val partials = partialAggFunctions(df)
+    assert(partials.contains("CountMinLongs"),
+      s"CMS lost its partial (map-side) pass; partials=$partials")
+  }
+
   test("q220 BPE encode: vocab table broadcast to the word stream (no sort-merge)") {
     val df = SparkEntry.queries("q220_bpe_encode")(spark, dir)
     df.collect()

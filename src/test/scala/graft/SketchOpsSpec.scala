@@ -41,6 +41,52 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(got == Seq(3L, 5L, 9L))
   }
 
+  // ---------------------------------------------------- CountMinLongs
+  test("count-min sketch is partitioning-invariant and replays the cell formula") {
+    import graft.functions.CountMinLongs
+    import graft.functions.HashFunctions.count_min_longs
+    val (depth, width, seed) = (3, 64, 7)
+    val vals = (1 to 3000).map(i => (i.toLong * 2654435761L) % 97) // heavy dups
+    def sketch(parts: Int): Seq[Long] =
+      vals.toDF("v").repartition(parts)
+        .agg(count_min_longs(col("v"), depth, width, seed).as("s"))
+        .as[Seq[Long]].head()
+    val s1 = sketch(1)
+    // merge is elementwise addition — the sketch is EXACTLY invariant
+    // under partitioning, not just guarantee-invariant like MG
+    assert(s1 == sketch(4) && s1 == sketch(17))
+    // every cell equals the count of values hashing there (the oracle's
+    // replay contract), and every point estimate >= the true frequency
+    val params = CountMinLongs.hashParams(seed, depth)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantCells = Array.fill(depth * width)(0L)
+    vals.foreach { v =>
+      params.zipWithIndex.foreach { case ((a, b), d) =>
+        wantCells(d * width + CountMinLongs.bucket(v, a, b, width)) += 1
+      }
+    }
+    assert(s1 == wantCells.toSeq)
+    exact.foreach { case (v, n) =>
+      val est = params.zipWithIndex.map { case ((a, b), d) =>
+        s1(d * width + CountMinLongs.bucket(v, a, b, width))
+      }.min
+      assert(est >= n, s"CMS under-counted $v: est=$est exact=$n")
+    }
+  }
+
+  test("count-min sketch is SQL-registered (count_min_longs via GraftExtensions)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT count_min_longs(v, 2, 8, 1) AS s FROM VALUES (1L), (1L), (9L) t(v)")
+      .as[Seq[Long]].head()
+    import graft.functions.CountMinLongs
+    assert(got.length == 16 && got.sum == 6) // 3 rows × 2 depth increments
+    val params = CountMinLongs.hashParams(1, 2)
+    val est1 = params.zipWithIndex.map { case ((a, b), d) =>
+      got(d * 8 + CountMinLongs.bucket(1L, a, b, 8)) }.min
+    assert(est1 >= 2)
+  }
+
   // ------------------------------------------------- MisraGriesStrings
   test("Misra–Gries is exact when distinct keys fit the summary") {
     val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++ Seq.fill(9)("gamma")
