@@ -189,6 +189,56 @@ object StreamingQueries extends QueryPack {
       .orderBy("event_type", "hour_start")
   }
 
+  /** q231: the OTHER Spark-4 multiple-stateful-operators pairing (q215
+    * chains agg→agg): two time-window AGGREGATES joined STREAM-STREAM
+    * on window equality in ONE query — click and purchase flows each
+    * pre-aggregate into 30-minute tumbling windows under their own
+    * 30-second watermark, then the finalized windows inner-join on the
+    * window struct. Three stateful operators total (two windowed
+    * aggregates + a symmetric hash join), all evicting off the global
+    * watermark (min across inputs). The join's state is WINDOW-sized
+    * (one row per closed window per side), never event-sized — the
+    * production funnel-correlation shape at 100 TB.
+    *
+    * Append emits a window only after BOTH aggregates finalize it and
+    * the join matches; the closed-region gate (win_end ≤ min of the two
+    * sides' max ts − 31 s, in-plan broadcast of the 1-row stat frame —
+    * the q104 discipline) is applied identically to the streamed result
+    * and the batch oracle. Exposed `private[graft]` so StreamingSpec
+    * can assert all three stateful operators and both watermarks from
+    * one analyzed plan. */
+  private[graft] def windowJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
+      .withColumn("vc", round(col("value") * 100).cast("long"))
+    def side(t: String, pfx: String) = src.where(col("event_type") === t)
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as(s"${pfx}_n"), sum("vc").as(s"${pfx}_cents"))
+    side("click", "click").join(side("purchase", "purchase"), "window")
+      .select(unix_micros(col("window.end")).as("end_us"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("click_n"), col("click_cents"),
+        col("purchase_n"), col("purchase_cents"))
+  }
+
+  private def windowedAggJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = runToMemorySink(windowJoinStream(spark, dir), "wjoin",
+      mode = "append")
+    val wm = Tables.events(spark, dir).groupBy()
+      .agg(least(
+        max(when(col("event_type") === "click", unix_micros(col("ts")))),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+        .as("__max_us"))
+    sunk.crossJoin(broadcast(wm))
+      .where(col("end_us") <= col("__max_us") - lit(31L * 1000000L))
+      .select("win_start", "click_n", "click_cents",
+        "purchase_n", "purchase_cents")
+      .orderBy("win_start")
+  }
+
   /** q107: SLIDING event-time windows (the T6 leg tumbling q44 and
     * session q51/q76/q91 don't cover): width 2 h, slide 1 h — every
     * event lands in exactly two overlapping windows. The oracle derives
@@ -486,7 +536,8 @@ object StreamingQueries extends QueryPack {
     "q229_streaming_heavy_hitters" -> streamingHeavyHitters,
     "q103_streaming_cdc_apply" -> streamingCdcApply,
     "q107_streaming_sliding_windows" -> streamingSlidingWindows,
-    "q215_chained_window_rollup" -> chainedWindowRollup
+    "q215_chained_window_rollup" -> chainedWindowRollup,
+    "q231_windowed_agg_join" -> windowedAggJoin
   )
 
   override def oracles: Map[String, String] = Map(
@@ -499,6 +550,35 @@ object StreamingQueries extends QueryPack {
         |         '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // windowed-agg ⋈ windowed-agg replayed as two batch group-bys
+    // joined on the 30-min window floor (exact integer µs flooring, the
+    // q215 grid discipline); the closed-region gate mirrors the Spark
+    // side's post-sink filter on min(max click ts, max purchase ts)
+    "q231_windowed_agg_join" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |c AS (
+        |  SELECT us // 1800000000 * 1800000000 AS w,
+        |         count(*) AS click_n, CAST(sum(vc) AS BIGINT) AS click_cents
+        |  FROM e WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT us // 1800000000 * 1800000000 AS w,
+        |         count(*) AS purchase_n,
+        |         CAST(sum(vc) AS BIGINT) AS purchase_cents
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |wm AS (
+        |  SELECT least(
+        |           max(CASE WHEN event_type = 'click' THEN us END),
+        |           max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx
+        |  FROM e)
+        |SELECT strftime(make_timestamp(w), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       click_n, click_cents, purchase_n, purchase_cents
+        |FROM c JOIN p USING (w), wm
+        |WHERE w + 1800000000 <= mx - 31000000
+        |ORDER BY win_start""".stripMargin,
     // 15-min buckets then 1-h rollup on exact integer µs flooring
     // (make_timestamp(epoch_us // grid * grid) — NOT epoch(ts)::BIGINT,
     // which ROUNDS in DuckDB while Spark floors); closed-region gate

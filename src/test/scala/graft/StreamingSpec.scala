@@ -314,6 +314,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk.count() > 0, "chained rollup emitted nothing")
   }
 
+  test("q231's agg⋈agg chain: two windowed aggregates AND a stream-stream join in one plan") {
+    val df = graft.queries.StreamingQueries
+      .windowJoinStream(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.analyzed.toString
+    // each side carries its own event-time watermark feeding the global
+    // (min) watermark that evicts all three operators' state
+    assert("EventTimeWatermark".r.findAllIn(plan).size >= 2,
+      s"expected a watermark per input stream:\n$plan")
+    assert("Aggregate \\[".r.findAllIn(plan).size >= 2,
+      s"expected 2 windowed aggregates:\n$plan")
+    assert(plan.contains("Join Inner"),
+      s"expected the stream-stream window join:\n$plan")
+    // end-to-end: the three-stateful-operator chain actually executes in
+    // append mode and emits joined closed windows
+    val sunk = graft.queries.StreamingQueries.queries(
+      "q231_windowed_agg_join")(spark, "/root/testdata/sf0.001")
+    val rows = sunk.collect()
+    assert(rows.nonEmpty, "agg⋈agg chain emitted nothing")
+    // a joined row aggregates BOTH sides: all four measures populated
+    assert(rows.forall(r => !r.anyNull), "null measures leaked through the inner join")
+  }
+
   test("q91's append sessions plan carries an event-time watermark (bounded state)") {
     val plan = graft.queries.StreamingQueries
       .sessionsAppendStream(spark, "/root/testdata/sf0.001")
