@@ -95,4 +95,85 @@ object Layout {
     withBounds.withColumn(zCol, zValue(scaled, bits))
       .drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
   }
+
+  // -------------------------------------------------------------------
+  // Parquet-native data skipping beyond row-group min/max: split bloom
+  // filters (write-time opt-in) and page-level column indexes (written
+  // by default since parquet-mr 1.11). Both live in the FOOTER/sidecar
+  // metadata, so proving their presence — and probing the bloom — are
+  // metadata-only reads (the Tables.tsUnit playbook): no row data moves.
+  // -------------------------------------------------------------------
+
+  private def parquetFiles(spark: org.apache.spark.sql.SparkSession,
+                           dirPath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = hp.getFileSystem(conf)
+    fs.listStatus(hp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+  }
+
+  /** Footer-level skipping structures for `column` across every parquet
+    * file under `dirPath`: (bloom filter present in EVERY row group,
+    * column index present in EVERY row group, total row count). The
+    * booleans are per-structure readbacks (`readBloomFilter` /
+    * `readColumnIndex`), not just offset checks — a truncated or
+    * unparseable structure reads as absent. */
+  def skippingStructures(spark: org.apache.spark.sql.SparkSession,
+                         dirPath: String, column: String): (Boolean, Boolean, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    var allBloom = true
+    var allColIdx = true
+    var rows = 0L
+    parquetFiles(spark, dirPath).foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          rows += block.getRowCount
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"column $column not found in $f"))
+          if (reader.readBloomFilter(cc) == null) allBloom = false
+          if (reader.readColumnIndex(cc) == null) allColIdx = false
+        }
+      } finally reader.close()
+    }
+    (allBloom, allColIdx, rows)
+  }
+
+  /** Union bloom-filter probe: would ANY file's bloom admit `value`?
+    * Mirrors what a scan consults per row group — FALSE means every row
+    * group is provably skippable for `column = value` without touching
+    * row data (no false negatives by the bloom contract). */
+  def bloomMightContain(spark: org.apache.spark.sql.SparkSession,
+                        dirPath: String, column: String, value: Long): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    parquetFiles(spark, dirPath).exists { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .exists { cc =>
+              val bf = reader.readBloomFilter(cc)
+              bf != null && bf.findHash(bf.hash(value))
+            }
+        }
+      } finally reader.close()
+    }
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      l.forEach(a => b += a)
+      b.result()
+    }
+  }
 }

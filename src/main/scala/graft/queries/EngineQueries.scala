@@ -483,10 +483,93 @@ object EngineQueries extends QueryPack {
     "q220_bpe_encode" -> bpeEncode,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
-    "q210_cached_rollup" -> cachedRollup
+    "q210_cached_rollup" -> cachedRollup,
+    "q232_parquet_skipping" -> parquetSkipping
   )
 
+  /** q232's staged table, written ONCE per session per sf dir (the q209
+    * staging-cache discipline): events re-laid-out as 8 user_id range
+    * files, sorted within, with SPLIT BLOOM FILTERS opted in on user_id
+    * (`parquet.bloom.filter.enabled#user_id`) — column indexes are
+    * written by default since parquet-mr 1.11. */
+  private val skipFixtureByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q232: PARQUET-NATIVE DATA SKIPPING driver-visible — the format
+    * layer's pruning story beyond q118's z-order/min-max: the staged
+    * table carries split bloom filters + page column indexes, and the
+    * query PROVES them from the artifact itself:
+    *   - `bloom_present` / `column_index_present`: every row group's
+    *     structure read back via `readBloomFilter`/`readColumnIndex`
+    *     (metadata-only, the Tables.tsUnit footer playbook);
+    *   - `scan_pruned`: the point-predicate scan's executed
+    *     numOutputRows < the footer row-count total — row groups whose
+    *     [min,max] exclude the probe never decode (8 range files → ~1/8
+    *     of the table decodes at any SF);
+    *   - `n_rows`/`sum_cents`: the probe key's exact aggregate through
+    *     the pruned scan, hash-checked against the raw events table —
+    *     pruning must not change answers.
+    * The bloom's own skip behavior (absent-key might-contain = false)
+    * is pinned by ParquetLayoutSpec — it needs an absent key, which the
+    * dense fixture domain only offers outside the value range, where
+    * min/max already prunes; the structure + the spec probe cover it. */
+  private def parquetSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val probeKey = 7L
+    val staged = skipFixtureByDir.computeIfAbsent(dir, _ => {
+      val d = MlQueries.tempDirDeletedOnExit("graft_skip_")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "200000")
+        // parquet-mr omits the bloom for a fully dictionary-encoded
+        // chunk (the dictionary already answers membership exactly);
+        // plain-encode the key column so the bloom actually writes —
+        // at real NDV (200k+ keys) dictionaries fall back anyway
+        .option("parquet.enable.dictionary#user_id", "false")
+        .mode("overwrite").parquet(d)
+      d
+    })
+    val (bloomPresent, colIdxPresent, totalRows) =
+      Layout.skippingStructures(spark, staged, "user_id")
+    val agg = spark.read.parquet(staged)
+      .where(col("user_id") === probeKey)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    val head = agg.head()
+    val scanned = collectScans(agg.queryExecution.executedPlan)
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    import spark.implicits._
+    Seq((probeKey, head.getLong(0), head.getLong(1),
+        bloomPresent, colIdxPresent, scanned < totalRows))
+      .toDF("probe_user_id", "n_rows", "sum_cents",
+        "bloom_present", "column_index_present", "scan_pruned")
+  }
+
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(collectScans)
+    }
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q232_parquet_skipping" ->
+      """SELECT CAST(7 AS BIGINT) AS probe_user_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS bloom_present, TRUE AS column_index_present,
+        |       TRUE AS scan_pruned
+        |FROM events WHERE user_id = 7""".stripMargin,
     "q199_xml_ingest" ->
       """SELECT o_orderstatus AS status, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

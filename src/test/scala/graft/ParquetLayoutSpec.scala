@@ -23,6 +23,40 @@ class ParquetLayoutSpec extends AnyFunSuite {
     scans.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
   }
 
+  test("bloom filters + column indexes write into the footer and the bloom answers membership") {
+    import graft.ops.Layout
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val total = ev.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    ev.repartitionByRange(4, col("user_id")).sortWithinPartitions("user_id")
+      .write
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#user_id", "200000")
+      .option("parquet.enable.dictionary#user_id", "false")
+      .mode("overwrite").parquet(tmp)
+    // every row group carries BOTH structures, read back (not just
+    // offset-checked) through the parquet metadata API
+    val (bloom, colIdx, rows) = Layout.skippingStructures(spark, tmp, "user_id")
+    assert(bloom, "a row group is missing its bloom filter")
+    assert(colIdx, "a row group is missing its column index")
+    assert(rows == total, s"footer row count $rows != $total")
+    // the bloom's contract: no false negatives for a present key; a key
+    // far outside the domain answers definitely-absent (skippable
+    // without touching row data)
+    val present = Tables.events(spark, dir)
+      .agg(min("user_id")).head().getLong(0)
+    assert(Layout.bloomMightContain(spark, tmp, "user_id", present),
+      "bloom false-negative on a present key")
+    assert(!Layout.bloomMightContain(spark, tmp, "user_id", 987654321098L),
+      "bloom did not exclude an absent key")
+    // and the point-predicate scan through this layout decodes a
+    // fraction of the table (min/max range files + page indexes)
+    val scanRows = scanOutputRows(
+      spark.read.parquet(tmp).where(col("user_id") === present))
+    assert(scanRows < total / 2,
+      s"skipping ineffective: scan emitted $scanRows of $total")
+  }
+
   test("key-sorted layout prunes row groups; scattered layout reads everything") {
     val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
     val total = ev.count()
