@@ -492,7 +492,39 @@ object DedupQueries extends QueryPack {
       .orderBy("a", "b")
   }
 
+  /** q233: STRONGLY CONNECTED COMPONENTS over a directed graph — the
+    * directed-topology signal the 7-member undirected family lacks
+    * ([[graft.ops.Scc]]: bounded FW-BW coloring rounds, 3 phases of
+    * peel-and-recolor). The graph is a deterministic directed overlay
+    * on the events user domain (nodes 0..maxU contiguous by fixture
+    * construction): 4-cycles per block (u→u+1 inside, last→first), a
+    * DAG chain of block heads (4b→4(b−1)), and an acyclic tail where
+    * the last block is incomplete — so the SCC structure is
+    * fully-known: every complete block is a 4-member SCC, residue
+    * nodes are singletons peeled one per phase. rounds = 4 ≥ the
+    * in-block propagation distance (3), so the bounded run is EXACT,
+    * and the oracle unrolls every round of all 3 phases in SQL (the
+    * q212/q224 discipline). Output is the per-SCC rollup (members,
+    * node checksum, assigning phase). */
+  private def sccComponents(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir).select(col("user_id").as("v")).distinct()
+    val maxU = u.agg(max("v")).head().getLong(0)
+    val edges = u.where(pmod(col("v"), lit(4)) < 3 && col("v") + 1 <= maxU)
+      .select(col("v").as("a"), (col("v") + 1).as("b"))
+      .union(u.where(pmod(col("v"), lit(4)) === 3)
+        .select(col("v").as("a"), (col("v") - 3).as("b")))
+      .union(u.where(pmod(col("v"), lit(4)) === 0 && col("v") >= 4)
+        .select(col("v").as("a"), (col("v") - 4).as("b")))
+    graft.ops.Scc.components(edges, "a", "b", rounds = 4, phases = 3)
+      .groupBy("scc_id")
+      .agg(count(lit(1)).as("n_members"), sum("node").as("node_sum"),
+        max("phase").as("phase"),
+        (count(lit(1)) > 1).as("multi_node"))
+      .orderBy("scc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_scc_components" -> sccComponents,
     "q218_kcore_survivors" -> kcoreSurvivors,
     "q224_ktruss_edges" -> ktrussEdges,
     "q219_containment_pairs" -> containmentPairsQ,
@@ -518,6 +550,7 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q233_scc_components" -> sccOracle,
     // both truss rounds unrolled: support(a,b) = |N(a) ∩ N(b)| via the
     // canonical common-neighbor join over the previous round's edges,
     // keep support >= 2; output carries the qualifying round's support
@@ -1169,5 +1202,65 @@ object DedupQueries extends QueryPack {
        |         AS n_suppliers,
        |       CAST(sum(node) AS BIGINT) AS node_sum
        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q233 oracle: all 3 FW-BW phases unrolled relationally — per phase,
+    * 4 forward min-color rounds (left-join the per-dst min of ancestor
+    * colors), a pivot seed (r = node = color), 4 backward same-color
+    * reach rounds, then the peel (NOT IN is null-safe here: node ids
+    * are never null). Identical graph construction, identical round
+    * structure, identical tie-free integer arithmetic as the Spark
+    * side. */
+  private def sccOracle: String = {
+    val rounds = 4
+    def phaseSql(p: Int): String = {
+      val fwd = (1 to rounds).map { i =>
+        s"""m${p}_$i AS MATERIALIZED (
+           |  SELECT e.b AS node, min(u.c) AS mc
+           |  FROM e$p e JOIN c${p}_${i - 1} u ON u.node = e.a GROUP BY 1),
+           |c${p}_$i AS MATERIALIZED (
+           |  SELECT n.node, least(n.c, coalesce(m.mc, n.c)) AS c
+           |  FROM c${p}_${i - 1} n LEFT JOIN m${p}_$i m ON m.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (1 to rounds).map { i =>
+        s"""h${p}_$i AS MATERIALIZED (
+           |  SELECT DISTINCT e.a AS node, w.c
+           |  FROM e$p e JOIN r${p}_${i - 1} w ON w.node = e.b AND w.r),
+           |r${p}_$i AS MATERIALIZED (
+           |  SELECT n.node, n.c, n.r OR h.node IS NOT NULL AS r
+           |  FROM r${p}_${i - 1} n
+           |  LEFT JOIN h${p}_$i h ON h.node = n.node AND h.c = n.c)""".stripMargin
+      }.mkString(",\n")
+      s"""c${p}_0 AS (SELECT node, node AS c FROM n$p),
+         |$fwd,
+         |r${p}_0 AS (SELECT node, c, node = c AS r FROM c${p}_$rounds),
+         |$bwd,
+         |a$p AS MATERIALIZED (SELECT node, c AS scc_id, $p AS phase
+         |        FROM r${p}_$rounds WHERE r),
+         |n${p + 1} AS MATERIALIZED (SELECT node FROM n$p
+         |              WHERE node NOT IN (SELECT node FROM a$p)),
+         |e${p + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e1 e
+         |  JOIN n${p + 1} x ON x.node = e.a
+         |  JOIN n${p + 1} y ON y.node = e.b)""".stripMargin
+    }
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events),
+       |mx AS MATERIALIZED (SELECT max(v) AS m FROM u),
+       |e1 AS MATERIALIZED (
+       |  SELECT v AS a, v + 1 AS b FROM u, mx WHERE v % 4 < 3 AND v + 1 <= m
+       |  UNION ALL SELECT v, v - 3 FROM u WHERE v % 4 = 3
+       |  UNION ALL SELECT v, v - 4 FROM u WHERE v % 4 = 0 AND v >= 4),
+       |n1 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e1
+       |       UNION SELECT DISTINCT b FROM e1),
+       |${phaseSql(1)},
+       |${phaseSql(2)},
+       |${phaseSql(3)},
+       |asg AS MATERIALIZED (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+       |        UNION ALL SELECT * FROM a3)
+       |SELECT scc_id, count(*) AS n_members,
+       |       CAST(sum(node) AS BIGINT) AS node_sum,
+       |       CAST(max(phase) AS INTEGER) AS phase,
+       |       count(*) > 1 AS multi_node
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

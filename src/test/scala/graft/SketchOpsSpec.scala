@@ -124,6 +124,36 @@ class SketchOpsSpec extends AnyFunSuite {
   }
 
   // ----------------------------------------------------------- k-core
+  test("SCC: cycle, 2-cycle, tail and detached nodes resolve to known components") {
+    // 3-cycle {10,11,12} with an acyclic tail 12→20→21, a detached
+    // pair 30→31, and a 2-cycle {40,41}
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 20L),
+      (20L, 21L), (30L, 31L), (40L, 41L), (41L, 40L)).toDF("a", "b")
+    val got = graft.ops.Scc.components(edges, "a", "b", rounds = 4, phases = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // multi-node SCCs labeled by their min member, found in phase 1
+    assert(got(10L) == (10L, 1) && got(11L) == (10L, 1) && got(12L) == (10L, 1))
+    assert(got(40L) == (40L, 1) && got(41L) == (40L, 1))
+    // tail/detached singletons: each phase peels the pivot its color
+    // class exposes (20 shadowed by the cycle's 10 in phase 1; 21
+    // shadowed by 20 in phase 2)
+    assert(got(30L) == (30L, 1) && got(31L) == (31L, 2))
+    assert(got(20L) == (20L, 2) && got(21L) == (21L, 3))
+    assert(got.size == 9)
+  }
+
+  test("SCC: two directed cycle orientations stay separate components") {
+    // a→b edges only: 1→2→3→1 and 5→6→7 (no back edge) — the path is
+    // NOT strongly connected even though weakly connected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L))
+      .toDF("a", "b")
+    val comp = graft.ops.Scc.components(edges, "a", "b", rounds = 4, phases = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(Set(comp(5L), comp(6L), comp(7L)) == Set(5L, 6L, 7L),
+      "an acyclic chain must stay three singleton SCCs")
+  }
+
   test("k-core peel keeps the clique and drops the tendril") {
     // 4-clique {1,2,3,4} with a pendant chain 4–5–6
     val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
