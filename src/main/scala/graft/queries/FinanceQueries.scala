@@ -197,6 +197,63 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q234: tabular CUSUM changepoint detection (Page 1954, "Continuous
+    * inspection schemes" — public algorithm), INTEGER-EXACT — the
+    * regime-change signal the quant-curation pack (q131 spike anomaly,
+    * q227 seasonal, q228 lead-lag) lacked: a spike detector flags
+    * single outliers, CUSUM accumulates small persistent drifts.
+    *
+    * Two-sided scheme over integer cents, everything scaled by the
+    * per-key count n so no division ever happens (the q227
+    * common-denominator discipline): with reference μ = Sx/n, allowance
+    * k = 25¢ and threshold h = 400¢,
+    *   d⁺_i = n·x_i − Sx − n·k  (n·(x_i − μ − k), exact int64)
+    * and the recursion S⁺_i = max(0, S⁺_{i-1} + d⁺_i) is REPLAYED
+    * CLOSED-FORM as a running-min window over the prefix sum:
+    * S_i = P_i − min(0, min_{j≤i} P_j) — the textbook max-recursion ↔
+    * prefix-extrema identity, which is what makes a recursive filter
+    * oracle-expressible in one window pass (and shuffle-once at scale:
+    * both sides ride the SAME key-sorted window, no self-joins, no
+    * iteration). Output is the key-sized alarm summary. */
+  /** Per-row n-scaled two-sided CUSUM sums over (user_id, event_id,
+    * cents): adds n, su, sd (each = n·S_i of the textbook recursion).
+    * `private[graft]` so the spec can drive an injected-shift series
+    * through the SAME expressions the query runs. */
+  private[graft] def cusumSums(src: DataFrame, kAllow: Long): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val wRun = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    src
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum("cents").over(wAll))
+      .withColumn("pu", sum(col("n") * col("cents") - col("sx")
+        - col("n") * lit(kAllow)).over(wRun))
+      .withColumn("pd", sum(col("sx") - col("n") * col("cents")
+        - col("n") * lit(kAllow)).over(wRun))
+      .withColumn("su", col("pu") - least(lit(0L), min("pu").over(wRun)))
+      .withColumn("sd", col("pd") - least(lit(0L), min("pd").over(wRun)))
+  }
+
+  private def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val hThresh = 400L
+    cusumSums(Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        kAllow = 25L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ticks"),
+        max("su").as("max_su"), max("sd").as("max_sd"),
+        sum(when(col("su") > col("n") * lit(hThresh), 1L).otherwise(0L))
+          .as("n_up_alarms"),
+        sum(when(col("sd") > col("n") * lit(hThresh), 1L).otherwise(0L))
+          .as("n_dn_alarms"),
+        min(when(col("su") > col("n") * lit(hThresh), col("event_id")))
+          .as("first_up_event"),
+        min(when(col("sd") > col("n") * lit(hThresh), col("event_id")))
+          .as("first_dn_event"))
+      .orderBy("user_id")
+  }
+
   /** q140: calendar-grid gap fill — every symbol's hourly series
     * completed onto its own [min, max] hour grid, missing bars
     * forward-filled from the last observation, plus gaps-and-islands
@@ -319,10 +376,50 @@ object FinanceQueries extends QueryPack {
     "q125_purged_split" -> purgedSplit,
     "q126_rolling_beta" -> rollingBeta,
     "q131_anomaly_flags" -> anomalyFlags,
-    "q140_gap_ffill" -> gapFfill
+    "q140_gap_ffill" -> gapFfill,
+    "q234_cusum_changepoints" -> cusumChangepoints
   )
 
   override def oracles: Map[String, String] = Map(
+    // the CUSUM recursion replayed closed-form: S_i = P_i − min(0,
+    // running-min P) over the n-scaled integer deviations; window sums
+    // CAST to BIGINT immediately (DuckDB HUGEINT guard, the q97 lesson)
+    "q234_cusum_changepoints" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, event_id, cents,
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sx
+        |  FROM src),
+        |p AS (
+        |  SELECT user_id, event_id, n,
+        |         CAST(sum(n * cents - sx - n * 25) OVER w AS BIGINT) AS pu,
+        |         CAST(sum(sx - n * cents - n * 25) OVER w AS BIGINT) AS pd
+        |  FROM st
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |s AS (
+        |  SELECT user_id, event_id, n,
+        |         pu - least(0, CAST(min(pu) OVER w AS BIGINT)) AS su,
+        |         pd - least(0, CAST(min(pd) OVER w AS BIGINT)) AS sd
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, count(*) AS n_ticks,
+        |       CAST(max(su) AS BIGINT) AS max_su,
+        |       CAST(max(sd) AS BIGINT) AS max_sd,
+        |       CAST(sum(CASE WHEN su > n * 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_up_alarms,
+        |       CAST(sum(CASE WHEN sd > n * 400 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dn_alarms,
+        |       min(CASE WHEN su > n * 400 THEN event_id END)
+        |         AS first_up_event,
+        |       min(CASE WHEN sd > n * 400 THEN event_id END)
+        |         AS first_dn_event
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // all-integer decomposition (scaled by 7 and by the weekday count,
     // so no division — Spark DIV truncates, DuckDB // floors, and dev7
     // goes negative); Spark dayofweek (Sun=1) = DuckDB dayofweek + 1

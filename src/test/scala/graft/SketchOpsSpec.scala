@@ -293,6 +293,43 @@ class SketchOpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------ MAD outliers
+  test("CUSUM: closed-form window equals the textbook recursion; injected shift alarms, stable series doesn't") {
+    // 40 ticks at 1000¢, then a +100¢ mean shift for 20 ticks
+    val series = (1 to 40).map(i => (1L, i.toLong, 1000L)) ++
+      (41 to 60).map(i => (1L, i.toLong, 1100L)) ++
+      (1 to 60).map(i => (2L, i.toLong, 1000L)) // flat control series
+    val df = graft.queries.FinanceQueries.cusumSums(
+      series.toDF("user_id", "event_id", "cents"), kAllow = 25L)
+      .select("user_id", "event_id", "cents", "n", "su", "sd")
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1)))
+    // 1. the window closed form IS the recursion S_i = max(0, S_{i-1} + d_i)
+    for (uid <- Seq(1L, 2L)) {
+      val rows = df.filter(_.getLong(0) == uid)
+      val n = rows.length.toLong
+      val sx = rows.map(_.getLong(2)).sum
+      var su = 0L
+      var sd = 0L
+      rows.foreach { r =>
+        val x = r.getLong(2)
+        su = math.max(0L, su + (n * x - sx - n * 25L))
+        sd = math.max(0L, sd + (sx - n * x - n * 25L))
+        assert(r.getLong(4) == su && r.getLong(5) == sd,
+          s"closed form diverged from recursion at uid=$uid ev=${r.getLong(1)}")
+      }
+    }
+    // 2. the shifted series alarms UP after the shift, never before
+    val h = 400L
+    val shifted = df.filter(_.getLong(0) == 1L)
+    val alarms = shifted.filter(r => r.getLong(4) > r.getLong(3) * h)
+      .map(_.getLong(1))
+    assert(alarms.nonEmpty, "mean shift went undetected")
+    assert(alarms.min > 40L, s"false alarm before the shift at ${alarms.min}")
+    // 3. the flat series never alarms in either direction
+    val flat = df.filter(_.getLong(0) == 2L)
+    assert(flat.forall(r => r.getLong(4) <= r.getLong(3) * h &&
+      r.getLong(5) <= r.getLong(3) * h), "flat series alarmed")
+  }
+
   test("MAD outlier screen matches a driver-side recomputation") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q226_mad_outliers")(spark, dir)
