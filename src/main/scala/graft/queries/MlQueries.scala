@@ -119,6 +119,57 @@ object MlQueries extends QueryPack {
     } finally bars.unpersist()
   }
 
+  /** Deterministic hash fold over the training bars (the q81 md5
+    * discipline, k = 4 single-hex boundaries so folds are uniform by
+    * construction): fold membership is a pure function of the bar key,
+    * identical on any engine, any partitioning, any run — the property
+    * `randomSplit` does NOT have. `private[graft]` so the CV spec
+    * drives the same assignment. */
+  private[graft] def withFold(bars: DataFrame): DataFrame =
+    bars
+      .withColumn("k", md5(concat_ws(":", lit("fold"), col("symbol"),
+        col("user_id"), col("day"))))
+      .withColumn("fold",
+        when(col("k") < "4", 0L).when(col("k") < "8", 1L)
+          .when(col("k") < "c", 2L).otherwise(3L))
+
+  /** q235: deterministic k-fold CROSS-VALIDATION fold assignment — the
+    * model-selection surface the ML layer (q46/q63/q71 train+score)
+    * lacked. Fold membership itself is the oracled artifact: the DuckDB
+    * twin recomputes the same md5 over the same bar keys, so a changed
+    * hash preimage, boundary, or bar construction hash-fails. Output is
+    * the per-fold census (size, label balance, symbol coverage, min
+    * hash) — everything a CV harness needs to trust its folds. */
+  private def cvFolds(spark: SparkSession, dir: String): DataFrame =
+    withFold(TrendModel.dailyBars(Tables.events(spark, dir)))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("movement").cast("long")).as("n_up"),
+        countDistinct(col("symbol")).as("n_symbols"),
+        min("k").as("min_hash"))
+      .orderBy("fold")
+
+  /** q236: per-fold RF accuracy — train the global forest on the other
+    * 3 folds, score the held-out fold, once per fold (the rows-only
+    * MLlib tail, like q46/q71; fold membership is hash-gated by q235).
+    * The spec asserts the CV-mean beats the majority baseline. */
+  private def cvAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val bars = withFold(TrendModel.dailyBars(Tables.events(spark, dir)))
+      .coalesce(8).cache()
+    try {
+      (0L to 3L).map { f =>
+        val m = TrendModel.trainGlobal(bars.where(col("fold") =!= f))
+        m.transform(bars.where(col("fold") === f))
+          .agg(count(lit(1)).as("n_test"),
+            avg((col("prediction") === col("movement")).cast("double"))
+              .as("accuracy"))
+          .withColumn("fold", lit(f))
+      }.reduce(_ unionByName _)
+        .select("fold", "n_test", "accuracy")
+        .orderBy("fold")
+    } finally bars.unpersist()
+  }
+
   /** q178: the hashing trick — namespaced categorical features
     * (`brand=…`, `type=…`) hashed into 64 buckets via the codegen'd
     * FNV-1a64 expression, with the per-bucket collision census (distinct
@@ -146,7 +197,9 @@ object MlQueries extends QueryPack {
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
     "q64_streaming_inference" -> streamingInference,
-    "q71_global_rf" -> globalRf
+    "q71_global_rf" -> globalRf,
+    "q235_cv_folds" -> cvFolds,
+    "q236_cv_accuracy" -> cvAccuracy
   )
 
   override def oracles: Map[String, String] = Map(
@@ -172,6 +225,28 @@ object MlQueries extends QueryPack {
         |       count(*) AS n_rows,
         |       count(DISTINCT feat) AS n_feats
         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // fold membership replayed: identical bar construction (the q63
+    // twin), identical md5 preimage 'fold:symbol:user:day', identical
+    // single-hex fold boundaries — lowercase hex on both engines
+    "q235_cv_folds" ->
+      """WITH bars AS (
+        |  SELECT event_type AS symbol, user_id,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         arg_min(value, event_id) AS open,
+        |         arg_max(value, event_id) AS close
+        |  FROM events GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT symbol, close > open AS up,
+        |         md5(concat_ws(':', 'fold', symbol,
+        |                       CAST(user_id AS VARCHAR), day)) AS k
+        |  FROM bars)
+        |SELECT CASE WHEN k < '4' THEN 0 WHEN k < '8' THEN 1
+        |            WHEN k < 'c' THEN 2 ELSE 3 END AS fold,
+        |       count(*) AS n_obs,
+        |       CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |       count(DISTINCT symbol) AS n_symbols,
+        |       min(k) AS min_hash
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_training_base_rate" ->
       """WITH bars AS (
         |  SELECT event_type AS symbol, user_id, strftime(ts, '%Y-%m-%d') AS day,

@@ -87,6 +87,30 @@ class MlMultimodalSpec extends AnyFunSuite {
     assert(got.values.forall(_ > 0.5), s"accuracies: $got")
   }
 
+  test("q235/q236 k-fold CV: folds are deterministic and partition the bars; CV-mean beats the majority baseline") {
+    val dir = "/root/testdata/sf0.001"
+    // fold assignment is a pure function of the bar key: two runs agree,
+    // every bar lands in exactly one of 4 folds, no fold is empty
+    val folds = SparkEntry.queries("q235_cv_folds")(spark, dir)
+      .select("fold", "n_obs").as[(Long, Long)].collect().toMap
+    val folds2 = SparkEntry.queries("q235_cv_folds")(spark, dir)
+      .select("fold", "n_obs").as[(Long, Long)].collect().toMap
+    assert(folds == folds2, "fold assignment not deterministic")
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L) && folds.values.forall(_ > 0))
+    assert(folds.values.sum == bars.count(), "folds must partition the bars")
+    // held-out accuracy per fold; the CV MEAN (weighted by fold size)
+    // must beat always-predicting the majority class
+    val acc = SparkEntry.queries("q236_cv_accuracy")(spark, dir)
+      .select("fold", "n_test", "accuracy").as[(Long, Long, Double)].collect()
+    assert(acc.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
+    val n = acc.map(_._2).sum
+    val cvMean = acc.map(a => a._2 * a._3).sum / n
+    val up = bars.agg(sum(col("movement"))).head().getDouble(0)
+    val majority = math.max(up / n, 1.0 - up / n)
+    assert(cvMean > majority,
+      s"CV mean $cvMean does not beat majority baseline $majority")
+  }
+
   test("q63 training base rate matches the label distribution dailyBars produces") {
     val got = SparkEntry.queries("q63_training_base_rate")(
       spark, "/root/testdata/sf0.001")

@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     .filterNot(Set("q44_streaming_bars", "q45_streaming_dedup",
       "q46_rf_accuracy", "q56_stream_stream_join",
       "q64_streaming_inference", "q67_stream_static_enrich",
-      "q71_global_rf", "q76_streaming_sessions"))
+      "q71_global_rf", "q76_streaming_sessions", "q236_cv_accuracy"))
 
   test("no query plans a CartesianProduct") {
     batchQueries.foreach { name =>
