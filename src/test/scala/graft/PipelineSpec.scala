@@ -87,8 +87,10 @@ class PipelineSpec extends AnyFunSuite {
 
   test("count-min estimates never under-count (fixture)") {
     val got = SparkEntry.queries("q68_countmin_check")(spark, dir)
-      .select("cms_ok").as[Boolean].collect()
-    assert(got.nonEmpty && got.forall(identity))
+      .select("cms_never_under", "exact_n", "cms_est")
+      .as[(Boolean, Long, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._1))
+    assert(got.forall { case (_, exact, est) => est >= exact })
   }
 
   test("hll merged estimate within 5% of exact (fixture)") {
