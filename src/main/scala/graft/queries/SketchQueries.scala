@@ -102,6 +102,68 @@ object SketchQueries extends QueryPack {
       .orderBy("flag")
   }
 
+  /** q238: KMV SET ALGEBRA (Beyer et al. SIGMOD'07, "On synopses for
+    * distinct value estimation under multiset operations" — public) —
+    * the step beyond q217's single-set estimate: distinct-UNION,
+    * JACCARD and INTERSECTION estimates computed purely from two
+    * k-min sketches, never from the rows. Sets: part keys appearing
+    * on 'R'-flag vs 'A'-flag line items (heavily overlapping).
+    *
+    *   - union sketch U = k smallest of S_A ∪ S_B (the k-min-of-union
+    *     identity — exactly the aggregate's own merge);
+    *   - est_union = (k−1)·M / U[k] (q217's estimator; exact size
+    *     when |U| < k, i.e. the sketch IS the set);
+    *   - ρ = |{h ∈ U : h ∈ S_A ∧ h ∈ S_B}| / |U| estimates Jaccard —
+    *     U is a uniform sample of A ∪ B under the shared hash;
+    *   - est_intersection = ρ · est_union (inclusion via the sample).
+    *
+    * Both sketches ride ONE pass over the rows (conditional children
+    * in a single aggregate — null inputs skip); every output is a
+    * pure function of the value sets, so the oracle replays sketches
+    * AND estimators exactly — no tolerance anywhere. The 100 TB
+    * story: overlap/containment questions across corpus snapshots
+    * answered from k-long summaries without a distinct-join over the
+    * fact tables. */
+  private def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val M = 1000000007L
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("R", "A"))
+      // the "partkey:" prefix matters for estimator quality: PolyHash
+      // of a SHORT string never wraps PolyMod (a 5-char "200:p" tops
+      // out near 5·10⁷), so bare keys would cluster low and bias τ;
+      // ≥ 8 chars guarantees the accumulator wraps and spreads
+      .select(col("l_returnflag").as("flag"),
+        poly_hash(concat(lit("partkey:"), col("l_partkey").cast("string"),
+          lit(":s"))).as("h"))
+    val sks = li.agg(
+      k_min_distinct(when(col("flag") === "R", col("h")), k).as("sa"),
+      k_min_distinct(when(col("flag") === "A", col("h")), k).as("sb"))
+    val ex = li.agg(
+      countDistinct(col("h")).as("exact_union"),
+      countDistinct(when(col("flag") === "R", col("h"))).as("exact_a"),
+      countDistinct(when(col("flag") === "A", col("h"))).as("exact_b"))
+    val exi = li.select("flag", "h").distinct()
+      .groupBy("h").agg(countDistinct("flag").as("nf"))
+      .agg(sum(when(col("nf") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    sks.crossJoin(broadcast(ex)).crossJoin(broadcast(exi))
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("usz", size(col("u")).cast("long"))
+      .withColumn("uin",
+        size(expr("array_intersect(array_intersect(u, sa), sb)")).cast("long"))
+      .withColumn("est_union", when(col("usz") < k, col("usz"))
+        .otherwise(expr(s"${(k - 1).toLong * M}L DIV element_at(u, $k)")))
+      .select(
+        size(col("sa")).cast("long").as("n_a_sketch"),
+        size(col("sb")).cast("long").as("n_b_sketch"),
+        col("usz"), col("uin"),
+        col("exact_a"), col("exact_b"),
+        col("est_union"), col("exact_union"),
+        expr("1000000L * uin DIV usz").as("jaccard_micro"),
+        expr("est_union * uin DIV usz").as("est_inter"),
+        col("exact_inter"))
+  }
+
   /** q222: Datasketches HLL rollup through Spark's own sketch
     * functions — per-source `hll_sketch_agg` partials, a global
     * `hll_union_agg` over the per-group SKETCH COLUMN (the rollup
@@ -136,7 +198,8 @@ object SketchQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_mg_heavy_hitters" -> heavyHitters,
     "q217_kmv_distinct" -> kmvDistinct,
-    "q222_hll_rollup" -> hllRollup
+    "q222_hll_rollup" -> hllRollup,
+    "q238_kmv_set_ops" -> kmvSetOps
   )
 
   /** PolyHash replay (the q205 pattern): fold (a·31 + codepoint) mod
@@ -190,6 +253,51 @@ object SketchQueries extends QueryPack {
          |FROM ex JOIN per ON per.flag = ex.flag
          |CROSS JOIN meq CROSS JOIN gkth
          |ORDER BY ex.flag""".stripMargin
+    },
+    // sketches AND estimators replayed exactly: k smallest distinct
+    // hashes per set, k-min-of-union, the (k−1)·M/τ estimator, the
+    // ρ-sample Jaccard and intersection — all integer arithmetic
+    "q238_kmv_set_ops" -> {
+      val h = duckPolyHash("'partkey:' || CAST(l_partkey AS VARCHAR) || ':s'")
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS flag, $h AS h
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         |d AS (SELECT DISTINCT flag, h FROM li),
+         |a AS (SELECT h FROM d WHERE flag = 'R' ORDER BY h LIMIT 128),
+         |b AS (SELECT h FROM d WHERE flag = 'A' ORDER BY h LIMIT 128),
+         |uu AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+         |       ORDER BY h LIMIT 128),
+         |st AS (
+         |  SELECT (SELECT count(*) FROM a) AS n_a_sketch,
+         |         (SELECT count(*) FROM b) AS n_b_sketch,
+         |         (SELECT count(*) FROM uu) AS usz,
+         |         (SELECT max(h) FROM uu) AS tau,
+         |         (SELECT count(*) FROM uu
+         |          WHERE h IN (SELECT h FROM a)
+         |            AND h IN (SELECT h FROM b)) AS uin),
+         |e AS (
+         |  SELECT count(DISTINCT h) AS exact_union,
+         |         count(DISTINCT CASE WHEN flag = 'R' THEN h END) AS exact_a,
+         |         count(DISTINCT CASE WHEN flag = 'A' THEN h END) AS exact_b
+         |  FROM d),
+         |ei AS (
+         |  SELECT count(*) AS exact_inter FROM (
+         |    SELECT h FROM d GROUP BY h HAVING count(DISTINCT flag) = 2)),
+         |est AS (
+         |  SELECT st.*,
+         |         CASE WHEN usz < 128 THEN usz
+         |              ELSE CAST(127 AS BIGINT) * 1000000007 // tau
+         |         END AS est_union
+         |  FROM st)
+         |SELECT CAST(n_a_sketch AS BIGINT) AS n_a_sketch,
+         |       CAST(n_b_sketch AS BIGINT) AS n_b_sketch,
+         |       CAST(usz AS BIGINT) AS usz, CAST(uin AS BIGINT) AS uin,
+         |       e.exact_a, e.exact_b,
+         |       CAST(est_union AS BIGINT) AS est_union, e.exact_union,
+         |       CAST(1000000 * uin // usz AS BIGINT) AS jaccard_micro,
+         |       CAST(est_union * uin // usz AS BIGINT) AS est_inter,
+         |       CAST(ei.exact_inter AS BIGINT) AS exact_inter
+         |FROM est, e, ei""".stripMargin
     },
     // per-source exact distincts + TRUE tolerance booleans (the HLL
     // estimate is Spark-internal; a >5% error flips a boolean and

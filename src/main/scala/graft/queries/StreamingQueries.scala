@@ -239,6 +239,60 @@ object StreamingQueries extends QueryPack {
       .orderBy("win_start")
   }
 
+  /** q237: the THIRD multiple-stateful-operators pairing — q215 chains
+    * agg→agg, q231 chains agg→join; this chains JOIN→AGG: a stream-
+    * stream interval join (purchases within ±30 min of a signup, the
+    * q56 shape) feeds a tumbling 1-hour WINDOWED AGGREGATE over the
+    * join output — the streaming conversion-funnel rollup. The join's
+    * event-time column (s_ts) flows through to the window, so ONE
+    * global watermark (min across both inputs − 1 h) drives late-data
+    * semantics and state eviction in all three stateful operators
+    * (two join sides + the aggregate).
+    *
+    * Append emits an hour only after the final watermark passes its
+    * end; the closed-region gate (win_end ≤ min(max signup ts, max
+    * purchase ts) − 1 h − 61 s, in-plan broadcast stat frame) is
+    * applied identically to the streamed result and the batch oracle
+    * (join twin + hour-floor group-by). Exposed `private[graft]` for
+    * the plan spec. */
+  private[graft] def joinAggStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(Tables.eventsRawSchema)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr(Tables.rawTsToMicrosFor(spark, Tables.eventsGlob(dir))))
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("p_cents"))
+      .withWatermark("p_ts", "1 hour")
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(window(col("s_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_conversions"), sum("p_cents").as("conv_cents"))
+      .select(unix_micros(col("window.end")).as("end_us"),
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n_conversions"), col("conv_cents"))
+  }
+
+  private def joinThenAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sunk = runToMemorySink(joinAggStream(spark, dir), "jagg",
+      mode = "append")
+    val wm = Tables.events(spark, dir).groupBy()
+      .agg(least(
+        max(when(col("event_type") === "signup", unix_micros(col("ts")))),
+        max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+        .as("__max_us"))
+    sunk.crossJoin(broadcast(wm))
+      .where(col("end_us") <=
+        col("__max_us") - lit(3600L * 1000000L) - lit(61L * 1000000L))
+      .select("hour_start", "n_conversions", "conv_cents")
+      .orderBy("hour_start")
+  }
+
   /** q107: SLIDING event-time windows (the T6 leg tumbling q44 and
     * session q51/q76/q91 don't cover): width 2 h, slide 1 h — every
     * event lands in exactly two overlapping windows. The oracle derives
@@ -537,7 +591,8 @@ object StreamingQueries extends QueryPack {
     "q103_streaming_cdc_apply" -> streamingCdcApply,
     "q107_streaming_sliding_windows" -> streamingSlidingWindows,
     "q215_chained_window_rollup" -> chainedWindowRollup,
-    "q231_windowed_agg_join" -> windowedAggJoin
+    "q231_windowed_agg_join" -> windowedAggJoin,
+    "q237_join_then_agg" -> joinThenAgg
   )
 
   override def oracles: Map[String, String] = Map(
@@ -550,6 +605,37 @@ object StreamingQueries extends QueryPack {
         |         '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // join→agg replayed as the batch interval-join twin grouped on the
+    // hour floor; closed-region gate mirrors the post-sink filter
+    // (min of both sides' max ts − 1 h watermark − 61 s margin)
+    "q237_join_then_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (SELECT user_id, us AS s_us FROM e WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, us AS p_us, vc
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT s.s_us, p.vc
+        |  FROM s JOIN p ON p.user_id = s.user_id
+        |   AND p.p_us BETWEEN s.s_us - 1800000000 AND s.s_us + 1800000000),
+        |w AS (
+        |  SELECT s_us // 3600000000 * 3600000000 AS h,
+        |         count(*) AS n_conversions,
+        |         CAST(sum(vc) AS BIGINT) AS conv_cents
+        |  FROM j GROUP BY 1),
+        |wm AS (
+        |  SELECT least(
+        |           max(CASE WHEN event_type = 'signup' THEN us END),
+        |           max(CASE WHEN event_type = 'purchase' THEN us END)) AS mx
+        |  FROM e)
+        |SELECT strftime(make_timestamp(h), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       n_conversions, conv_cents
+        |FROM w, wm
+        |WHERE h + 3600000000 <= mx - 3600000000 - 61000000
+        |ORDER BY hour_start""".stripMargin,
     // windowed-agg ⋈ windowed-agg replayed as two batch group-bys
     // joined on the 30-min window floor (exact integer µs flooring, the
     // q215 grid discipline); the closed-region gate mirrors the Spark

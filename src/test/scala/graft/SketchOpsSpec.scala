@@ -87,6 +87,28 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(est1 >= 2)
   }
 
+  test("KMV set algebra: union/Jaccard/intersection identities hold on the fixture") {
+    val r = SparkEntry.queries("q238_kmv_set_ops")(
+      spark, "/root/testdata/sf0.001").head()
+    def f(n: String): Long = r.getAs[Long](n)
+    val k = 128L
+    // k-min-of-union identity: |U| = min(k, |A ∪ B|)
+    assert(f("usz") == math.min(k, f("exact_union")))
+    assert(f("uin") <= f("usz") && f("exact_inter") <= math.min(f("exact_a"), f("exact_b")))
+    assert(f("est_inter") <= f("est_union"))
+    assert(f("jaccard_micro") >= 0L && f("jaccard_micro") <= 1000000L)
+    if (f("exact_union") < k) {
+      // sketch IS the set: everything exact
+      assert(f("est_union") == f("exact_union") && f("uin") == f("exact_inter")
+        && f("est_inter") == f("exact_inter"))
+    } else {
+      // estimator within ~4σ of 1/√k ≈ 8.8% relative error
+      assert(math.abs(f("est_union") - f("exact_union")).toDouble
+        <= 0.35 * f("exact_union"),
+        s"union estimate ${f("est_union")} vs exact ${f("exact_union")}")
+    }
+  }
+
   // ------------------------------------------------- MisraGriesStrings
   test("Misra–Gries is exact when distinct keys fit the summary") {
     val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++ Seq.fill(9)("gamma")

@@ -336,6 +336,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(r => !r.anyNull), "null measures leaked through the inner join")
   }
 
+  test("q237's join→agg chain: stream-stream join feeding a windowed aggregate in one plan") {
+    val df = graft.queries.StreamingQueries
+      .joinAggStream(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.analyzed.toString
+    assert("EventTimeWatermark".r.findAllIn(plan).size >= 2,
+      s"expected a watermark per input stream:\n$plan")
+    assert(plan.contains("Join Inner"),
+      s"expected the stream-stream interval join:\n$plan")
+    // the windowed aggregate sits ABOVE the join (join→agg order —
+    // the pairing q215 agg→agg and q231 agg→join don't cover)
+    val aggIdx = plan.indexOf("Aggregate [")
+    val joinIdx = plan.indexOf("Join Inner")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx < joinIdx,
+      s"aggregate must consume the join output:\n$plan")
+    // end-to-end: closed hours emit with both measures populated
+    val rows = graft.queries.StreamingQueries.queries(
+      "q237_join_then_agg")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "join→agg chain emitted nothing")
+    assert(rows.forall(r => !r.anyNull && r.getLong(1) > 0))
+  }
+
   test("q91's append sessions plan carries an event-time watermark (bounded state)") {
     val plan = graft.queries.StreamingQueries
       .sessionsAppendStream(spark, "/root/testdata/sf0.001")
