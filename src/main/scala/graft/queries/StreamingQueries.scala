@@ -576,7 +576,41 @@ object StreamingQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q239: STREAMING CUSUM changepoint gate — q234's batch detector as
+    * an online stateful operator ([[Pipelines.streamingCusum]]), the
+    * q131↔q142 parity pattern: per key the whole state is FOUR longs
+    * (warm count, warm Σ, S⁺, S⁻). The first 30 ticks fix the per-key
+    * reference sum, later ticks run the n-scaled division-free
+    * recursion and emit when either side clears w·h. Staged as a
+    * time-split two-batch stream (state crosses the micro-batch
+    * boundary); because the recursion is a left fold over the ordered
+    * per-key stream, the batch CLOSED FORM (prefix-extrema windows —
+    * recursion equivalence proven by the q234 spec) is the oracle. */
+  private def streamingCusumQ(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mid = src.agg(expr("percentile(event_id, 0.5)")).head.getDouble(0)
+    val watch = stageBatches("graft_scusum_",
+      Seq(src.where(col("event_id") <= mid).orderBy("event_id").coalesce(1),
+        src.where(col("event_id") > mid).orderBy("event_id").coalesce(1)))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_id BIGINT, cents BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val flagged = Pipelines.streamingCusum(spark, stream,
+      key = "user_id", ord = "event_id", cents = "cents",
+      warm = 30, kAllow = 10L, h = 150L)
+    Pipelines.withRocksDBProvider(spark) {
+      runToMemorySink(flagged, "scusum", mode = "append")
+    }
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("cents"), col("up_alarm"), col("dn_alarm"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_streaming_cusum" -> streamingCusumQ,
     "q120_tws_watermark" -> twsWatermarkReplay,
     "q127_streaming_moments" -> streamingMoments,
     "q141_streaming_topk" -> streamingTopK,
@@ -605,6 +639,43 @@ object StreamingQueries extends QueryPack {
         |         '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming recursion replayed closed-form (the q234 identity):
+    // warm sums from the first 30 rows per key (users with fewer never
+    // alarm — the HAVING drops them), then S = P − min(0, running-min P)
+    // over the fixed-reference deviations; window sums CAST to BIGINT
+    "q239_streaming_cusum" ->
+      """WITH src AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY event_id) AS rn
+        |  FROM events),
+        |wm AS (
+        |  SELECT user_id, CAST(sum(cents) AS BIGINT) AS ws
+        |  FROM src WHERE rn <= 30 GROUP BY 1 HAVING count(*) = 30),
+        |post AS (
+        |  SELECT s.user_id, s.event_id, s.cents,
+        |         30 * s.cents - w.ws - 30 * 10 AS du,
+        |         w.ws - 30 * s.cents - 30 * 10 AS dn
+        |  FROM src s JOIN wm w USING (user_id) WHERE s.rn > 30),
+        |p AS (
+        |  SELECT user_id, event_id, cents,
+        |         CAST(sum(du) OVER win AS BIGINT) AS pu,
+        |         CAST(sum(dn) OVER win AS BIGINT) AS pd
+        |  FROM post
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (
+        |  SELECT user_id, event_id, cents,
+        |         pu - least(0, CAST(min(pu) OVER win AS BIGINT)) AS su,
+        |         pd - least(0, CAST(min(pd) OVER win AS BIGINT)) AS sd
+        |  FROM p
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, event_id, cents,
+        |       su > 30 * 150 AS up_alarm, sd > 30 * 150 AS dn_alarm
+        |FROM s2 WHERE su > 30 * 150 OR sd > 30 * 150
+        |ORDER BY user_id, event_id""".stripMargin,
     // join→agg replayed as the batch interval-join twin grouped on the
     // hour floor; closed-region gate mirrors the post-sink filter
     // (min of both sides' max ts − 1 h watermark − 61 s margin)

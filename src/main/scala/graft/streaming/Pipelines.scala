@@ -393,6 +393,71 @@ object Pipelines {
     }
   }
 
+  /** Streaming two-sided CUSUM drift gate on `transformWithState` — the
+    * q234 batch changepoint detector as an online operator (the
+    * q131↔q142 batch↔streaming parity pattern): per key the ENTIRE
+    * state is FOUR longs (warm-up count, warm-up Σcents, S⁺, S⁻) — even
+    * tighter than the q142 ring; O(1) per key no matter how long the
+    * stream runs. The first `warm` ticks fix the reference sum (a
+    * production μ₀ target); every later tick runs the n-scaled
+    * division-free recursion S⁺ = max(0, S⁺ + (w·c − Σw − w·k)) and
+    * emits iff either side clears w·h. Because the recursion is a pure
+    * left fold over the per-key-ordered stream, a per-key-ordered
+    * replay produces EXACTLY the batch closed form (prefix-extrema
+    * windows — proven equivalent by the q234 spec), so the batch SQL
+    * is the oracle. Intra-batch rows are sorted by `ord` here; across
+    * batches ordered arrival is the q142 contract. */
+  def streamingCusum(spark: SparkSession, stream: DataFrame,
+                     key: String, ord: String, cents: String,
+                     warm: Int, kAllow: Long, h: Long): DataFrame = {
+    import spark.implicits._
+    val typed = stream
+      .select(col(key).cast("string"), col(ord).cast("long"),
+        col(cents).cast("long"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(warm, kAllow, h),
+        TimeMode.None(), OutputMode.Append())
+      .toDF(key, ord, cents, "up_alarm", "dn_alarm")
+  }
+
+  /** The per-key processor behind [[streamingCusum]]. */
+  private class CusumProcessor(w: Int, kAllow: Long, h: Long)
+      extends StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Boolean, Boolean)] {
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Boolean, Boolean)] = {
+      var (n, ws, sp, sn) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, 0L)
+      val wl = w.toLong
+      val out = Vector.newBuilder[(String, Long, Long, Boolean, Boolean)]
+      rows.toVector.sortBy(_._2).foreach { case (_, ord, c) =>
+        if (n < wl) { n += 1; ws += c }
+        else {
+          sp = math.max(0L, sp + (wl * c - ws - wl * kAllow))
+          sn = math.max(0L, sn + (ws - wl * c - wl * kAllow))
+          val up = sp > wl * h
+          val dn = sn > wl * h
+          if (up || dn) out += ((key, ord, c, up, dn))
+        }
+      }
+      st.update((n, ws, sp, sn))
+      out.result().iterator
+    }
+  }
+
   /** Run `f` with the RocksDB state store provider (the only backend
     * `transformWithState` supports), restoring the session's previous
     * provider afterwards so co-resident queries keep their default. */

@@ -189,6 +189,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingCusum: warm-up and S-state survive the batch boundary; shift alarms, stable doesn't") {
+    Pipelines.withRocksDBProvider(spark) {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long)]
+      val stream = input.toDF().toDF("symbol", "seq", "cents")
+      val flagged = Pipelines.streamingCusum(spark, stream,
+        key = "symbol", ord = "seq", cents = "cents",
+        warm = 4, kAllow = 5L, h = 50L)
+      val name = "c_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = flagged.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        // batch 1: the warm-up (4 ticks at 1000) + 2 stable ticks —
+        // deviations ≤ w·k, no alarms yet
+        input.addData(("AAPL", 1L, 1000L), ("AAPL", 2L, 1000L),
+          ("AAPL", 3L, 1000L), ("AAPL", 4L, 1000L),
+          ("AAPL", 5L, 1002L), ("AAPL", 6L, 999L),
+          ("FLAT", 1L, 500L), ("FLAT", 2L, 500L),
+          ("FLAT", 3L, 500L), ("FLAT", 4L, 500L))
+        q.processAllAvailable()
+        // batch 2: a +100¢ shift — per tick d⁺ = 4·1100 − 4000 − 20 =
+        // 380; S⁺ crosses w·h = 200 on the FIRST shifted tick, which
+        // requires the warm sums AND S⁺ carried across the boundary
+        input.addData(("AAPL", 7L, 1100L), ("AAPL", 8L, 1100L),
+          ("FLAT", 5L, 500L), ("FLAT", 6L, 500L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name)
+        .as[(String, Long, Long, Boolean, Boolean)].collect().toSeq
+      val aapl = got.filter(_._1 == "AAPL").map(_._2).sorted
+      assert(aapl == Seq(7L, 8L), s"expected alarms at 7,8 only: $got")
+      assert(got.filter(_._1 == "AAPL").forall(r => r._4 && !r._5),
+        "shift must trip the UP side only")
+      assert(!got.exists(_._1 == "FLAT"), s"flat series alarmed: $got")
+    }
+  }
+
   test("E2 routing writes history and realtime sinks partitioned by key (mongo_stream_etl.py:34-39)") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, String, Double)]
