@@ -73,7 +73,11 @@ object GraftFunctions {
           s"$sig: argument ${i + 1} must be an integer literal, got ${es(i).sql}")
         es(i).eval(null) match {
           case v: Int => v
-          case v: Long => v.toInt
+          // reject out-of-Int-range Longs rather than silently
+          // truncating (4294967297 would otherwise become width 1)
+          case v: Long if v.isValidInt => v.toInt
+          case v: Long => throw new IllegalArgumentException(
+            s"$sig: argument ${i + 1} out of Int range: $v")
           case other => throw new IllegalArgumentException(
             s"$sig: argument ${i + 1} must be an integer literal, got $other")
         }

@@ -145,6 +145,38 @@ object Layout {
     (allBloom, allColIdx, rows)
   }
 
+  /** Rows living in row groups whose `column` statistics [min,max]
+    * EXCLUDE `value` — rows a min/max-pruning scan of `column = value`
+    * must never decode. 0 on a degenerate layout (single row group, or
+    * the key's range spanning every group): the layout then licenses
+    * no pruning, and callers should not assert any. */
+  def excludableRows(spark: org.apache.spark.sql.SparkSession,
+                     dirPath: String, column: String, value: Long): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    var excluded = 0L
+    parquetFiles(spark, dirPath).foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .foreach { cc =>
+              val st = cc.getStatistics
+              if (st != null && !st.isEmpty) (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long)
+                    if value < mn || value > mx =>
+                  excluded += block.getRowCount
+                case _ => ()
+              }
+            }
+        }
+      } finally reader.close()
+    }
+    excluded
+  }
+
   /** Union bloom-filter probe: would ANY file's bloom admit `value`?
     * Mirrors what a scan consults per row group — FALSE means every row
     * group is provably skippable for `column = value` without touching

@@ -43,8 +43,22 @@ import org.apache.spark.sql.functions._
   * Returns (node, scc_id, phase): scc_id = the component's minimum
   * node id; phase = the peeling phase that assigned it; nodes still
   * unresolved after `phases` phases come back with NULL scc_id/phase
-  * (deterministic — the oracle replays the same bound). */
+  * (deterministic — the oracle replays the same bound).
+  *
+  * Memory contract: before returning, the per-phase `done` frames and
+  * the residue frame are UNIONED INTO ONE fresh node-sized
+  * localCheckpoint and individually released — the returned frame
+  * reads through exactly that one pinned checkpoint (not
+  * O(phases) of them). Callers that are done with the result free the
+  * last block via [[release]] (the q213 collect-then-unpersist
+  * pattern). */
 object Scc {
+
+  /** Frees the single localCheckpoint backing a [[components]] result.
+    * Safe only after the caller has materialized everything it needs
+    * from the frame. */
+  def release(result: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(result)
 
   def components(edges: DataFrame, src: String, dst: String,
                  rounds: Int, phases: Int): DataFrame = {
@@ -103,6 +117,13 @@ object Scc {
     val unresolved = nodes
       .select(col("node"), lit(null).cast("long").as("scc_id"),
         lit(null).cast("int").as("phase"))
-    assigned.reduce(_ unionByName _).unionByName(unresolved)
+    // Collapse the O(phases) pinned frames (per-phase `done` + residue
+    // `nodes`) into ONE fresh node-sized checkpoint and release them,
+    // so repeated calls don't accumulate pinned storage blocks; the
+    // caller frees this last block via release().
+    val out = cp(assigned.reduce(_ unionByName _).unionByName(unresolved))
+    assigned.foreach(unpersist)
+    unpersist(nodes)
+    out
   }
 }

@@ -515,12 +515,20 @@ object DedupQueries extends QueryPack {
         .select(col("v").as("a"), (col("v") - 3).as("b")))
       .union(u.where(pmod(col("v"), lit(4)) === 0 && col("v") >= 4)
         .select(col("v").as("a"), (col("v") - 4).as("b")))
-    graft.ops.Scc.components(edges, "a", "b", rounds = 4, phases = 3)
-      .groupBy("scc_id")
+    val comps = graft.ops.Scc.components(edges, "a", "b",
+      rounds = 4, phases = 3)
+    // Materialize the SCC-sized rollup into its own checkpoint, then
+    // release the node-sized components frame (Scc's memory contract):
+    // what stays pinned across calls is the small rollup, not the
+    // per-node assignment.
+    val rollup = comps.groupBy("scc_id")
       .agg(count(lit(1)).as("n_members"), sum("node").as("node_sum"),
         max("phase").as("phase"),
         (count(lit(1)) > 1).as("multi_node"))
       .orderBy("scc_id")
+      .localCheckpoint(true)
+    graft.ops.Scc.release(comps)
+    rollup
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -503,9 +503,14 @@ object EngineQueries extends QueryPack {
     *     structure read back via `readBloomFilter`/`readColumnIndex`
     *     (metadata-only, the Tables.tsUnit footer playbook);
     *   - `scan_pruned`: the point-predicate scan's executed
-    *     numOutputRows < the footer row-count total — row groups whose
-    *     [min,max] exclude the probe never decode (8 range files → ~1/8
-    *     of the table decodes at any SF);
+    *     numOutputRows ≤ footer row total − [[Layout.excludableRows]]
+    *     (rows in row groups whose [min,max] exclude the probe — the
+    *     exact set a stats-pruning scan must skip). The bound is
+    *     DERIVED FROM THE LAYOUT, not hard-coded: a degenerate fixture
+    *     (single row group, or the key spanning every group) makes
+    *     excludable = 0 and the bound trivially true — the oracle's
+    *     TRUE is then correct by construction at any scale, while any
+    *     layout with excludable row groups demands real pruning;
     *   - `n_rows`/`sum_cents`: the probe key's exact aggregate through
     *     the pruned scan, hash-checked against the raw events table —
     *     pruning must not change answers.
@@ -536,6 +541,7 @@ object EngineQueries extends QueryPack {
     })
     val (bloomPresent, colIdxPresent, totalRows) =
       Layout.skippingStructures(spark, staged, "user_id")
+    val excludable = Layout.excludableRows(spark, staged, "user_id", probeKey)
     val agg = spark.read.parquet(staged)
       .where(col("user_id") === probeKey)
       .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
@@ -544,7 +550,7 @@ object EngineQueries extends QueryPack {
       .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
     import spark.implicits._
     Seq((probeKey, head.getLong(0), head.getLong(1),
-        bloomPresent, colIdxPresent, scanned < totalRows))
+        bloomPresent, colIdxPresent, scanned <= totalRows - excludable))
       .toDF("probe_user_id", "n_rows", "sum_cents",
         "bloom_present", "column_index_present", "scan_pruned")
   }

@@ -250,11 +250,13 @@ object StreamingQueries extends QueryPack {
     * (two join sides + the aggregate).
     *
     * Append emits an hour only after the final watermark passes its
-    * end; the closed-region gate (win_end ≤ min(max signup ts, max
-    * purchase ts) − 1 h − 61 s, in-plan broadcast stat frame) is
-    * applied identically to the streamed result and the batch oracle
-    * (join twin + hour-floor group-by). Exposed `private[graft]` for
-    * the plan spec. */
+    * end — and for a time-interval join the join's OUTPUT watermark
+    * lags the input watermark by the 30-min join range, so the closed
+    * region is win_end ≤ min(max signup ts, max purchase ts) − 1 h −
+    * 30 min − 61 s (in-plan broadcast stat frame), applied identically
+    * to the streamed result and the batch oracle (join twin +
+    * hour-floor group-by). Exposed `private[graft]` for the plan
+    * spec. */
   private[graft] def joinAggStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream.schema(Tables.eventsRawSchema)
@@ -286,9 +288,16 @@ object StreamingQueries extends QueryPack {
         max(when(col("event_type") === "signup", unix_micros(col("ts")))),
         max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
         .as("__max_us"))
+    // Gate margin = watermark delay (1 h) + join-interval propagation
+    // delay (30 min) + 61 s slack: Spark delays a time-interval join's
+    // OUTPUT watermark by the join range (produceOutputWatermark), so
+    // the downstream windowed agg only finalizes an hour once the input
+    // watermark passes end + 30 min — a gate of just 1 h + 61 s would
+    // include windows the append sink has not yet emitted.
     sunk.crossJoin(broadcast(wm))
       .where(col("end_us") <=
-        col("__max_us") - lit(3600L * 1000000L) - lit(61L * 1000000L))
+        col("__max_us") - lit(3600L * 1000000L) - lit(1800L * 1000000L) -
+          lit(61L * 1000000L))
       .select("hour_start", "n_conversions", "conv_cents")
       .orderBy("hour_start")
   }
@@ -705,7 +714,7 @@ object StreamingQueries extends QueryPack {
         |SELECT strftime(make_timestamp(h), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       n_conversions, conv_cents
         |FROM w, wm
-        |WHERE h + 3600000000 <= mx - 3600000000 - 61000000
+        |WHERE h + 3600000000 <= mx - 3600000000 - 1800000000 - 61000000
         |ORDER BY hour_start""".stripMargin,
     // windowed-agg ⋈ windowed-agg replayed as two batch group-bys
     // joined on the 30-min window floor (exact integer µs flooring, the

@@ -86,6 +86,18 @@ class ParquetLayoutSpec extends AnyFunSuite {
       s"sorted layout did not prune: scan emitted $sortedRows of $total")
     assert(sortedRows < scatteredRows,
       s"expected sorted ($sortedRows) < scattered ($scatteredRows)")
+
+    // Layout.excludableRows derives the layout-licensed pruning bound
+    // (the q232 gate): the sorted layout has row groups whose [min,max]
+    // excludes the probe, and the scan respects the implied bound; the
+    // scattered layout licenses nothing (every file spans the domain).
+    import graft.ops.Layout
+    val exSorted = Layout.excludableRows(spark, s"$tmp/sorted", "user_id", probe)
+    assert(exSorted > 0, "sorted layout should have excludable row groups")
+    assert(sortedRows <= total - exSorted,
+      s"scan decoded rows a stats-pruner must skip: $sortedRows > $total - $exSorted")
+    assert(Layout.excludableRows(spark, s"$tmp/scattered", "user_id", probe) == 0L,
+      "scattered layout spans the domain in every file; nothing is excludable")
   }
 
   test("z-order layout bounds EVERY dimension per file; linear sort bounds only its leading column") {

@@ -85,6 +85,16 @@ class SketchOpsSpec extends AnyFunSuite {
     val est1 = params.zipWithIndex.map { case ((a, b), d) =>
       got(d * 8 + CountMinLongs.bucket(1L, a, b, 8)) }.min
     assert(est1 >= 2)
+    // out-of-Int-range Long literals are REJECTED, not truncated
+    // (4294967297.toInt would silently become width 1)
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT count_min_longs(v, 2, 4294967297, 1) FROM VALUES (1L) t(v)")
+        .collect()
+    }
+    assert(e.getMessage.contains("out of Int range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of Int range")),
+      s"expected out-of-range rejection, got: $e")
   }
 
   test("KMV set algebra: union/Jaccard/intersection identities hold on the fixture") {
