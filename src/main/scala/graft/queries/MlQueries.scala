@@ -170,6 +170,143 @@ object MlQueries extends QueryPack {
     } finally bars.unpersist()
   }
 
+  /** q240: RELATIONALLY-TRAINED depth-2 decision tree — the first
+    * training loop whose every split is hash-green through the oracle
+    * (the q46/q71/q236 MLlib forests are rows-only because RF split
+    * selection isn't SQL-replayable; this learner IS — it's the first
+    * split pair of the reference forest, `ml_model/predict_from_vm4
+    * .py:35`, made exact). Shape:
+    *
+    *  - features: the 5 q46 bar features quantized to integer cents
+    *    (volume is already a count); label = movement;
+    *  - split selection: for every (feature, threshold v) candidate,
+    *    "x ≤ v", the EXACT weighted Gini argmin in pure integer
+    *    arithmetic — minimizing Σ_side n_s·gini_s over a split of N
+    *    rows equals minimizing k_L(n_L−k_L)·n_R + k_R(n_R−k_R)·n_L
+    *    (multiply the rational cost by n_L·n_R > 0), so the argmin
+    *    needs no division and no floats (the q234 discipline). Total
+    *    order (cost, feat, v) makes ties deterministic. Exact for
+    *    n_side < 2^21 rows per node (the n³ product must fit int64);
+    *    beyond that, bucket candidates by a quantile sketch and/or
+    *    widen to decimal — the fixture scales stay far under it;
+    *  - candidates are per-(feature, value) AGGREGATES + one running
+    *    sum over the distinct-value domain — value-domain-bounded,
+    *    never row-bounded, with map-side partial counts; no pairwise
+    *    joins, no driver-side loops (the tree frames are 1–2-row
+    *    broadcasts);
+    *  - fold 0 of the q235 md5 assignment is the holdout; children
+    *    are trained per root side, and a side with no valid split
+    *    (single distinct value on every feature) falls back to its
+    *    side-majority leaf — mirrored in the oracle;
+    *  - output: the full tree (root + both children + 4 leaf votes) +
+    *    held-out n_correct, every column oracle-hashed. */
+  /** Best (feature, threshold) split per `grp` group over a frame with
+    * the 5 integer feature columns (oc/hc/lc/cc/vol) and 0/1 label `y`:
+    * per-(grp, feat, v) counts, running sums over the distinct-value
+    * domain, integer-exact Gini argmin under the (cost, feat, v) total
+    * order (see [[decisionStump]]). Returns one row per group with
+    * (feat, v, nl, kl, nn, kk); groups with no valid split (every
+    * feature single-valued) return no row. `private[graft]` so the
+    * spec can drive known-split and tie-break cases directly. */
+  private[graft] def bestSplits(df: DataFrame, grp: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stackExpr =
+      "stack(5, 'close', cc, 'high', hc, 'low', lc, 'open', oc, " +
+        "'volume', vol) as (feat, v)"
+    val long = df.selectExpr(grp ++ Seq(stackExpr, "y"): _*)
+    val counts = long.groupBy((grp ++ Seq("feat", "v")).map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("y").as("k"))
+    val wCum = Window.partitionBy((grp :+ "feat").map(col): _*).orderBy("v")
+    val wTot = Window.partitionBy((grp :+ "feat").map(col): _*)
+    val wSel = Window.partitionBy(grp.map(col): _*)
+      .orderBy(col("cost"), col("feat"), col("v"))
+    counts
+      .withColumn("nl", sum("n").over(wCum))
+      .withColumn("kl", sum("k").over(wCum))
+      .withColumn("nn", sum("n").over(wTot))
+      .withColumn("kk", sum("k").over(wTot))
+      .where(col("nl") < col("nn")) // right side must be nonempty
+      .withColumn("cost",
+        col("kl") * (col("nl") - col("kl")) * (col("nn") - col("nl")) +
+          (col("kk") - col("kl")) *
+            ((col("nn") - col("nl")) - (col("kk") - col("kl"))) * col("nl"))
+      .withColumn("rn", row_number().over(wSel))
+      .where(col("rn") === 1)
+      .drop("rn", "n", "k", "cost")
+  }
+
+  private def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val bars = withFold(TrendModel.dailyBars(Tables.events(spark, dir)))
+      .select(col("fold"),
+        round(col("open") * 100).cast("long").as("oc"),
+        round(col("high") * 100).cast("long").as("hc"),
+        round(col("low") * 100).cast("long").as("lc"),
+        round(col("close") * 100).cast("long").as("cc"),
+        col("volume").cast("long").as("vol"),
+        col("movement").cast("long").as("y"))
+    val train = bars.where(col("fold") =!= 0)
+    val test = bars.where(col("fold") === 0)
+
+    val root = bestSplits(train, Seq.empty)
+      .select(col("feat").as("root_feat"), col("v").as("root_thr"),
+        col("nl").as("n_l"), col("kl").as("k_l"),
+        col("nn").as("n_train"), col("kk").as("k_train"))
+
+    def featVal(featCol: org.apache.spark.sql.Column) =
+      when(featCol === "close", col("cc"))
+        .when(featCol === "high", col("hc"))
+        .when(featCol === "low", col("lc"))
+        .when(featCol === "open", col("oc"))
+        .otherwise(col("vol"))
+    def sideCol = when(featVal(col("root_feat")) <= col("root_thr"), "L")
+      .otherwise("R")
+
+    val sided = train.crossJoin(broadcast(root)).withColumn("side", sideCol)
+      .select("side", "oc", "hc", "lc", "cc", "vol", "y")
+    val children = bestSplits(sided, Seq("side"))
+      .select(col("side"), col("feat").as("c_feat"), col("v").as("c_thr"),
+        col("nl").as("c_nl"), col("kl").as("c_kl"),
+        col("nn").as("c_n"), col("kk").as("c_k"))
+
+    // leaf votes: strict majority → 1, ties → 0 (deterministic)
+    def vote(k: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (lit(2) * k > n).cast("long")
+    val majL = vote(col("k_l"), col("n_l"))
+    val majR = vote(col("k_train") - col("k_l"), col("n_train") - col("n_l"))
+
+    val scored = test.crossJoin(broadcast(root)).withColumn("side", sideCol)
+      .join(broadcast(children), Seq("side"), "left")
+      .withColumn("pred",
+        when(col("c_feat").isNull,
+          when(col("side") === "L", majL).otherwise(majR))
+          .otherwise(when(featVal(col("c_feat")) <= col("c_thr"),
+            vote(col("c_kl"), col("c_nl")))
+            .otherwise(vote(col("c_k") - col("c_kl"),
+              col("c_n") - col("c_nl")))))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("pred") === col("y")).cast("long")).as("n_correct"))
+
+    val cl = children.where(col("side") === "L")
+      .select(col("c_feat").as("l_feat"), col("c_thr").as("l_thr"),
+        vote(col("c_kl"), col("c_nl")).as("p_ll"),
+        vote(col("c_k") - col("c_kl"), col("c_n") - col("c_nl")).as("p_lr"))
+    val cr = children.where(col("side") === "R")
+      .select(col("c_feat").as("r_feat"), col("c_thr").as("r_thr"),
+        vote(col("c_kl"), col("c_nl")).as("p_rl"),
+        vote(col("c_k") - col("c_kl"), col("c_n") - col("c_nl")).as("p_rr"))
+
+    root.join(cl, lit(true), "left").join(cr, lit(true), "left")
+      .crossJoin(scored)
+      .select(col("root_feat"), col("root_thr"),
+        col("n_train"), col("k_train"),
+        col("l_feat"), col("l_thr"), col("r_feat"), col("r_thr"),
+        coalesce(col("p_ll"), majL).as("pred_ll"),
+        coalesce(col("p_lr"), majL).as("pred_lr"),
+        coalesce(col("p_rl"), majR).as("pred_rl"),
+        coalesce(col("p_rr"), majR).as("pred_rr"),
+        col("n_test"), col("n_correct"))
+  }
+
   /** q178: the hashing trick — namespaced categorical features
     * (`brand=…`, `type=…`) hashed into 64 buckets via the codegen'd
     * FNV-1a64 expression, with the per-bucket collision census (distinct
@@ -199,7 +336,8 @@ object MlQueries extends QueryPack {
     "q64_streaming_inference" -> streamingInference,
     "q71_global_rf" -> globalRf,
     "q235_cv_folds" -> cvFolds,
-    "q236_cv_accuracy" -> cvAccuracy
+    "q236_cv_accuracy" -> cvAccuracy,
+    "q240_decision_stump" -> decisionStump
   )
 
   override def oracles: Map[String, String] = Map(
@@ -247,6 +385,138 @@ object MlQueries extends QueryPack {
         |       count(DISTINCT symbol) AS n_symbols,
         |       min(k) AS min_hash
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the depth-2 tree replayed END TO END: same bars + md5 folds, same
+    // integer-cents quantization, same division-free Gini cost
+    // k_L(n_L−k_L)n_R + k_R(n_R−k_R)n_L with the (cost, feat, v) total
+    // order, same per-side child selection, same majority-vote leaves
+    // with the no-valid-split side fallback, same holdout scoring.
+    // DuckDB sums are HUGEINT — every output column CASTs to BIGINT.
+    "q240_decision_stump" ->
+      """WITH bars AS MATERIALIZED (
+        |  SELECT event_type AS symbol, user_id,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(round(arg_min(value, event_id) * 100) AS BIGINT) AS oc,
+        |         CAST(round(max(value) * 100) AS BIGINT) AS hc,
+        |         CAST(round(min(value) * 100) AS BIGINT) AS lc,
+        |         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cc,
+        |         count(*) AS vol,
+        |         CASE WHEN arg_max(value, event_id) > arg_min(value, event_id)
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |folded AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y,
+        |         CASE WHEN k < '4' THEN 0 WHEN k < '8' THEN 1
+        |              WHEN k < 'c' THEN 2 ELSE 3 END AS fold
+        |  FROM (SELECT *, md5(concat_ws(':', 'fold', symbol,
+        |                      CAST(user_id AS VARCHAR), day)) AS k
+        |        FROM bars)),
+        |train AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y FROM folded WHERE fold != 0),
+        |test AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y FROM folded WHERE fold = 0),
+        |tlong AS MATERIALIZED (
+        |  SELECT 'close' AS feat, cc AS v, y FROM train UNION ALL
+        |  SELECT 'high', hc, y FROM train UNION ALL
+        |  SELECT 'low', lc, y FROM train UNION ALL
+        |  SELECT 'open', oc, y FROM train UNION ALL
+        |  SELECT 'volume', vol, y FROM train),
+        |cum AS MATERIALIZED (
+        |  SELECT feat, v,
+        |         sum(n) OVER (PARTITION BY feat ORDER BY v) AS nl,
+        |         sum(k) OVER (PARTITION BY feat ORDER BY v) AS kl,
+        |         sum(n) OVER (PARTITION BY feat) AS nn,
+        |         sum(k) OVER (PARTITION BY feat) AS kk
+        |  FROM (SELECT feat, v, count(*) AS n, sum(y) AS k
+        |        FROM tlong GROUP BY 1, 2)),
+        |root AS MATERIALIZED (
+        |  SELECT feat AS root_feat, v AS root_thr,
+        |         nl AS n_l, kl AS k_l, nn AS n_train, kk AS k_train
+        |  FROM cum WHERE nl < nn
+        |  ORDER BY kl*(nl-kl)*(nn-nl) + (kk-kl)*((nn-nl)-(kk-kl))*nl,
+        |           feat, v
+        |  LIMIT 1),
+        |sided AS MATERIALIZED (
+        |  SELECT CASE WHEN (CASE root_feat WHEN 'close' THEN cc
+        |                    WHEN 'high' THEN hc WHEN 'low' THEN lc
+        |                    WHEN 'open' THEN oc ELSE vol END) <= root_thr
+        |              THEN 'L' ELSE 'R' END AS side,
+        |         oc, hc, lc, cc, vol, y
+        |  FROM train, root),
+        |slong AS MATERIALIZED (
+        |  SELECT side, 'close' AS feat, cc AS v, y FROM sided UNION ALL
+        |  SELECT side, 'high', hc, y FROM sided UNION ALL
+        |  SELECT side, 'low', lc, y FROM sided UNION ALL
+        |  SELECT side, 'open', oc, y FROM sided UNION ALL
+        |  SELECT side, 'volume', vol, y FROM sided),
+        |scum AS MATERIALIZED (
+        |  SELECT side, feat, v,
+        |         sum(n) OVER (PARTITION BY side, feat ORDER BY v) AS nl,
+        |         sum(k) OVER (PARTITION BY side, feat ORDER BY v) AS kl,
+        |         sum(n) OVER (PARTITION BY side, feat) AS nn,
+        |         sum(k) OVER (PARTITION BY side, feat) AS kk
+        |  FROM (SELECT side, feat, v, count(*) AS n, sum(y) AS k
+        |        FROM slong GROUP BY 1, 2, 3)),
+        |child AS MATERIALIZED (
+        |  SELECT side, feat AS c_feat, v AS c_thr,
+        |         nl AS c_nl, kl AS c_kl, nn AS c_n, kk AS c_k
+        |  FROM scum WHERE nl < nn
+        |  QUALIFY row_number() OVER (PARTITION BY side
+        |    ORDER BY kl*(nl-kl)*(nn-nl) + (kk-kl)*((nn-nl)-(kk-kl))*nl,
+        |             feat, v) = 1),
+        |stest AS MATERIALIZED (
+        |  SELECT CASE WHEN (CASE root_feat WHEN 'close' THEN cc
+        |                    WHEN 'high' THEN hc WHEN 'low' THEN lc
+        |                    WHEN 'open' THEN oc ELSE vol END) <= root_thr
+        |              THEN 'L' ELSE 'R' END AS side,
+        |         oc, hc, lc, cc, vol, y
+        |  FROM test, root),
+        |scored AS MATERIALIZED (
+        |  SELECT s.y,
+        |         CASE WHEN c.c_feat IS NULL THEN
+        |           CASE WHEN s.side = 'L'
+        |                THEN CASE WHEN 2*r.k_l > r.n_l THEN 1 ELSE 0 END
+        |                ELSE CASE WHEN 2*(r.k_train-r.k_l) >
+        |                               (r.n_train-r.n_l)
+        |                          THEN 1 ELSE 0 END END
+        |         ELSE
+        |           CASE WHEN (CASE c.c_feat WHEN 'close' THEN s.cc
+        |                      WHEN 'high' THEN s.hc WHEN 'low' THEN s.lc
+        |                      WHEN 'open' THEN s.oc ELSE s.vol END)
+        |                     <= c.c_thr
+        |                THEN CASE WHEN 2*c.c_kl > c.c_nl THEN 1 ELSE 0 END
+        |                ELSE CASE WHEN 2*(c.c_k-c.c_kl) > (c.c_n-c.c_nl)
+        |                          THEN 1 ELSE 0 END END
+        |         END AS pred
+        |  FROM stest s LEFT JOIN child c USING (side), root r)
+        |SELECT r.root_feat, CAST(r.root_thr AS BIGINT) AS root_thr,
+        |       CAST(r.n_train AS BIGINT) AS n_train,
+        |       CAST(r.k_train AS BIGINT) AS k_train,
+        |       cl.c_feat AS l_feat, CAST(cl.c_thr AS BIGINT) AS l_thr,
+        |       cr.c_feat AS r_feat, CAST(cr.c_thr AS BIGINT) AS r_thr,
+        |       CAST(CASE WHEN cl.c_feat IS NULL THEN
+        |              CASE WHEN 2*r.k_l > r.n_l THEN 1 ELSE 0 END
+        |            WHEN 2*cl.c_kl > cl.c_nl THEN 1 ELSE 0 END
+        |            AS BIGINT) AS pred_ll,
+        |       CAST(CASE WHEN cl.c_feat IS NULL THEN
+        |              CASE WHEN 2*r.k_l > r.n_l THEN 1 ELSE 0 END
+        |            WHEN 2*(cl.c_k-cl.c_kl) > (cl.c_n-cl.c_nl) THEN 1
+        |            ELSE 0 END AS BIGINT) AS pred_lr,
+        |       CAST(CASE WHEN cr.c_feat IS NULL THEN
+        |              CASE WHEN 2*(r.k_train-r.k_l) > (r.n_train-r.n_l)
+        |                   THEN 1 ELSE 0 END
+        |            WHEN 2*cr.c_kl > cr.c_nl THEN 1 ELSE 0 END
+        |            AS BIGINT) AS pred_rl,
+        |       CAST(CASE WHEN cr.c_feat IS NULL THEN
+        |              CASE WHEN 2*(r.k_train-r.k_l) > (r.n_train-r.n_l)
+        |                   THEN 1 ELSE 0 END
+        |            WHEN 2*(cr.c_k-cr.c_kl) > (cr.c_n-cr.c_nl) THEN 1
+        |            ELSE 0 END AS BIGINT) AS pred_rr,
+        |       (SELECT count(*) FROM stest) AS n_test,
+        |       CAST((SELECT sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+        |             FROM scored) AS BIGINT) AS n_correct
+        |FROM root r
+        |LEFT JOIN child cl ON cl.side = 'L'
+        |LEFT JOIN child cr ON cr.side = 'R'""".stripMargin,
     "q63_training_base_rate" ->
       """WITH bars AS (
         |  SELECT event_type AS symbol, user_id, strftime(ts, '%Y-%m-%d') AS day,

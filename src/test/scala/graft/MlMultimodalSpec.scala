@@ -111,6 +111,57 @@ class MlMultimodalSpec extends AnyFunSuite {
       s"CV mean $cvMean does not beat majority baseline $majority")
   }
 
+  test("q240 bestSplits recovers a known perfect split and tie-breaks by (feat, v)") {
+    import graft.queries.MlQueries
+    // perfect split on 'close' at 10: y == (cc <= 10); other features
+    // constant so they offer no candidate better than cost 0 — but
+    // 'close' must win the (cost, feat, v) order among any cost-0 peers
+    val df = Seq(
+      (1L, 1L, 1L, 5L, 7L, 1L), (1L, 1L, 1L, 8L, 7L, 1L),
+      (1L, 1L, 1L, 10L, 7L, 1L), (1L, 1L, 1L, 20L, 7L, 0L),
+      (1L, 1L, 1L, 30L, 7L, 0L))
+      .toDF("oc", "hc", "lc", "cc", "vol", "y")
+    val best = MlQueries.bestSplits(df, Seq.empty)
+      .select("feat", "v", "nl", "kl", "nn", "kk")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(best.length == 1)
+    assert(best.head == (("close", 10L, 3L, 3L, 5L, 3L)),
+      s"expected the perfect close<=10 split, got ${best.head}")
+    // tie-break: cc and oc both split perfectly at the same value — the
+    // feat ASC order must pick 'close' deterministically
+    val tied = Seq((5L, 1L, 1L, 5L, 7L, 1L), (20L, 1L, 1L, 20L, 7L, 0L))
+      .toDF("oc", "hc", "lc", "cc", "vol", "y")
+    val t = MlQueries.bestSplits(tied, Seq.empty)
+      .select("feat", "v").as[(String, Long)].collect()
+    assert(t.length == 1 && t.head == (("close", 5L)), t.mkString)
+    // a group where every feature is single-valued yields NO split row
+    val flat = Seq((1L, 1L, 1L, 1L, 1L, 1L), (1L, 1L, 1L, 1L, 1L, 0L))
+      .toDF("oc", "hc", "lc", "cc", "vol", "y")
+    assert(MlQueries.bestSplits(flat, Seq.empty).isEmpty)
+  }
+
+  test("q240 decision stump: deterministic, partitions bars via q235 folds, sane holdout accuracy") {
+    val dir = "/root/testdata/sf0.001"
+    val r1 = SparkEntry.queries("q240_decision_stump")(spark, dir).collect()
+    val r2 = SparkEntry.queries("q240_decision_stump")(spark, dir).collect()
+    assert(r1.length == 1 && r1.sameElements(r2),
+      "stump training not deterministic")
+    val row = r1.head
+    val nTrain = row.getAs[Long]("n_train")
+    val nTest = row.getAs[Long]("n_test")
+    val nCorrect = row.getAs[Long]("n_correct")
+    // train+test partition exactly the q235 folds (fold 0 held out)
+    val folds = SparkEntry.queries("q235_cv_folds")(spark, dir)
+      .select("fold", "n_obs").as[(Long, Long)].collect().toMap
+    assert(nTest == folds(0L) && nTrain == folds.values.sum - folds(0L))
+    // leaf votes are integer-majority: the tree can't do worse on the
+    // TRAIN distribution than coin-flip; on holdout assert the sane
+    // bound for the fixture's ~90/10 label skew
+    assert(nCorrect >= 0 && nCorrect <= nTest)
+    assert(nCorrect.toDouble / nTest > 0.6,
+      s"holdout accuracy ${nCorrect.toDouble / nTest} implausibly low")
+  }
+
   test("q63 training base rate matches the label distribution dailyBars produces") {
     val got = SparkEntry.queries("q63_training_base_rate")(
       spark, "/root/testdata/sf0.001")
