@@ -177,6 +177,66 @@ object Layout {
     excluded
   }
 
+  /** Page-granularity pruning facts for `column = value`, computed from
+    * the parquet PAGE INDEX (column index min/max per data page + offset
+    * index first-row positions — the structures q232 proves present):
+    * (total data pages, pages whose [min,max] exclude `value`, rows
+    * covered by those excludable pages). This is the sub-row-group tier
+    * of the skipping hierarchy: a point predicate inside ONE row group
+    * still only decodes the pages whose index range admits the key —
+    * at 100 TB the difference between decompressing a ~1 MB page and a
+    * ~128 MB row group per match. INT64 columns only (min/max decode as
+    * little-endian longs per the parquet PLAIN spec); null-only pages
+    * carry no bounds and are conservatively counted non-excludable. */
+  def pageLevelPruning(spark: org.apache.spark.sql.SparkSession,
+                       dirPath: String, column: String, value: Long)
+      : (Long, Long, Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    var totalPages = 0L
+    var excludedPages = 0L
+    var excludedRows = 0L
+    parquetFiles(spark, dirPath).foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .foreach { cc =>
+              val ci = reader.readColumnIndex(cc)
+              val oi = reader.readOffsetIndex(cc)
+              if (ci != null && oi != null) {
+                val n = oi.getPageCount
+                val mins = ci.getMinValues
+                val maxs = ci.getMaxValues
+                val nullPages = ci.getNullPages
+                var i = 0
+                while (i < n) {
+                  totalPages += 1
+                  val pageRows =
+                    (if (i + 1 < n) oi.getFirstRowIndex(i + 1)
+                     else block.getRowCount) - oi.getFirstRowIndex(i)
+                  if (!nullPages.get(i)) {
+                    val mn = mins.get(i).duplicate()
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                    val mx = maxs.get(i).duplicate()
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                    if (value < mn || value > mx) {
+                      excludedPages += 1
+                      excludedRows += pageRows
+                    }
+                  }
+                  i += 1
+                }
+              }
+            }
+        }
+      } finally reader.close()
+    }
+    (totalPages, excludedPages, excludedRows)
+  }
+
   /** Union bloom-filter probe: would ANY file's bloom admit `value`?
     * Mirrors what a scan consults per row group — FALSE means every row
     * group is provably skippable for `column = value` without touching

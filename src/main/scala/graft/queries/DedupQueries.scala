@@ -216,6 +216,54 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q241: MAXIMAL duplicated spans — q122 upgraded from per-doc shared-
+    * span COUNTS to the per-doc maximal-interval table production
+    * substring dedup wants (Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better": the deduplicated unit is the longest
+    * repeated substring, not the 50-token window that contains it).
+    * Shingle granularity: a token position p in a doc is DUPLICATED when
+    * its 5-token span starting at p also occurs in at least one OTHER
+    * document (cross-doc span df ≥ 2); overlapping-or-adjacent duplicated
+    * intervals [p, p+4] merge into maximal islands (break when the
+    * position gap exceeds 5 — the q51/q191 gaps-and-islands discipline,
+    * trivially exact here because all intervals share one length).
+    * Output: one row per maximal span with its start, token length,
+    * number of duplicated positions, and max cross-doc partner count.
+    * Scale shape: positional shingles are an in-scan transform+posexplode
+    * (narrow); span df is one shingle-key shuffle with map-side partials
+    * (two-level distinct-doc agg); the island window is one doc-key
+    * shuffle of only the DUPLICATED positions — no pairwise doc joins
+    * anywhere, same stage count as q122. */
+  private def maximalDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val pos = docs.where(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("toks")) - 5),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))
+      .toDF("doc_id", "pos", "sh")
+    // cross-doc df: distinct (span, doc) first so a within-doc repeat
+    // cannot lift a span to "duplicated" on its own
+    val df_ = pos.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val dup = pos.join(df_.where(col("df") >= 2), "sh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > 5, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") - min("pos") + 5).as("span_tokens"),
+        count(lit(1)).as("n_dup_positions"),
+        (max("df") - 1).as("max_partners"))
+      .select("doc_id", "span_start", "span_tokens", "n_dup_positions",
+        "max_partners")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** q155: deterministic integer PageRank over the customer↔supplier
     * interaction graph ([[graft.ops.PageRank]]) — link analysis as a
     * crawl-curation signal, reproducible on a cluster because every
@@ -506,16 +554,22 @@ object DedupQueries extends QueryPack {
     * and the oracle unrolls every round of all 3 phases in SQL (the
     * q212/q224 discipline). Output is the per-SCC rollup (members,
     * node checksum, assigning phase). */
-  private def sccComponents(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic directed overlay on the events user domain shared
+    * by q233/q244: 4-cycles per block, a DAG chain of block heads, an
+    * acyclic tail where the last block is incomplete. */
+  private def directedOverlay(spark: SparkSession, dir: String): DataFrame = {
     val u = Tables.events(spark, dir).select(col("user_id").as("v")).distinct()
     val maxU = u.agg(max("v")).head().getLong(0)
-    val edges = u.where(pmod(col("v"), lit(4)) < 3 && col("v") + 1 <= maxU)
+    u.where(pmod(col("v"), lit(4)) < 3 && col("v") + 1 <= maxU)
       .select(col("v").as("a"), (col("v") + 1).as("b"))
       .union(u.where(pmod(col("v"), lit(4)) === 3)
         .select(col("v").as("a"), (col("v") - 3).as("b")))
       .union(u.where(pmod(col("v"), lit(4)) === 0 && col("v") >= 4)
         .select(col("v").as("a"), (col("v") - 4).as("b")))
-    val comps = graft.ops.Scc.components(edges, "a", "b",
+  }
+
+  private def sccComponents(spark: SparkSession, dir: String): DataFrame = {
+    val comps = graft.ops.Scc.components(directedOverlay(spark, dir), "a", "b",
       rounds = 4, phases = 3)
     // Materialize the SCC-sized rollup into its own checkpoint, then
     // release the node-sized components frame (Scc's memory contract):
@@ -531,8 +585,54 @@ object DedupQueries extends QueryPack {
     rollup
   }
 
+  /** q244: CONDENSATION-DAG LAYERING — the topology tier above q233:
+    * contract each SCC to one node (the condensation, acyclic by the
+    * SCC definition), then assign every condensed node its dependency
+    * depth via [[graft.ops.DagLayers]] (8 bounded longest-path rounds,
+    * the q155/q163 iteration contract — layers cap at 8 on this
+    * fixture's long block-head chain, a deterministic K-capped function
+    * the oracle unrolls round by round). Closes the directed family:
+    * SCC (q233) → condensation → layered topology. Output is the
+    * per-layer rollup (SCC count, id checksum, member total, multi-node
+    * SCC count).
+    *
+    * Scale shape: the condensation is edge⋈node-sized label joins + one
+    * distinct (no pairwise SCC work); each layering round is one
+    * edge⋈layer join + per-dst max + node-sized left join, through the
+    * checkpoint-evict loop — O(1) pinned frames, and the returned
+    * rollup is layer-sized (≤ rounds+1 rows) in its own checkpoint with
+    * every iteration frame released (the q233 memory contract). */
+  private def condensationLayers(spark: SparkSession, dir: String): DataFrame = {
+    val unpersist = org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint _
+    val edges = directedOverlay(spark, dir).localCheckpoint(true)
+    val comps = graft.ops.Scc.components(edges, "a", "b",
+      rounds = 4, phases = 3)
+    val lbl = comps.select("node", "scc_id")
+    val condE = edges
+      .join(lbl.select(col("node").as("a"), col("scc_id").as("sa")), "a")
+      .join(lbl.select(col("node").as("b"), col("scc_id").as("sb")), "b")
+      .where(col("sa") =!= col("sb"))
+      .select("sa", "sb").distinct()
+    val sccs = comps.groupBy("scc_id").agg(count(lit(1)).as("nm"))
+    val lay = graft.ops.DagLayers.layers(
+      sccs.select("scc_id"), "scc_id", condE, "sa", "sb", rounds = 8)
+    val out = lay.join(sccs, lay("s") === sccs("scc_id"))
+      .groupBy(col("l").as("layer"))
+      .agg(count(lit(1)).as("n_sccs"),
+        sum("scc_id").as("scc_id_sum"),
+        sum("nm").as("n_members"),
+        sum(when(col("nm") > 1, 1L).otherwise(0L)).as("n_multi"))
+      .orderBy("layer")
+      .localCheckpoint(true)
+    graft.ops.Scc.release(lay)
+    graft.ops.Scc.release(comps)
+    unpersist(edges)
+    out
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_scc_components" -> sccComponents,
+    "q244_condensation_layers" -> condensationLayers,
     "q218_kcore_survivors" -> kcoreSurvivors,
     "q224_ktruss_edges" -> ktrussEdges,
     "q219_containment_pairs" -> containmentPairsQ,
@@ -546,6 +646,7 @@ object DedupQueries extends QueryPack {
     "q171_triangle_counts" -> triangleCounts,
     "q174_item_item_cosine" -> itemItemCosine,
     "q122_shared_spans" -> sharedSpans,
+    "q241_maximal_dup_spans" -> maximalDupSpans,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
@@ -559,6 +660,7 @@ object DedupQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q233_scc_components" -> sccOracle,
+    "q244_condensation_layers" -> condLayersOracle,
     // both truss rounds unrolled: support(a,b) = |N(a) ∩ N(b)| via the
     // canonical common-neighbor join over the previous round's edges,
     // keep support >= 2; output carries the qualifying round's support
@@ -846,6 +948,35 @@ object DedupQueries extends QueryPack {
         |       CAST(r AS BIGINT) AS rank_fixed,
         |       rank
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Positional 5-token spans (i-1 = 0-based token position), cross-doc
+    // df via distinct (span, doc), duplicated positions merged into
+    // maximal islands (gap > 5 breaks — intervals share one length so
+    // the fixed-gap rule IS interval merging).
+    "q241_maximal_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |           || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+        |  FROM t, unnest(range(1, len(toks) - 3)) AS r(i)
+        |  WHERE len(toks) >= 5),
+        |d AS (SELECT sh, count(DISTINCT doc_id) AS df FROM p GROUP BY sh),
+        |u AS (SELECT p.doc_id, p.pos, d.df
+        |      FROM p JOIN d USING (sh) WHERE d.df >= 2),
+        |i AS (SELECT doc_id, pos, df,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM u),
+        |s AS (SELECT doc_id, pos, df,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM i)
+        |SELECT doc_id, min(pos) AS span_start,
+        |       max(pos) - min(pos) + 5 AS span_tokens,
+        |       count(*) AS n_dup_positions, max(df) - 1 AS max_partners
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // Distinct 5-token spans per doc (same set semantics as
     // WordShingles), span df across docs, >=2 → shared.
     "q122_shared_spans" ->
@@ -1219,9 +1350,49 @@ object DedupQueries extends QueryPack {
     * are never null). Identical graph construction, identical round
     * structure, identical tie-free integer arithmetic as the Spark
     * side. */
-  private def sccOracle: String = {
+  private def sccOracle: String =
+    s"""WITH ${sccOracleWith(sccPhaseSql)}
+       |SELECT scc_id, count(*) AS n_members,
+       |       CAST(sum(node) AS BIGINT) AS node_sum,
+       |       CAST(max(phase) AS INTEGER) AS phase,
+       |       count(*) > 1 AS multi_node
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q244 oracle: the ENTIRE q233 SCC replay as a shared WITH prefix,
+    * then the condensation (distinct cross-SCC label-joined edges) and
+    * 8 unrolled longest-path layering rounds (per-dst max(l+1) left-
+    * joined back, the exact [[graft.ops.DagLayers]] recursion), rolled
+    * up per layer. */
+  private def condLayersOracle: String = {
+    val k = 8
+    val layering = (1 to k).map { i =>
+      s"""lu_$i AS MATERIALIZED (
+         |  SELECT ce.sb AS s, max(p.l + 1) AS nl
+         |  FROM ce JOIN ll_${i - 1} p ON p.s = ce.sa GROUP BY 1),
+         |ll_$i AS MATERIALIZED (
+         |  SELECT n.s, greatest(n.l, coalesce(u.nl, n.l)) AS l
+         |  FROM ll_${i - 1} n LEFT JOIN lu_$i u ON u.s = n.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${sccOracleWith(sccPhaseSql)},
+       |lbl AS MATERIALIZED (SELECT node, scc_id FROM asg),
+       |ce AS MATERIALIZED (
+       |  SELECT DISTINCT la.scc_id AS sa, lb.scc_id AS sb
+       |  FROM e1 e JOIN lbl la ON la.node = e.a JOIN lbl lb ON lb.node = e.b
+       |  WHERE la.scc_id <> lb.scc_id),
+       |m AS MATERIALIZED (SELECT scc_id, count(*) AS nm FROM asg GROUP BY 1),
+       |ll_0 AS (SELECT scc_id AS s, 0 AS l FROM m),
+       |$layering
+       |SELECT f.l AS layer, count(*) AS n_sccs,
+       |       CAST(sum(f.s) AS BIGINT) AS scc_id_sum,
+       |       CAST(sum(m.nm) AS BIGINT) AS n_members,
+       |       CAST(sum(CASE WHEN m.nm > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_multi
+       |FROM ll_$k f JOIN m ON m.scc_id = f.s
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  private def sccPhaseSql: Int => String = { (p: Int) =>
     val rounds = 4
-    def phaseSql(p: Int): String = {
       val fwd = (1 to rounds).map { i =>
         s"""m${p}_$i AS MATERIALIZED (
            |  SELECT e.b AS node, min(u.c) AS mc
@@ -1251,8 +1422,14 @@ object DedupQueries extends QueryPack {
          |  SELECT e.a, e.b FROM e1 e
          |  JOIN n${p + 1} x ON x.node = e.a
          |  JOIN n${p + 1} y ON y.node = e.b)""".stripMargin
-    }
-    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events),
+  }
+
+  /** The full q233 WITH body (graph construction + all 3 unrolled FW-BW
+    * phases + the assigned union `asg`) — shared verbatim by the q233
+    * and q244 oracles so the condensation replays EXACTLY the SCC run
+    * it contracts. */
+  private def sccOracleWith(phaseSql: Int => String): String =
+    s"""u AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events),
        |mx AS MATERIALIZED (SELECT max(v) AS m FROM u),
        |e1 AS MATERIALIZED (
        |  SELECT v AS a, v + 1 AS b FROM u, mx WHERE v % 4 < 3 AND v + 1 <= m
@@ -1264,11 +1441,5 @@ object DedupQueries extends QueryPack {
        |${phaseSql(2)},
        |${phaseSql(3)},
        |asg AS MATERIALIZED (SELECT * FROM a1 UNION ALL SELECT * FROM a2
-       |        UNION ALL SELECT * FROM a3)
-       |SELECT scc_id, count(*) AS n_members,
-       |       CAST(sum(node) AS BIGINT) AS node_sum,
-       |       CAST(max(phase) AS INTEGER) AS phase,
-       |       count(*) > 1 AS multi_node
-       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+       |        UNION ALL SELECT * FROM a3)""".stripMargin
 }

@@ -484,8 +484,71 @@ object EngineQueries extends QueryPack {
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
     "q210_cached_rollup" -> cachedRollup,
-    "q232_parquet_skipping" -> parquetSkipping
+    "q232_parquet_skipping" -> parquetSkipping,
+    "q243_page_pruning" -> pagePruning
   )
+
+  /** q243's staged table: events sorted GLOBALLY by user_id into ONE
+    * file (one row group at these SFs) with 200-row data pages
+    * (`parquet.page.row.count.limit`), so the page index carries many
+    * disjoint [min,max] ranges INSIDE a single row group — the layout
+    * where q232's row-group tier can prune nothing and only the page
+    * tier can. */
+  private val pageFixtureByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q243: PAGE-GRANULARITY data skipping driver-visible — one tier
+    * below q232: that query proves row-group min/max pruning; this one
+    * proves the scan skips DATA PAGES inside a row group using the
+    * parquet page index (column index min/max + offset index row
+    * positions, parquet-mr ≥ 1.11 defaults; Spark's vectorized reader
+    * consumes them as row ranges since SPARK-26345).
+    *   - `page_index_present`: column index read back per row group;
+    *   - `multi_page`: > 1 data page ([[Layout.pageLevelPruning]] total)
+    *     — the layout fact that makes the page tier non-degenerate;
+    *   - `page_pruned`: executed-plan scan numOutputRows ≤ footer row
+    *     total − rows covered by pages whose [min,max] EXCLUDE the probe
+    *     key. The bound derives from the page index itself (the q232
+    *     discipline): a degenerate layout (every page admitting the key)
+    *     makes excludable = 0 and the bound trivially true, while this
+    *     staged sort makes all-but-one page excludable — strictly
+    *     tighter than any row-group bound on a one-row-group file;
+    *   - `n_rows`/`sum_cents`: the probe key's aggregate through the
+    *     page-pruned scan, hash-checked against the raw events table.
+    * At 100 TB this tier is the difference between decompressing a ~1 MB
+    * page and a ~128 MB row group for every selective point lookup. */
+  private def pagePruning(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val probeKey = 7L
+    val staged = pageFixtureByDir.computeIfAbsent(dir, _ => {
+      val d = MlQueries.tempDirDeletedOnExit("graft_page_")
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(1)
+        .sortWithinPartitions("user_id")
+        .write
+        .option("parquet.page.row.count.limit", "200")
+        .mode("overwrite").parquet(d)
+      d
+    })
+    val (_, colIdxPresent, totalRows) =
+      Layout.skippingStructures(spark, staged, "user_id")
+    val (totalPages, _, pageExcludableRows) =
+      Layout.pageLevelPruning(spark, staged, "user_id", probeKey)
+    val agg = spark.read.parquet(staged)
+      .where(col("user_id") === probeKey)
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    val head = agg.head()
+    val scanned = collectScans(agg.queryExecution.executedPlan)
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    import spark.implicits._
+    Seq((probeKey, head.getLong(0), head.getLong(1),
+        colIdxPresent, totalPages > 1L,
+        scanned <= totalRows - pageExcludableRows))
+      .toDF("probe_user_id", "n_rows", "sum_cents",
+        "page_index_present", "multi_page", "page_pruned")
+  }
 
   /** q232's staged table, written ONCE per session per sf dir (the q209
     * staging-cache discipline): events re-laid-out as 8 user_id range
@@ -568,6 +631,14 @@ object EngineQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    "q243_page_pruning" ->
+      """SELECT CAST(7 AS BIGINT) AS probe_user_id,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents,
+        |       TRUE AS page_index_present, TRUE AS multi_page,
+        |       TRUE AS page_pruned
+        |FROM events WHERE user_id = 7""".stripMargin,
     "q232_parquet_skipping" ->
       """SELECT CAST(7 AS BIGINT) AS probe_user_id,
         |       count(*) AS n_rows,

@@ -10,6 +10,72 @@ import graft.text.TextAnalysis._
 /** Text-analysis queries over `documents` (north-star training-data ops). */
 object TextQueries extends QueryPack {
 
+  /** q242: TRAINED integer n-gram language classifier — the CCNet-style
+    * curation step q34's static heuristic gate stops short of, as the
+    * classic Cavnar–Trenkle 1994 "N-Gram-Based Text Categorization"
+    * rank-profile method (public algorithm), chosen over Naive-Bayes
+    * log-likelihood because it is 100% INTEGER: no `ln` exists on the
+    * oracle-checked surface (the q92 rational-idf discipline — libm and
+    * JVM logs are not bit-identical), and out-of-place distance needs
+    * only ranks and |Δrank|.
+    *
+    * Train (doc_id % 5 ≠ 0): per-language char-trigram counts → each
+    * language's profile = top-100 trigrams ranked by (count DESC, trigram
+    * ASC) — the tie-break makes the profile a pure function of the data.
+    * Classify (doc_id % 5 = 0): the doc's own top-50 trigram profile
+    * scores against every language profile by the out-of-place measure
+    * Σ (|doc_rank − lang_rank|, or the max penalty 100 when the trigram
+    * is absent from the profile); predicted language = argmin distance,
+    * ties to the lexicographically first language. Output is the
+    * (true, predicted) confusion matrix with the total distance — counts
+    * and argmax fully replayed by the oracle. (On this fixture the text
+    * is language-independent by construction, so accuracy ≈ prior; the
+    * operator's contract here is exact determinism of the trained
+    * profiles and argmin, which is what transfers to a real corpus.)
+    *
+    * Scale shape (100 TB corpus): trigrams are an in-scan
+    * transform+explode (narrow); language profiles aggregate to ≤
+    * |langs|·100 rows through one map-side-combining shuffle and
+    * BROADCAST back; per-doc profiles shuffle only (doc_id, trigram)
+    * partial counts; the scoring join is map-side against the broadcast
+    * profile and the argmin is a per-doc window over |langs| rows. No
+    * pairwise doc work anywhere; the model is dimension-sized. */
+  private def langClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"))
+    val tri = docs.where(length(col("norm")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("norm")) - 2),
+          i => col("norm").substr(i, lit(3)))).as("tri"))
+    val lp = tri.where(col("doc_id") % 5 =!= 0)
+      .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("lrank", row_number().over(
+        w.partitionBy("lang").orderBy(desc("cnt"), asc("tri"))))
+      .where(col("lrank") <= 100)
+      .select(col("lang").as("cand"), col("tri"), col("lrank"))
+    val dp = tri.where(col("doc_id") % 5 === 0)
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("drank", row_number().over(
+        w.partitionBy("doc_id").orderBy(desc("cnt"), asc("tri"))))
+      .where(col("drank") <= 50)
+      .select("doc_id", "tri", "drank")
+    val langs = docs.select(col("lang").as("cand")).distinct()
+    val dist = dp.crossJoin(broadcast(langs))
+      .join(broadcast(lp), Seq("cand", "tri"), "left")
+      .groupBy("doc_id", "cand")
+      .agg(sum(when(col("lrank").isNull, 100L)
+        .otherwise(abs(col("drank") - col("lrank")).cast("long"))).as("d"))
+    val pred = dist.withColumn("rn", row_number().over(
+        w.partitionBy("doc_id").orderBy(asc("d"), asc("cand"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"), col("d"))
+    pred.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("d").as("sum_dist"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Tokenization stats: whitespace + BPE-ish counts, mean token length. */
   private def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -284,6 +350,7 @@ object TextQueries extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_lang_classifier" -> langClassifier,
     "q221_winnowing_fingerprints" -> winnowingFingerprints,
     "q165_tfidf_keywords" -> tfidfKeywords,
     "q167_char_entropy" -> charEntropy,
@@ -301,6 +368,46 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Cavnar–Trenkle replay: char trigrams (1-based substr positions),
+    // top-100 per-language / top-50 per-doc rank profiles with the
+    // identical (count DESC, trigram ASC) tie-break, out-of-place
+    // distance with absent-penalty 100, argmin with lang-ASC ties.
+    "q242_lang_classifier" ->
+      """WITH n AS (
+        |  SELECT doc_id, lang, lower(trim(text)) AS norm FROM documents),
+        |tri AS (
+        |  SELECT doc_id, lang, substr(norm, i, 3) AS tri
+        |  FROM n, unnest(range(1, len(norm) - 1)) AS r(i)
+        |  WHERE len(norm) >= 3),
+        |lp AS (
+        |  SELECT lang AS cand, tri,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY count(*) DESC, tri ASC) AS lrank
+        |  FROM tri WHERE doc_id % 5 <> 0 GROUP BY lang, tri
+        |  QUALIFY lrank <= 100),
+        |dp AS (
+        |  SELECT doc_id, tri,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY count(*) DESC, tri ASC) AS drank
+        |  FROM tri WHERE doc_id % 5 = 0 GROUP BY doc_id, tri
+        |  QUALIFY drank <= 50),
+        |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        |dist AS (
+        |  SELECT dp.doc_id, langs.cand,
+        |         sum(CASE WHEN lp.lrank IS NULL THEN 100
+        |             ELSE abs(dp.drank - lp.lrank) END) AS d
+        |  FROM dp CROSS JOIN langs
+        |  LEFT JOIN lp ON lp.cand = langs.cand AND lp.tri = dp.tri
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cand AS pred_lang, d,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY d ASC, cand ASC) AS rn
+        |  FROM dist QUALIFY rn = 1)
+        |SELECT t.lang AS true_lang, p.pred_lang,
+        |       count(*) AS n_docs, CAST(sum(p.d) AS BIGINT) AS sum_dist
+        |FROM pred p JOIN documents t USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the identical folded-key window min: poly_hash replayed per
     // codepoint (q205 pattern), key = h·2^24 + (2^24 − p), min over
     // ROWS 3 FOLLOWING, full windows only, distinct decoded picks

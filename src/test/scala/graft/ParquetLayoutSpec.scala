@@ -100,6 +100,41 @@ class ParquetLayoutSpec extends AnyFunSuite {
       "scattered layout spans the domain in every file; nothing is excludable")
   }
 
+  test("page index prunes DATA PAGES inside one row group: decoded rows < total on a globally-sorted single file") {
+    import graft.ops.Layout
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val total = ev.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pageidx_").toString
+    // ONE file, globally sorted by user_id, tiny 100-row pages → one row
+    // group whose ONLY pruning handle is the page index
+    ev.repartition(1).sortWithinPartitions("user_id")
+      .write.option("parquet.page.row.count.limit", "100")
+      .mode("overwrite").parquet(tmp)
+    val files = new java.io.File(tmp).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"fixture must be a single file, got $files")
+    val probe = ev.agg(min("user_id")).head().getLong(0)
+    // row-group tier licenses NOTHING here (one group spans the domain)…
+    assert(Layout.excludableRows(spark, tmp, "user_id", probe) == 0L,
+      "single-row-group fixture should have no excludable row groups")
+    // …but the page tier does: most 100-row pages exclude the min key
+    val (pages, exPages, exRows) =
+      Layout.pageLevelPruning(spark, tmp, "user_id", probe)
+    assert(pages >= 5, s"expected >=5 data pages, got $pages")
+    assert(exPages > 0 && exPages < pages,
+      s"expected some-but-not-all pages excludable: $exPages of $pages")
+    assert(exRows > total / 2,
+      s"sorted layout should page-exclude most rows: $exRows of $total")
+    // and the scan actually decodes within the page-index bound —
+    // STRICTLY fewer rows than the table (SPARK-26345 row-range reads)
+    val scanRows = scanOutputRows(
+      spark.read.parquet(tmp).where(col("user_id") === probe))
+    assert(scanRows <= total - exRows,
+      s"scan decoded rows the page index excludes: $scanRows > $total - $exRows")
+    assert(scanRows < total,
+      s"page pruning ineffective: scan decoded all $total rows")
+  }
+
   test("z-order layout bounds EVERY dimension per file; linear sort bounds only its leading column") {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey")
