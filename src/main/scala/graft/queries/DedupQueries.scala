@@ -264,6 +264,62 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id", "span_start")
   }
 
+  /** q246: BLOCKING QUALITY METRICS — entity-resolution's standard
+    * evaluation of a candidate-generation strategy (Christen 2012,
+    * "Data Matching" — public): PAIR COMPLETENESS (recall: what share
+    * of true near-dup pairs does blocking surface) and REDUCTION RATIO
+    * (what share of the n·(n−1)/2 pair space does it avoid). Measured
+    * for the q38 production blocker (MinHash 16 bands × 4 rows,
+    * uncapped) against the EXHAUSTIVE truth (any-shared-shingle
+    * candidates — lossless for J > 0 — verified with the integer
+    * cross-multiplied gate 10·|∩| ≥ 3·|∪|). The dedup pipeline
+    * measuring ITSELF: at 100 TB you tune bands/rows against exactly
+    * these two numbers (a sampled truth set in production; exact
+    * here). Docs without a single 3-shingle (< 3 tokens) are excluded
+    * from scope on BOTH sides: their empty-set signatures would
+    * otherwise collide into one degenerate all-pairs bucket.
+    *
+    * Everything is replayed by the oracle — including the RAW
+    * candidate count, via a full SQL replication of the MinHash
+    * pipeline (FNV-1a shingle hashes, the 64 a·x+b universal hashes
+    * in mod-2⁶⁴ arithmetic with signed minima, 4-row band signatures,
+    * FNV bucket keys, uncapped bucket pairs). All metrics integer
+    * (micro units, DIV). */
+  private def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) >= 1)
+    val scoped = docs.join(sh.select("doc_id"), "doc_id")
+    val cand = Dedup.minhashCandidatePairs(scoped, "doc_id", "text",
+      k = 3, bands = 16, rowsPerBand = 4, maxBucket = Int.MaxValue)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val anyShared = ex.as("x").join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val truth = anyShared
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .where(size(array_intersect(col("sha"), col("shb"))) * 10 >=
+        size(array_union(col("sha"), col("shb"))) * 3)
+      .select("doc_a", "doc_b")
+    val nd = scoped.agg(count(lit(1)).as("n_docs"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nh = cand.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+      .crossJoin(broadcast(nh))
+      .select(col("n_docs"),
+        expr("n_docs * (n_docs - 1) DIV 2").as("total_pairs"),
+        col("n_cand"), col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN 1000000 " +
+          "ELSE 1000000 * n_hit DIV n_truth END").as("pc_micro"),
+        expr("1000000 - 1000000 * n_cand DIV (n_docs * (n_docs - 1) DIV 2)")
+          .as("rr_micro"))
+  }
+
   /** q155: deterministic integer PageRank over the customer↔supplier
     * interaction graph ([[graft.ops.PageRank]]) — link analysis as a
     * crawl-curation signal, reproducible on a cluster because every
@@ -647,6 +703,7 @@ object DedupQueries extends QueryPack {
     "q174_item_item_cosine" -> itemItemCosine,
     "q122_shared_spans" -> sharedSpans,
     "q241_maximal_dup_spans" -> maximalDupSpans,
+    "q246_blocking_quality" -> blockingQuality,
     "q36_exact_dedup" -> exactDedup,
     "q37_ngram_jaccard_pairs" -> ngramJaccard,
     "q38_minhash_pairs" -> minhashPairs,
@@ -661,6 +718,7 @@ object DedupQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q233_scc_components" -> sccOracle,
     "q244_condensation_layers" -> condLayersOracle,
+    "q246_blocking_quality" -> blockingQualityOracle,
     // both truss rounds unrolled: support(a,b) = |N(a) ∩ N(b)| via the
     // canonical common-neighbor join over the previous round's edges,
     // keep support >= 2; output carries the qualifying round's support
@@ -1422,6 +1480,95 @@ object DedupQueries extends QueryPack {
          |  SELECT e.a, e.b FROM e1 e
          |  JOIN n${p + 1} x ON x.node = e.a
          |  JOIN n${p + 1} y ON y.node = e.b)""".stripMargin
+  }
+
+  /** q246 oracle: FULL SQL replication of the q38 MinHash blocking
+    * pipeline — FNV-1a64 per shingle (the q39 HUGEINT mod-2⁶⁴ fold),
+    * the 64 universal hashes h_i(x) = a_i·x + b_i with the multiply
+    * SPLIT 32/32 so a·x mod 2⁶⁴ stays inside HUGEINT (a·x alone can
+    * reach 2¹²⁸ and overflow DuckDB's signed 128-bit type), SIGNED
+    * 64-bit minima (the engine compares Java longs), band signature
+    * strings in i-order, FNV bucket keys, uncapped ≥2 buckets —
+    * against the exhaustive shared-shingle truth and the integer
+    * metric tail. The (a_i, b_i) constants are generated from the SAME
+    * splitmix64 the engine's MinHashSignature uses. */
+  private def blockingQualityOracle: String = {
+    import graft.functions.Hashing
+    val consts = (0 until 64).map { i =>
+      val a = Hashing.splitmix64(2L * i) | 1L
+      val b = Hashing.splitmix64(2L * i + 1)
+      s"($i, ${a & 0xffffffffL}, ${a >>> 32}, " +
+        s"CAST('${java.lang.Long.toUnsignedString(b)}' AS HUGEINT))"
+    }.mkString(",\n       |        ")
+    def fnv(e: String): String =
+      s"""list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      list_transform(regexp_split_to_array($e, ''),
+         |                     c -> CAST(unicode(c) AS UBIGINT))),
+         |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+         |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                        for i in range(1, len(toks) - 1)]) AS sh
+       |  FROM t),
+       |sc AS (SELECT doc_id, sh FROM s WHERE len(sh) >= 1),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM sc),
+       |consts(i, al, ah, b) AS (VALUES
+       |        $consts),
+       |fx AS (SELECT doc_id, ${fnv("g")} AS x FROM e),
+       |mhv AS (
+       |  SELECT f.doc_id, c.i,
+       |         (CAST(c.al AS HUGEINT) * CAST(f.x AS HUGEINT)
+       |          + ((CAST(c.ah AS HUGEINT) * CAST(f.x % 4294967296 AS HUGEINT))
+       |             % 4294967296) * 4294967296
+       |          + c.b) % 18446744073709551616 AS vm
+       |  FROM fx f CROSS JOIN consts c),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |         min(CAST(CASE WHEN vm >= 9223372036854775808
+       |                       THEN vm - 18446744073709551616
+       |                       ELSE vm END AS BIGINT)) AS m
+       |  FROM mhv GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS sigstr
+       |  FROM mh GROUP BY 1, 2),
+       |bk AS (SELECT doc_id, band, ${fnv("sigstr")} AS bkt FROM sig),
+       |okb AS (SELECT band, bkt FROM bk GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN okb o ON o.band = a.band AND o.bkt = a.bkt
+       |  JOIN bk b ON b.band = a.band AND b.bkt = a.bkt
+       |           AND a.doc_id < b.doc_id),
+       |anyshared AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM e x JOIN e y ON y.g = x.g AND x.doc_id < y.doc_id),
+       |truth AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM anyshared c JOIN sc sx ON sx.doc_id = c.doc_a
+       |  JOIN sc sy ON sy.doc_id = c.doc_b
+       |  WHERE 10 * len(list_intersect(sx.sh, sy.sh))
+       |        >= 3 * len(list_distinct(list_concat(sx.sh, sy.sh)))),
+       |mm AS (
+       |  SELECT (SELECT count(*) FROM sc) AS n_docs,
+       |         (SELECT count(*) FROM cand) AS n_cand,
+       |         (SELECT count(*) FROM truth) AS n_truth,
+       |         (SELECT count(*)
+       |          FROM cand JOIN truth USING (doc_a, doc_b)) AS n_hit)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+       |       CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_truth AS BIGINT) AS n_truth,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN n_truth = 0 THEN 1000000
+       |            ELSE 1000000 * n_hit // n_truth END AS BIGINT) AS pc_micro,
+       |       CAST(1000000 - 1000000 * n_cand
+       |              // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS rr_micro
+       |FROM mm""".stripMargin
   }
 
   /** The full q233 WITH body (graph construction + all 3 unrolled FW-BW

@@ -164,6 +164,65 @@ object SketchQueries extends QueryPack {
         col("exact_inter"))
   }
 
+  /** q245: EQUI-JOIN CARDINALITY ESTIMATION from KMV sketches — the
+    * optimizer-statistics question q238's set algebra stops short of:
+    * |R ⋈ A| on a key is Σ_v r_v·a_v (per-key multiplicity products),
+    * which no distinct-only synopsis answers. The classic augmented-KMV
+    * scheme (Beyer et al. SIGMOD'07 §6's frequency extension — public):
+    * the k-min union sketch U is a UNIFORM distinct-key sample under
+    * the shared hash, so
+    *
+    *   est_join = est_distinct_union · (Σ_{v ∈ U} r_v·a_v) DIV |U|
+    *
+    * — one broadcast of ≤ k sampled hashes back over the fact rows
+    * collects the exact per-sample multiplicities (map-side join +
+    * k-row aggregate; the rows are never joined against each other).
+    * At 100 TB this answers "how big is this join" from a k-long
+    * summary + one narrow pass, BEFORE running the join — the
+    * cardinality input a cost-based planner needs.
+    *
+    * Sets: partkeys on 'R'-flag vs 'A'-flag line items (multiplicities
+    * on BOTH sides — a PK-FK pair would make r_v ≡ 1 and prove
+    * nothing). Grouping rides the POLY-HASH of the key, so the rare
+    * mod-p collision folds two keys identically in the engine and the
+    * oracle — every output is a pure integer function of the rows and
+    * the oracle replays sketches, sample, estimator AND the exact join
+    * size with no tolerance. */
+  private def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val M = 1000000007L
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("R", "A"))
+      // ≥ 8-char preimage guarantees PolyHash wraps (the q238 find)
+      .select(col("l_returnflag").as("flag"),
+        poly_hash(concat(lit("partkey:"), col("l_partkey").cast("string"),
+          lit(":s"))).as("h"))
+    val sks = li.agg(
+      k_min_distinct(when(col("flag") === "R", col("h")), k).as("sa"),
+      k_min_distinct(when(col("flag") === "A", col("h")), k).as("sb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("usz", size(col("u")).cast("long"))
+      .withColumn("est_union", when(col("usz") < k, col("usz"))
+        .otherwise(expr(s"${(k - 1).toLong * M}L DIV element_at(u, $k)")))
+      .select("u", "usz", "est_union")
+    // per-key (hash-grouped) multiplicities, once for the sample and
+    // once for the exact answer — the sample pass broadcasts ≤ k hashes
+    val perKey = li.groupBy("h").agg(
+      sum(when(col("flag") === "R", 1L).otherwise(0L)).as("rv"),
+      sum(when(col("flag") === "A", 1L).otherwise(0L)).as("av"))
+    val sampleProd = perKey
+      .join(broadcast(sks.select(explode(col("u")).as("h"))), "h")
+      .agg(coalesce(sum(col("rv") * col("av")), lit(0L)).as("sample_prod"))
+    val exact = perKey.agg(
+      sum(col("rv") * col("av")).as("exact_join"),
+      count(lit(1)).as("exact_distinct_keys"))
+    sks.crossJoin(broadcast(sampleProd)).crossJoin(broadcast(exact))
+      .select(col("usz"), col("est_union"), col("exact_distinct_keys"),
+        col("sample_prod"),
+        expr("est_union * sample_prod DIV usz").as("est_join"),
+        col("exact_join"))
+  }
+
   /** q222: Datasketches HLL rollup through Spark's own sketch
     * functions — per-source `hll_sketch_agg` partials, a global
     * `hll_union_agg` over the per-group SKETCH COLUMN (the rollup
@@ -199,7 +258,8 @@ object SketchQueries extends QueryPack {
     "q216_mg_heavy_hitters" -> heavyHitters,
     "q217_kmv_distinct" -> kmvDistinct,
     "q222_hll_rollup" -> hllRollup,
-    "q238_kmv_set_ops" -> kmvSetOps
+    "q238_kmv_set_ops" -> kmvSetOps,
+    "q245_join_size_estimate" -> joinSizeEstimate
   )
 
   /** PolyHash replay (the q205 pattern): fold (a·31 + codepoint) mod
@@ -298,6 +358,44 @@ object SketchQueries extends QueryPack {
          |       CAST(est_union * uin // usz AS BIGINT) AS est_inter,
          |       CAST(ei.exact_inter AS BIGINT) AS exact_inter
          |FROM est, e, ei""".stripMargin
+    },
+    // sketches, k-min-of-union sample, per-sample multiplicities,
+    // estimator AND exact join size — all integer, no tolerance
+    "q245_join_size_estimate" -> {
+      val h = duckPolyHash("'partkey:' || CAST(l_partkey AS VARCHAR) || ':s'")
+      s"""WITH li AS (
+         |  SELECT l_returnflag AS flag, $h AS h
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         |d AS (SELECT DISTINCT flag, h FROM li),
+         |a AS (SELECT h FROM d WHERE flag = 'R' ORDER BY h LIMIT 128),
+         |b AS (SELECT h FROM d WHERE flag = 'A' ORDER BY h LIMIT 128),
+         |uu AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+         |       ORDER BY h LIMIT 128),
+         |pk AS (
+         |  SELECT h,
+         |         sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS rv,
+         |         sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS av
+         |  FROM li GROUP BY h),
+         |st AS (
+         |  SELECT (SELECT count(*) FROM uu) AS usz,
+         |         (SELECT max(h) FROM uu) AS tau,
+         |         (SELECT coalesce(sum(rv * av), 0)
+         |          FROM pk WHERE h IN (SELECT h FROM uu)) AS sample_prod,
+         |         (SELECT sum(rv * av) FROM pk) AS exact_join,
+         |         (SELECT count(*) FROM pk) AS exact_distinct_keys),
+         |est AS (
+         |  SELECT st.*,
+         |         CASE WHEN usz < 128 THEN usz
+         |              ELSE CAST(127 AS BIGINT) * 1000000007 // tau
+         |         END AS est_union
+         |  FROM st)
+         |SELECT CAST(usz AS BIGINT) AS usz,
+         |       CAST(est_union AS BIGINT) AS est_union,
+         |       CAST(exact_distinct_keys AS BIGINT) AS exact_distinct_keys,
+         |       CAST(sample_prod AS BIGINT) AS sample_prod,
+         |       CAST(est_union * sample_prod // usz AS BIGINT) AS est_join,
+         |       CAST(exact_join AS BIGINT) AS exact_join
+         |FROM est""".stripMargin
     },
     // per-source exact distincts + TRUE tolerance booleans (the HLL
     // estimate is Spark-internal; a >5% error flips a boolean and

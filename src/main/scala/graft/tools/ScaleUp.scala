@@ -56,7 +56,6 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
-    require(factor >= 1 && factor <= 100, s"factor in [1,100], got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,6 +64,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, outDir, factor)
+    println(s"""{"scaleup":"done","src":"$srcDir","out":"$outDir","factor":$factor}""")
+    spark.stop()
+  }
+
+  /** The blow-up itself, session-supplied (spec-testable — `main` owns
+    * the session lifecycle, this does not). */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+          factor: Int): Unit = {
+    require(factor >= 1 && factor <= 100, s"factor in [1,100], got $factor")
     import graft.tables.Tables
 
     def write(df: DataFrame, name: String, parts: Int): Unit =
@@ -133,8 +142,5 @@ object ScaleUp {
       emb.select((col("vec_id") + k * 10000000L).as("vec_id"),
         col("embedding"), col("label"))
     }, "embeddings", factor.min(4))
-
-    println(s"""{"scaleup":"done","src":"$srcDir","out":"$outDir","factor":$factor}""")
-    spark.stop()
   }
 }

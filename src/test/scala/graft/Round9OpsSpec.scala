@@ -87,6 +87,46 @@ class Round9OpsSpec extends AnyFunSuite {
       s"bounded layering should cap at 4: $cm")
   }
 
+  // ---------------------------------------------------- ScaleUp
+  test("ScaleUp x2: volumes double, copies are key- and token-disjoint, " +
+    "user domain stays contiguous, per-copy joins stay intact") {
+    import graft.tables.Tables
+    val src = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_scale_").toString
+    graft.tools.ScaleUp.run(spark, src, out, 2)
+    // volumes exactly double
+    val d0 = Tables.documents(spark, src)
+    val d2 = spark.read.parquet(s"$out/documents.parquet")
+    assert(d2.count() == 2 * d0.count())
+    // copies key-disjoint: copy 1 ids sit at +10^7
+    val ids = d2.select(
+      sum(when(col("doc_id") < 10000000L, 1L).otherwise(0L)),
+      sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L))).head()
+    assert(ids.getLong(0) == d0.count() && ids.getLong(1) == d0.count())
+    // token-disjoint: no token occurs in both copies (the Caesar
+    // rotation bijects every letter-bearing token; the corpus has none
+    // without letters)
+    val toks = d2.select((col("doc_id") >= 10000000L).as("c1"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(countDistinct("c1").as("nc"))
+      .where(col("nc") > 1).count()
+    assert(toks == 0L, s"$toks tokens shared across copies")
+    // events user domain contiguous 0..2*(maxU+1)-1
+    val maxU = Tables.events(spark, src).agg(max("user_id")).head().getLong(0)
+    val ev2 = spark.read.parquet(s"$out/events.parquet")
+    val (dn, mx) = (ev2.select(countDistinct("user_id")).head().getLong(0),
+      ev2.agg(max("user_id")).head().getLong(0))
+    assert(mx == 2 * (maxU + 1) - 1 && dn == 2 * (maxU + 1),
+      s"user domain not contiguous: distinct=$dn max=$mx")
+    // per-copy FK closure: the orders⋈lineitem join doubles exactly
+    val j0 = Tables.orders(spark, src).join(Tables.lineitem(spark, src),
+      col("o_orderkey") === col("l_orderkey")).count()
+    val j2 = spark.read.parquet(s"$out/orders.parquet")
+      .join(spark.read.parquet(s"$out/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(j2 == 2 * j0, s"join rows $j2 != 2*$j0")
+  }
+
   // ---------------------------------------------------- q242 fixture
   test("q242: classifier trained on %5!=0 docs routes held-out docs to " +
     "the language whose trigram profile they match") {
