@@ -298,7 +298,58 @@ object BehaviorQueries extends QueryPack {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** q249: association-rule mining (Agrawal–Srikant Apriori level 2) —
+    * frequent item PAIRS with support / confidence (both directions) /
+    * lift over (user, day) baskets of event types, the market-basket
+    * census a behavioral pipeline derives recommendations from. Every
+    * metric is an exact-integer ratio emitted in micro-units via
+    * TRUNCATING division of positives (`div` / DuckDB `//` agree there
+    * — the q227 no-float-division discipline); no ln, no doubles
+    * anywhere on the surface.
+    *
+    * Scale shape: baskets are one distinct over the scan; the pair
+    * stage self-joins WITHIN a basket only, and participation is gated
+    * to baskets with ≤ 64 distinct items (the q170 quadratic-stage
+    * guard — here the item domain is |event_type| so the cap never
+    * binds, but at 100 TB it is what keeps one pathological basket from
+    * emitting 10⁸ pairs). Pair counts aggregate with map-side combine
+    * to an |items|²-bounded frame; item counts and the basket total are
+    * broadcast back. Level-3 itemsets are the same plan with one more
+    * bounded self-join. */
+  private def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type").as("item"))
+      .distinct()
+    val keep = items.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("sz")).where(col("sz") <= 64)
+      .select("user_id", "day")
+    val basketItems = items.join(keep, Seq("user_id", "day"), "left_semi")
+    val nB = keep.agg(count(lit(1)).as("n_baskets"))
+    val ic = basketItems.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = basketItems.as("a").join(basketItems.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(ic.select(col("item").as("item_a"),
+        col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(ic.select(col("item").as("item_b"),
+        col("n_item").as("n_b"))), "item_b")
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_baskets"),
+        expr("1000000 * n_ab div n_baskets").as("support_micro"),
+        expr("1000000 * n_ab div n_a").as("conf_ab_micro"),
+        expr("1000000 * n_ab div n_b").as("conf_ba_micro"),
+        expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_micro"))
+      .orderBy("item_a", "item_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_association_rules" -> associationRules,
     "q160_markov_transitions" -> markovTransitions,
     "q191_daily_streaks" -> dailyStreaks,
     "q193_brand_rules" -> brandRules,
@@ -313,6 +364,38 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Baskets, the ≤64-item gate, pair/item/basket counts, and every
+    // micro-unit ratio replayed; `//` on positive BIGINTs truncates
+    // exactly like Spark's `div`.
+    "q249_association_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day,
+        |                  event_type AS item
+        |  FROM events),
+        |keep AS (
+        |  SELECT user_id, day FROM items
+        |  GROUP BY 1, 2 HAVING count(*) <= 64),
+        |bi AS (
+        |  SELECT items.* FROM items JOIN keep USING (user_id, day)),
+        |nb AS (SELECT count(*) AS n_baskets FROM keep),
+        |ic AS (SELECT item, count(*) AS n_item FROM bi GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM bi a JOIN bi b
+        |    ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b,
+        |       ia.n_item AS n_a, ib.n_item AS n_b, n_ab, nb.n_baskets,
+        |       1000000 * n_ab // nb.n_baskets AS support_micro,
+        |       1000000 * n_ab // ia.n_item AS conf_ab_micro,
+        |       1000000 * n_ab // ib.n_item AS conf_ba_micro,
+        |       (1000000 * n_ab * nb.n_baskets) // (ia.n_item * ib.n_item)
+        |         AS lift_micro
+        |FROM pairs
+        |JOIN ic ia ON ia.item = pairs.item_a
+        |JOIN ic ib ON ib.item = pairs.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
     "q191_daily_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

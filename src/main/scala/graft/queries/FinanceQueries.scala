@@ -367,8 +367,62 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q248: per-(symbol, user) ORDINARY-LEAST-SQUARES trend line — the
+    * reference's "stock trend" (`ml_model/predict_from_vm4.py` learns an
+    * up/down signal from OHLCV history) as a CLOSED-FORM learner whose
+    * every fitted coefficient goes through the oracle. All sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64 over integer-
+    * cent closes and 1-based day indices, so the normal-equation slope
+    * numerator S = nΣxy − ΣxΣy and denominator D = nΣx² − (Σx)² are
+    * exact integers and trend = sign(S) needs NO division or float
+    * anywhere (D > 0 whenever n ≥ 2 because the x's are distinct).
+    * R² = S²/(D·Vy) with Vy = nΣy² − (Σy)² is emitted in micro-units
+    * from ONE double expression over those exact ints — every node a
+    * single correctly-rounded IEEE op, identical across engines (the
+    * q92 BM25 determinism contract; S ≈ 1e9 and each product ≈ 1e18
+    * stay below any double-precision cliff that could differ, because
+    * both engines round the SAME exact products); constant-price groups
+    * (Vy = 0) emit NULL R² on both sides.
+    *
+    * Scale shape: bars are one map-side-combining groupBy over the
+    * scan; the day index is a window on the SAME (symbol, user) key, so
+    * the sufficient-statistics groupBy reuses that exchange — one
+    * shuffle total, no joins, no iteration, O(1) math per group. At
+    * 100 TB of ticks the output is |symbol × user|-sized and each
+    * group's fit cost is independent of history length beyond the
+    * aggregate itself. */
+  private def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol", "user_id").orderBy("day")
+    val bars = graft.ml.TrendModel.dailyBars(Tables.events(spark, dir))
+      .select(col("symbol"), col("user_id"), col("day"),
+        round(col("close") * 100).cast("long").as("y"))
+      .withColumn("x", row_number().over(w).cast("long"))
+    bars.groupBy("symbol", "user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .where(col("n") >= 2)
+      .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("trend",
+        when(col("slope_num") > 0, 1L).when(col("slope_num") < 0, -1L)
+          .otherwise(0L))
+      .withColumn("r2_micro",
+        when(col("var_y") === 0, lit(null).cast("long"))
+          .otherwise(round(
+            col("slope_num").cast("double") * col("slope_num").cast("double")
+              / (col("slope_den").cast("double") * col("var_y").cast("double"))
+              * 1e6).cast("long")))
+      .select("symbol", "user_id", "n", "slope_num", "slope_den", "trend",
+        "r2_micro")
+      .orderBy("symbol", "user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_candlestick_patterns" -> candlestickPatterns,
+    "q248_ols_trend" -> olsTrend,
     "q227_seasonal_decomposition" -> seasonalDecomposition,
     "q228_lead_lag_correlation" -> leadLagCorrelation,
     "q144_forward_labels" -> forwardLabels,
@@ -381,6 +435,45 @@ object FinanceQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // OLS sufficient statistics replayed as exact BIGINTs over the same
+    // bar frame; R² mirrors the Spark double expression node for node
+    // (S·S) / (D·Vy) · 1e6 — all operands exact integers, each op
+    // correctly rounded, so the rounding is engine-independent.
+    "q248_ols_trend" ->
+      """WITH bars AS (
+        |  SELECT event_type AS symbol, user_id,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |xy AS (
+        |  SELECT symbol, user_id, y,
+        |         CAST(row_number() OVER (PARTITION BY symbol, user_id
+        |                                 ORDER BY day) AS BIGINT) AS x
+        |  FROM bars),
+        |s AS (
+        |  SELECT symbol, user_id,
+        |         count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY 1, 2),
+        |fit AS (
+        |  SELECT symbol, user_id, n,
+        |         n * sxy - sx * sy AS slope_num,
+        |         n * sxx - sx * sx AS slope_den,
+        |         n * syy - sy * sy AS var_y
+        |  FROM s WHERE n >= 2)
+        |SELECT symbol, user_id, n, slope_num, slope_den,
+        |       CAST(CASE WHEN slope_num > 0 THEN 1
+        |                 WHEN slope_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |         AS trend,
+        |       CASE WHEN var_y = 0 THEN NULL
+        |            ELSE CAST(round(
+        |              CAST(slope_num AS DOUBLE) * CAST(slope_num AS DOUBLE)
+        |                / (CAST(slope_den AS DOUBLE) * CAST(var_y AS DOUBLE))
+        |                * 1e6) AS BIGINT) END AS r2_micro
+        |FROM fit ORDER BY symbol, user_id""".stripMargin,
     // the CUSUM recursion replayed closed-form: S_i = P_i − min(0,
     // running-min P) over the n-scaled integer deviations; window sums
     // CAST to BIGINT immediately (DuckDB HUGEINT guard, the q97 lesson)

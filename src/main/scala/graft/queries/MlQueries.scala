@@ -329,8 +329,85 @@ object MlQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** q247: RELATIONALLY-TRAINED multinomial Naive Bayes — the generative
+    * counterpart to q242's discriminative rank-profile classifier and the
+    * second fully hash-checked training loop after q240. Same task
+    * (language of a document) and the same doc_id % 5 holdout split so
+    * the two learners are directly comparable.
+    *
+    * Train (doc_id % 5 ≠ 0): vocabulary = words with train count ≥ 5
+    * (bounded feature space); per-(lang, word) token counts c_lw, per-
+    * lang vocab-token totals c_l, per-lang doc priors n_l. The model is
+    * Laplace-smoothed: weight(lang, w) = ln((c_lw + 1)/(c_l + V)) and
+    * prior(lang) = ln(n_l / n_train), each QUANTIZED to micro-nats at
+    * the model level — ln appears once per (lang, word) cell over a
+    * ratio of exact small integers and is rounded to int64 immediately
+    * (the q165/q170 cross-engine contract; q242 avoided ln entirely,
+    * this query pins the quantized alternative), so every downstream
+    * score is an exact integer sum: score(d, lang) = prior_micro +
+    * Σ_w cnt_dw · weight_micro. Argmax ties break to the
+    * lexicographically first language. Docs with no vocab token score on
+    * priors alone. Output: (true, predicted) confusion matrix with
+    * n_docs and the summed winning score — counts, weights AND argmax
+    * replayed by the oracle.
+    *
+    * Scale shape (100 TB corpus): the model is dimension-sized
+    * (|langs| × V cells) and BROADCAST; doc-word counts shuffle only
+    * (doc_id, word) partials with map-side combine; scoring is a
+    * map-side join against the broadcast model plus one per-doc window
+    * over |langs| rows. No pairwise doc work anywhere — the exact shape
+    * a fastText-style curation classifier runs at corpus scale. */
+  private def naiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "").as("ws"))
+    val dw = docs.select(col("doc_id"), col("lang"),
+      explode(col("ws")).as("word"))
+    val train = dw.where(col("doc_id") % 5 =!= 0)
+    val vocab = train.groupBy("word").agg(count(lit(1)).as("cw"))
+      .where(col("cw") >= 5).select("word")
+    val tv = train.join(broadcast(vocab), "word")
+    val clw = tv.groupBy("lang", "word").agg(count(lit(1)).as("c_lw"))
+    // per-lang stats × vocab size × doc priors: one tiny broadcast frame
+    val langStats = tv.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      .join(docs.where(col("doc_id") % 5 =!= 0).groupBy("lang")
+        .agg(count(lit(1)).as("n_l")), "lang")
+      .crossJoin(vocab.agg(count(lit(1)).as("v")))
+      .crossJoin(docs.where(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("n_train")))
+      .withColumn("prior_micro",
+        round(log(col("n_l").cast("double") / col("n_train").cast("double"))
+          * 1e6).cast("long"))
+      .select(col("lang").as("cand"), col("c_l"), col("v"),
+        col("prior_micro"))
+    val model = clw.select(col("lang").as("cand"), col("word"), col("c_lw"))
+    // held-out docs: vocab-restricted word counts → integer score per lang
+    val tdw = dw.where(col("doc_id") % 5 === 0)
+      .join(broadcast(vocab), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val wordScores = tdw.crossJoin(broadcast(langStats))
+      .join(broadcast(model), Seq("cand", "word"), "left")
+      .withColumn("w_micro",
+        round(log((coalesce(col("c_lw"), lit(0L)) + lit(1L)).cast("double")
+          / (col("c_l") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("cnt") * col("w_micro")).as("s_words"))
+    val scored = docs.where(col("doc_id") % 5 === 0).select("doc_id", "lang")
+      .crossJoin(broadcast(langStats.select("cand", "prior_micro")))
+      .join(wordScores, Seq("doc_id", "cand"), "left")
+      .withColumn("score",
+        col("prior_micro") + coalesce(col("s_words"), lit(0L)))
+    val pred = scored.withColumn("rn", row_number().over(
+        w.partitionBy("doc_id").orderBy(desc("score"), asc("cand"))))
+      .where(col("rn") === 1)
+    pred.groupBy(col("lang").as("true_lang"), col("cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_feature_hashing" -> featureHashing,
+    "q247_naive_bayes" -> naiveBayes,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
     "q64_streaming_inference" -> streamingInference,
@@ -341,6 +418,65 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The FULL NB training loop replayed: vocabulary gate, per-(lang,
+    // word) counts, micro-nat quantized Laplace weights and priors
+    // (round(ln(ratio-of-exact-ints) * 1e6) — the q165/q170 cross-engine
+    // ln contract, quantized at the MODEL level so scoring stays exact
+    // integer), per-doc score sums, and the argmax with its tie-break.
+    "q247_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |  FROM documents),
+        |dw AS (SELECT * FROM toks WHERE word <> ''),
+        |vocab AS (
+        |  SELECT word FROM dw WHERE doc_id % 5 <> 0
+        |  GROUP BY word HAVING count(*) >= 5),
+        |tv AS (
+        |  SELECT dw.lang, dw.word FROM dw JOIN vocab USING (word)
+        |  WHERE dw.doc_id % 5 <> 0),
+        |clw AS (SELECT lang, word, count(*) AS c_lw FROM tv GROUP BY 1, 2),
+        |ls AS (SELECT lang, count(*) AS c_l FROM tv GROUP BY 1),
+        |pri AS (
+        |  SELECT lang, count(*) AS n_l FROM documents
+        |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |consts AS (
+        |  SELECT (SELECT count(*) FROM vocab) AS v,
+        |         (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0)
+        |           AS n_train),
+        |stats AS (
+        |  SELECT ls.lang AS cand, ls.c_l, consts.v,
+        |         CAST(round(ln(CAST(pri.n_l AS DOUBLE)
+        |                       / CAST(consts.n_train AS DOUBLE)) * 1e6)
+        |              AS BIGINT) AS prior_micro
+        |  FROM ls JOIN pri ON ls.lang = pri.lang CROSS JOIN consts),
+        |tdw AS (
+        |  SELECT dw.doc_id, dw.word, count(*) AS cnt
+        |  FROM dw JOIN vocab USING (word)
+        |  WHERE dw.doc_id % 5 = 0 GROUP BY 1, 2),
+        |ws AS (
+        |  SELECT tdw.doc_id, stats.cand,
+        |         CAST(sum(tdw.cnt *
+        |           CAST(round(ln(CAST(COALESCE(clw.c_lw, 0) + 1 AS DOUBLE)
+        |                         / CAST(stats.c_l + stats.v AS DOUBLE)) * 1e6)
+        |                AS BIGINT)) AS BIGINT) AS s_words
+        |  FROM tdw CROSS JOIN stats
+        |  LEFT JOIN clw ON clw.lang = stats.cand AND clw.word = tdw.word
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang, stats.cand,
+        |         stats.prior_micro + COALESCE(ws.s_words, 0) AS score
+        |  FROM documents d CROSS JOIN stats
+        |  LEFT JOIN ws ON ws.doc_id = d.doc_id AND ws.cand = stats.cand
+        |  WHERE d.doc_id % 5 = 0),
+        |p AS (
+        |  SELECT doc_id, lang, cand, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, cand ASC) AS rn
+        |  FROM sc)
+        |SELECT lang AS true_lang, cand AS pred_lang,
+        |       count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // FNV-1a64 replayed in SQL over the same namespaced feature strings
     // (ASCII corpus: unicode(c) == UTF-8 byte; HUGEINT mod-2^64
     // wraparound) — the q39 discipline. pmod(signed, 64) == unsigned

@@ -183,8 +183,54 @@ object RetrievalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q250: reciprocal-rank-fusion HYBRID retrieval (Cormack, Clarke &
+    * Buettcher SIGIR'09) — the lexical leg (global BM25 over the fixed
+    * term-set, q92's scorer with one corpus-wide statistics partition)
+    * fused with the semantic leg (exact cosine against query vector 0,
+    * q41's scorer) by RRF(d) = Σ_legs ⌊10⁶ / (60 + rank_d)⌋. The fusion
+    * is pure INTEGER over the two row_number ranks (truncating division
+    * of positives, `div` ≡ DuckDB `//`), so the only floats on the
+    * surface are the two legs' scores — each already bit-reproducible
+    * by its own query's contract. Docs outside a leg's top-50 contribute
+    * 0 from that leg (the standard top-k RRF form — also what keeps the
+    * fused frame k-bounded instead of corpus-bounded). Doc 0 is the
+    * query and is excluded from both universes; at sf0.1 only a prefix
+    * of docs carries an embedding, so the legs legitimately rank
+    * different universes — exactly the partially-embedded-corpus case
+    * hybrid search exists for.
+    *
+    * Scale shape: each leg is broadcast-stats + in-scan scoring + ONE
+    * rank shuffle with a partial WindowGroupLimit below it (only k rows
+    * per input partition shuffle); the fusion joins two ≤k-row frames —
+    * driver-independent, corpus-size-independent. */
+  private def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") =!= 0)
+      .withColumn("part", lit("all"))
+    val lex = Retrieval.bm25TopK(docs, part = "part", id = "doc_id",
+        text = "text", terms = Terms, k = 50)
+      .select(col("doc_id"), col("score").as("bm25"),
+        col("rank").as("rank_lex"))
+    val emb = Tables.embeddings(spark, dir)
+    val sem = graft.similarity.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") === 0), id = "vec_id",
+        vec = "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("cosine"),
+        col("rank").as("rank_sem"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+    val w = Window.orderBy(desc("rrf_micro"), asc("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .where(col("fused_rank") <= 20)
+      .select("fused_rank", "doc_id", "rrf_micro", "rank_lex", "bm25",
+        "rank_sem", "cosine")
+      .orderBy("fused_rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q223_phrase_search" -> phraseSearch,
+    "q250_rrf_hybrid" -> rrfHybrid,
     "q92_bm25_topk" -> bm25TopK,
     "q169_inverted_index" -> invertedIndex,
     "q96_doc_chunks" -> docChunks,
@@ -197,6 +243,82 @@ object RetrievalQueries extends QueryPack {
   // same association); every float input is an exact integer and every
   // constant is binary-exact, so the scores hash-match bit for bit.
   override def oracles: Map[String, String] = Map(
+    // Both legs replayed in full — the q92 BM25 expression tree with ONE
+    // global statistics partition, the q41 cosine fold — then the exact
+    // integer RRF arithmetic and both tie-broken rank stages.
+    "q250_rrf_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id <> 0),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'table')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'join'))  AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'hash'))  AS BIGINT) AS tf2
+        |  FROM d),
+        |l AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM f),
+        |s AS (
+        |  SELECT f.doc_id,
+        |         (CASE WHEN tf0 > 0 THEN
+        |            ((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf0 AS DOUBLE) * 2.25)
+        |               / (CAST(tf0 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN tf1 > 0 THEN
+        |            ((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf1 AS DOUBLE) * 2.25)
+        |               / (CAST(tf1 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN tf2 > 0 THEN
+        |            ((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |            * ((CAST(tf2 AS DOUBLE) * 2.25)
+        |               / (CAST(tf2 AS DOUBLE)
+        |                  + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                                   / (CAST(sum_dl AS DOUBLE) / n_docs))))
+        |          ELSE 0.0 END) AS bm25
+        |  FROM f CROSS JOIN l),
+        |lexr AS (
+        |  SELECT doc_id, bm25,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+        |  FROM s),
+        |lex AS (SELECT * FROM lexr WHERE rank_lex <= 50),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |q AS (SELECT dv AS qv FROM v WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT c.vec_id AS doc_id,
+        |         list_sum([q.qv[i] * c.dv[i] for i in range(1, len(q.qv) + 1)])
+        |           / (sqrt(list_sum([q.qv[i] * q.qv[i] for i in range(1, len(q.qv) + 1)]))
+        |              * sqrt(list_sum([c.dv[i] * c.dv[i] for i in range(1, len(c.dv) + 1)]))) AS cosine
+        |  FROM v c CROSS JOIN q WHERE c.vec_id <> 0),
+        |semr AS (
+        |  SELECT doc_id, cosine,
+        |         row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_sem
+        |  FROM cs),
+        |sem AS (SELECT * FROM semr WHERE rank_sem <= 50),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |         lex.rank_lex, lex.bm25, sem.rank_sem, sem.cosine,
+        |         COALESCE(1000000 // (60 + lex.rank_lex), 0)
+        |           + COALESCE(1000000 // (60 + sem.rank_sem), 0) AS rrf_micro
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |r AS (
+        |  SELECT doc_id, rrf_micro, rank_lex, bm25, rank_sem, cosine,
+        |         row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+        |           AS fused_rank
+        |  FROM fused)
+        |SELECT fused_rank, doc_id, rrf_micro, rank_lex, bm25, rank_sem, cosine
+        |FROM r WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin,
     // positional postings replayed with the q213 parallel-unnest
     // pattern; same adjacency join, same 1-based positions
     "q223_phrase_search" ->

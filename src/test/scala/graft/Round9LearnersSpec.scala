@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 breadth pins: the relationally-trained Naive Bayes (q247),
+  * closed-form OLS trend (q248), association-rule mining (q249) and RRF
+  * hybrid retrieval (q250) — constructed fixtures with hand-computed
+  * expectations plus structural invariants on the real sf0.001 corpus. */
+class Round9LearnersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stageDocs(rows: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9l_").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Events staged as raw µs-long ts (unannotated int64 → the reader's
+    * magnitude CASE treats < 1e17 as µs — the documented fallback). */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9e_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  private def dayUs(day: Int): Long = // 2024-01-<day> 12:00 UTC in µs
+    (java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L + 43200L) * 1000000L
+
+  // ---------------------------------------------------- q247 fixture
+  test("q247: NB trained on %5!=0 docs routes held-out docs to the " +
+    "language owning their words; symmetric fixture → symmetric scores") {
+    // vocab gate needs train count ≥ 5: 'foo' appears 12× in xx train
+    // docs, 'bar' 12× in yy. Docs 5/10 are held out (doc_id % 5 == 0).
+    val dir = stageDocs(Seq(
+      (1L, "foo foo foo", "xx"), (2L, "foo foo foo", "xx"),
+      (3L, "foo foo foo", "xx"), (4L, "foo foo foo", "xx"),
+      (5L, "foo foo", "xx"),
+      (6L, "bar bar bar", "yy"), (7L, "bar bar bar", "yy"),
+      (8L, "bar bar bar", "yy"), (9L, "bar bar bar", "yy"),
+      (10L, "bar bar", "yy")))
+    val got = SparkEntry.queries("q247_naive_bayes")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("xx", "xx", 1L), ("yy", "yy", 1L)), got.toString)
+    // the fixture is exactly symmetric under xx↔yy, foo↔bar: winning
+    // scores must match, and each is prior + 2·weight < 0
+    assert(got(0)._4 == got(1)._4 && got(0)._4 < 0L, got.toString)
+  }
+
+  test("q247 covers every held-out doc exactly once on sf0.001 and is " +
+    "deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q247_naive_bayes")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val b = SparkEntry.queries("q247_naive_bayes")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(a == b, "NB argmax not deterministic across runs")
+    val held = graft.tables.Tables.documents(spark, dir)
+      .where(col("doc_id") % 5 === 0).count()
+    assert(a.map(_._3).sum == held,
+      s"confusion matrix covers ${a.map(_._3).sum} docs, expected $held")
+  }
+
+  // ---------------------------------------------------- q248 fixture
+  test("q248: a perfect line fits with r2 = 1e6 and exact slope ratio; " +
+    "a constant series gets trend 0 / NULL r2; singletons are dropped") {
+    val dir = stageEvents(Seq(
+      // user 1: close cents 100,200,300,400 on days 1..4 → slope 100 c/d
+      (1L, dayUs(1), 1L, "AAPL", 1.00), (2L, dayUs(2), 1L, "AAPL", 2.00),
+      (3L, dayUs(3), 1L, "AAPL", 3.00), (4L, dayUs(4), 1L, "AAPL", 4.00),
+      // user 2: flat at 5.00 over 3 days
+      (5L, dayUs(1), 2L, "AAPL", 5.00), (6L, dayUs(2), 2L, "AAPL", 5.00),
+      (7L, dayUs(3), 2L, "AAPL", 5.00),
+      // user 3: single day → n < 2, excluded
+      (8L, dayUs(1), 3L, "AAPL", 9.00)))
+    val got = SparkEntry.queries("q248_ols_trend")(spark, dir)
+      .select("symbol", "user_id", "n", "slope_num", "slope_den", "trend",
+        "r2_micro")
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("AAPL", 1L, 4L, 2000L, 20L, 1L, Some(1000000L)),
+      ("AAPL", 2L, 3L, 0L, 6L, 0L, None)), got.toString)
+  }
+
+  test("q248 on sf0.001: slope sign agrees with a driver-side exact " +
+    "rational refit for every group") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q248_ols_trend")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // recompute the fit independently from the bar frame in Scala
+    val bars = graft.ml.TrendModel.dailyBars(
+        graft.tables.Tables.events(spark, dir))
+      .select(col("symbol"), col("user_id"), col("day"),
+        round(col("close") * 100).cast("long").as("y"))
+      .as[(String, Long, String, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+    rows.foreach { case (sym, uid, n, sNum, sDen, trend, r2) =>
+      val ys = bars((sym, uid)).sortBy(_._3).map(_._4).zipWithIndex
+        .map { case (y, i) => (BigInt(i + 1), BigInt(y)) }
+      assert(ys.size == n)
+      val (sx, sy) = (ys.map(_._1).sum, ys.map(_._2).sum)
+      val sxy = ys.map(t => t._1 * t._2).sum
+      val sxx = ys.map(t => t._1 * t._1).sum
+      val syy = ys.map(t => t._2 * t._2).sum
+      assert(BigInt(sNum) == n * sxy - sx * sy, s"$sym/$uid slope_num")
+      assert(BigInt(sDen) == n * sxx - sx * sx, s"$sym/$uid slope_den")
+      assert(trend == (n * sxy - sx * sy).signum, s"$sym/$uid trend")
+      assert(r2.isEmpty == (n * syy - sy * sy == 0), s"$sym/$uid r2 null")
+      r2.foreach(v => assert(v >= 0L && v <= 1000000L, s"$sym/$uid r2=$v"))
+    }
+  }
+
+  // ---------------------------------------------------- q249 fixture
+  test("q249: pair support/confidence/lift come out exactly on a " +
+    "hand-computed basket set; sub-support pairs are absent") {
+    // baskets: 5×{A,B}, 1×{A,B,C}, 1×{C} → only (A,B) reaches n_ab ≥ 5.
+    // duplicate events inside one basket must not double-count (distinct).
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u * 10L, dayUs(1), u.toLong, "A", 1.0),
+        (u * 10L + 1, dayUs(1), u.toLong, "B", 1.0),
+        (u * 10L + 2, dayUs(1), u.toLong, "A", 2.0)) // dup A, same basket
+    } ++ Seq(
+      (100L, dayUs(1), 6L, "A", 1.0), (101L, dayUs(1), 6L, "B", 1.0),
+      (102L, dayUs(1), 6L, "C", 1.0),
+      (103L, dayUs(1), 7L, "C", 1.0))
+    val dir = stageEvents(rows)
+    val got = SparkEntry.queries("q249_association_rules")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // N=7, n_A=6, n_B=6, n_AB=6: support=857142, conf both 10^6,
+    // lift=(1e6·6·7)//36=1166666
+    assert(got == Seq(("A", "B", 6L, 6L, 6L, 7L, 857142L, 1000000L,
+      1000000L, 1166666L)), got.toString)
+  }
+
+  test("q249 on sf0.001: every pair respects min-support, symmetric " +
+    "metrics are consistent, and lift matches its definition") {
+    val got = SparkEntry.queries("q249_association_rules")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, na, nb, nab, nB, sup, cab, cba, lift) =>
+      assert(a < b && nab >= 5 && nab <= math.min(na, nb) &&
+        math.max(na, nb) <= nB)
+      assert(sup == 1000000L * nab / nB)
+      assert(cab == 1000000L * nab / na && cba == 1000000L * nab / nb)
+      assert(lift == 1000000L * nab * nB / (na * nb))
+    }
+  }
+
+  // ---------------------------------------------------- q250 structure
+  test("q250 on sf0.001: fused ranks are 1..20 over distinct docs, the " +
+    "RRF score matches its formula from the leg ranks, and ordering is " +
+    "the (rrf DESC, doc_id ASC) contract") {
+    val got = SparkEntry.queries("q250_rrf_hybrid")(
+        spark, "/root/testdata/sf0.001")
+      .select("fused_rank", "doc_id", "rrf_micro", "rank_lex", "rank_sem")
+      .as[(Int, Long, Long, Option[Int], Option[Int])].collect().toSeq
+    assert(got.map(_._1) == (1 to 20) && got.map(_._2).distinct.size == 20)
+    got.foreach { case (_, id, rrf, rl, rs) =>
+      assert(id != 0L, "query doc must be excluded from both universes")
+      assert(rl.isDefined || rs.isDefined, s"doc $id in neither top-50")
+      val expected = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rs.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == expected, s"doc $id rrf $rrf != $expected")
+    }
+    got.sliding(2).foreach {
+      case Seq((_, id1, s1, _, _), (_, id2, s2, _, _)) =>
+        assert(s1 > s2 || (s1 == s2 && id1 < id2), "fusion order violated")
+      case _ => ()
+    }
+  }
+}
