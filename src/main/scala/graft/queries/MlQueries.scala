@@ -307,6 +307,145 @@ object MlQueries extends QueryPack {
         col("n_test"), col("n_correct"))
   }
 
+  /** WEIGHTED [[bestSplits]]: the frame carries integer weight `w` and
+    * pre-multiplied `wy` = w·y; split selection minimizes the weighted
+    * division-free Gini cost K_L(W_L−K_L)·W_R + K_R(W_R−K_R)·W_L over
+    * weight sums instead of counts. Weight sums stay int64 (Σw ≤ 2e1c1
+    * < 2n²), but the three-way cost PRODUCTS can reach (Σw)³ ≈ n⁶, so
+    * the cost is computed in DecimalType(38, 0) — exact to 10³⁸, and
+    * DuckDB's HUGEINT replays it exactly (the q182 discipline). Only
+    * the ORDER uses the cost, so no decimal ever reaches the output
+    * schema. */
+  private[graft] def bestSplitsW(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val long = df.selectExpr(
+      "stack(5, 'close', cc, 'high', hc, 'low', lc, 'open', oc, " +
+        "'volume', vol) as (feat, v)", "w", "wy")
+    val counts = long.groupBy("feat", "v")
+      .agg(sum("w").as("n"), sum("wy").as("k"))
+    val wCum = Window.partitionBy("feat").orderBy("v")
+    val wTot = Window.partitionBy("feat")
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val wSel = Window.orderBy(col("cost"), col("feat"), col("v"))
+    counts
+      .withColumn("nl", sum("n").over(wCum))
+      .withColumn("kl", sum("k").over(wCum))
+      .withColumn("nn", sum("n").over(wTot))
+      .withColumn("kk", sum("k").over(wTot))
+      .where(col("nl") < col("nn"))
+      .withColumn("cost",
+        dec(col("kl")) * dec(col("nl") - col("kl")) *
+          dec(col("nn") - col("nl")) +
+          dec(col("kk") - col("kl")) *
+            dec((col("nn") - col("nl")) - (col("kk") - col("kl"))) *
+            dec(col("nl")))
+      .withColumn("rn", row_number().over(wSel))
+      .where(col("rn") === 1)
+      .drop("rn", "n", "k", "cost")
+  }
+
+  /** q251: two-round AdaBoost over relationally-trained stumps — the
+    * ORACLE-CHECKED ensemble counterpart of the reference's
+    * RandomForest (`ml_model/predict_from_vm4.py:35`): where q240 made
+    * one tree exact, this makes a boosted COMMITTEE exact, weights,
+    * second weighted fit, α-comparison and all (Freund & Schapire '97,
+    * public algorithm). Everything stays integer:
+    *
+    *  - round 1 is q240's root stump h₁ (uniform weights);
+    *  - AdaBoost's reweighting "misclassified points get half the total
+    *    mass" has an exact integer form: w = c₁ for the e₁ misclassified
+    *    rows and w = e₁ for the c₁ correct ones (each side then totals
+    *    e₁c₁ — the canonical weights scaled by 2e₁c₁/n, which changes
+    *    no argmin);
+    *  - round 2 trains h₂ on those weights via [[bestSplitsW]]
+    *    (division-free weighted Gini, decimal cost, int64 weight sums);
+    *  - the vote: sign(α₁h₁ + α₂h₂) with αᵢ = ½ln((1−εᵢ)/εᵢ) only
+    *    matters where h₁ ≠ h₂, where it reduces to "is α₂ > α₁", i.e.
+    *    (1−ε₂)/ε₂ > (1−ε₁)/ε₁ — cross-multiplied to the exact integer
+    *    predicate e₁·(W−E₂) > c₁·E₂ (E₂ = weighted error of h₂, W =
+    *    2e₁c₁ the total weight; ln is monotone so NO logarithm ever
+    *    evaluates); α ties break to h₁, deterministically. Assumes the
+    *    generic position 0 < e₁ < c₁ (verified at all three SFs; a
+    *    perfect or majority-losing stump would make boosting itself
+    *    degenerate).
+    *
+    * Output: one row with both stumps, both error masses, the α
+    * predicate, and held-out accuracy of h₁ alone vs the committee —
+    * every column hash-checked by an oracle that replays both training
+    * rounds, the reweighting, and the vote.
+    *
+    * Scale shape: two value-domain-bounded aggregation passes (the
+    * q240 shape, once unweighted, once weighted) + three 1-row
+    * broadcast frames; no pairwise work, no driver loops, nothing
+    * corpus-sized past the partial aggregates. */
+  private def adaboostStumps(spark: SparkSession, dir: String): DataFrame = {
+    val bars = withFold(TrendModel.dailyBars(Tables.events(spark, dir)))
+      .select(col("fold"),
+        round(col("open") * 100).cast("long").as("oc"),
+        round(col("high") * 100).cast("long").as("hc"),
+        round(col("low") * 100).cast("long").as("lc"),
+        round(col("close") * 100).cast("long").as("cc"),
+        col("volume").cast("long").as("vol"),
+        col("movement").cast("long").as("y"))
+    val train = bars.where(col("fold") =!= 0)
+    val test = bars.where(col("fold") === 0)
+
+    def featVal(f: org.apache.spark.sql.Column) =
+      when(f === "close", col("cc")).when(f === "high", col("hc"))
+        .when(f === "low", col("lc")).when(f === "open", col("oc"))
+        .otherwise(col("vol"))
+    def vote(k: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (lit(2) * k > n).cast("long")
+
+    val h1 = bestSplits(train, Seq.empty)
+      .select(col("feat").as("f1"), col("v").as("t1"),
+        vote(col("kl"), col("nl")).as("p1l"),
+        vote(col("kk") - col("kl"), col("nn") - col("nl")).as("p1r"))
+    def h1pred = when(featVal(col("f1")) <= col("t1"), col("p1l"))
+      .otherwise(col("p1r"))
+
+    val t1 = train.crossJoin(broadcast(h1)).withColumn("h1", h1pred)
+    val errs = t1.agg(
+      sum(when(col("h1") =!= col("y"), 1L).otherwise(0L)).as("e1"),
+      sum(when(col("h1") === col("y"), 1L).otherwise(0L)).as("c1"))
+    val weighted = t1.crossJoin(broadcast(errs))
+      .withColumn("w",
+        when(col("h1") =!= col("y"), col("c1")).otherwise(col("e1")))
+      .select(col("oc"), col("hc"), col("lc"), col("cc"), col("vol"),
+        col("y"), col("w"), (col("w") * col("y")).as("wy"))
+
+    val h2 = bestSplitsW(weighted)
+      .select(col("feat").as("f2"), col("v").as("t2"),
+        vote(col("kl"), col("nl")).as("p2l"),
+        vote(col("kk") - col("kl"), col("nn") - col("nl")).as("p2r"),
+        col("nn").as("w_tot"))
+    def h2pred = when(featVal(col("f2")) <= col("t2"), col("p2l"))
+      .otherwise(col("p2r"))
+
+    val e2 = weighted.crossJoin(broadcast(h2))
+      .agg(sum(when(h2pred =!= col("y"), col("w")).otherwise(lit(0L)))
+        .as("e2w"))
+
+    val model = h1.crossJoin(errs).crossJoin(h2).crossJoin(e2)
+      .withColumn("use2",
+        (col("e1") * (col("w_tot") - col("e2w")) >
+          col("c1") * col("e2w")).cast("long"))
+    val scored = test.crossJoin(broadcast(model))
+      .withColumn("h1", h1pred).withColumn("h2", h2pred)
+      .withColumn("pred",
+        when(col("h1") === col("h2"), col("h1"))
+          .otherwise(when(col("use2") === 1L, col("h2"))
+            .otherwise(col("h1"))))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("h1") === col("y")).cast("long")).as("n_correct_h1"),
+        sum((col("pred") === col("y")).cast("long")).as("n_correct_boost"))
+    model.crossJoin(scored)
+      .select("f1", "t1", "p1l", "p1r", "e1", "c1",
+        "f2", "t2", "p2l", "p2r", "e2w", "w_tot", "use2",
+        "n_test", "n_correct_h1", "n_correct_boost")
+  }
+
   /** q178: the hashing trick — namespaced categorical features
     * (`brand=…`, `type=…`) hashed into 64 buckets via the codegen'd
     * FNV-1a64 expression, with the per-bucket collision census (distinct
@@ -414,7 +553,8 @@ object MlQueries extends QueryPack {
     "q71_global_rf" -> globalRf,
     "q235_cv_folds" -> cvFolds,
     "q236_cv_accuracy" -> cvAccuracy,
-    "q240_decision_stump" -> decisionStump
+    "q240_decision_stump" -> decisionStump,
+    "q251_adaboost_stumps" -> adaboostStumps
   )
 
   override def oracles: Map[String, String] = Map(
@@ -527,6 +667,137 @@ object MlQueries extends QueryPack {
     // order, same per-side child selection, same majority-vote leaves
     // with the no-valid-split side fallback, same holdout scoring.
     // DuckDB sums are HUGEINT — every output column CASTs to BIGINT.
+    // BOTH boosting rounds replayed: the q240 root argmin, h1's error
+    // split, the integer reweighting (mis→c1, cor→e1), the weighted
+    // Gini argmin in HUGEINT (Spark: decimal(38,0) — same exact
+    // integers), the weighted error mass E2, the cross-multiplied
+    // α-comparison, and the committee's held-out score.
+    "q251_adaboost_stumps" ->
+      """WITH bars AS MATERIALIZED (
+        |  SELECT event_type AS symbol, user_id,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(round(arg_min(value, event_id) * 100) AS BIGINT) AS oc,
+        |         CAST(round(max(value) * 100) AS BIGINT) AS hc,
+        |         CAST(round(min(value) * 100) AS BIGINT) AS lc,
+        |         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cc,
+        |         count(*) AS vol,
+        |         CASE WHEN arg_max(value, event_id) > arg_min(value, event_id)
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |folded AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y,
+        |         CASE WHEN k < '4' THEN 0 WHEN k < '8' THEN 1
+        |              WHEN k < 'c' THEN 2 ELSE 3 END AS fold
+        |  FROM (SELECT *, md5(concat_ws(':', 'fold', symbol,
+        |                      CAST(user_id AS VARCHAR), day)) AS k
+        |        FROM bars)),
+        |train AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y FROM folded WHERE fold != 0),
+        |test AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y FROM folded WHERE fold = 0),
+        |tlong AS MATERIALIZED (
+        |  SELECT 'close' AS feat, cc AS v, y FROM train UNION ALL
+        |  SELECT 'high', hc, y FROM train UNION ALL
+        |  SELECT 'low', lc, y FROM train UNION ALL
+        |  SELECT 'open', oc, y FROM train UNION ALL
+        |  SELECT 'volume', vol, y FROM train),
+        |cum AS MATERIALIZED (
+        |  SELECT feat, v,
+        |         sum(n) OVER (PARTITION BY feat ORDER BY v) AS nl,
+        |         sum(k) OVER (PARTITION BY feat ORDER BY v) AS kl,
+        |         sum(n) OVER (PARTITION BY feat) AS nn,
+        |         sum(k) OVER (PARTITION BY feat) AS kk
+        |  FROM (SELECT feat, v, count(*) AS n, sum(y) AS k
+        |        FROM tlong GROUP BY 1, 2)),
+        |h1 AS MATERIALIZED (
+        |  SELECT feat AS f1, v AS t1,
+        |         CASE WHEN 2*kl > nl THEN 1 ELSE 0 END AS p1l,
+        |         CASE WHEN 2*(kk-kl) > (nn-nl) THEN 1 ELSE 0 END AS p1r
+        |  FROM cum WHERE nl < nn
+        |  ORDER BY kl*(nl-kl)*(nn-nl) + (kk-kl)*((nn-nl)-(kk-kl))*nl,
+        |           feat, v
+        |  LIMIT 1),
+        |t1p AS MATERIALIZED (
+        |  SELECT train.*,
+        |         CASE WHEN (CASE f1 WHEN 'close' THEN cc WHEN 'high' THEN hc
+        |                    WHEN 'low' THEN lc WHEN 'open' THEN oc
+        |                    ELSE vol END) <= t1
+        |              THEN p1l ELSE p1r END AS h1
+        |  FROM train, h1),
+        |errs AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN h1 <> y THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |         CAST(sum(CASE WHEN h1 = y THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM t1p),
+        |wtd AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y,
+        |         CAST(CASE WHEN h1 <> y THEN c1 ELSE e1 END AS BIGINT) AS w,
+        |         CAST(CASE WHEN h1 <> y THEN c1 ELSE e1 END * y AS BIGINT) AS wy
+        |  FROM t1p, errs),
+        |wlong AS MATERIALIZED (
+        |  SELECT 'close' AS feat, cc AS v, w, wy FROM wtd UNION ALL
+        |  SELECT 'high', hc, w, wy FROM wtd UNION ALL
+        |  SELECT 'low', lc, w, wy FROM wtd UNION ALL
+        |  SELECT 'open', oc, w, wy FROM wtd UNION ALL
+        |  SELECT 'volume', vol, w, wy FROM wtd),
+        |wcum AS MATERIALIZED (
+        |  SELECT feat, v,
+        |         CAST(sum(n) OVER (PARTITION BY feat ORDER BY v) AS BIGINT) AS nl,
+        |         CAST(sum(k) OVER (PARTITION BY feat ORDER BY v) AS BIGINT) AS kl,
+        |         CAST(sum(n) OVER (PARTITION BY feat) AS BIGINT) AS nn,
+        |         CAST(sum(k) OVER (PARTITION BY feat) AS BIGINT) AS kk
+        |  FROM (SELECT feat, v, CAST(sum(w) AS BIGINT) AS n,
+        |               CAST(sum(wy) AS BIGINT) AS k
+        |        FROM wlong GROUP BY 1, 2)),
+        |h2 AS MATERIALIZED (
+        |  SELECT feat AS f2, v AS t2,
+        |         CASE WHEN 2*kl > nl THEN 1 ELSE 0 END AS p2l,
+        |         CASE WHEN 2*(kk-kl) > (nn-nl) THEN 1 ELSE 0 END AS p2r,
+        |         nn AS w_tot
+        |  FROM wcum WHERE nl < nn
+        |  ORDER BY CAST(kl AS HUGEINT)*(nl-kl)*(nn-nl)
+        |             + CAST(kk-kl AS HUGEINT)*((nn-nl)-(kk-kl))*nl,
+        |           feat, v
+        |  LIMIT 1),
+        |e2 AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN
+        |           (CASE WHEN (CASE f2 WHEN 'close' THEN cc
+        |                       WHEN 'high' THEN hc WHEN 'low' THEN lc
+        |                       WHEN 'open' THEN oc ELSE vol END) <= t2
+        |                 THEN p2l ELSE p2r END) <> y
+        |           THEN w ELSE 0 END) AS BIGINT) AS e2w
+        |  FROM wtd, h2),
+        |model AS MATERIALIZED (
+        |  SELECT f1, t1, p1l, p1r, e1, c1, f2, t2, p2l, p2r, e2w, w_tot,
+        |         CASE WHEN e1 * (w_tot - e2w) > c1 * e2w
+        |              THEN 1 ELSE 0 END AS use2
+        |  FROM h1, errs, h2, e2),
+        |sc AS MATERIALIZED (
+        |  SELECT y,
+        |         CASE WHEN (CASE f1 WHEN 'close' THEN cc WHEN 'high' THEN hc
+        |                    WHEN 'low' THEN lc WHEN 'open' THEN oc
+        |                    ELSE vol END) <= t1
+        |              THEN p1l ELSE p1r END AS h1v,
+        |         CASE WHEN (CASE f2 WHEN 'close' THEN cc WHEN 'high' THEN hc
+        |                    WHEN 'low' THEN lc WHEN 'open' THEN oc
+        |                    ELSE vol END) <= t2
+        |              THEN p2l ELSE p2r END AS h2v,
+        |         use2
+        |  FROM test, model),
+        |acc AS (
+        |  SELECT count(*) AS n_test,
+        |         CAST(sum(CASE WHEN h1v = y THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_correct_h1,
+        |         CAST(sum(CASE WHEN
+        |           (CASE WHEN h1v = h2v THEN h1v
+        |                 WHEN use2 = 1 THEN h2v ELSE h1v END) = y
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_boost
+        |  FROM sc)
+        |SELECT f1, t1, CAST(p1l AS BIGINT) AS p1l, CAST(p1r AS BIGINT) AS p1r,
+        |       e1, c1, f2, t2,
+        |       CAST(p2l AS BIGINT) AS p2l, CAST(p2r AS BIGINT) AS p2r,
+        |       e2w, w_tot, CAST(use2 AS BIGINT) AS use2,
+        |       n_test, n_correct_h1, n_correct_boost
+        |FROM model, acc""".stripMargin,
     "q240_decision_stump" ->
       """WITH bars AS MATERIALIZED (
         |  SELECT event_type AS symbol, user_id,

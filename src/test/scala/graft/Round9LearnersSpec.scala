@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.queries.MlQueries
+
 /** Round-9 breadth pins: the relationally-trained Naive Bayes (q247),
   * closed-form OLS trend (q248), association-rule mining (q249) and RRF
   * hybrid retrieval (q250) — constructed fixtures with hand-computed
@@ -157,6 +159,46 @@ class Round9LearnersSpec extends AnyFunSuite {
       assert(cab == 1000000L * nab / na && cba == 1000000L * nab / nb)
       assert(lift == 1000000L * nab * nB / (na * nb))
     }
+  }
+
+  // ---------------------------------------------------- q251 fixtures
+  test("bestSplitsW: weights move the argmin away from the unweighted " +
+    "split on a hand-computed frame") {
+    // one varying feature (close); weighted Gini costs by threshold:
+    // v=1→990, v=2→18990, v=3→18880, v=4→880 (unique min at v=4);
+    // unweighted the same frame ties v=1/v=4 → tie-break picks v=1.
+    def frame(ws: Seq[Long]) =
+      Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L))
+        .zip(ws).map { case ((cc, y), w) => (7L, 7L, 7L, cc, 7L, y, w, w * y) }
+        .toDF("oc", "hc", "lc", "cc", "vol", "y", "w", "wy")
+    val weighted = MlQueries.bestSplitsW(frame(Seq(3L, 50L, 1L, 60L, 2L)))
+      .select("feat", "v", "nl", "kl", "nn", "kk")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(weighted == Seq(("close", 4L, 114L, 110L, 116L, 110L)), weighted)
+    val uniform = MlQueries.bestSplitsW(frame(Seq(1L, 1L, 1L, 1L, 1L)))
+      .select("feat", "v").as[(String, Long)].collect().toSeq
+    assert(uniform == Seq(("close", 1L)), uniform)
+  }
+
+  test("q251 on sf0.001: round 1 IS q240's root; the reweighting mass " +
+    "identity W = 2·e1·c1 holds; the α predicate matches its integers") {
+    val r = SparkEntry.queries("q251_adaboost_stumps")(
+        spark, "/root/testdata/sf0.001")
+      .collect().head
+    val q240 = SparkEntry.queries("q240_decision_stump")(
+        spark, "/root/testdata/sf0.001")
+      .select("root_feat", "root_thr").collect().head
+    assert(r.getAs[String]("f1") == q240.getString(0) &&
+      r.getAs[Long]("t1") == q240.getLong(1),
+      "boosting round 1 must equal the q240 root stump")
+    val (e1, c1) = (r.getAs[Long]("e1"), r.getAs[Long]("c1"))
+    val (e2w, wTot) = (r.getAs[Long]("e2w"), r.getAs[Long]("w_tot"))
+    assert(e1 > 0 && e1 < c1, s"generic position violated: e1=$e1 c1=$c1")
+    assert(wTot == 2 * e1 * c1, s"weight mass $wTot != 2*$e1*$c1")
+    assert(e2w > 0 && e2w < wTot)
+    val use2 = BigInt(e1) * BigInt(wTot - e2w) > BigInt(c1) * BigInt(e2w)
+    assert(r.getAs[Long]("use2") == (if (use2) 1L else 0L))
+    assert(r.getAs[Long]("n_correct_boost") <= r.getAs[Long]("n_test"))
   }
 
   // ---------------------------------------------------- q250 structure
