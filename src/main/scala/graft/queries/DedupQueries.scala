@@ -351,6 +351,52 @@ object DedupQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** q252: HITS hubs & authorities (Kleinberg JACM'99) over the DIRECTED
+    * customer→supplier order graph — the link-analysis twin of q155's
+    * PageRank, closing the family (random-walk centrality + mutual-
+    * reinforcement centrality). Same exactness discipline: float HITS
+    * is not reproducible distributed (contribution sums are
+    * partitioning-order-dependent and the L2 normalization needs a
+    * square root), so scores are int64 fixed point and the usual
+    * normalization is replaced by a DETERMINISTIC max-scaling — after
+    * each half-step the frame is rescaled to s·x div max(x)
+    * (integral division, the q155 idiv discipline; max is a 1-row
+    * broadcast). Scaling by ANY positive constant preserves HITS'
+    * ranking structure, and ⌊·⌋ is applied identically on both
+    * engines, so every score is hash-exact. Bipartite structure makes
+    * each half-step one edge⋈score join + one aggregate on frames that
+    * are NODE-sized; 3 rounds, plan-lazy like q155 (ReusedExchange on
+    * the edge shuffle beats checkpointing at this depth). Overflow-
+    * safe by construction: scores ≤ 2²⁰ after each scaling, in-degree
+    * sums ≤ |edges|·2²⁰ ≪ 2⁶³, and the scale multiply adds 20 bits. */
+  private def hitsTop(spark: SparkSession, dir: String): DataFrame = {
+    val s = 1L << 20
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("cust"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey").as("supp"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select("cust", "supp").distinct()
+    var h = edges.select("cust").distinct().withColumn("h", lit(s))
+    var a = edges.select("supp").distinct().withColumn("a", lit(s))
+    for (_ <- 1 to 3) {
+      val araw = edges.join(h, "cust").groupBy("supp").agg(sum("h").as("ar"))
+      a = araw.crossJoin(broadcast(araw.agg(max("ar").as("am"))))
+        .select(col("supp"), expr(s"ar * ${s}L div am").as("a"))
+      val hraw = edges.join(a, "supp").groupBy("cust").agg(sum("a").as("hr"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("hm"))))
+        .select(col("cust"), expr(s"hr * ${s}L div hm").as("h"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("role").orderBy(desc("score_fixed"), asc("entity_id"))
+    h.select(lit("hub").as("role"), col("cust").as("entity_id"),
+        col("h").as("score_fixed"))
+      .union(a.select(lit("authority"), col("supp"), col("a")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .orderBy("role", "rank")
+  }
+
   /** q163: multi-source BFS hop distance over the symmetrized
     * customer–supplier order graph (q155's graph), seeded by nation-0
     * customers — distance-from-trusted-seeds, the TrustRank-style
@@ -696,6 +742,7 @@ object DedupQueries extends QueryPack {
     "q183_canonical_selection" -> canonicalSelection,
     "q189_cluster_size_histogram" -> clusterSizeHistogram,
     "q155_pagerank" -> pagerankTop,
+    "q252_hits" -> hitsTop,
     "q212_lpa_communities" -> lpaCommunities,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
@@ -970,6 +1017,50 @@ object DedupQueries extends QueryPack {
     // Spark's truncating div on these all-positive values. S = 2^20,
     // teleport = S*15/100 = 157286.
     "q212_lpa_communities" -> lpaOracle,
+    // All 3 HITS rounds unrolled: each half-step is the in-edge sum
+    // followed by the deterministic max-scaling (s·x // max — positives,
+    // so `//` truncates exactly like Spark's `div`).
+    "q252_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT cust, CAST(1048576 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+        |        FROM e JOIN h0 USING (cust) GROUP BY 1),
+        |a1 AS (SELECT supp, ar * 1048576 // (SELECT max(ar) FROM a1r) AS a
+        |       FROM a1r),
+        |h1r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+        |        FROM e JOIN a1 USING (supp) GROUP BY 1),
+        |h1 AS (SELECT cust, hr * 1048576 // (SELECT max(hr) FROM h1r) AS h
+        |       FROM h1r),
+        |a2r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+        |        FROM e JOIN h1 USING (cust) GROUP BY 1),
+        |a2 AS (SELECT supp, ar * 1048576 // (SELECT max(ar) FROM a2r) AS a
+        |       FROM a2r),
+        |h2r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+        |        FROM e JOIN a2 USING (supp) GROUP BY 1),
+        |h2 AS (SELECT cust, hr * 1048576 // (SELECT max(hr) FROM h2r) AS h
+        |       FROM h2r),
+        |a3r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS ar
+        |        FROM e JOIN h2 USING (cust) GROUP BY 1),
+        |a3 AS (SELECT supp, ar * 1048576 // (SELECT max(ar) FROM a3r) AS a
+        |       FROM a3r),
+        |h3r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS hr
+        |        FROM e JOIN a3 USING (supp) GROUP BY 1),
+        |h3 AS (SELECT cust, hr * 1048576 // (SELECT max(hr) FROM h3r) AS h
+        |       FROM h3r),
+        |u AS (
+        |  SELECT 'hub' AS role, cust AS entity_id, h AS score_fixed FROM h3
+        |  UNION ALL
+        |  SELECT 'authority', supp, a FROM a3),
+        |ranked AS (
+        |  SELECT role, entity_id, CAST(score_fixed AS BIGINT) AS score_fixed,
+        |         row_number() OVER (PARTITION BY role
+        |                            ORDER BY score_fixed DESC, entity_id ASC)
+        |           AS rank
+        |  FROM u)
+        |SELECT role, entity_id, score_fixed, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY role, rank""".stripMargin,
     "q155_pagerank" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey*2 AS a, l.l_suppkey*2+1 AS b

@@ -201,6 +201,47 @@ class Round9LearnersSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_correct_boost") <= r.getAs[Long]("n_test"))
   }
 
+  // ---------------------------------------------------- q252 fixture
+  test("q252: HITS on a hand-built bipartite graph matches an exact " +
+    "BigInt replay; top hub/authority pin at the fixed-point scale") {
+    // c1→{10,20,30}, c2→{10}: c1 is the stronger hub, supp 10 the
+    // stronger authority; 20/30 tie and break by entity_id.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hits_").toString
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 10L))
+      .toDF("l_orderkey", "l_suppkey")
+      .coalesce(1).write.parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("q252_hits")(spark, tmp)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    // independent exact replay of 3 rounds of max-scaled integer HITS
+    val edges = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+    val S = BigInt(1) << 20
+    var h = Map(1L -> S, 2L -> S)
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val ar = edges.groupBy(_._2).map { case (s2, es) =>
+        s2 -> es.map(e => h(e._1)).sum }
+      val am = ar.values.max
+      a = ar.map { case (k, v) => k -> v * S / am }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+      val hm = hr.values.max
+      h = hr.map { case (k, v) => k -> v * S / hm }
+    }
+    val expect =
+      a.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+        .map { case ((id, sc), i) => ("authority", id, sc.toLong, i + 1) } ++
+      h.toSeq.sortBy(t => (-t._2, t._1)).zipWithIndex
+        .map { case ((id, sc), i) => ("hub", id, sc.toLong, i + 1) }
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.filter(_._4 == 1).map(_._3).forall(_ == S.toLong),
+      "rank-1 of each role must sit exactly at the fixed-point scale")
+    assert(got.find(r => r._1 == "hub" && r._4 == 1).get._2 == 1L &&
+      got.find(r => r._1 == "authority" && r._4 == 1).get._2 == 10L)
+  }
+
   // ---------------------------------------------------- q250 structure
   test("q250 on sf0.001: fused ranks are 1..20 over distinct docs, the " +
     "RRF score matches its formula from the leg ranks, and ordering is " +
