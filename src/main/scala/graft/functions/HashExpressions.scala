@@ -30,6 +30,20 @@ object Hashing {
     h
   }
 
+  /** murmur3's fmix64 finalizer (Appleby, public domain) — full-avalanche
+    * mix of a 64-bit value. FNV-1a alone is NOT min-uniform over
+    * structured sequential preimages ('orderkey:1..N' differs only in
+    * trailing digits, and the final xor gets just one multiply of
+    * diffusion), which skewed KMV τ statistics 5× at small SFs; fmix64
+    * restores uniformity in every bit range (measured in q253's
+    * scaladoc). */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+    h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
   /** splitmix64 — used to derive per-plane/per-hash constants from an index. */
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -104,6 +118,28 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** [[Hashing.fmix64]] as a codegen'd long→long column — wrapping 64-bit
+  * arithmetic must live INSIDE an expression because Spark 4's ANSI mode
+  * makes SQL-level long multiplication throw on overflow rather than
+  * wrap mod 2⁶⁴. */
+case class Fmix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Hashing.fmix64(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("h")
+      s"""
+         |long $h = $c;
+         |$h = ($h ^ ($h >>> 33)) * ${0xff51afd7ed558ccdL}L;
+         |$h = ($h ^ ($h >>> 33)) * ${0xc4ceb9fe1a85ec53L}L;
+         |${ev.value} = $h ^ ($h >>> 33);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Fmix64 =
     copy(child = newChild)
 }
 
@@ -308,6 +344,7 @@ object HashFunctions {
   import org.apache.spark.sql.graft.Bridge.{column, expression}
   def poly_hash(c: Column): Column = column(PolyHash(expression(c)))
   def fnv1a(c: Column): Column = column(Fnv1a64(expression(c)))
+  def fmix64(c: Column): Column = column(Fmix64(expression(c)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_signature(tokens: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(tokens), numHashes))

@@ -223,6 +223,100 @@ object SketchQueries extends QueryPack {
         col("exact_join"))
   }
 
+  /** The q245 estimator over a generic two-sided fact frame
+    * (`flag` ∈ L/R, `h` = shared hash of the join key, uniform on
+    * [0, `range`)): k-min union sample, broadcast multiplicity pass,
+    * integral-division estimator. One row: (usz, est_join,
+    * exact_join). */
+  private def kmvJoinEst(facts: DataFrame, k: Int,
+                         range: Long): DataFrame = {
+    val sks = facts.agg(
+      k_min_distinct(when(col("flag") === "L", col("h")), k).as("sa"),
+      k_min_distinct(when(col("flag") === "R", col("h")), k).as("sb"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(sa, sb)), 1, $k)"))
+      .withColumn("usz", size(col("u")).cast("long"))
+      .withColumn("est_union", when(col("usz") < k, col("usz"))
+        .otherwise(expr(s"${(k - 1).toLong * range}L DIV element_at(u, $k)")))
+      .select("u", "usz", "est_union")
+    val perKey = facts.groupBy("h").agg(
+      sum(when(col("flag") === "L", 1L).otherwise(0L)).as("rv"),
+      sum(when(col("flag") === "R", 1L).otherwise(0L)).as("av"))
+    val sampleProd = perKey
+      .join(broadcast(sks.select(explode(col("u")).as("h"))), "h")
+      .agg(coalesce(sum(col("rv") * col("av")), lit(0L)).as("sample_prod"))
+    val exact = perKey.agg(sum(col("rv") * col("av")).as("exact_join"))
+    sks.crossJoin(broadcast(sampleProd)).crossJoin(broadcast(exact))
+      .select(col("usz"),
+        expr("est_union * sample_prod DIV usz").as("est_join"),
+        col("exact_join"))
+  }
+
+  /** q253: SKETCH-DRIVEN JOIN-ORDER CHOICE — the q245 cardinality
+    * estimator actually CONSUMED as a planner decision, closing the
+    * loop from synopsis to plan: for the chain orders ⋈ lineitem ⋈
+    * σ_{p_size ≤ 15}(part), estimate |orders ⋈ lineitem| (orderkey)
+    * and |lineitem ⋈ σ(part)| (partkey) from two augmented-KMV
+    * sketch pairs, pick the smaller estimate as the first join (the
+    * greedy bushy-planner step every cost-based optimizer runs), and
+    * report the choice NEXT TO the exact sizes and the exact-optimal
+    * choice — planner_correct is a data-derived boolean the oracle
+    * replays, so estimator quality is visible and hash-pinned, not
+    * asserted. Ties prefer the orders-first order on both sides
+    * (deterministic `<=`). All arithmetic is the q245 integer
+    * discipline; nothing on the surface is float.
+    *
+    * Scale shape: each estimate is two bounded sketches + ONE narrow
+    * broadcast-sample pass — the join sizes are known BEFORE either
+    * join runs, from k-long summaries; the exact sizes here are the
+    * audit column, not the mechanism.
+    *
+    * Synopsis-hash findings (measured, the q238 discipline —
+    * SEQUENTIAL structured key domains are brutal on weak hashes):
+    * (1) PolyHash (q245's hash) over 'orderkey:1..600000' is not
+    * min-uniform — same-length digit strings map to unions of
+    * arithmetic progressions mod p — and its tau skew UNDERESTIMATED
+    * |orders JOIN lineitem| 12.7x at sf0.1 (47278 vs 600000), flipping
+    * the planner to the wrong order. (2) Raw FNV-1a64 is not enough
+    * either: its top 40 bits see only one multiply of diffusion past
+    * the last differing digit (128th-smallest hash landed at 45% of
+    * the range on 1500 sequential keys -> est 285 vs 1500), and its
+    * LOW 40 bits skew 3x at sf0.1. (3) FNV + murmur3's fmix64
+    * finalizer ([[graft.functions.Hashing.fmix64]], codegen'd —
+    * wrapping multiplies must sit inside an expression under Spark 4
+    * ANSI) is min-uniform at every scale tested (est/exact 1.04 /
+    * 1.21 / 1.01 on the three domains). The oracle replays FNV in
+    * mod-2^64 UBIGINT SQL (the q178 pattern) and fmix64 with the
+    * q246 split-32/32 multiply; the hash is shifted to 40 bits so
+    * every estimator product stays int64. */
+  private def joinOrderChoice(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions
+    def hash(prefix: String, c: org.apache.spark.sql.Column) =
+      shiftrightunsigned(HashFunctions.fmix64(
+        HashFunctions.fnv1a(concat(lit(prefix), c.cast("string")))), 24)
+    val ol = Tables.orders(spark, dir)
+      .select(lit("L").as("flag"), hash("orderkey:", col("o_orderkey")).as("h"))
+      .union(Tables.lineitem(spark, dir)
+        .select(lit("R"), hash("orderkey:", col("l_orderkey"))))
+    val lp = Tables.lineitem(spark, dir)
+      .select(lit("L").as("flag"), hash("partkey:", col("l_partkey")).as("h"))
+      .union(Tables.part(spark, dir).where(col("p_size") <= 15)
+        .select(lit("R"), hash("partkey:", col("p_partkey"))))
+    val j1 = kmvJoinEst(ol, k = 128, range = 1L << 40)
+      .select(col("est_join").as("est_ol"), col("exact_join").as("exact_ol"))
+    val j2 = kmvJoinEst(lp, k = 128, range = 1L << 40)
+      .select(col("est_join").as("est_lp"), col("exact_join").as("exact_lp"))
+    val first = "orders_lineitem_first"
+    val second = "lineitem_part_first"
+    j1.crossJoin(j2).select(
+      col("est_ol"), col("exact_ol"), col("est_lp"), col("exact_lp"),
+      when(col("est_ol") <= col("est_lp"), first).otherwise(second)
+        .as("planned_first"),
+      when(col("exact_ol") <= col("exact_lp"), first).otherwise(second)
+        .as("optimal_first"))
+      .withColumn("planner_correct",
+        col("planned_first") === col("optimal_first"))
+  }
+
   /** q222: Datasketches HLL rollup through Spark's own sketch
     * functions — per-source `hll_sketch_agg` partials, a global
     * `hll_union_agg` over the per-group SKETCH COLUMN (the rollup
@@ -259,7 +353,8 @@ object SketchQueries extends QueryPack {
     "q217_kmv_distinct" -> kmvDistinct,
     "q222_hll_rollup" -> hllRollup,
     "q238_kmv_set_ops" -> kmvSetOps,
-    "q245_join_size_estimate" -> joinSizeEstimate
+    "q245_join_size_estimate" -> joinSizeEstimate,
+    "q253_join_order_choice" -> joinOrderChoice
   )
 
   /** PolyHash replay (the q205 pattern): fold (a·31 + codepoint) mod
@@ -396,6 +491,83 @@ object SketchQueries extends QueryPack {
          |       CAST(est_union * sample_prod // usz AS BIGINT) AS est_join,
          |       CAST(exact_join AS BIGINT) AS exact_join
          |FROM est""".stripMargin
+    },
+    // Two full q245 replays (orderkey pair, partkey pair) + the greedy
+    // min-estimate choice, the exact-optimal choice, and their equality.
+    "q253_join_order_choice" -> {
+      // FNV-1a64 in mod-2^64 UBIGINT (the q178 replay), then murmur3
+      // fmix64 with the q246 split-32/32 multiply (u64*u64 would
+      // overflow HUGEINT), then >> 24 == Spark's
+      // shiftrightunsigned(fmix64(fnv1a(..)), 24) — unsigned
+      // interpretation on both sides, 40-bit uniform synopsis domain
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      def duckFnv40(sqlExpr: String) = {
+        val fnv =
+          s"""list_reduce(
+             |  list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             |    list_transform(regexp_split_to_array($sqlExpr, ''),
+             |                   c -> CAST(unicode(c) AS UBIGINT))),
+             |  (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+             |                 % 18446744073709551616 AS UBIGINT))""".stripMargin
+        val mixed = xs33(mulmod(xs33(mulmod(xs33(fnv),
+          4283543511L, 3981806797L)), 3301882366L, 444984403L))
+        s"CAST($mixed // 16777216 AS BIGINT)"
+      }
+      val h1o = duckFnv40("'orderkey:' || CAST(o_orderkey AS VARCHAR)")
+      val h1l = duckFnv40("'orderkey:' || CAST(l_orderkey AS VARCHAR)")
+      val h2l = duckFnv40("'partkey:' || CAST(l_partkey AS VARCHAR)")
+      val h2p = duckFnv40("'partkey:' || CAST(p_partkey AS VARCHAR)")
+      def block(p: String, lSel: String, rSel: String) =
+        s"""${p}f AS (
+           |  $lSel
+           |  UNION ALL
+           |  $rSel),
+           |${p}d AS (SELECT DISTINCT flag, h FROM ${p}f),
+           |${p}a AS (SELECT h FROM ${p}d WHERE flag = 'L' ORDER BY h LIMIT 128),
+           |${p}b AS (SELECT h FROM ${p}d WHERE flag = 'R' ORDER BY h LIMIT 128),
+           |${p}u AS (SELECT h FROM (SELECT h FROM ${p}a UNION SELECT h FROM ${p}b)
+           |          ORDER BY h LIMIT 128),
+           |${p}pk AS (
+           |  SELECT h,
+           |         sum(CASE WHEN flag = 'L' THEN 1 ELSE 0 END) AS rv,
+           |         sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS av
+           |  FROM ${p}f GROUP BY h),
+           |${p}st AS (
+           |  SELECT (SELECT count(*) FROM ${p}u) AS usz,
+           |         (SELECT max(h) FROM ${p}u) AS tau,
+           |         (SELECT coalesce(sum(rv * av), 0)
+           |          FROM ${p}pk WHERE h IN (SELECT h FROM ${p}u)) AS sample_prod,
+           |         (SELECT sum(rv * av) FROM ${p}pk) AS exact_join),
+           |${p}est AS (
+           |  SELECT CASE WHEN usz < 128 THEN usz
+           |              ELSE CAST(127 AS BIGINT) * 1099511627776 // tau END
+           |           * sample_prod // usz AS est_join,
+           |         exact_join
+           |  FROM ${p}st)""".stripMargin
+      s"""WITH ${block("j1",
+            s"SELECT 'L' AS flag, $h1o AS h FROM orders",
+            s"SELECT 'R', $h1l FROM lineitem")},
+         |${block("j2",
+            s"SELECT 'L' AS flag, $h2l AS h FROM lineitem",
+            s"SELECT 'R', $h2p FROM part WHERE p_size <= 15")}
+         |SELECT CAST(j1.est_join AS BIGINT) AS est_ol,
+         |       CAST(j1.exact_join AS BIGINT) AS exact_ol,
+         |       CAST(j2.est_join AS BIGINT) AS est_lp,
+         |       CAST(j2.exact_join AS BIGINT) AS exact_lp,
+         |       CASE WHEN j1.est_join <= j2.est_join
+         |            THEN 'orders_lineitem_first'
+         |            ELSE 'lineitem_part_first' END AS planned_first,
+         |       CASE WHEN j1.exact_join <= j2.exact_join
+         |            THEN 'orders_lineitem_first'
+         |            ELSE 'lineitem_part_first' END AS optimal_first,
+         |       (CASE WHEN j1.est_join <= j2.est_join THEN 1 ELSE 0 END)
+         |         = (CASE WHEN j1.exact_join <= j2.exact_join THEN 1 ELSE 0 END)
+         |         AS planner_correct
+         |FROM j1est j1, j2est j2""".stripMargin
     },
     // per-source exact distincts + TRUE tolerance booleans (the HLL
     // estimate is Spark-internal; a >5% error flips a boolean and

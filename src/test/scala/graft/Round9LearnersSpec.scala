@@ -242,6 +242,42 @@ class Round9LearnersSpec extends AnyFunSuite {
       got.find(r => r._1 == "authority" && r._4 == 1).get._2 == 10L)
   }
 
+  // ---------------------------------------------------- q253 / fmix64
+  test("Fmix64 expression matches an independent BigInt mod-2^64 replay " +
+    "of murmur3's finalizer, through codegen, including negative longs") {
+    def ref(h0: Long): Long = {
+      val M = BigInt(1) << 64
+      def u(x: Long) = (BigInt(x) + M) % M
+      def step(x: BigInt, c: BigInt) = ((x ^ (x >> 33)) * c) % M
+      val a = step(u(h0), BigInt("18397679294719823053")) // 0xff51afd7ed558ccd
+      val b = step(a, BigInt("14181476777654086739"))     // 0xc4ceb9fe1a85ec53
+      (b ^ (b >> 33)).longValue
+    }
+    val ins = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      3101789163359397495L)
+    val got = ins.toDF("x")
+      .select(graft.functions.HashFunctions.fmix64(col("x")).as("m"))
+      .as[Long].collect().toSeq
+    assert(got == ins.map(ref), s"$got vs ${ins.map(ref)}")
+    assert(ref(0L) == 0L, "fmix64(0) must be 0 (murmur3 property)")
+  }
+
+  test("q253 on sf0.001: the planner choice is the min-estimate choice, " +
+    "correctness column is consistent, and the fmix-KMV estimates land " +
+    "within 2x of the exact join sizes") {
+    val r = SparkEntry.queries("q253_join_order_choice")(
+        spark, "/root/testdata/sf0.001").collect().head
+    val (eo, xo) = (r.getAs[Long]("est_ol"), r.getAs[Long]("exact_ol"))
+    val (el, xl) = (r.getAs[Long]("est_lp"), r.getAs[Long]("exact_lp"))
+    val planned = r.getAs[String]("planned_first")
+    assert(planned ==
+      (if (eo <= el) "orders_lineitem_first" else "lineitem_part_first"))
+    assert(r.getAs[Boolean]("planner_correct") ==
+      (planned == r.getAs[String]("optimal_first")))
+    assert(eo <= 2 * xo && xo <= 2 * eo, s"orderkey estimate $eo vs $xo")
+    assert(el <= 2 * xl && xl <= 2 * el, s"partkey estimate $el vs $xl")
+  }
+
   // ---------------------------------------------------- q250 structure
   test("q250 on sf0.001: fused ranks are 1..20 over distinct docs, the " +
     "RRF score matches its formula from the leg ranks, and ordering is " +
