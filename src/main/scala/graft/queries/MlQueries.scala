@@ -446,6 +446,60 @@ object MlQueries extends QueryPack {
         "n_test", "n_correct_h1", "n_correct_boost")
   }
 
+  /** q254: FEATURE SELECTION by exact split impurity — the ranking a
+    * tree/forest trainer consults before it ever splits (sklearn's
+    * `feature_importances_` is the averaged post-hoc version; this is
+    * the pre-split exact form): for EVERY feature, its best threshold
+    * and the division-free weighted-Gini cost at that threshold, over
+    * the q240 training fold. Because every candidate split partitions
+    * the SAME n rows, the integer cost k_L(n_L−k_L)n_R + k_R(n_R−k_R)n_L
+    * is comparable across features as well as within one — so ordering
+    * the 5 one-row results by cost IS impurity-based feature ranking,
+    * with no entropy, no logarithm, no float anywhere. The per-feature
+    * argmin is q240's candidate table with the selection window
+    * partitioned by feature instead of global; costs stay int64 by the
+    * same n < 2²¹ bound. Output: one row per feature (rank, best
+    * threshold, split counts, exact cost) — the q240 root is by
+    * construction the rank-1 row, which the oracle pins. */
+  private def featureRanking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = withFold(TrendModel.dailyBars(Tables.events(spark, dir)))
+      .where(col("fold") =!= 0)
+      .select(
+        round(col("open") * 100).cast("long").as("oc"),
+        round(col("high") * 100).cast("long").as("hc"),
+        round(col("low") * 100).cast("long").as("lc"),
+        round(col("close") * 100).cast("long").as("cc"),
+        col("volume").cast("long").as("vol"),
+        col("movement").cast("long").as("y"))
+    val long = train.selectExpr(
+      "stack(5, 'close', cc, 'high', hc, 'low', lc, 'open', oc, " +
+        "'volume', vol) as (feat, v)", "y")
+    val counts = long.groupBy("feat", "v")
+      .agg(count(lit(1)).as("n"), sum("y").as("k"))
+    val wCum = Window.partitionBy("feat").orderBy("v")
+    val wTot = Window.partitionBy("feat")
+    val perFeat = Window.partitionBy("feat").orderBy(col("cost"), col("v"))
+    val ranked = counts
+      .withColumn("nl", sum("n").over(wCum))
+      .withColumn("kl", sum("k").over(wCum))
+      .withColumn("nn", sum("n").over(wTot))
+      .withColumn("kk", sum("k").over(wTot))
+      .where(col("nl") < col("nn"))
+      .withColumn("cost",
+        col("kl") * (col("nl") - col("kl")) * (col("nn") - col("nl")) +
+          (col("kk") - col("kl")) *
+            ((col("nn") - col("nl")) - (col("kk") - col("kl"))) * col("nl"))
+      .withColumn("rn", row_number().over(perFeat))
+      .where(col("rn") === 1)
+    ranked
+      .withColumn("feat_rank",
+        row_number().over(Window.orderBy(col("cost"), col("feat"))))
+      .select(col("feat_rank"), col("feat"), col("v").as("best_thr"),
+        col("nl"), col("kl"), col("nn"), col("kk"), col("cost"))
+      .orderBy("feat_rank")
+  }
+
   /** q178: the hashing trick — namespaced categorical features
     * (`brand=…`, `type=…`) hashed into 64 buckets via the codegen'd
     * FNV-1a64 expression, with the per-bucket collision census (distinct
@@ -554,7 +608,8 @@ object MlQueries extends QueryPack {
     "q235_cv_folds" -> cvFolds,
     "q236_cv_accuracy" -> cvAccuracy,
     "q240_decision_stump" -> decisionStump,
-    "q251_adaboost_stumps" -> adaboostStumps
+    "q251_adaboost_stumps" -> adaboostStumps,
+    "q254_feature_ranking" -> featureRanking
   )
 
   override def oracles: Map[String, String] = Map(
@@ -667,6 +722,55 @@ object MlQueries extends QueryPack {
     // order, same per-side child selection, same majority-vote leaves
     // with the no-valid-split side fallback, same holdout scoring.
     // DuckDB sums are HUGEINT — every output column CASTs to BIGINT.
+    // The q240 candidate table with a per-feature argmin window, then
+    // the cross-feature cost ordering; HUGEINT window sums vs Spark's
+    // int64 costs are the same exact integers.
+    "q254_feature_ranking" ->
+      """WITH bars AS MATERIALIZED (
+        |  SELECT event_type AS symbol, user_id,
+        |         strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(round(arg_min(value, event_id) * 100) AS BIGINT) AS oc,
+        |         CAST(round(max(value) * 100) AS BIGINT) AS hc,
+        |         CAST(round(min(value) * 100) AS BIGINT) AS lc,
+        |         CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cc,
+        |         count(*) AS vol,
+        |         CASE WHEN arg_max(value, event_id) > arg_min(value, event_id)
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |train AS MATERIALIZED (
+        |  SELECT oc, hc, lc, cc, vol, y
+        |  FROM (SELECT *, md5(concat_ws(':', 'fold', symbol,
+        |                      CAST(user_id AS VARCHAR), day)) AS fk
+        |        FROM bars)
+        |  WHERE fk >= '4'),
+        |tlong AS MATERIALIZED (
+        |  SELECT 'close' AS feat, cc AS v, y FROM train UNION ALL
+        |  SELECT 'high', hc, y FROM train UNION ALL
+        |  SELECT 'low', lc, y FROM train UNION ALL
+        |  SELECT 'open', oc, y FROM train UNION ALL
+        |  SELECT 'volume', vol, y FROM train),
+        |cum AS MATERIALIZED (
+        |  SELECT feat, v,
+        |         sum(n) OVER (PARTITION BY feat ORDER BY v) AS nl,
+        |         sum(k) OVER (PARTITION BY feat ORDER BY v) AS kl,
+        |         sum(n) OVER (PARTITION BY feat) AS nn,
+        |         sum(k) OVER (PARTITION BY feat) AS kk
+        |  FROM (SELECT feat, v, count(*) AS n, sum(y) AS k
+        |        FROM tlong GROUP BY 1, 2)),
+        |costed AS (
+        |  SELECT feat, v, nl, kl, nn, kk,
+        |         kl*(nl-kl)*(nn-nl) + (kk-kl)*((nn-nl)-(kk-kl))*nl AS cost
+        |  FROM cum WHERE nl < nn),
+        |best AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY feat ORDER BY cost, v) AS rn
+        |  FROM costed)
+        |SELECT row_number() OVER (ORDER BY cost, feat) AS feat_rank,
+        |       feat, v AS best_thr,
+        |       CAST(nl AS BIGINT) AS nl, CAST(kl AS BIGINT) AS kl,
+        |       CAST(nn AS BIGINT) AS nn, CAST(kk AS BIGINT) AS kk,
+        |       CAST(cost AS BIGINT) AS cost
+        |FROM best WHERE rn = 1 ORDER BY feat_rank""".stripMargin,
     // BOTH boosting rounds replayed: the q240 root argmin, h1's error
     // split, the integer reweighting (mis→c1, cor→e1), the weighted
     // Gini argmin in HUGEINT (Spark: decimal(38,0) — same exact

@@ -242,6 +242,25 @@ class Round9LearnersSpec extends AnyFunSuite {
       got.find(r => r._1 == "authority" && r._4 == 1).get._2 == 10L)
   }
 
+  // ---------------------------------------------------- q254 structure
+  test("q254 on sf0.001: exactly one row per feature, rank-1 equals the " +
+    "q240 root stump, and costs are non-decreasing in rank") {
+    val rows = SparkEntry.queries("q254_feature_ranking")(
+        spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(rows.map(_.getAs[String]("feat")).sorted ==
+      Seq("close", "high", "low", "open", "volume"))
+    assert(rows.map(_.getAs[Int]("feat_rank")) == (1 to 5))
+    val costs = rows.sortBy(_.getAs[Int]("feat_rank")).map(_.getAs[Long]("cost"))
+    assert(costs == costs.sorted, s"costs not rank-ordered: $costs")
+    val top = rows.find(_.getAs[Int]("feat_rank") == 1).get
+    val q240 = SparkEntry.queries("q240_decision_stump")(
+        spark, "/root/testdata/sf0.001")
+      .select("root_feat", "root_thr").collect().head
+    assert(top.getAs[String]("feat") == q240.getString(0) &&
+      top.getAs[Long]("best_thr") == q240.getLong(1),
+      "rank-1 feature/threshold must be the q240 root split")
+  }
+
   // ---------------------------------------------------- q253 / fmix64
   test("Fmix64 expression matches an independent BigInt mod-2^64 replay " +
     "of murmur3's finalizer, through codegen, including negative longs") {
