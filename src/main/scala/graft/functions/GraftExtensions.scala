@@ -39,7 +39,11 @@ object GraftFunctions {
       s"$sig: the second argument must be an integer literal, got ${es(1).sql}")
     es(1).eval(null) match {
       case i: Int => i
-      case l: Long => l.toInt
+      // reject out-of-Int-range Longs rather than silently truncating
+      // (the count_min_longs rule, applied to every intLit signature)
+      case l: Long if l.isValidInt => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"$sig: the second argument is out of Int range: $l")
       case other => throw new IllegalArgumentException(
         s"$sig: the second argument must be an integer literal, got $other")
     }

@@ -424,6 +424,70 @@ object DedupQueries extends QueryPack {
       .orderBy("node_type", "entity_id")
   }
 
+  /** q255: WEIGHTED single-source shortest paths — bounded Bellman–Ford
+    * relaxation ([[graft.ops.Sssp]], 12 synchronous rounds), the weighted
+    * tier the hop-counting BFS (q163) lacks. The graph is a deterministic
+    * two-lane weighted overlay on the events user domain (contiguous
+    * 0..maxU by fixture construction, the q233 discipline): a LOCAL lane
+    * u→u+1 with weight (u·31+7) mod 19 + 1 and an EXPRESS lane u→u+5
+    * with weight (u·17+3) mod 53 + 7, so the optimum at each node
+    * genuinely mixes lanes (five cheap local steps can beat one express
+    * hop and vice versa — nothing degenerates to hop counting). dist
+    * after 12 rounds = lightest ≤12-edge path from node 0, exact for
+    * every node whose true shortest path uses ≤12 edges and a
+    * deterministic K-capped value otherwise; the oracle replays all 12
+    * relaxation rounds. Output is the full reached set (≤ 61 nodes at
+    * ANY scale — the K-hop ball, not the corpus), so the per-round join
+    * broadcasts the dist frame and scans the checkpointed edge overlay:
+    * no shuffle of the big side, 100 TB-safe by construction. */
+  private def ssspDistances(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir).select(col("user_id").as("v")).distinct()
+    val maxU = u.agg(max("v")).head().getLong(0) // 1-row bounded collect
+    val local = u.where(col("v") + 1 <= maxU)
+      .select(col("v").as("a"), (col("v") + 1).as("b"),
+        (pmod(col("v") * 31 + 7, lit(19)) + 1).as("w"))
+    val express = u.where(col("v") + 5 <= maxU)
+      .select(col("v").as("a"), (col("v") + 5).as("b"),
+        (pmod(col("v") * 17 + 3, lit(53)) + 7).as("w"))
+    val dist = graft.ops.Sssp.bellmanFord(local.union(express), "a", "b", "w",
+      source = 0L, rounds = 12)
+    // reached-set-sized result into its own eager checkpoint, then free
+    // the iteration frame (the q233/q244 memory contract)
+    val out = dist.select(col("s").as("node"), col("d").as("dist_w"))
+      .orderBy("node").localCheckpoint(true)
+    graft.ops.Scc.release(dist)
+    out
+  }
+
+  /** q255 oracle: the same two-lane overlay and all 12 Bellman–Ford
+    * rounds unrolled (per-round: relax every edge out of the current
+    * dist set, keep the per-node min — the exact [[graft.ops.Sssp]]
+    * recursion). */
+  private def ssspOracle: String = {
+    val k = 12
+    val rounds = (1 to k).map { i =>
+      s"""d_$i AS MATERIALIZED (
+         |  SELECT s, min(d) AS d FROM (
+         |    SELECT s, d FROM d_${i - 1}
+         |    UNION ALL
+         |    SELECT e.sb AS s, p.d + e.w AS d
+         |    FROM e JOIN d_${i - 1} p ON p.s = e.sa)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events),
+       |mx AS (SELECT max(v) AS m FROM u),
+       |e AS MATERIALIZED (
+       |  SELECT v AS sa, v + 1 AS sb, (v * 31 + 7) % 19 + 1 AS w
+       |  FROM u, mx WHERE v + 1 <= m
+       |  UNION ALL
+       |  SELECT v, v + 5, (v * 17 + 3) % 53 + 7
+       |  FROM u, mx WHERE v + 5 <= m),
+       |d_0 AS (SELECT CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d),
+       |$rounds
+       |SELECT CAST(s AS BIGINT) AS node, CAST(d AS BIGINT) AS dist_w
+       |FROM d_$k ORDER BY node""".stripMargin
+  }
+
   /** q171: per-node triangle counts over the part co-purchase graph
     * (parts sharing an order are connected) — the graph-density /
     * community-structure signal next to CC (q86), PageRank (q155) and
@@ -746,6 +810,7 @@ object DedupQueries extends QueryPack {
     "q212_lpa_communities" -> lpaCommunities,
     "q159_edit_distance_neardup" -> editDistanceNearDup,
     "q163_bfs_hops" -> bfsHops,
+    "q255_sssp_distances" -> ssspDistances,
     "q171_triangle_counts" -> triangleCounts,
     "q174_item_item_cosine" -> itemItemCosine,
     "q122_shared_spans" -> sharedSpans,
@@ -765,6 +830,7 @@ object DedupQueries extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "q233_scc_components" -> sccOracle,
     "q244_condensation_layers" -> condLayersOracle,
+    "q255_sssp_distances" -> ssspOracle,
     "q246_blocking_quality" -> blockingQualityOracle,
     // both truss rounds unrolled: support(a,b) = |N(a) ∩ N(b)| via the
     // canonical common-neighbor join over the previous round's edges,

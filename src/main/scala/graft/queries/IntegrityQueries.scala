@@ -127,13 +127,92 @@ object IntegrityQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** Benford micro-unit first-digit probabilities: round(log10(1+1/d)·10⁶)
+    * (Newcomb 1881 / Benford 1938). The nine rounded constants sum to
+    * EXACTLY 1,000,000, so expected counts partition n·10⁶ with no
+    * remainder digit. */
+  private val benfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** q257: BENFORD FIRST-DIGIT AUDIT over order totals — the classic
+    * fabricated-data / ingestion-bug screen (Newcomb 1881; Nigrini's
+    * forensic-accounting use): the leading digit of naturally occurring
+    * monetary amounts follows log10(1+1/d), and a pipeline that
+    * truncates, pads, or synthesizes a column shifts the histogram hard.
+    * Emitted per digit: observed count, observed micro-proportion, the
+    * Benford expectation, and the χ² contribution — all exact integers
+    * (dev = n_d·10⁶ − n·p_micro; term_micro = dev² div (n·p_micro) with
+    * the square widened to decimal(38,0)/HUGEINT since dev² overflows
+    * int64 past ~3M rows — the q246 widening discipline). The digit
+    * domain is a 9-row literal LEFT-joined to the counts so an absent
+    * digit still contributes its full expected-count penalty.
+    *
+    * Scale shape: one map-side-combinable count per digit (9 groups), a
+    * 1-row total broadcast onto a 9-row frame — the audit's cost is ONE
+    * scan regardless of table size; at 100 TB it rides the same pass as
+    * any other profile aggregate. The fixture's totals are synthetic
+    * uniform-ish, so the χ² terms are LARGE — the audit correctly
+    * flags non-Benford data; the operator contract is the exact
+    * arithmetic, not a pass verdict. */
+  private def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir).select(
+      expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
+        " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val obs = x.groupBy("digit").agg(count(lit(1)).as("n_d"))
+    val tot = x.agg(count(lit(1)).as("n"))
+    val dom = spark.range(1, 10).select(col("id").as("digit"))
+      .withColumn("exp_micro",
+        benfordMicro.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+          when(col("digit") === d, lit(p)).otherwise(acc)
+        })
+    dom.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_d"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        col("n_d") * lit(1000000L) - col("n") * col("exp_micro"))
+      .select(col("digit"), col("n_d"), col("n"),
+        expr("(1000000 * n_d) div n").as("obs_micro"),
+        col("exp_micro"),
+        expr("(CAST(dev AS DECIMAL(38,0)) * dev) div (n * exp_micro)")
+          .as("chi2_term_micro"))
+      .orderBy("digit")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_table_fingerprint" -> tableFingerprint,
     "q206_weighted_sample" -> weightedSample,
-    "q207_corrupt_json_routing" -> corruptJsonRouting
+    "q207_corrupt_json_routing" -> corruptJsonRouting,
+    "q257_benford_digits" -> benfordDigits
   )
 
   override def oracles: Map[String, String] = Map(
+    // Digit extraction, the 9-row domain left join, dev and the
+    // HUGEINT-widened χ² term replayed; dev² is positive so `//`
+    // truncation agrees with Spark's decimal `div`.
+    "q257_benford_digits" -> {
+      val dom = benfordMicro
+        .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH x AS (
+         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+         |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+         |        FROM x GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+         |dom(digit, exp_micro) AS (VALUES $dom),
+         |j AS (
+         |  SELECT CAST(dom.digit AS BIGINT) AS digit,
+         |         coalesce(n_d, 0) AS n_d, n,
+         |         CAST(dom.exp_micro AS BIGINT) AS exp_micro,
+         |         coalesce(n_d, 0) * 1000000 - n * dom.exp_micro AS dev
+         |  FROM dom LEFT JOIN obs ON obs.digit = dom.digit CROSS JOIN tot)
+         |SELECT digit, n_d, n, (1000000 * n_d) // n AS obs_micro,
+         |       exp_micro,
+         |       CAST((CAST(dev AS HUGEINT) * dev) // (n * exp_micro)
+         |         AS BIGINT) AS chi2_term_micro
+         |FROM j ORDER BY digit""".stripMargin
+    },
     // The oracle computes the fingerprint ONCE from the base table —
     // match_fp is a constant true; a Spark-side layout sensitivity (copy
     // fingerprint differing) fails the hash on that column.

@@ -598,8 +598,101 @@ object MlQueries extends QueryPack {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** q256: EXACT ROC-AUC from a bounded score histogram — the
+    * evaluation metric the training tier (q240/q247/q251) scores with
+    * plain accuracy but a ranking pipeline grades with AUC. Identity
+    * used: AUC·n₊·n₋ = #{(pos,neg): s₊ > s₋} + ½·#{s₊ = s₋} (the
+    * Mann–Whitney U statistic), computed WITHOUT a row-level global
+    * sort: rows aggregate to per-score-bin (pos, neg) counts first, the
+    * one ordered window runs over the BIN domain (~100 rows here —
+    * bounded by the binning, never by the corpus, the q88/q53
+    * discipline), and pairs-won is Σ pos_b · cum_neg_below(b). Doubling
+    * the pair count keeps the tie term integral; the published AUC is a
+    * micro-unit truncating division of exact int64 counts (the q249
+    * no-float contract). n₊·n₋ must fit int64 — exact to ~3·10⁹ rows
+    * per side; past that widen the two products to decimal(38,0) (the
+    * q240 widening note). Scored rule: thousand-dollar price bins
+    * predicting returnflag='R' — the AUC machinery is the operator, the
+    * rule is a declared stand-in for any model score. */
+  private def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.lineitem(spark, dir).select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000")
+        .as("score"),
+      (col("l_returnflag") === "R").cast("long").as("y"))
+    val g = s.groupBy("score").agg(
+      sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
+    val cum = g.withColumn("cneg",
+      coalesce(sum("neg").over(Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        count(lit(1)).as("n_bins"),
+        sum(col("pos") * col("cneg")).as("pairs_won"),
+        sum(col("pos") * col("neg")).as("tied_pairs"))
+      .select(col("n_pos"), col("n_neg"), col("n_bins"),
+        col("pairs_won"), col("tied_pairs"),
+        expr("(1000000 * (2 * pairs_won + tied_pairs)) div " +
+          "(2 * n_pos * n_neg)").as("auc_micro"))
+  }
+
+  /** q258: χ² INDEPENDENCE feature ranking — the CATEGORICAL companion
+    * to q254 (which ranks numeric thresholds by split impurity): rank
+    * candidate categorical features by Pearson's χ² against the label,
+    * the classic filter-method feature selector (Pearson 1900; the
+    * sklearn `chi2`/`SelectKBest` shape re-expressed relationally).
+    * Exact-integer form: for cell (fval, y) with observed O, row
+    * marginal R, column marginal C, total N, the χ² contribution is
+    * (O·N − R·C)²/(R·C·N) — emitted as a micro-unit truncating division
+    * with the square widened to decimal(38,0)/HUGEINT (O·N reaches
+    * 3.6·10¹¹ at sf0.1, its square 1.3·10²³ — the q257/q246 widening).
+    * ZERO-observed cells still contribute R·C/N, so the grid is built
+    * from the marginal product (row-marginals ⋈ column-marginals) and
+    * the observed counts LEFT-join in; features are comparable because
+    * every one partitions the same N rows.
+    *
+    * Scale shape: the 3-way stack is one pass over the enrichment join;
+    * every aggregate is map-side-combinable to value-domain-bounded
+    * frames (|fvals|·|labels| cells, ~25 brands max); the grid joins
+    * and the final rank run on tens of rows. The enrichment join
+    * (lineitem⋈orders⋈part) is the q05-audited shuffle-join shape. */
+  private def chi2FeatureRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .selectExpr(
+        "stack(3, 'priority', o_orderpriority, 'brand', p_brand, " +
+          "'linestatus', l_linestatus) AS (feature, fval)",
+        "CAST(l_returnflag = 'R' AS INT) AS y")
+    val cells = base.groupBy("feature", "fval", "y")
+      .agg(count(lit(1)).as("o"))
+    val rmarg = base.groupBy("feature", "fval").agg(count(lit(1)).as("r"))
+    val cmarg = base.groupBy("feature", "y").agg(count(lit(1)).as("c"))
+    val nTot = base.groupBy("feature").agg(count(lit(1)).as("n"))
+    val grid = rmarg
+      .join(cmarg, "feature")
+      .join(broadcast(nTot), "feature")
+      .join(cells, Seq("feature", "fval", "y"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("dev", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("term_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * dev * dev) " +
+          "div (r * c * n)"))
+    val sel = grid.groupBy("feature")
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct("fval") - 1) * (countDistinct("y") - 1))
+          .as("dof"),
+        sum("term_micro").as("chi2_micro"))
+    sel.withColumn("rank", row_number().over(
+        Window.orderBy(desc("chi2_micro"), asc("feature"))))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_feature_hashing" -> featureHashing,
+    "q256_roc_auc" -> rocAuc,
+    "q258_chi2_feature_rank" -> chi2FeatureRank,
     "q247_naive_bayes" -> naiveBayes,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
@@ -613,6 +706,82 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The full marginal-product grid (zero cells included), dev, the
+    // HUGEINT-widened χ² terms, per-feature sums and the rank replayed.
+    "q258_chi2_feature_rank" ->
+      """WITH enriched AS MATERIALIZED (
+        |  SELECT o_orderpriority, p_brand, l_linestatus,
+        |         CAST(l_returnflag = 'R' AS INT) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |                JOIN part ON l_partkey = p_partkey),
+        |base AS (
+        |  SELECT 'priority' AS feature, o_orderpriority AS fval, y
+        |  FROM enriched
+        |  UNION ALL
+        |  SELECT 'brand', p_brand, y FROM enriched
+        |  UNION ALL
+        |  SELECT 'linestatus', l_linestatus, y FROM enriched),
+        |cells AS (SELECT feature, fval, y, CAST(count(*) AS BIGINT) AS o
+        |          FROM base GROUP BY 1, 2, 3),
+        |rmarg AS (SELECT feature, fval, CAST(count(*) AS BIGINT) AS r
+        |          FROM base GROUP BY 1, 2),
+        |cmarg AS (SELECT feature, y, CAST(count(*) AS BIGINT) AS c
+        |          FROM base GROUP BY 1, 2),
+        |ntot AS (SELECT feature, CAST(count(*) AS BIGINT) AS n
+        |         FROM base GROUP BY 1),
+        |grid AS (
+        |  SELECT rm.feature, rm.fval, cm.y, rm.r, cm.c, nt.n,
+        |         coalesce(ce.o, 0) * nt.n - rm.r * cm.c AS dev
+        |  FROM rmarg rm
+        |  JOIN cmarg cm ON cm.feature = rm.feature
+        |  JOIN ntot nt ON nt.feature = rm.feature
+        |  LEFT JOIN cells ce ON ce.feature = rm.feature
+        |    AND ce.fval = rm.fval AND ce.y = cm.y),
+        |terms AS (
+        |  SELECT feature, fval, y, r, c, n, dev,
+        |         (CAST(1000000 AS HUGEINT) * dev * dev) // (r * c * n)
+        |           AS term_micro
+        |  FROM grid),
+        |sel AS (
+        |  SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+        |         CAST((count(DISTINCT fval) - 1)
+        |           * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+        |         CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+        |  FROM terms GROUP BY 1)
+        |SELECT feature, n_cells, dof, chi2_micro,
+        |       CAST(row_number() OVER (ORDER BY chi2_micro DESC, feature)
+        |         AS INT) AS rank
+        |FROM sel ORDER BY rank""".stripMargin,
+    // Score bins, the below-bin negative cumsum, both pair counts and
+    // the micro-unit ratio replayed; `//` on positive BIGINTs truncates
+    // exactly like Spark's `div`.
+    "q256_roc_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+        |           AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+        |         CAST(count(*) - sum(y) AS BIGINT) AS neg
+        |  FROM s GROUP BY 1),
+        |c AS (
+        |  SELECT score, pos, neg,
+        |         coalesce(sum(neg) OVER (ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cneg
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |         CAST(sum(neg) AS BIGINT) AS n_neg,
+        |         CAST(count(*) AS BIGINT) AS n_bins,
+        |         CAST(sum(pos * cneg) AS BIGINT) AS pairs_won,
+        |         CAST(sum(pos * neg) AS BIGINT) AS tied_pairs
+        |  FROM c)
+        |SELECT n_pos, n_neg, n_bins, pairs_won, tied_pairs,
+        |       (1000000 * (2 * pairs_won + tied_pairs))
+        |         // (2 * n_pos * n_neg) AS auc_micro
+        |FROM t""".stripMargin,
     // The FULL NB training loop replayed: vocabulary gate, per-(lang,
     // word) counts, micro-nat quantized Laplace weights and priors
     // (round(ln(ratio-of-exact-ints) * 1e6) — the q165/q170 cross-engine

@@ -164,4 +164,79 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(a.map(_._3).sum == held,
       s"confusion matrix covers ${a.map(_._3).sum} docs, expected $held")
   }
+
+  // ---------------------------------------------------- Sssp (q255 op)
+  test("Sssp: bounded Bellman-Ford finds exact weighted shortest paths " +
+    "on a hand-computed lane graph; the round cap bounds reach") {
+    import graft.ops.{Scc, Sssp}
+    // 0→1→2→3 local lane weights 5,1,9; express 0→3 weight 8;
+    // 1→4 weight 2. Shortest: d(1)=5, d(2)=6, d(3)=8 (express beats
+    // 5+1+9=15), d(4)=7.
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 1L), (2L, 3L, 9L),
+      (0L, 3L, 8L), (1L, 4L, 2L)).toDF("a", "b", "w")
+    val d = Sssp.bellmanFord(edges, "a", "b", "w", source = 0L, rounds = 4)
+    val got = d.as[(Long, Long)].collect().toMap
+    Scc.release(d)
+    assert(got == Map(0L -> 0L, 1L -> 5L, 2L -> 6L, 3L -> 8L, 4L -> 7L), got)
+
+    // K = 1: only direct edges out of the source are reached, at their
+    // raw weight — node 3 via the 1-edge express (8), never the lane sum
+    val d1 = Sssp.bellmanFord(edges, "a", "b", "w", source = 0L, rounds = 1)
+    val got1 = d1.as[(Long, Long)].collect().toMap
+    Scc.release(d1)
+    assert(got1 == Map(0L -> 0L, 1L -> 5L, 3L -> 8L), got1)
+  }
+
+  test("Sssp: a K-capped distance can exceed the true shortest path and " +
+    "is monotone non-increasing in K; negative weights are rejected") {
+    import graft.ops.{Scc, Sssp}
+    // 0→9 direct costs 100; the 3-hop detour 0→1→2→9 costs 3.
+    val edges = Seq((0L, 9L, 100L), (0L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 9L, 1L)).toDF("a", "b", "w")
+    def distAt(k: Int): Long = {
+      val d = Sssp.bellmanFord(edges, "a", "b", "w", source = 0L, rounds = k)
+      val v = d.where(col("s") === 9L).as[(Long, Long)].collect().head._2
+      Scc.release(d); v
+    }
+    assert(distAt(1) == 100L) // cap under-reaches: direct edge only
+    assert(distAt(2) == 100L) // detour still one edge short
+    assert(distAt(3) == 3L)   // exact once K covers the detour
+    val neg = Seq((0L, 1L, -1L)).toDF("a", "b", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Sssp.bellmanFord(neg, "a", "b", "w", source = 0L, rounds = 1)
+    }
+    assert(ex.getMessage.contains("negative edge weight"))
+  }
+
+  test("q255 on sf0.001: reached set is the 12-round ball (<= 61 nodes), " +
+    "node 0 at distance 0, and every distance is positive and exact " +
+    "against an in-memory Dijkstra over the same overlay") {
+    val rows = SparkEntry.queries("q255_sssp_distances")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 61, s"reached ${rows.size} nodes")
+    val got = rows.toMap
+    assert(got(0L) == 0L)
+    // replay the overlay + a 12-edge-bounded Bellman-Ford in memory
+    val maxU = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(max("user_id")).head().getLong(0)
+    def w1(u: Long) = (u * 31 + 7) % 19 + 1
+    def w5(u: Long) = (u * 17 + 3) % 53 + 7
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 12) {
+      var next = dist
+      dist.foreach { case (u, du) =>
+        if (u + 1 <= maxU) {
+          val c = du + w1(u)
+          if (c < next.getOrElse(u + 1, Long.MaxValue)) next += (u + 1) -> c
+        }
+        if (u + 5 <= maxU) {
+          val c = du + w5(u)
+          if (c < next.getOrElse(u + 5, Long.MaxValue)) next += (u + 5) -> c
+        }
+      }
+      dist = next
+    }
+    assert(got == dist, "engine K-capped distances differ from replay")
+  }
 }
