@@ -293,6 +293,62 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q259: LINEAR-INTERPOLATION gap fill — the lerp twin of q140's
+    * forward fill: a missing hourly bar gets the straight line between
+    * its bracketing known bars, the imputation an ML feature pipeline
+    * prefers when a series drifts (ffill injects a step artifact at
+    * every gap; lerp spreads the move). Segment form, not an
+    * ignore-nulls scan: each known bar pairs with its NEXT known bar
+    * via one `lead` (per-key ordered window, the q15 shape), segments
+    * with interior hours explode ONLY the gap hours, and the
+    * interpolant is exact integer arithmetic —
+    * v₀ + (v₁−v₀)(h−h₀) div (h₁−h₀), truncating toward zero in both
+    * engines (verified: Spark `div` and DuckDB `//` agree on negative
+    * numerators, so falling segments round identically). Boundary
+    * hours are always known (the spine spans min..max known bars), so
+    * every gap has both brackets by construction. Output is per-user:
+    * spine length, known bars, gap count, the lerped total, and a
+    * position-weighted checksum Σ interp·(h−h₀) that pins WHERE in
+    * each gap every value landed (a sum alone can't).
+    *
+    * Scale shape: one per-key window + an explode bounded by gap
+    * length (never spine length) + map-side-combinable rollups; no
+    * global sort, no grid join — at 100 TB the dense-spine grid of
+    * q140 is the expensive half, and this variant skips it entirely
+    * for the interpolation path. */
+  private def gapLerp(spark: SparkSession, dir: String): DataFrame = {
+    val bars = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "hour")
+      .agg(max_by(col("cents"), col("event_id")).as("close_c"))
+      .withColumn("hidx", expr("CAST(hour AS LONG) div 3600"))
+    val wU = Window.partitionBy("user_id").orderBy("hidx")
+    val seg = bars
+      .withColumn("nx_h", lead("hidx", 1).over(wU))
+      .withColumn("nx_c", lead("close_c", 1).over(wU))
+      .where(col("nx_h").isNotNull && col("nx_h") > col("hidx") + 1)
+    val gapRows = seg.select(col("user_id"), col("hidx").as("h0"),
+        col("close_c").as("v0"), col("nx_h").as("h1"), col("nx_c").as("v1"),
+        explode(sequence(col("hidx") + 1, col("nx_h") - 1)).as("h"))
+      .withColumn("interp_c",
+        expr("v0 + ((v1 - v0) * (h - h0)) div (h1 - h0)"))
+    val gapAgg = gapRows.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("interp_c").as("gap_sum"),
+        sum(col("interp_c") * (col("h") - col("h0"))).as("gap_chk"))
+    val barAgg = bars.groupBy("user_id")
+      .agg(count(lit(1)).as("n_bars"), sum("close_c").as("bar_sum"),
+        (max("hidx") - min("hidx") + 1).as("n_hours"))
+    barAgg.join(gapAgg, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_hours"), col("n_bars"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        (col("bar_sum") + coalesce(col("gap_sum"), lit(0L)))
+          .as("sum_interp_c"),
+        coalesce(col("gap_chk"), lit(0L)).as("gap_chk"))
+      .orderBy("user_id")
+  }
+
   /** q144: forward-label generation — for every tick, the close at the
     * FIRST observation ≥ 24 h ahead ([[graft.timeseries.TimeSeries
     * .asofForward]] on the horizon-shifted timestamp), the label the
@@ -431,6 +487,7 @@ object FinanceQueries extends QueryPack {
     "q126_rolling_beta" -> rollingBeta,
     "q131_anomaly_flags" -> anomalyFlags,
     "q140_gap_ffill" -> gapFfill,
+    "q259_gap_lerp" -> gapLerp,
     "q234_cusum_changepoints" -> cusumChangepoints
   )
 
@@ -663,6 +720,50 @@ object FinanceQueries extends QueryPack {
         |       CAST(sum(CASE WHEN label_c = c THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
         |       CAST(sum(label_c) AS BIGINT) AS sum_label_c
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Segments, gap explosion, the truncating lerp and both rollups
+    // replayed; epoch(hour)//3600 is exact (hour-truncated timestamps
+    // have integer epochs well under 2^53).
+    "q259_gap_lerp" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |         arg_max(CAST(round(value*100) AS BIGINT), event_id)
+        |           AS close_c
+        |  FROM events GROUP BY 1, 2),
+        |b2 AS (
+        |  SELECT user_id, CAST(epoch(hour) AS BIGINT) // 3600 AS hidx,
+        |         close_c
+        |  FROM bars),
+        |seg AS (
+        |  SELECT user_id, hidx AS h0, close_c AS v0,
+        |         lead(hidx) OVER wu AS h1, lead(close_c) OVER wu AS v1
+        |  FROM b2
+        |  WINDOW wu AS (PARTITION BY user_id ORDER BY hidx)),
+        |g AS (
+        |  SELECT user_id, h0, v0, h1, v1,
+        |         unnest(generate_series(h0 + 1, h1 - 1)) AS h
+        |  FROM seg WHERE h1 IS NOT NULL AND h1 > h0 + 1),
+        |gi AS (
+        |  SELECT user_id, v0 + ((v1 - v0) * (h - h0)) // (h1 - h0)
+        |           AS interp_c,
+        |         h - h0 AS off
+        |  FROM g),
+        |ga AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(interp_c) AS BIGINT) AS gap_sum,
+        |         CAST(sum(interp_c * off) AS BIGINT) AS gap_chk
+        |  FROM gi GROUP BY 1),
+        |ba AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_bars,
+        |         CAST(sum(close_c) AS BIGINT) AS bar_sum,
+        |         max(hidx) - min(hidx) + 1 AS n_hours
+        |  FROM b2 GROUP BY 1)
+        |SELECT ba.user_id, n_hours, n_bars,
+        |       CAST(coalesce(n_gaps, 0) AS BIGINT) AS n_gaps,
+        |       CAST(bar_sum + coalesce(gap_sum, 0) AS BIGINT)
+        |         AS sum_interp_c,
+        |       CAST(coalesce(gap_chk, 0) AS BIGINT) AS gap_chk
+        |FROM ba LEFT JOIN ga USING (user_id)
+        |ORDER BY ba.user_id""".stripMargin,
     "q140_gap_ffill" ->
       """WITH bars AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -76,6 +76,108 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q260: ANN RECALL@K AUDIT — the q246 blocking-quality move applied
+    * to the similarity leg: measure a deliberately SUB-EXHAUSTIVE
+    * sign-LSH config (2 planes × only 2 OR-ed tables, vs q42's 8 — per
+    * the q42 tuning math recall ≈ 1−(1−p²)² ≈ 0.53 at p ≈ 0.6, so the
+    * measurement is non-trivial by design) against the exact q41
+    * brute-force top-5, per query and in exact micro-units. This is
+    * the number an ANN deployment tunes against at 100 TB; here it is
+    * driver-visible DATA with a full SQL replay (hyperplanes emitted
+    * as literals, the q42 oracle discipline) instead of a spec-only
+    * assertion. Overlap counting is integer (a LEFT SEMI join of the
+    * two top-k sets), so the hash is robust even where cosine doubles
+    * are tie-adjacent.
+    *
+    * Scale shape: both legs are the audited q41/q42 plans (broadcast
+    * queries onto the corpus scan / bucket join); the overlap join runs
+    * on two k-sized-per-query frames. */
+  private def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries,
+        id = "vec_id", vec = "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, queries,
+        id = "vec_id", vec = "embedding", k = 5, numPlanes = 2, dim = 64,
+        numTables = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("(1000000 * coalesce(n_hit, 0)) div n_true").as("recall_micro"))
+      .orderBy("query_id")
+  }
+
+  /** q260 oracle: BOTH legs replayed — the 2-table LSH pipeline
+    * (hyperplane literals from the same seeds 42+t, bucket build,
+    * candidate join, cosine, top-5) and the exhaustive q41 top-5 —
+    * then the integer overlap rollup. */
+  private def annRecallOracle: String = {
+    val nTables = 2
+    val tables =
+      Array.tabulate(nTables)(t => Similarity.hyperplanes(2, 64, 42L + t))
+    val planeRows = (for { t <- 0 until nTables; p <- 0 until 2 } yield {
+      val coefs = tables(t)(p).map(_.toString).mkString("[", ", ", "]")
+      s"($t, $p, $coefs::DOUBLE[])"
+    }).mkString(",\n    ")
+    val cos = (a: String, b: String) =>
+      s"""list_sum([$a.dv[i]*$b.dv[i] for i in range(1, 65)])
+         |           / (sqrt(list_sum([$a.dv[i]*$a.dv[i] for i in range(1, 65)]))
+         |              * sqrt(list_sum([$b.dv[i]*$b.dv[i] for i in range(1, 65)])))""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |pl(tbl, p, coef) AS (VALUES
+       |    $planeRows),
+       |b AS (
+       |  SELECT v.vec_id, pl.tbl,
+       |         CAST(sum(CASE WHEN list_sum([v.dv[i]*pl.coef[i]
+       |                                      for i in range(1, 65)]) >= 0
+       |                       THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM v CROSS JOIN pl
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM b qb JOIN b cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+       |asc_ AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         ${cos("q", "c")} AS cosine
+       |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+       |            JOIN v c ON c.vec_id = cand.neighbor_id),
+       |ar AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, neighbor_id ASC)
+       |             AS rank
+       |    FROM asc_) WHERE rank <= 5),
+       |es AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${cos("q", "c")} AS cosine
+       |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |er AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, neighbor_id ASC)
+       |             AS rank
+       |    FROM es) WHERE rank <= 5),
+       |hits AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM er e JOIN ar USING (query_id, neighbor_id) GROUP BY 1),
+       |tr AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM er GROUP BY 1)
+       |SELECT tr.query_id, n_true,
+       |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |       (1000000 * coalesce(n_hit, 0)) // n_true AS recall_micro
+       |FROM tr LEFT JOIN hits USING (query_id)
+       |ORDER BY tr.query_id""".stripMargin
+  }
+
   /** q101: int8 scalar quantization of every embedding — element-wise,
     * shuffle-free; the float arithmetic is the identical expression tree
     * on both engines (f32→f64 widening exact, same mul/div association),
@@ -295,6 +397,7 @@ object SimilarityQueries extends QueryPack {
     "q117_semantic_dedup" -> semanticDedup,
     "q41_cosine_topk" -> bruteForceTopK,
     "q42_ann_lsh_topk" -> lshTopK,
+    "q260_ann_recall" -> annRecall,
     "q62_lsh_cosine_neardup" -> lshCosineNearDup,
     "q72_ivf_topk" -> ivfTopK,
     "q101_embedding_quantize" -> embeddingQuantize,
@@ -394,6 +497,7 @@ object SimilarityQueries extends QueryPack {
         |        JOIN n2 xb ON xb.doc_id = dt.doc_b
         |ORDER BY dt.doc_a, dt.doc_b""".stripMargin,
     "q42_ann_lsh_topk" -> lshTopKOracle,
+    "q260_ann_recall" -> annRecallOracle,
     // both stages replayed: prefix-16 shortlist (same DESC/id tie order),
     // then the full-dim q41 fold over shortlisted pairs only
     "q152_prefix_rerank_topk" ->

@@ -112,4 +112,103 @@ class Round9BreadthSpec extends AnyFunSuite {
       assert(chi2 == ec, s"$feature chi2 $chi2 vs replay $ec")
     }
   }
+
+  // ---------------------------------------------------------- q259
+  /** Events staged as raw µs-long ts (unannotated int64 → the reader's
+    * magnitude CASE treats < 1e17 as µs — the documented fallback). */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String, Double)])
+      : String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9b_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q259: hand-computed lerp — a rising 3-hour gap splits the move " +
+    "into thirds; a falling gap truncates toward zero (963, not 962)") {
+    val h0 = 1704067200L * 1000000L // 2024-01-01 00:00 UTC in µs
+    def h(i: Int) = h0 + i * 3600L * 1000000L
+    val dir = stageEvents(Seq(
+      // user 1: bars at hours 0 and 3 (values 10.00 → 16.00) → gaps at
+      // 1, 2 lerped to 12.00, 14.00
+      (1L, h(0), 1L, "t", 10.00), (2L, h(3), 1L, "t", 16.00),
+      // user 2: bars at hours 0 and 2 (10.00 → 9.25): gap at 1 is
+      // 1000 + (-75 * 1) div 2 = 1000 - 37 = 963 — truncation toward
+      // zero on a NEGATIVE numerator, the cross-engine agreement the
+      // scaladoc pins
+      (3L, h(0), 2L, "t", 10.00), (4L, h(2), 2L, "t", 9.25)))
+    val got = SparkEntry.queries("q259_gap_lerp")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 2L, 1000L + 1600L + 1200L + 1400L, 1200L + 2 * 1400L),
+      (2L, 3L, 2L, 1L, 1000L + 925L + 963L, 963L)), got.toString)
+  }
+
+  test("q259 on sf0.001: every interpolant is bracketed by its segment " +
+    "ends (consistency vs an in-memory replay of the whole query)") {
+    val got = SparkEntry.queries("q259_gap_lerp")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // replay: hourly bars by max event_id, then segment lerp
+    val bars = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(date_trunc('hour', ts) AS LONG) div 3600",
+        "event_id", "CAST(round(value * 100) AS LONG)")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case ((u, hx), g) => (u, hx, g.maxBy(_._3)._4) }.toSeq
+    val byUser = bars.groupBy(_._1)
+    got.foreach { case (u, nHours, nBars, nGaps, sumI, chk) =>
+      val series = byUser(u).map(r => (r._2, r._3)).sortBy(_._1)
+      assert(nBars == series.size)
+      assert(nHours == series.last._1 - series.head._1 + 1)
+      var gaps = 0L; var gsum = 0L; var gchk = 0L
+      series.sliding(2).foreach {
+        case Seq((ha, va), (hb, vb)) =>
+          ((ha + 1) until hb).foreach { hh =>
+            gaps += 1
+            val v = va + (vb - va) * (hh - ha) / (hb - ha)
+            assert(v >= math.min(va, vb) && v <= math.max(va, vb),
+              s"user $u hour $hh lerp $v outside [$va, $vb]")
+            gsum += v; gchk += v * (hh - ha)
+          }
+        case _ => ()
+      }
+      assert(nGaps == gaps, s"user $u gap count")
+      assert(sumI == series.map(_._2).sum + gsum, s"user $u lerp sum")
+      assert(chk == gchk, s"user $u position checksum")
+    }
+  }
+
+  // ---------------------------------------------------------- q260
+  test("q260: recall rows are internally consistent and amplification " +
+    "monotone — 8 OR-ed tables never recall less than the measured 2") {
+    import graft.similarity.Similarity
+    import graft.tables.Tables
+    val got = SparkEntry.queries("q260_ann_recall")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 10L), "one row per query 0..9")
+    got.foreach { case (q, nTrue, nHit, micro) =>
+      assert(nTrue == 5L, s"query $q n_true")
+      assert(nHit >= 0L && nHit <= nTrue)
+      assert(micro == 1000000L * nHit / nTrue, s"query $q recall formula")
+    }
+    // per-query monotonicity: hits(8 tables) >= hits(2 tables)
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    def hitsAt(tables: Int): Map[Long, Long] =
+      exact.join(
+          Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, 2, 64, tables)
+            .select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").count()
+        .as[(Long, Long)].collect().toMap
+    val h8 = hitsAt(8)
+    got.foreach { case (q, _, nHit, _) =>
+      assert(h8.getOrElse(q, 0L) >= nHit,
+        s"query $q: 8-table recall below the 2-table measurement")
+    }
+  }
 }
