@@ -247,7 +247,60 @@ object QualityQueries extends QueryPack {
     Otsu.otsuTable(spark, Tables.documents(spark, dir), "n_chars", bins = 16)
       .orderBy("k")
 
+  /** q261: CONCENTRATION AUDIT — exact Gini coefficient + top-1% share
+    * of the (binned) order-value distribution, the inequality numbers a
+    * curation pipeline tracks per domain/source (a corpus where 1% of
+    * sources hold 60% of the tokens needs the q128 domain cap; this is
+    * the metric that says so). Computed on the hundred-dollar-binned
+    * variable (the q256 declared-binning discipline — scale cancels in
+    * Gini, so bin INDEX is the value), entirely from the bin histogram:
+    * with bins ascending and S_prev the count below, the classic
+    * sorted-rank identity 2·Σᵢ i·xᵢ = Σ_b v_b·(2·S_prev·c_b + c_b(c_b+1))
+    * turns the O(n log n) sort form into ONE pass over the bin domain;
+    * G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx) ≥ 0 by the Chebyshev sum inequality,
+    * so micro-unit truncation is sign-safe. The top-1% share finds the
+    * one bin where the descending cumulative count crosses
+    * max(n div 100, 1) and takes the partial bin exactly. All windows
+    * run over the BIN domain (≤ ~6000 rows at any corpus size); the
+    * only corpus-sized work is the binning groupBy — one
+    * map-side-combinable pass. The 10⁶·numerator product reaches
+    * ~10²⁰, widened to decimal(38,0)/HUGEINT (the q257 rule); every
+    * other intermediate fits int64 with ≥10⁴ headroom. */
+  private def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000")
+        .as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val wAsc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.orderBy(desc("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bins
+      .withColumn("sp", coalesce(sum("c").over(wAsc), lit(0L)))
+      .withColumn("cdp", coalesce(sum("c").over(wDesc), lit(0L)))
+      .withColumn("cup",
+        coalesce(sum(col("c") * col("v")).over(wDesc), lit(0L)))
+    val tot = cum.agg(
+      sum("c").as("n"), count(lit(1)).as("n_bins"),
+      sum(col("c") * col("v")).as("su"),
+      sum(col("v") * (lit(2L) * col("sp") * col("c")
+        + col("c") * (col("c") + 1))).as("a2"))
+    val top = cum.crossJoin(broadcast(tot.select("n")))
+      .withColumn("kn", expr("greatest(n div 100, CAST(1 AS BIGINT))"))
+      .where(col("cdp") < col("kn") && col("kn") <= col("cdp") + col("c"))
+      .select((col("cup") + (col("kn") - col("cdp")) * col("v"))
+        .as("top_units"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n"), col("n_bins"), col("su").as("sum_units"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * (a2 - (n + 1) * su)) " +
+          "div (n * su)").as("gini_micro"),
+        col("top_units"),
+        expr("(1000000 * top_units) div su").as("top1pct_share_micro"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_gini_concentration" -> giniConcentration,
     "q182_otsu_threshold" -> otsuThreshold,
     "q153_observed_metrics" -> observedMetrics,
     "q134_key_skew_profile" -> keySkewProfile,
@@ -261,6 +314,43 @@ object QualityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Bin histogram, both cumulative scans, the rank identity, the
+    // HUGEINT-widened Gini ratio and the partial top-bin replayed.
+    "q261_gini_concentration" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |cum AS (
+        |  SELECT v, c,
+        |         coalesce(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS sp,
+        |         coalesce(sum(c) OVER (ORDER BY v DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cdp,
+        |         coalesce(sum(c * v) OVER (ORDER BY v DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cup
+        |  FROM b),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_bins,
+        |         CAST(sum(c * v) AS BIGINT) AS su,
+        |         CAST(sum(v * (2 * sp * c + c * (c + 1))) AS BIGINT) AS a2
+        |  FROM cum),
+        |top AS (
+        |  SELECT CAST(cup + (greatest(n // 100, 1) - cdp) * v AS BIGINT)
+        |           AS top_units
+        |  FROM cum, tot
+        |  WHERE cdp < greatest(n // 100, 1)
+        |    AND greatest(n // 100, 1) <= cdp + c)
+        |SELECT n, n_bins, su AS sum_units,
+        |       CAST((CAST(1000000 AS HUGEINT) * (a2 - (n + 1) * su))
+        |         // (n * su) AS BIGINT) AS gini_micro,
+        |       top_units,
+        |       (1000000 * top_units) // su AS top1pct_share_micro
+        |FROM tot, top""".stripMargin,
     // full replay: bin width, cumulative class moments, the HUGEINT
     // variance rational floor-quantized to micro-units, argmax with
     // smallest-k tie-break

@@ -348,7 +348,47 @@ object SketchQueries extends QueryPack {
       .orderBy("source")
   }
 
+  /** q262: DETERMINISTIC DISTRIBUTED BOOTSTRAP — 32 double-or-nothing
+    * pseudo-replicates of the mean order value, the resampling scheme
+    * that actually runs at 100 TB (Owen & Eckles, "Bootstrapping data
+    * arrays", AOAS 2012; Poisson-family weights instead of n-out-of-n
+    * draws, so NO shared sampling state and no shuffle of the corpus).
+    * Replicate weights are m ∈ {0, 2} with P = ½ each (mean 1,
+    * variance 1 — the same first two moments as the Poisson(1)
+    * bootstrap) drawn DETERMINISTICALLY from bit 33 of
+    * fmix64(fnv1a64("orderkey:replicate")), so the whole resampling
+    * replays in SQL — a bootstrap the oracle can hash-check, where an
+    * RNG-based one never could. The fmix64 finalizer is NOT optional:
+    * raw FNV bit 33 on these sequential keys left every one of the 32
+    * replicate means ~0.9% ABOVE the full-sample mean (measured here —
+    * the q253 sequential-key bias reproduced as WEIGHT bias, which a
+    * bootstrap converts straight into a broken CI); after fmix64 the
+    * means bracket the truth. Output: per-replicate pseudo-sample size,
+    * weighted sum and milli-cent mean; the CI is the spread of the 32
+    * means (the spec pins that it brackets the full-sample mean).
+    *
+    * Scale shape: ONE scan with a 32-way explode collapsed immediately
+    * by map-side partial aggregation to 32 groups — the fan-out never
+    * reaches an exchange; 32 hash evaluations per row are the entire
+    * added cost, which is why this (and not resampling) is the
+    * production bootstrap. */
+  private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val o = Tables.orders(spark, dir).select(col("o_orderkey").as("okey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val rep = o.select(col("okey"), col("cents"),
+        explode(sequence(lit(0L), lit(31L))).as("b"))
+      .withColumn("m",
+        (shiftrightunsigned(fmix64(fnv1a(concat(col("okey").cast("string"),
+          lit(":"), col("b").cast("string")))), 33) % 2) * 2)
+    rep.groupBy("b")
+      .agg(sum("m").as("n_b"), sum(col("m") * col("cents")).as("sum_c"))
+      .withColumn("mean_milli", expr("(1000 * sum_c) div n_b"))
+      .orderBy("b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_bootstrap_ci" -> bootstrapCi,
     "q216_mg_heavy_hitters" -> heavyHitters,
     "q217_kmv_distinct" -> kmvDistinct,
     "q222_hll_rollup" -> hllRollup,
@@ -367,6 +407,44 @@ object SketchQueries extends QueryPack {
        |  (a, cp) -> (a * 31 + cp) % 1000000007)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // The FNV-1a fold + fmix64 finalizer per (orderkey, replicate),
+    // bit-33 weights, and every replicate aggregate replayed — the
+    // resampling itself is hash-checked.
+    "q262_bootstrap_ci" -> {
+      def fnv(e: String): String =
+        s"""list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+           |      list_transform(regexp_split_to_array($e, ''),
+           |                     c -> CAST(unicode(c) AS UBIGINT))),
+           |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+           |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+      // murmur3 fmix64 via the q253 split-32/32 mulmod (u64*u64 would
+      // overflow HUGEINT); constants 0xff51afd7ed558ccd / 0xc4ceb9fe1a85ec53
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      def fmixed(e: String) = xs33(mulmod(xs33(mulmod(xs33(fnv(e)),
+        4283543511L, 3981806797L)), 3301882366L, 444984403L))
+      s"""WITH o AS (
+         |  SELECT o_orderkey AS okey,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |r AS (
+         |  SELECT okey, cents, b FROM o, range(0, 32) t(b)),
+         |h AS (
+         |  SELECT b, cents,
+         |         CAST(((${fmixed("CAST(okey AS VARCHAR) || ':' || " +
+                     "CAST(b AS VARCHAR)")}) // 8589934592) % 2 AS BIGINT)
+         |           * 2 AS m
+         |  FROM r)
+         |SELECT b, CAST(sum(m) AS BIGINT) AS n_b,
+         |       CAST(sum(m * cents) AS BIGINT) AS sum_c,
+         |       CAST((1000 * sum(m * cents)) // sum(m) AS BIGINT)
+         |         AS mean_milli
+         |FROM h GROUP BY b ORDER BY b""".stripMargin
+    },
     // guarantee booleans: heavy set from exact counts; captured /
     // underest / residual are theorems, so the oracle emits TRUE
     "q216_mg_heavy_hitters" ->

@@ -211,4 +211,63 @@ class Round9BreadthSpec extends AnyFunSuite {
         s"query $q: 8-table recall below the 2-table measurement")
     }
   }
+
+  // ---------------------------------------------------------- q261
+  test("q261: Gini and top-1% share replay from an in-memory sorted " +
+    "census of the binned order values") {
+    val row = SparkEntry.queries("q261_gini_concentration")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (n, nBins, sumU, giniMicro, topUnits, topShare) = row
+    val vs = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) div 10000")
+      .as[Long].collect().sorted
+    assert(n == vs.length && nBins == vs.distinct.length)
+    assert(sumU == vs.sum)
+    // rank identity on the raw sorted values, no bins
+    val a2 = vs.zipWithIndex.map { case (v, i) =>
+      BigInt(2) * (i + 1) * v }.sum
+    val gini = (BigInt(1000000) * (a2 - BigInt(n + 1) * sumU) /
+      (BigInt(n) * sumU)).toLong
+    assert(giniMicro == gini, s"gini $giniMicro vs replay $gini")
+    assert(giniMicro >= 0L && giniMicro < 1000000L)
+    val kn = math.max(n / 100, 1L)
+    val top = vs.reverse.take(kn.toInt).sum
+    assert(topUnits == top, s"top-1% units $topUnits vs replay $top")
+    assert(topShare == 1000000L * top / sumU)
+    // concentration sanity: the top 1% of orders holds >= 1% of value
+    assert(topShare * 100 >= 1000000L)
+  }
+
+  // ---------------------------------------------------------- q262
+  test("q262: every replicate weight replays from the repo FNV hash, " +
+    "pseudo-sample sizes concentrate around n, and the replicate means " +
+    "bracket the full-sample mean") {
+    import graft.functions.Hashing
+    val got = SparkEntry.queries("q262_bootstrap_ci")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 32L), "one row per replicate")
+    val orders = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .as[(Long, Long)].collect()
+    val n = orders.length.toLong
+    val fullMeanMilli = 1000L * orders.map(_._2).sum / n
+    got.foreach { case (b, nB, sumC, meanMilli) =>
+      var en = 0L; var es = 0L
+      orders.foreach { case (okey, cents) =>
+        val m = ((Hashing.fmix64(
+          Hashing.fnv1a64(s"$okey:$b".getBytes)) >>> 33) & 1L) * 2L
+        en += m; es += m * cents
+      }
+      assert(nB == en, s"replicate $b pseudo-size")
+      assert(sumC == es, s"replicate $b weighted sum")
+      assert(meanMilli == 1000L * es / en)
+      // 2*Binomial(n, 1/2): sd = sqrt(n); allow 6 sigma
+      assert(math.abs(nB - n) <= 6 * math.sqrt(n.toDouble).toLong + 6,
+        s"replicate $b size $nB implausibly far from n=$n")
+    }
+    val means = got.map(_._4)
+    assert(means.min <= fullMeanMilli && fullMeanMilli <= means.max,
+      s"replicate means [${means.min}, ${means.max}] do not bracket " +
+        s"the full-sample mean $fullMeanMilli")
+  }
 }
