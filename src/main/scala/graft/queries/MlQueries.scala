@@ -689,10 +689,56 @@ object MlQueries extends QueryPack {
       .orderBy("rank")
   }
 
+  /** q263: CALIBRATION / RELIABILITY TABLE — the third leg of the
+    * evaluation tier (q240-family accuracy, q256 AUC, this): does a
+    * predicted probability MEAN what it says? A per-bin frequency model
+    * is fit on the hash-held TRAIN split (P̂(y|bin) = exact micro-ratio
+    * of train counts, unseen bins fall back to the train prior), test
+    * rows route to one-percent-point predicted-probability buckets
+    * (fine enough to resolve a weakly-varying predictor — decile-wide
+    * buckets collapse this fixture to one row), and each bucket
+    * reports mean prediction vs observed rate and their gap — the
+    * reliability diagram as data (Murphy–Winkler 1977; the ECE numerator
+    * is Σ|gap|·n over these rows). Everything is exact-integer
+    * micro-units; the train/test split is the q242/q247 `% 5` hash
+    * discipline on the orderkey.
+    *
+    * Scale shape: one pass to bin-domain train counts (broadcast back),
+    * one pass over test rows into ≤10 decile groups — two
+    * map-side-combinable aggregates and a bin-sized broadcast join; no
+    * row-level sort anywhere. */
+  private def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir).select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000")
+        .as("bin"),
+      (col("l_returnflag") === "R").cast("long").as("y"),
+      (col("l_orderkey") % 5 === 0).as("is_test"))
+    val train = rows.where(!col("is_test")).groupBy("bin")
+      .agg(count(lit(1)).as("n_tr"), sum("y").as("k_tr"))
+      .withColumn("p_micro", expr("(1000000 * k_tr) div n_tr"))
+    val prior = rows.where(!col("is_test"))
+      .agg(expr("(1000000 * sum(y)) div count(1)").as("p0_micro"))
+    val test = rows.where(col("is_test"))
+      .join(broadcast(train.select("bin", "p_micro")), Seq("bin"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("pred", coalesce(col("p_micro"), col("p0_micro")))
+      .withColumn("bucket", expr("pred div 10000"))
+    test.groupBy("bucket")
+      .agg(count(lit(1)).as("n_test"), sum("pred").as("sum_pred"),
+        sum("y").as("k_test"))
+      .select(col("bucket"), col("n_test"),
+        expr("sum_pred div n_test").as("mean_pred_micro"),
+        expr("(1000000 * k_test) div n_test").as("obs_micro"),
+        expr("(1000000 * k_test) div n_test - sum_pred div n_test")
+          .as("gap_micro"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_feature_hashing" -> featureHashing,
     "q256_roc_auc" -> rocAuc,
     "q258_chi2_feature_rank" -> chi2FeatureRank,
+    "q263_calibration" -> calibration,
     "q247_naive_bayes" -> naiveBayes,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
@@ -706,6 +752,33 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Train-split frequencies, the prior fallback, decile routing and
+    // every per-bucket aggregate replayed in exact integers.
+    "q263_calibration" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000
+        |           AS bin,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |         l_orderkey % 5 = 0 AS is_test
+        |  FROM lineitem),
+        |train AS (
+        |  SELECT bin,
+        |         CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p_micro
+        |  FROM rows_ WHERE NOT is_test GROUP BY 1),
+        |prior AS (
+        |  SELECT CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p0_micro
+        |  FROM rows_ WHERE NOT is_test),
+        |test AS (
+        |  SELECT coalesce(p_micro, p0_micro) // 10000 AS bucket,
+        |         coalesce(p_micro, p0_micro) AS pred, y
+        |  FROM rows_ LEFT JOIN train USING (bin) CROSS JOIN prior
+        |  WHERE is_test)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(pred) // count(*) AS BIGINT) AS mean_pred_micro,
+        |       CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS obs_micro,
+        |       CAST((1000000 * sum(y)) // count(*)
+        |         - sum(pred) // count(*) AS BIGINT) AS gap_micro
+        |FROM test GROUP BY 1 ORDER BY 1""".stripMargin,
     // The full marginal-product grid (zero cells included), dev, the
     // HUGEINT-widened χ² terms, per-feature sums and the rank replayed.
     "q258_chi2_feature_rank" ->

@@ -270,4 +270,30 @@ class Round9BreadthSpec extends AnyFunSuite {
       s"replicate means [${means.min}, ${means.max}] do not bracket " +
         s"the full-sample mean $fullMeanMilli")
   }
+
+  // ---------------------------------------------------------- q263
+  test("q263: every reliability bucket replays from an in-memory " +
+    "train-split frequency model; test rows are fully covered") {
+    val got = SparkEntry.queries("q263_calibration")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val rows = graft.tables.Tables.lineitem(spark, sf)
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) div 100000",
+        "CAST(l_returnflag = 'R' AS LONG)", "l_orderkey % 5 = 0")
+      .as[(Long, Long, Boolean)].collect()
+    val tr = rows.filterNot(_._3)
+    val p0 = 1000000L * tr.map(_._2).sum / tr.length
+    val pm = tr.groupBy(_._1).view.mapValues { g =>
+      1000000L * g.map(_._2).sum / g.length }.toMap
+    val te = rows.filter(_._3)
+      .map { case (bin, y, _) => (pm.getOrElse(bin, p0), y) }
+    val expect = te.groupBy(_._1 / 10000).toSeq.sortBy(_._1).map {
+      case (b, g) =>
+        val n = g.length.toLong
+        val sp = g.map(_._1).sum
+        val k = g.map(_._2).sum
+        (b, n, sp / n, 1000000L * k / n, 1000000L * k / n - sp / n)
+    }
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.map(_._2).sum == te.length, "test rows fully covered")
+  }
 }
