@@ -299,8 +299,54 @@ object QualityQueries extends QueryPack {
         expr("(1000000 * top_units) div su").as("top1pct_share_micro"))
   }
 
+  /** q265: KENDALL τ-b RANK CONCORDANCE between two per-nation metrics
+    * (customer count vs total order revenue) — the robust,
+    * outlier-immune twin of the Pearson panel correlation (q106): do
+    * the two metrics RANK the nations the same way? Exact pair census
+    * over the 25-nation domain: concordant / discordant / tied-in-x /
+    * tied-in-y counts from the i<j pair join, and because τ-b's
+    * denominator √((n₀−n₁)(n₀−n₂)) would force a float sqrt, the
+    * published statistic is the SIGNED SQUARE
+    * sign(C−D)·10⁶·(C−D)²/((n₀−n₁)(n₀−n₂)) — monotone in τ-b, exact
+    * integer, zero/sign-identical (the q251 cross-multiplied-α move:
+    * never evaluate the irrational, publish the comparison-equivalent
+    * rational). All raw counts ride along so a reader can reconstruct
+    * τ-b to any precision.
+    *
+    * Scale shape: the metric frame is nation-sized (25 rows at ANY
+    * corpus size — the pair stage is a 300-pair broadcast nested loop
+    * by construction, domain-bounded exactly like q249's ≤64 gate);
+    * the corpus-sized work is one aggregation each. */
+  private def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(countDistinct("c_custkey").as("x"),
+        sum(coalesce(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          lit(0L))).as("y"))
+    val p = perNation.as("a")
+      .join(perNation.as("b"), col("a.nk") < col("b.nk"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    p.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("dx") > 0 && col("dy") > 0
+          || col("dx") < 0 && col("dy") < 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("dx") > 0 && col("dy") < 0
+          || col("dx") < 0 && col("dy") > 0, 1L).otherwise(0L)).as("d"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+      .select(col("n0"), col("c"), col("d"), col("tx"), col("ty"),
+        expr("CASE WHEN c >= d THEN " +
+          "(1000000 * (c - d) * (c - d)) div ((n0 - tx) * (n0 - ty)) " +
+          "ELSE -((1000000 * (d - c) * (d - c)) " +
+          "div ((n0 - tx) * (n0 - ty))) END").as("tau_b_sq_signed_micro"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q261_gini_concentration" -> giniConcentration,
+    "q265_kendall_tau" -> kendallTau,
     "q182_otsu_threshold" -> otsuThreshold,
     "q153_observed_metrics" -> observedMetrics,
     "q134_key_skew_profile" -> keySkewProfile,
@@ -314,6 +360,38 @@ object QualityQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The nation metric frame, the i<j pair census and the signed-square
+    // statistic replayed in exact integers.
+    "q265_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS x,
+        |         CAST(coalesce(sum(CAST(round(o_totalprice * 100)
+        |           AS BIGINT)), 0) AS BIGINT) AS y
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM m a JOIN m b ON a.nk < b.nk),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN dx > 0 AND dy > 0
+        |                         OR dx < 0 AND dy < 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN dx > 0 AND dy < 0
+        |                         OR dx < 0 AND dy > 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS tx,
+        |         CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ty
+        |  FROM p)
+        |SELECT n0, c, d, tx, ty,
+        |       CASE WHEN c >= d THEN
+        |         (1000000 * (c - d) * (c - d)) // ((n0 - tx) * (n0 - ty))
+        |       ELSE -((1000000 * (d - c) * (d - c))
+        |         // ((n0 - tx) * (n0 - ty))) END AS tau_b_sq_signed_micro
+        |FROM s""".stripMargin,
     // Bin histogram, both cumulative scans, the rank identity, the
     // HUGEINT-widened Gini ratio and the partial top-bin replayed.
     "q261_gini_concentration" ->

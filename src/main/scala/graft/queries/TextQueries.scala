@@ -349,7 +349,66 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q264: PAIRWISE KL SOURCE DRIFT — KL(src_a ‖ src_b) between the
+    * Laplace-smoothed unigram distributions of the top-8 sources by
+    * token volume: the corpus-mixture diagnostic (which source's
+    * language model is farthest from which) behind source weighting and
+    * contamination triage. The ln appears ONLY at model quantization —
+    * w_micro(s, w) = round(ln((c_sw+1)/(t_s+V))·10⁶), the q247/q165
+    * cross-engine contract — and the divergence itself is exact integer
+    * arithmetic on the quantized model:
+    * KL_scaled(a,b) = Σ_w (c_aw+1)·(w_a − w_b), published as
+    * kl_micro = KL_scaled div (t_a+V). Absent words enter through the
+    * full source×vocab grid (the q258 zero-cell move), so both tails of
+    * the smoothing are in the sum. The top-8 cap is the quadratic-stage
+    * guard (pairwise KL over an unbounded source domain is the
+    * pathology; top-K by volume is the production shape), and the
+    * vocabulary is min-count-5 gated.
+    *
+    * Scale shape: one token pass → (source, word) counts (map-side
+    * combinable); the grid and the pair join are vocab×K and
+    * vocab×K² — model-domain-bounded, never corpus-bounded. */
+  private def klSourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+      .where(col("cw") >= 5).select("word")
+    val tv = toks.join(vocab, "word")
+    val ts = tv.groupBy("source").agg(count(lit(1)).as("t"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("t"), asc("source"))))
+      .where(col("rk") <= 8).drop("rk")
+    val kept = tv.join(broadcast(ts.select("source")), "source")
+    val csw = kept.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val grid = ts.crossJoin(vocab)
+      .join(csw, Seq("source", "word"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(vSize))
+      .withColumn("w_micro",
+        expr("CAST(round(ln(CAST(c + 1 AS DOUBLE) " +
+          "/ CAST(t + v AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val a = grid.select(col("source").as("src_a"), col("word"),
+      (col("c") + 1).as("ca1"), col("w_micro").as("wa"),
+      col("t").as("t_a"), col("v"))
+    val b = grid.select(col("source").as("src_b"), col("word"),
+      col("w_micro").as("wb"))
+    a.join(b, Seq("word")).where(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(max("t_a").as("t_a"), max("v").as("v"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("ca1") * (col("wa") - col("wb"))).as("kl_scaled"))
+      .select(col("src_a"), col("src_b"), col("n_vocab"),
+        col("t_a"), col("v"),
+        expr("kl_scaled div (t_a + v)").as("kl_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_kl_source_drift" -> klSourceDrift,
     "q242_lang_classifier" -> langClassifier,
     "q221_winnowing_fingerprints" -> winnowingFingerprints,
     "q165_tfidf_keywords" -> tfidfKeywords,
@@ -368,6 +427,46 @@ object TextQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Tokenizer, vocab gate, top-8 source cap, the full source×vocab
+    // grid, micro-nat model quantization (round(ln(int/int)·1e6), the
+    // q247 contract) and the integer divergence sum replayed.
+    "q264_kl_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+        |           AS word
+        |  FROM documents),
+        |tw AS (SELECT * FROM toks WHERE word <> ''),
+        |vocab AS (
+        |  SELECT word FROM tw GROUP BY word HAVING count(*) >= 5),
+        |tv AS (SELECT tw.source, tw.word FROM tw JOIN vocab USING (word)),
+        |ts AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, CAST(count(*) AS BIGINT) AS t,
+        |           row_number() OVER (ORDER BY count(*) DESC, source ASC)
+        |             AS rk
+        |    FROM tv GROUP BY source) WHERE rk <= 8),
+        |csw AS (
+        |  SELECT tv.source, tv.word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tv JOIN ts USING (source) GROUP BY 1, 2),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |grid AS (
+        |  SELECT ts.source, vocab.word, ts.t, vs.v,
+        |         coalesce(csw.c, 0) AS c,
+        |         CAST(round(ln(CAST(coalesce(csw.c, 0) + 1 AS DOUBLE)
+        |                       / CAST(ts.t + vs.v AS DOUBLE)) * 1e6)
+        |              AS BIGINT) AS w_micro
+        |  FROM ts CROSS JOIN vocab CROSS JOIN vs
+        |  LEFT JOIN csw ON csw.source = ts.source AND csw.word = vocab.word)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_vocab,
+        |       max(a.t) AS t_a, max(a.v) AS v,
+        |       CAST(CAST(sum((a.c + 1) * (a.w_micro - b.w_micro))
+        |              AS BIGINT) // (max(a.t) + max(a.v)) AS BIGINT)
+        |         AS kl_micro
+        |FROM grid a JOIN grid b
+        |  ON a.word = b.word AND a.source <> b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Cavnar–Trenkle replay: char trigrams (1-based substr positions),
     // top-100 per-language / top-50 per-doc rank profiles with the
     // identical (count DESC, trigram ASC) tie-break, out-of-place

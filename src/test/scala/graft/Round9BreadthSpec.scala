@@ -296,4 +296,96 @@ class Round9BreadthSpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nexpect $expect")
     assert(got.map(_._2).sum == te.length, "test rows fully covered")
   }
+
+  // ---------------------------------------------------------- q264
+  test("q264: identical-distribution sources sit at ~0 KL, a skewed " +
+    "source is strictly positive from it, and quantized KL is never " +
+    "below -1 micro-nat") {
+    // src a and b: the same 6-token distribution; src c: heavily skewed
+    val rows = (1L to 12L).map { i =>
+      val src = if (i <= 4) "a" else if (i <= 8) "b" else "c"
+      val text = if (src == "c") "xx xx xx xx xx yy"
+        else "xx yy zz ww xx yy"
+      (i, text, "en", src)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9kl_").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q264_kl_source_drift")(spark, tmp)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._6)).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("b", "c"), ("c", "b")))
+    assert(math.abs(got(("a", "b"))) <= 1 && math.abs(got(("b", "a"))) <= 1,
+      s"identical sources should be ~0: ${got(("a", "b"))}")
+    assert(got(("a", "c"))> 1000L && got(("c", "a")) > 1000L,
+      s"skew must show: ${got(("a", "c"))}, ${got(("c", "a"))}")
+    got.values.foreach(v => assert(v >= -1L,
+      s"quantized KL below the -1 micro quantization floor: $v"))
+  }
+
+  test("q264 on sf0.001: full in-memory replay of the model and the " +
+    "divergence sum") {
+    val got = SparkEntry.queries("q264_kl_source_drift")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val toks = graft.tables.Tables.documents(spark, sf)
+      .selectExpr("source", "explode(split(lower(text), '[^a-z]+')) AS w")
+      .where(col("w") =!= "")
+      .as[(String, String)].collect()
+    val vocab = toks.groupBy(_._2).filter(_._2.length >= 5).keySet
+    val tv = toks.filter(t => vocab(t._2))
+    val top8 = tv.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (s, t) => (-t, s) }.take(8)
+    val ts = top8.toMap
+    val v = vocab.size.toLong
+    val csw = tv.filter(t => ts.contains(t._1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def w(s: String, word: String): Long =
+      math.round(math.log((csw.getOrElse((s, word), 0L) + 1).toDouble
+        / (ts(s) + v).toDouble) * 1e6)
+    got.foreach { case (a, b, nVocab, tA, vv, klMicro) =>
+      assert(nVocab == v && vv == v && tA == ts(a))
+      val scaled = vocab.toSeq.map { word =>
+        (csw.getOrElse((a, word), 0L) + 1) * (w(a, word) - w(b, word))
+      }.sum
+      assert(klMicro == scaled / (ts(a) + v), s"KL($a||$b)")
+    }
+    assert(got.size == ts.size * (ts.size - 1))
+  }
+
+  // ---------------------------------------------------------- q265
+  test("q265: pair census replays from the collected nation metrics " +
+    "and the signed square is comparison-equivalent to tau-b") {
+    val row = SparkEntry.queries("q265_kendall_tau")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val (n0, c, d, tx, ty, tau2) = row
+    val m = graft.tables.Tables.customer(spark, sf)
+      .join(graft.tables.Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_custkey").as("x"),
+        sum(coalesce(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+          lit(0L))).as("y"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val pairs = for {
+      i <- m.indices; j <- (i + 1) until m.length
+    } yield (m(i)._2 - m(j)._2, m(i)._3 - m(j)._3)
+    assert(n0 == pairs.size && n0 == m.length.toLong * (m.length - 1) / 2)
+    assert(c == pairs.count(p => p._1 > 0 && p._2 > 0
+      || p._1 < 0 && p._2 < 0))
+    assert(d == pairs.count(p => p._1 > 0 && p._2 < 0
+      || p._1 < 0 && p._2 > 0))
+    assert(tx == pairs.count(_._1 == 0) && ty == pairs.count(_._2 == 0))
+    val num = BigInt(1000000) * (c - d) * (c - d) *
+      (if (c >= d) 1 else -1)
+    assert(tau2 == (num / (BigInt(n0 - tx) * (n0 - ty))).toLong ||
+      // negative truncating division: both engines truncate toward zero
+      tau2 == -((BigInt(1000000) * (d - c) * (d - c)) /
+        (BigInt(n0 - tx) * (n0 - ty))).toLong)
+    // sign agreement with float tau-b
+    val tauB = (c - d).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.signum(tauB) == math.signum(tau2.toDouble))
+  }
 }
