@@ -325,8 +325,10 @@ object QualityQueries extends QueryPack {
       .agg(countDistinct("c_custkey").as("x"),
         sum(coalesce(expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
           lit(0L))).as("y"))
+    // broadcast the 25-row frame so the non-equi pair join plans as a
+    // broadcast nested loop (domain-bounded), never a CartesianProduct
     val p = perNation.as("a")
-      .join(perNation.as("b"), col("a.nk") < col("b.nk"))
+      .join(broadcast(perNation.as("b")), col("a.nk") < col("b.nk"))
       .select((col("a.x") - col("b.x")).as("dx"),
         (col("a.y") - col("b.y")).as("dy"))
     p.agg(
