@@ -734,11 +734,52 @@ object MlQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** q266: WEIGHT-OF-EVIDENCE ENCODING + INFORMATION VALUE — the
+    * risk-modeling categorical encoder (Siddiqi, credit-scorecard
+    * canon) next to hashing (q178): per category c of the order
+    * priority, WOE_c = ln(P(c|good)/P(c|bad)) with add-one smoothing
+    * (G' = G + |cats|, B' = B + |cats| keep the distributions
+    * normalized after the pseudo-counts), and the feature's total
+    * predictive power IV = Σ_c (P(c|good) − P(c|bad))·WOE_c. The ln
+    * appears only at WOE quantization (micro-nats of a
+    * ratio-of-exact-int-products — the q247/q264 contract); the class
+    * distributions are micro-unit truncating ratios and every IV term
+    * is the exact integer product (dg−db)·woe, published in
+    * pico-units (micro×micro) so NOTHING is re-divided.
+    *
+    * Scale shape: one map-side-combinable count per (category, class) —
+    * the encoder table is category-sized; at 100 TB this is the same
+    * one-pass profile shape as q257. */
+  private def woeEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("cat"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val cc = base.groupBy("cat")
+      .agg((count(lit(1)) - sum("y")).as("good"), sum("y").as("bad"))
+    val tot = cc.agg(sum("good").as("g"), sum("bad").as("b"),
+      count(lit(1)).as("ncat"))
+    cc.crossJoin(broadcast(tot))
+      .withColumn("dg_micro",
+        expr("(1000000 * (good + 1)) div (g + ncat)"))
+      .withColumn("db_micro",
+        expr("(1000000 * (bad + 1)) div (b + ncat)"))
+      .withColumn("woe_micro",
+        expr("CAST(round(ln(CAST((good + 1) * (b + ncat) AS DOUBLE) " +
+          "/ CAST((bad + 1) * (g + ncat) AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .select(col("cat"), col("good"), col("bad"),
+        col("dg_micro"), col("db_micro"), col("woe_micro"),
+        ((col("dg_micro") - col("db_micro")) * col("woe_micro"))
+          .as("iv_term_pico"))
+      .orderBy("cat")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_feature_hashing" -> featureHashing,
     "q256_roc_auc" -> rocAuc,
     "q258_chi2_feature_rank" -> chi2FeatureRank,
     "q263_calibration" -> calibration,
+    "q266_woe_encoding" -> woeEncoding,
     "q247_naive_bayes" -> naiveBayes,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
@@ -752,6 +793,33 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Class counts, smoothed distributions, quantized WOE and the exact
+    // integer IV terms replayed.
+    "q266_woe_encoding" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cc AS (
+        |  SELECT cat, CAST(count(*) - sum(y) AS BIGINT) AS good,
+        |         CAST(sum(y) AS BIGINT) AS bad
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(good) AS BIGINT) AS g,
+        |         CAST(sum(bad) AS BIGINT) AS b,
+        |         CAST(count(*) AS BIGINT) AS ncat
+        |  FROM cc),
+        |e AS (
+        |  SELECT cat, good, bad,
+        |         (1000000 * (good + 1)) // (g + ncat) AS dg_micro,
+        |         (1000000 * (bad + 1)) // (b + ncat) AS db_micro,
+        |         CAST(round(ln(CAST((good + 1) * (b + ncat) AS DOUBLE)
+        |                       / CAST((bad + 1) * (g + ncat) AS DOUBLE))
+        |                    * 1e6) AS BIGINT) AS woe_micro
+        |  FROM cc CROSS JOIN tot)
+        |SELECT cat, good, bad, dg_micro, db_micro, woe_micro,
+        |       (dg_micro - db_micro) * woe_micro AS iv_term_pico
+        |FROM e ORDER BY cat""".stripMargin,
     // Train-split frequencies, the prior fallback, decile routing and
     // every per-bucket aggregate replayed in exact integers.
     "q263_calibration" ->

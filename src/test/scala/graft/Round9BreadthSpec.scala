@@ -388,4 +388,39 @@ class Round9BreadthSpec extends AnyFunSuite {
       math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
     assert(math.signum(tauB) == math.signum(tau2.toDouble))
   }
+
+  // ---------------------------------------------------------- q266
+  test("q266: WOE/IV replays in-memory; WOE sign tracks whether the " +
+    "category is good-heavier than the corpus; IV terms are nonnegative") {
+    val got = SparkEntry.queries("q266_woe_encoding")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val base = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority", "CAST(l_returnflag = 'R' AS LONG)")
+      .as[(String, Long)].collect()
+    val cc = base.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 == 0L).toLong, g.count(_._2 == 1L).toLong) }.toMap
+    val g = cc.values.map(_._1).sum; val b = cc.values.map(_._2).sum
+    val k = cc.size.toLong
+    assert(got.map(_._1).sorted == cc.keys.toSeq.sorted)
+    got.foreach { case (cat, good, bad, dg, db, woe, iv) =>
+      val (eg, eb) = cc(cat)
+      assert(good == eg && bad == eb, s"$cat counts")
+      assert(dg == 1000000L * (good + 1) / (g + k))
+      assert(db == 1000000L * (bad + 1) / (b + k))
+      val ew = math.round(math.log(
+        ((good + 1) * (b + k)).toDouble / ((bad + 1) * (g + k)).toDouble)
+        * 1e6)
+      assert(woe == ew, s"$cat woe $woe vs $ew")
+      assert(iv == (dg - db) * woe, s"$cat iv term")
+      // same-direction: dg > db ⟺ the exact ln argument > 1 ⟺ woe > 0
+      // (both compare (good+1)(b+k) vs (bad+1)(g+k); quantization can
+      // only zero a near-1 ratio, so allow woe == 0)
+      if (dg != db) assert(math.abs(woe) <= 2L || (dg > db) == (woe > 0L),
+        s"$cat woe sign")
+      // IV terms are products of same-sign factors up to quantization
+      assert(iv >= -1000000L, s"$cat iv term implausibly negative: $iv")
+    }
+  }
 }
