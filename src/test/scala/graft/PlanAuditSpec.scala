@@ -682,6 +682,36 @@ class PlanAuditSpec extends AnyFunSuite {
         plan.take(3000))
   }
 
+  test("q256 column pruning: the AUC scan reads only price + returnflag") {
+    val plan = SparkEntry.queries("q256_roc_auc")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("l_extendedprice") && plan.contains("l_returnflag"),
+      plan.take(2000))
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey") &&
+      !plan.contains("l_shipdate"),
+      "q256 must not read unused lineitem columns:\n" + plan.take(2000))
+  }
+
+  test("q262 is pure scan+aggregate: the 32-way bootstrap fan-out plans " +
+    "no join and exactly one aggregation exchange") {
+    val plan = SparkEntry.queries("q262_bootstrap_ci")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), "bootstrap must not join:\n" +
+      plan.take(2000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, // partial->final agg + the output sort
+      s"expected <= 2 exchanges, saw $exchanges:\n" + plan.take(3000))
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      "expected the replicate fan-out in-plan:\n" + plan.take(2000))
+  }
+
+  test("q260 both retrieval legs broadcast the 10-query side") {
+    val plan = SparkEntry.queries("q260_ann_recall")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
