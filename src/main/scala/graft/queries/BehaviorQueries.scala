@@ -348,7 +348,64 @@ object BehaviorQueries extends QueryPack {
       .orderBy("item_a", "item_b")
   }
 
+  /** q267: A/B TWO-PROPORTION Z-TEST — the experiment-analysis primitive:
+    * users split 50/50 into variants by bit 33 of
+    * fmix64(fnv1a64("ab:userId")) (the q262 hash discipline — the
+    * assignment itself is deterministic and SQL-replayable, which a
+    * production experiment system needs for re-analysis), outcome =
+    * "user ever purchased", and the pooled two-proportion statistic
+    * published as the SIGNED SQUARE (z² is χ²₁ — the q265 move, no
+    * sqrt): z² = (k₁n₂−k₂n₁)²·N / (n₁n₂K(N−K)), emitted in micro with
+    * the numerator and denominator widened to decimal(38,0)/HUGEINT
+    * (d² alone brushes int64 at sf0.1 user counts). significant_95
+    * compares against the χ²₁ 95% critical value 3.841459 in micro —
+    * an exact integer comparison. On this fixture the split is null by
+    * construction (assignment is independent of behavior), so the
+    * expected verdict is NOT significant — the operator contract is
+    * the exact arithmetic and the honest null.
+    *
+    * Scale shape: one pass to per-user conversion flags (map-side
+    * combinable distinct-ish aggregate), one 2-group rollup, one 1-row
+    * statistic. */
+  private def abZtest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    // outcome: a heavy purchaser (>= 14 purchase events) — ">= 1" is
+    // degenerate on this fixture (every user purchases → K = N and the
+    // pooled variance is zero); 14 sits at the per-user purchase mean
+    // (~13, SF-invariant by fixture construction) so both classes are
+    // populated at every SF
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("converted"))
+      .withColumn("variant",
+        shiftrightunsigned(fmix64(fnv1a(
+          concat(lit("ab:"), col("user_id").cast("string")))), 33) % 2)
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("k"))
+    val wide = v.where(col("variant") === 0)
+      .select(col("n").as("n1"), col("k").as("k1"))
+      .crossJoin(broadcast(v.where(col("variant") === 1)
+        .select(col("n").as("n2"), col("k").as("k2"))))
+      .withColumn("d", col("k1") * col("n2") - col("k2") * col("n1"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("kk", col("k1") + col("k2"))
+    wide.select(col("n1"), col("k1"), col("n2"), col("k2"),
+        expr("(1000000 * k1) div n1").as("p1_micro"),
+        expr("(1000000 * k2) div n2").as("p2_micro"),
+        expr("CASE WHEN kk = 0 OR kk = nn THEN CAST(0 AS BIGINT) " +
+          "WHEN d >= 0 THEN " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * d * d * nn) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2 * kk * (nn - kk)) " +
+          "ELSE -((CAST(1000000 AS DECIMAL(38,0)) * d * d * nn) div " +
+          "(CAST(n1 AS DECIMAL(38,0)) * n2 * kk * (nn - kk))) END")
+          .as("z2_signed_micro"))
+      .withColumn("significant_95",
+        abs(col("z2_signed_micro")) >= lit(3841459L))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_ab_ztest" -> abZtest,
     "q249_association_rules" -> associationRules,
     "q160_markov_transitions" -> markovTransitions,
     "q191_daily_streaks" -> dailyStreaks,
@@ -364,6 +421,59 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Hash assignment (fnv + fmix64 in UBIGINT/HUGEINT, the q262
+    // replay), per-variant rollup and the signed-square statistic
+    // replayed exactly.
+    "q267_ab_ztest" -> {
+      def fnv(e: String): String =
+        s"""list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+           |      list_transform(regexp_split_to_array($e, ''),
+           |                     c -> CAST(unicode(c) AS UBIGINT))),
+           |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+           |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      def fmixed(e: String) = xs33(mulmod(xs33(mulmod(xs33(fnv(e)),
+        4283543511L, 3981806797L)), 3301882366L, 444984403L))
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) >= 14
+         |              THEN 1 ELSE 0 END AS converted,
+         |         CAST((${fmixed("'ab:' || CAST(user_id AS VARCHAR)")})
+         |           // 8589934592 % 2 AS BIGINT) AS variant
+         |  FROM events GROUP BY user_id),
+         |v AS (
+         |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(converted) AS BIGINT) AS k
+         |  FROM u GROUP BY 1),
+         |w AS (
+         |  SELECT a.n AS n1, a.k AS k1, b.n AS n2, b.k AS k2,
+         |         a.k * b.n - b.k * a.n AS d,
+         |         a.n + b.n AS nn, a.k + b.k AS kk
+         |  FROM (SELECT * FROM v WHERE variant = 0) a
+         |  CROSS JOIN (SELECT * FROM v WHERE variant = 1) b)
+         |SELECT n1, k1, n2, k2,
+         |       (1000000 * k1) // n1 AS p1_micro,
+         |       (1000000 * k2) // n2 AS p2_micro,
+         |       CAST(CASE WHEN kk = 0 OR kk = nn THEN 0 WHEN d >= 0 THEN
+         |         (CAST(1000000 AS HUGEINT) * d * d * nn)
+         |           // (CAST(n1 AS HUGEINT) * n2 * kk * (nn - kk))
+         |       ELSE -((CAST(1000000 AS HUGEINT) * d * d * nn)
+         |           // (CAST(n1 AS HUGEINT) * n2 * kk * (nn - kk))) END
+         |         AS BIGINT) AS z2_signed_micro,
+         |       abs(CAST(CASE WHEN kk = 0 OR kk = nn THEN 0 WHEN d >= 0 THEN
+         |         (CAST(1000000 AS HUGEINT) * d * d * nn)
+         |           // (CAST(n1 AS HUGEINT) * n2 * kk * (nn - kk))
+         |       ELSE -((CAST(1000000 AS HUGEINT) * d * d * nn)
+         |           // (CAST(n1 AS HUGEINT) * n2 * kk * (nn - kk))) END
+         |         AS BIGINT)) >= 3841459 AS significant_95
+         |FROM w""".stripMargin
+    },
     // Baskets, the ≤64-item gate, pair/item/basket counts, and every
     // micro-unit ratio replayed; `//` on positive BIGINTs truncates
     // exactly like Spark's `div`.

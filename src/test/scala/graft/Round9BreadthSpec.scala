@@ -423,4 +423,40 @@ class Round9BreadthSpec extends AnyFunSuite {
       assert(iv >= -1000000L, s"$cat iv term implausibly negative: $iv")
     }
   }
+
+  // ---------------------------------------------------------- q267
+  test("q267: assignment, rollup and the signed-square statistic replay " +
+    "in-memory; the null fixture is not significant") {
+    import graft.functions.Hashing
+    val row = SparkEntry.queries("q267_ab_ztest")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    val (n1, k1, n2, k2, p1, p2, z2, sig) = row
+    val users = graft.tables.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .as[(Long, Long)].collect()
+    val byVariant = users.groupBy { case (u, _) =>
+      (Hashing.fmix64(Hashing.fnv1a64(s"ab:$u".getBytes)) >>> 33) & 1L }
+    def nk(v: Long) = {
+      val g = byVariant.getOrElse(v, Array.empty)
+      (g.length.toLong, g.count(_._2 >= 14L).toLong)
+    }
+    val ((en1, ek1), (en2, ek2)) = (nk(0L), nk(1L))
+    assert((n1, k1, n2, k2) == ((en1, ek1, en2, ek2)), "rollup mismatch")
+    assert(k1 > 0 && k1 < n1 && k2 > 0 && k2 < n2,
+      "outcome must populate both classes in both variants")
+    assert(p1 == 1000000L * k1 / n1 && p2 == 1000000L * k2 / n2)
+    val d = BigInt(k1) * n2 - BigInt(k2) * n1
+    val nn = BigInt(n1 + n2); val kk = BigInt(k1 + k2)
+    val mag = (BigInt(1000000) * d * d * nn /
+      (BigInt(n1) * n2 * kk * (nn - kk))).toLong
+    assert(z2 == (if (d >= 0) mag else -mag), s"z2 $z2 vs replay")
+    assert(sig == (math.abs(z2) >= 3841459L))
+    // assignment is independent of behavior by construction: the null
+    // must hold (a significant result here would indicate hash bias —
+    // the q262 lesson as an assertion)
+    assert(!sig, s"null A/B split came out significant: z2=$z2")
+  }
 }
