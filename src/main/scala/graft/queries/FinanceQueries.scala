@@ -349,6 +349,47 @@ object FinanceQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q269: MANN–KENDALL TREND TEST over the daily revenue series — the
+    * nonparametric twin of q248's OLS trend (Mann 1945, Kendall's S):
+    * is the series monotonically trending, judged by sign agreements
+    * alone, immune to outliers and any monotone transform. S =
+    * Σ_{i<j} sign(x_j − x_i) over the DAY domain (calendar-bounded —
+    * the pair stage is a broadcast nested loop over ~2.4k daily rows
+    * at ANY corpus size, the q265 domain-bounded discipline);
+    * Var(S)·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) with the exact tie
+    * correction; the statistic is the signed square z² = 18·S²/Var·18
+    * in micro (decimal/HUGEINT-widened numerator — S² alone reaches
+    * 10¹³), compared against χ²₁'s 95% critical value as an exact
+    * integer to emit the trend verdict. Zero variance (all-equal
+    * series) short-circuits to 0 on both engines. */
+  private def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val p = daily.as("a")
+      .join(broadcast(daily.as("b")), col("a.d") < col("b.d"))
+      .select(signum(col("b.x") - col("a.x")).cast("long").as("sgn"))
+    val sAgg = p.agg(count(lit(1)).as("n0"), sum("sgn").as("s"),
+      sum(when(col("sgn") === 0, 1L).otherwise(0L)).as("tie_pairs"))
+    val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .where(col("t") > 1)
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie18"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - tie18"))
+      .select(col("n").as("n_days"), col("n0"), col("s"), col("tie_pairs"),
+        col("var18"),
+        expr("CASE WHEN var18 = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN s >= 0 THEN " +
+          "(CAST(18000000 AS DECIMAL(38,0)) * s * s) div var18 " +
+          "ELSE -((CAST(18000000 AS DECIMAL(38,0)) * s * s) div var18) " +
+          "END").as("z2_signed_micro"))
+      .withColumn("trend",
+        expr("CASE WHEN abs(z2_signed_micro) < 3841459 THEN 'none' " +
+          "WHEN z2_signed_micro > 0 THEN 'up' ELSE 'down' END"))
+  }
+
   /** q144: forward-label generation — for every tick, the close at the
     * FIRST observation ≥ 24 h ahead ([[graft.timeseries.TimeSeries
     * .asofForward]] on the horizon-shifted timestamp), the label the
@@ -488,6 +529,7 @@ object FinanceQueries extends QueryPack {
     "q131_anomaly_flags" -> anomalyFlags,
     "q140_gap_ffill" -> gapFfill,
     "q259_gap_lerp" -> gapLerp,
+    "q269_mann_kendall" -> mannKendall,
     "q234_cusum_changepoints" -> cusumChangepoints
   )
 
@@ -720,6 +762,45 @@ object FinanceQueries extends QueryPack {
         |       CAST(sum(CASE WHEN label_c = c THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
         |       CAST(sum(label_c) AS BIGINT) AS sum_label_c
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The daily series, the sign-pair census, the exact tie correction
+    // and the HUGEINT-widened signed square replayed.
+    "q269_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |sa AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n0,
+        |         CAST(sum(sgn) AS BIGINT) AS s,
+        |         CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS tie_pairs
+        |  FROM p),
+        |ties AS (
+        |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie18
+        |  FROM (SELECT count(*) AS t FROM daily GROUP BY x
+        |        HAVING count(*) > 1)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |w AS (
+        |  SELECT n, n0, s, tie_pairs,
+        |         n * (n - 1) * (2 * n + 5) - tie18 AS var18
+        |  FROM sa CROSS JOIN nn CROSS JOIN ties),
+        |z AS (
+        |  SELECT n AS n_days, n0, s, tie_pairs, var18,
+        |         CAST(CASE WHEN var18 = 0 THEN 0 WHEN s >= 0 THEN
+        |           (CAST(18000000 AS HUGEINT) * s * s) // var18
+        |         ELSE -((CAST(18000000 AS HUGEINT) * s * s) // var18)
+        |         END AS BIGINT) AS z2_signed_micro
+        |  FROM w)
+        |SELECT n_days, n0, s, tie_pairs, var18, z2_signed_micro,
+        |       CASE WHEN abs(z2_signed_micro) < 3841459 THEN 'none'
+        |            WHEN z2_signed_micro > 0 THEN 'up'
+        |            ELSE 'down' END AS trend
+        |FROM z""".stripMargin,
     // Segments, gap explosion, the truncating lerp and both rollups
     // replayed; epoch(hour)//3600 is exact (hour-truncated timestamps
     // have integer epochs well under 2^53).

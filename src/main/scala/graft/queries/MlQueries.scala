@@ -774,12 +774,45 @@ object MlQueries extends QueryPack {
       .orderBy("cat")
   }
 
+  /** q268: EMPIRICAL-BAYES RATE SHRINKAGE (m-estimate / beta-binomial
+    * with a declared prior strength, Mitchell's m-estimate; the
+    * "smoothed CTR" encoder every ranking pipeline uses for sparse
+    * categories): per brand, the raw return rate is shrunk toward the
+    * global prior with pseudo-count m = 20 —
+    * eb = (k + m·p₀)/(n + m), computed as ONE truncating division of
+    * exact integers, eb_micro = (10⁶·k + m·p₀_micro) div (n + m), so
+    * small-n brands move hard toward the prior and large-n brands
+    * barely move (the shrink_micro column shows exactly how much,
+    * signed). Companion encoder to WOE (q266): WOE is the log-odds
+    * view, this is the posterior-mean view.
+    *
+    * Scale shape: one map-side-combinable count per brand + a 1-row
+    * prior broadcast onto the brand-sized frame — the q257 one-pass
+    * profile shape. */
+  private def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val cc = base.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum("y").as("k"))
+    val prior = base.agg(
+      expr("(1000000 * sum(y)) div count(1)").as("p0_micro"))
+    cc.crossJoin(broadcast(prior))
+      .select(col("brand"), col("n"), col("k"), col("p0_micro"),
+        expr("(1000000 * k) div n").as("raw_micro"),
+        expr("(1000000 * k + 20 * p0_micro) div (n + 20)").as("eb_micro"))
+      .withColumn("shrink_micro", col("eb_micro") - col("raw_micro"))
+      .orderBy("brand")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_feature_hashing" -> featureHashing,
     "q256_roc_auc" -> rocAuc,
     "q258_chi2_feature_rank" -> chi2FeatureRank,
     "q263_calibration" -> calibration,
     "q266_woe_encoding" -> woeEncoding,
+    "q268_eb_shrinkage" -> ebShrinkage,
     "q247_naive_bayes" -> naiveBayes,
     "q46_rf_accuracy" -> rfAccuracy,
     "q63_training_base_rate" -> trainingBaseRate,
@@ -793,6 +826,26 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Brand counts, the prior, and the single-truncating-division
+    // posterior mean replayed.
+    "q268_eb_shrinkage" ->
+      """WITH base AS (
+        |  SELECT p_brand AS brand,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |cc AS (
+        |  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(y) AS BIGINT) AS k
+        |  FROM base GROUP BY 1),
+        |prior AS (
+        |  SELECT CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS p0_micro
+        |  FROM base)
+        |SELECT brand, n, k, p0_micro,
+        |       (1000000 * k) // n AS raw_micro,
+        |       (1000000 * k + 20 * p0_micro) // (n + 20) AS eb_micro,
+        |       (1000000 * k + 20 * p0_micro) // (n + 20)
+        |         - (1000000 * k) // n AS shrink_micro
+        |FROM cc CROSS JOIN prior ORDER BY brand""".stripMargin,
     // Class counts, smoothed distributions, quantized WOE and the exact
     // integer IV terms replayed.
     "q266_woe_encoding" ->

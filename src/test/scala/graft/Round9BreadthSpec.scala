@@ -459,4 +459,61 @@ class Round9BreadthSpec extends AnyFunSuite {
     // the q262 lesson as an assertion)
     assert(!sig, s"null A/B split came out significant: z2=$z2")
   }
+
+  // ---------------------------------------------------------- q268
+  test("q268: the posterior mean replays in-memory and always lies " +
+    "between the raw rate and the prior (within 1 micro of truncation)") {
+    val got = SparkEntry.queries("q268_eb_shrinkage")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val base = graft.tables.Tables.lineitem(spark, sf)
+      .join(graft.tables.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .selectExpr("p_brand", "CAST(l_returnflag = 'R' AS LONG)")
+      .as[(String, Long)].collect()
+    val p0 = 1000000L * base.map(_._2).sum / base.length
+    val cc = base.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    got.foreach { case (brand, n, k, gotP0, raw, eb, shrink) =>
+      val (en, ek) = cc(brand)
+      assert((n, k, gotP0) == ((en, ek, p0)), s"$brand inputs")
+      assert(raw == 1000000L * k / n)
+      assert(eb == (1000000L * k + 20L * p0) / (n + 20L), s"$brand eb")
+      assert(shrink == eb - raw)
+      // shrinkage moves toward the prior, never past it (±1 micro
+      // truncation slack on each of the two divisions)
+      val (lo, hi) = (math.min(raw, p0) - 1, math.max(raw, p0) + 1)
+      assert(eb >= lo && eb <= hi, s"$brand eb $eb outside [$lo, $hi]")
+    }
+  }
+
+  // ---------------------------------------------------------- q269
+  test("q269: S, ties, the variance and the signed square replay from " +
+    "an in-memory pair census of the daily series") {
+    val row = SparkEntry.queries("q269_mann_kendall")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+    val (nDays, n0, s, tiePairs, var18, z2, trend) = row
+    val daily = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderdate AS DATE)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .as[(java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.getTime)
+    assert(nDays == daily.length)
+    var es = 0L; var eTies = 0L; var en0 = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      en0 += 1
+      val d = daily(j)._2 - daily(i)._2
+      if (d > 0) es += 1 else if (d < 0) es -= 1 else eTies += 1
+    }
+    assert((n0, s, tiePairs) == ((en0, es, eTies)), "pair census")
+    val n = BigInt(daily.length)
+    val tie18 = daily.groupBy(_._2).values.map(_.size.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(var18 == (n * (n - 1) * (2 * n + 5) - tie18).toLong)
+    val mag = (BigInt(18000000) * es * es / var18).toLong
+    assert(z2 == (if (es >= 0) mag else -mag))
+    assert(trend == (if (math.abs(z2) < 3841459L) "none"
+      else if (z2 > 0) "up" else "down"))
+  }
 }
