@@ -390,6 +390,45 @@ object FinanceQueries extends QueryPack {
           "WHEN z2_signed_micro > 0 THEN 'up' ELSE 'down' END"))
   }
 
+  /** q270: FORECAST BACKTEST with MASE — the evaluation half of the
+    * forecasting tier (q248 fits a trend, q269 tests for one, this
+    * scores a forecaster): the seasonal-naive-7 model (predict today =
+    * same weekday last week) backtested against the one-step naive
+    * baseline (predict today = yesterday) over the daily revenue
+    * series, graded by Hyndman's MASE = MAE(model)/MAE(naive) — the
+    * scale-free forecast metric that never divides by a near-zero
+    * actual (the MAPE failure mode). Both error sums are exact integer
+    * cents via two `lag`s over the calendar-bounded day domain; MASE
+    * and both MAEs publish as micro-unit truncating ratios (squared
+    * errors are deliberately NOT shipped — daily-cent e² sums brush
+    * int64 and ANSI Spark would throw; MAE is the MASE ingredient
+    * anyway). Scored only on days where BOTH lags exist, so the two
+    * MAEs cover the identical day set.
+    *
+    * Scale shape: one corpus pass to the day frame, one ordered window
+    * over ~2.4k daily rows at ANY corpus size, one 1-row rollup. */
+  private def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("x"))
+    val w = Window.orderBy("d")
+    val scored = daily
+      .withColumn("f1", lag("x", 1).over(w))
+      .withColumn("f7", lag("x", 7).over(w))
+      .where(col("f1").isNotNull && col("f7").isNotNull)
+      .select(abs(col("x") - col("f1")).as("e1"),
+        abs(col("x") - col("f7")).as("e7"))
+    scored.agg(count(lit(1)).as("n_scored"),
+        sum("e1").as("sae_naive1"), sum("e7").as("sae_seasonal7"))
+      .select(col("n_scored"),
+        expr("sae_naive1 div n_scored").as("mae_naive1_c"),
+        expr("sae_seasonal7 div n_scored").as("mae_seasonal7_c"),
+        expr("CASE WHEN sae_naive1 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (1000000 * sae_seasonal7) div sae_naive1 END")
+          .as("mase_micro"))
+  }
+
   /** q144: forward-label generation — for every tick, the close at the
     * FIRST observation ≥ 24 h ahead ([[graft.timeseries.TimeSeries
     * .asofForward]] on the horizon-shifted timestamp), the label the
@@ -530,6 +569,7 @@ object FinanceQueries extends QueryPack {
     "q140_gap_ffill" -> gapFfill,
     "q259_gap_lerp" -> gapLerp,
     "q269_mann_kendall" -> mannKendall,
+    "q270_forecast_backtest" -> forecastBacktest,
     "q234_cusum_changepoints" -> cusumChangepoints
   )
 
@@ -762,6 +802,32 @@ object FinanceQueries extends QueryPack {
         |       CAST(sum(CASE WHEN label_c = c THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
         |       CAST(sum(label_c) AS BIGINT) AS sum_label_c
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The day frame, both lags, the shared scored-day gate and every
+    // integer error aggregate replayed.
+    "q270_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT x, lag(x, 1) OVER (ORDER BY d) AS f1,
+        |         lag(x, 7) OVER (ORDER BY d) AS f7
+        |  FROM daily),
+        |s AS (
+        |  SELECT abs(x - f1) AS e1, abs(x - f7) AS e7
+        |  FROM l WHERE f1 IS NOT NULL AND f7 IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |         CAST(sum(e1) AS BIGINT) AS sae1,
+        |         CAST(sum(e7) AS BIGINT) AS sae7
+        |  FROM s)
+        |SELECT n_scored,
+        |       sae1 // n_scored AS mae_naive1_c,
+        |       sae7 // n_scored AS mae_seasonal7_c,
+        |       CASE WHEN sae1 = 0 THEN 0
+        |            ELSE (1000000 * sae7) // sae1 END AS mase_micro
+        |FROM a""".stripMargin,
     // The daily series, the sign-pair census, the exact tie correction
     // and the HUGEINT-widened signed square replayed.
     "q269_mann_kendall" ->

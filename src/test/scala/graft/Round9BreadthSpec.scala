@@ -516,4 +516,29 @@ class Round9BreadthSpec extends AnyFunSuite {
     assert(trend == (if (math.abs(z2) < 3841459L) "none"
       else if (z2 > 0) "up" else "down"))
   }
+
+  // ---------------------------------------------------------- q270
+  test("q270: both MAEs and MASE replay from an in-memory backtest of " +
+    "the daily series over the identical scored-day set") {
+    val row = SparkEntry.queries("q270_forecast_backtest")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    val (nScored, mae1, mae7, mase) = row
+    val daily = graft.tables.Tables.orders(spark, sf)
+      .selectExpr("CAST(o_orderdate AS DATE)",
+        "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .as[(java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy(_._1.getTime).map(_._2)
+    val scored = (7 until daily.length).map { i =>
+      (math.abs(daily(i) - daily(i - 1)), math.abs(daily(i) - daily(i - 7)))
+    }
+    assert(nScored == scored.size)
+    val (sae1, sae7) = (scored.map(_._1).sum, scored.map(_._2).sum)
+    assert(mae1 == sae1 / nScored && mae7 == sae7 / nScored)
+    assert(mase == (if (sae1 == 0) 0L
+      else (BigInt(1000000) * sae7 / sae1).toLong))
+    // a sane backtest: seasonal-naive should not be orders of magnitude
+    // off the one-step baseline on a stationary-ish synthetic series
+    assert(mase > 100000L && mase < 10000000L, s"implausible MASE $mase")
+  }
 }
