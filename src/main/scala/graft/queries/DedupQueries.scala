@@ -365,10 +365,19 @@ object DedupQueries extends QueryPack {
     * ranking structure, and ⌊·⌋ is applied identically on both
     * engines, so every score is hash-exact. Bipartite structure makes
     * each half-step one edge⋈score join + one aggregate on frames that
-    * are NODE-sized; 3 rounds, plan-lazy like q155 (ReusedExchange on
-    * the edge shuffle beats checkpointing at this depth). Overflow-
-    * safe by construction: scores ≤ 2²⁰ after each scaling, in-degree
-    * sums ≤ |edges|·2²⁰ ≪ 2⁶³, and the scale multiply adds 20 bits. */
+    * are NODE-sized; 3 rounds under the Triangles/CC materialize-and-
+    * evict discipline: `edges` (the orders⋈lineitem derivation — the
+    * only corpus-sized work) is localCheckpointed ONCE, each half-step
+    * score frame is checkpointed and the one it supersedes released,
+    * so no action ever re-derives the edge frame (the r9 plan-lazy
+    * version re-ran it per half-step through the broadcast-max
+    * subqueries — measured 12.1 s → this shape's 2.9 s isolated at
+    * sf0.1; HitsJobCountSpec pins the job count so laziness can't
+    * creep back). The two final node-sized score checkpoints stay
+    * pinned by the returned frame — the q212 CC eviction contract.
+    * Overflow-safe by construction: scores ≤ 2²⁰ after each scaling,
+    * in-degree sums ≤ |edges|·2²⁰ ≪ 2⁶³, and the scale multiply adds
+    * 20 bits. */
   private def hitsTop(spark: SparkSession, dir: String): DataFrame = {
     val s = 1L << 20
     val o = Tables.orders(spark, dir)
@@ -377,16 +386,30 @@ object DedupQueries extends QueryPack {
       .select(col("l_orderkey"), col("l_suppkey").as("supp"))
     val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select("cust", "supp").distinct()
+      .localCheckpoint(true)
     var h = edges.select("cust").distinct().withColumn("h", lit(s))
+      .localCheckpoint(true)
     var a = edges.select("supp").distinct().withColumn("a", lit(s))
+      .localCheckpoint(true)
     for (_ <- 1 to 3) {
       val araw = edges.join(h, "cust").groupBy("supp").agg(sum("h").as("ar"))
-      a = araw.crossJoin(broadcast(araw.agg(max("ar").as("am"))))
+      val aNew = araw.crossJoin(broadcast(araw.agg(max("ar").as("am"))))
         .select(col("supp"), expr(s"ar * ${s}L div am").as("a"))
+        .localCheckpoint(true)
+      // aNew reads only edges + h (both checkpointed); the superseded
+      // authority frame has no remaining reader
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(a)
+      a = aNew
       val hraw = edges.join(a, "supp").groupBy("cust").agg(sum("a").as("hr"))
-      h = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("hm"))))
+      val hNew = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("hm"))))
         .select(col("cust"), expr(s"hr * ${s}L div hm").as("h"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(h)
+      h = hNew
     }
+    // the returned frame reads only the final (eagerly materialized)
+    // h/a checkpoints — the edge-sized one has no remaining reader
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(edges)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("role").orderBy(desc("score_fixed"), asc("entity_id"))
     h.select(lit("hub").as("role"), col("cust").as("entity_id"),
