@@ -349,6 +349,93 @@ object EngineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** Batched-BPE shape constants, shared by the q271 trainer and its
+    * generated oracle (both unroll the same R×B structure). */
+  private[graft] val BpeBatchRounds = 5
+  private[graft] val BpeBatchCap = 8
+
+  /** q271: BPE training at PRODUCTION merge counts — the q213 loop-
+    * SHAPE fix (VERDICT r9 #2). q213 is correct but pays 2 driver-
+    * blocking jobs per merge; a 32k-merge tokenizer would need 64k
+    * sequential Spark jobs — the loop shape, not the data shape, is the
+    * scale ceiling. This trainer makes the job count a function of
+    * COUNT ROUNDS, not merges: each of the R rounds counts adjacent
+    * pairs ONCE, collects the full pair table (bounded by the square of
+    * the symbol-vocabulary size, ≤ (26 + R·B)² rows — driver-safe by
+    * construction, never corpus-sized), greedily selects up to B pairs
+    * whose SYMBOL SETS are pairwise disjoint (scan order: count DESC,
+    * pair ASC), and applies the whole batch in one plan before the
+    * round's single checkpoint.
+    *
+    * Why symbol-disjointness makes the batch exact: applying merge
+    * (a,b)→"ab" only consumes occurrences of symbols a and b, so it can
+    * neither create nor destroy occurrences of any pair over OTHER
+    * symbols — every batch member's round-start count is still its
+    * exact count at its own application point, and sequential
+    * application in selection order equals simultaneous application
+    * (the fold order inside the plan is irrelevant). This is the
+    * standard correctness argument for batched/parallel BPE; pairs that
+    * share a symbol wait for the next count round.
+    *
+    * Jobs per round: pair-table collect (sort sample + collect), one
+    * lazy checkpoint materialized by the round's total-symbols
+    * aggregate — ~4, independent of B (Round10OpsSpec pins the bound),
+    * vs q213's 2·merges. Rounds are checkpoint-evicted like the CC
+    * loop. Output: one row per merge with its round, batch position,
+    * round-start count, and the round's post-batch Σ freq·|syms|
+    * checksum (a wrong application anywhere hash-fails). The oracle
+    * unrolls all R rounds AND the B greedy selection steps per round
+    * (NOT EXISTS over the already-selected symbols), replaying
+    * selection and application exactly. */
+  private def bpeBatchedTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    var prevCp = seg
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String, String, Long, Long)]
+    var mseq = 0L
+    for (round <- 1 to BpeBatchRounds) {
+      val pairs = seg.select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |  THEN transform(sequence(1, size(syms) - 1),
+            |         i -> struct(syms[i - 1] AS l, syms[i] AS r))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .collect() // symbol-vocab² bound, see scaladoc
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+      for (row <- pairs if batch.size < BpeBatchCap) {
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        if (!used(l) && !used(r)) { used += l; used += r; batch += ((l, r, c)) }
+      }
+      batch.foreach { case (l, r, _) =>
+        seg = seg.withColumn("syms", expr(bpeMergeExpr(l, r)))
+      }
+      seg = seg.localCheckpoint(false)
+      val total = seg.agg(sum(col("freq") * size(col("syms"))))
+        .collect()(0).getLong(0)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+      prevCp = seg
+      batch.zipWithIndex.foreach { case ((l, r, c), j) =>
+        mseq += 1
+        out += ((mseq, round.toLong, (j + 1).toLong, l, r, c, total))
+      }
+    }
+    // the output is the driver-local merge table — the final round's
+    // checkpoint has no remaining reader (the q213 release contract)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
+    import spark.implicits._
+    out.toSeq.toDF("merge_seq", "merge_round", "batch_pos", "lsym", "rsym",
+        "pair_count", "total_symbols_after_round")
+      .orderBy("merge_seq")
+  }
+
   /** q208: ORC sink+source roundtrip — the remaining built-in columnar
     * format beside parquet (q137 covers CSV/JSON text wires; q199 XML).
     * Unlike the text formats, ORC carries NATIVE types, so the real
@@ -481,6 +568,7 @@ object EngineQueries extends QueryPack {
     "q204_bpe_pair_counts" -> bpePairCounts,
     "q213_bpe_train_loop" -> bpeTrainLoop,
     "q220_bpe_encode" -> bpeEncode,
+    "q271_bpe_batched_train" -> bpeBatchedTrain,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
     "q210_cached_rollup" -> cachedRollup,
@@ -749,7 +837,8 @@ object EngineQueries extends QueryPack {
         |SELECT pair, count(*) AS cnt FROM pairs
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q213_bpe_train_loop" -> bpeLoopOracle,
-    "q220_bpe_encode" -> bpeEncodeOracle
+    "q220_bpe_encode" -> bpeEncodeOracle,
+    "q271_bpe_batched_train" -> bpeBatchedOracle
   )
 
   /** q213 oracle: the 3 merge rounds unrolled relationally. Per round:
@@ -825,6 +914,105 @@ object EngineQueries extends QueryPack {
        |UNION ALL
        |${out(3)}
        |ORDER BY merge_round""".stripMargin
+  }
+
+  /** One greedy-merge APPLICATION step as DuckDB CTEs — the q213
+    * parity-rule machinery (see [[bpeOracleRound]]) parameterized by
+    * input seg, (possibly NULL-padded single-row) winner, and output
+    * seg names, so the batched oracle can chain B of them per round.
+    * A NULL winner matches nothing: the seg passes through unchanged
+    * (renumbering is the identity when no row drops). */
+  private def bpeApplyStep(prev: String, winner: String, out: String,
+      t: String): String =
+    s"""m$t AS (
+       |  SELECT s.w, s.freq, s.pos, s.sym,
+       |         coalesce(s.sym = ww.l AND
+       |           lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) = ww.r2,
+       |           false) AS m
+       |  FROM $prev s CROSS JOIN $winner ww),
+       |g$t AS (
+       |  SELECT *, CASE WHEN m THEN pos - row_number()
+       |                 OVER (PARTITION BY w, m ORDER BY pos) END AS grp
+       |  FROM m$t),
+       |a$t AS (
+       |  SELECT *, CASE WHEN m THEN row_number()
+       |                 OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+       |            ELSE false END AS active
+       |  FROM g$t),
+       |e$t AS (
+       |  SELECT w, freq, pos, sym, active,
+       |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+       |         coalesce(lag(active) OVER (PARTITION BY w ORDER BY pos),
+       |                  false) AS prev_active
+       |  FROM a$t),
+       |$out AS MATERIALIZED (
+       |  SELECT w, freq,
+       |         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |         CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+       |  FROM e$t WHERE NOT prev_active)""".stripMargin
+
+  /** q271 oracle: the full batched trainer unrolled — R rounds, each
+    * with its pair-count table, B greedy SELECTION steps (each step
+    * takes the (count DESC, pair ASC)-first pair whose symbols avoid
+    * everything already selected this round — the NOT EXISTS replays
+    * the driver's greedy scan exactly; once a step comes up empty all
+    * later steps are empty too, so batch positions stay consecutive)
+    * and B chained application steps. Per-merge output replays the
+    * round-start count and the round's post-batch Σfreq checksum. */
+  private def bpeBatchedOracle: String = {
+    val R = BpeBatchRounds
+    val B = BpeBatchCap
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "seg0"
+    for (i <- 1 to R) {
+      ctes += s"""p$i AS MATERIALIZED (
+         |  SELECT a.sym AS l, b.sym AS r2, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |  FROM $prev a JOIN $prev b ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2)""".stripMargin
+      for (j <- 1 to B) {
+        val notTaken = if (j == 1) ""
+          else s"""
+             |  WHERE NOT EXISTS (SELECT 1 FROM selall${i}_${j - 1} s
+             |    WHERE p.l = s.l OR p.l = s.r2 OR p.r2 = s.l OR p.r2 = s.r2)""".stripMargin
+        ctes += s"""sel${i}_$j AS MATERIALIZED (
+           |  SELECT p.l, p.r2, p.cnt FROM p$i p$notTaken
+           |  ORDER BY p.cnt DESC, p.l, p.r2 LIMIT 1)""".stripMargin
+        ctes += (if (j == 1)
+            s"selall${i}_1 AS MATERIALIZED (SELECT l, r2 FROM sel${i}_1)"
+          else
+            s"""selall${i}_$j AS MATERIALIZED (SELECT * FROM selall${i}_${j - 1}
+               |  UNION ALL SELECT l, r2 FROM sel${i}_$j)""".stripMargin)
+        ctes += s"""selp${i}_$j AS MATERIALIZED (SELECT l, r2 FROM sel${i}_$j
+           |  UNION ALL SELECT NULL, NULL
+           |  WHERE (SELECT count(*) FROM sel${i}_$j) = 0)""".stripMargin
+        val out = s"s${i}_$j"
+        ctes += bpeApplyStep(prev, s"selp${i}_$j", out, s"${i}_$j")
+        prev = out
+        outs += s"""SELECT $i AS merge_round, $j AS batch_pos, l, r2, cnt,
+           |  (SELECT sum(freq) FROM s${i}_$B) AS tot FROM sel${i}_$j""".stripMargin
+      }
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |         unnest(generate_series(1, length(w))) AS pos,
+       |         unnest(regexp_split_to_array(w, '')) AS sym
+       |  FROM words),
+       |${ctes.mkString(",\n")},
+       |all_sel AS (
+       |${outs.mkString("\nUNION ALL\n")})
+       |SELECT CAST(row_number() OVER (ORDER BY merge_round, batch_pos)
+       |         AS BIGINT) AS merge_seq,
+       |       CAST(merge_round AS BIGINT) AS merge_round,
+       |       CAST(batch_pos AS BIGINT) AS batch_pos,
+       |       l AS lsym, r2 AS rsym, CAST(cnt AS BIGINT) AS pair_count,
+       |       CAST(tot AS BIGINT) AS total_symbols_after_round
+       |FROM all_sel ORDER BY merge_seq""".stripMargin
   }
 
   /** q220 oracle: q213's unrolled training rounds, then every document
