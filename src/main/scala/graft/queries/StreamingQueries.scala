@@ -618,7 +618,80 @@ object StreamingQueries extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q274: STREAMING incremental corpus dedup — q111's drop-vs-keep
+    * classifier run the way production corpus ingestion runs it
+    * (VERDICT r9 #8): per MICRO-BATCH inside foreachBatch, against a
+    * PERSISTENT keep-set that each batch extends with its own kept
+    * docs, so a duplicate arriving in batch 2 of a doc KEPT in batch 1
+    * is dropped as `dup_of_keep` (in one-shot q111 the same pair is
+    * `dup_in_drop` — arrival order is part of streaming semantics and
+    * the oracle replays the batch sequence, not the union).
+    *
+    * Batches (deterministic, one staged file per trigger): batch 1 =
+    * the +1M exact copies and +3M token-reversed docs; batch 2 = the
+    * +4M second-reversed copies, each an exact dup of its +3M sibling
+    * — the cross-batch case by construction. The keep-set is BUCKETED
+    * parquet maintained with [[Pipelines.mergeIntoParquet]] (the q103
+    * MERGE discipline: idempotent upsert keyed by doc_id, so a
+    * replayed batch after a failure re-merges to the same snapshot;
+    * the verdict parquet append is the non-idempotent part and is
+    * documented as such — production pairs it with the same merge).
+    * Per-batch cost is q111's incremental shape: pairs touching the
+    * batch only, keep-vs-keep never re-pairs; the keep-set read is a
+    * bucket-pruned scan of the persisted index.
+    *
+    * The batch's verdicts frame is consumed twice (verdict sink +
+    * kept-doc merge) — checkpointed drop-sized and released after. */
+  private def streamingIncDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = docs.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    val keepDir = MlQueries.tempDirDeletedOnExit("graft_sdedup_keep_")
+    val outDir = MlQueries.tempDirDeletedOnExit("graft_sdedup_out_")
+    def mergeKeep(d: DataFrame): Unit =
+      Pipelines.mergeIntoParquet(d.withColumn("rev", lit(0)), keepDir,
+        key = "doc_id", version = "rev", tiebreak = "doc_id", nBuckets = 16)
+    mergeKeep(docs)
+    val watch = stageBatches("graft_sdedup_", Seq(b1, b2))
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_sdedup_ckpt_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val sp = batch.sparkSession
+          val keep = sp.read.parquet(keepDir).select("doc_id", "text")
+          val verdicts = Dedup.incrementalDedup(keep, batch,
+              "doc_id", "text", k = 3, threshold = 0.3, maxShingleDf = 20)
+            .withColumn("batch_seq", lit(id + 1))
+            .localCheckpoint(true)
+          verdicts.write.mode("append").parquet(outDir)
+          mergeKeep(batch.join(
+              verdicts.where(col("status") === "kept"),
+              Seq("doc_id"), "left_semi")
+            .select("doc_id", "text"))
+          org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(verdicts)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .select(col("batch_seq"), col("doc_id"), col("status"), col("rep_id"))
+      .orderBy("batch_seq", "doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_streaming_inc_dedup" -> streamingIncDedup,
     "q239_streaming_cusum" -> streamingCusumQ,
     "q120_tws_watermark" -> twsWatermarkReplay,
     "q127_streaming_moments" -> streamingMoments,
@@ -638,7 +711,96 @@ object StreamingQueries extends QueryPack {
     "q237_join_then_agg" -> joinThenAgg
   )
 
+  /** One replayed q274 micro-batch as DuckDB CTEs: shingles over
+    * keep ∪ batch, the ≤20 df cap, pairs touching the batch only
+    * (higher id ≥ `minDrop`), Jaccard ≥ 0.3 edges, recursive min-label
+    * components. Mirrors [[graft.dedup.Dedup.incrementalDedup]] and the
+    * q111 oracle, once per batch. */
+  private def incDedupBatchSql(n: Int, union: String, minDrop: Long): String =
+    s"""t$n AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM $union),
+       |g$n AS (
+       |  SELECT doc_id,
+       |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                        for i in range(1, len(toks) - 1)]) AS sh
+       |  FROM t$n),
+       |ex$n AS MATERIALIZED (SELECT doc_id, unnest(sh) AS sg FROM g$n),
+       |ok$n AS (SELECT sg FROM ex$n GROUP BY sg HAVING count(*) <= 20),
+       |f$n AS MATERIALIZED (
+       |  SELECT ex$n.doc_id, ex$n.sg FROM ex$n JOIN ok$n USING (sg)),
+       |z$n AS (SELECT doc_id, count(*) AS n FROM f$n GROUP BY 1),
+       |i$n AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+       |  FROM f$n a JOIN f$n b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  WHERE b.doc_id >= $minDrop
+       |  GROUP BY 1, 2),
+       |e$n AS (
+       |  SELECT x, y FROM i$n
+       |  JOIN z$n sa ON sa.doc_id = i$n.x
+       |  JOIN z$n sb ON sb.doc_id = i$n.y
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+       |y$n AS (SELECT x, y FROM e$n UNION SELECT y, x FROM e$n),
+       |reach$n AS (
+       |  SELECT x, x AS label FROM (SELECT DISTINCT x FROM y$n)
+       |  UNION
+       |  SELECT s.x, r.label FROM y$n s JOIN reach$n r ON s.y = r.x),
+       |lab$n AS (SELECT x AS node, min(label) AS label FROM reach$n GROUP BY x)""".stripMargin
+
+  /** q274 oracle: the BATCH SEQUENCE replayed — batch 1 against the
+    * original corpus, keep1 = corpus + batch-1 kept docs, batch 2
+    * against keep1. The id-threshold status rules are exact membership
+    * tests here: batch 1's non-drop endpoints are precisely the
+    * original ids (< 10⁶) and batch 2's are precisely keep1 (< 4·10⁶). */
+  private def streamingIncDedupOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    s"""WITH RECURSIVE b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM documents WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 4000000 AS doc_id, $revText AS text
+       |  FROM documents WHERE doc_id % 30 = 0),
+       |u1 AS (SELECT doc_id, text FROM documents
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status,
+       |         coalesce(lab1.label, d.doc_id) AS rep_id
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |keep1 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |u2 AS (SELECT doc_id, text FROM keep1
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 4000000L)},
+       |v2 AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 4000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status,
+       |         coalesce(lab2.label, d.doc_id) AS rep_id
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id)
+       |SELECT CAST(1 AS BIGINT) AS batch_seq, doc_id, status,
+       |       CAST(rep_id AS BIGINT) AS rep_id FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), doc_id, status, CAST(rep_id AS BIGINT)
+       |FROM v2
+       |ORDER BY batch_seq, doc_id""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q274_streaming_inc_dedup" -> streamingIncDedupOracle,
     // exact equality: 5 distinct types < m = 8, so the MG summary never
     // evicts and equals the plain windowed group-by
     "q229_streaming_heavy_hitters" ->

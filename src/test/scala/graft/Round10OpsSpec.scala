@@ -71,6 +71,129 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r10_").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // ---------------------------------------------------- q273 fixture
+  test("q273: char-exact spans on a fixture where duplicate boundaries " +
+    "fall mid-shingle — partial flanking tokens extend the span; " +
+    "doc-start boundaries don't") {
+    // docs 1/2 share "bravo..foxtrot" with mid-token boundaries on BOTH
+    // sides: left flank alpha|xalpha (common suffix "alpha", 5) and
+    // right flank tailone|tailtwo (common prefix "tail", 4) — the
+    // 5-gram tier sees tokens [2, 6]; the true char extent adds
+    // " alpha"-like 6 left and " tail" 5 right. Docs 3/4 share a span
+    // AT doc start (no left flank -> ext 0) with flanks tail5x|tail5y
+    // right (ext 6).
+    val dir = stageDocs(Seq(
+      (1L, "preamble alpha bravo charlie delta echo foxtrot tailone xx"),
+      (2L, "misc xalpha bravo charlie delta echo foxtrot tailtwo yy"),
+      (3L, "common one two three four tail5x"),
+      (4L, "common one two three four tail5y different")))
+    val got = SparkEntry.queries("q273_char_exact_dup_spans")(spark, dir)
+      .selectExpr("doc_id", "CAST(span_start AS LONG)",
+        "CAST(span_tokens AS LONG)", "left_partner_doc", "left_partner_pos",
+        "right_partner_doc", "right_partner_pos", "ext_left_chars",
+        "ext_right_chars", "span_char_start", "span_char_len")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val expect = Seq(
+      (1L, 2L, 5L, 2L, 2L, 2L, 2L, 6L, 5L, 9L, 43L),
+      (2L, 2L, 5L, 1L, 2L, 1L, 2L, 6L, 5L, 6L, 43L),
+      (3L, 0L, 5L, 4L, 0L, 4L, 0L, 0L, 6L, 0L, 31L),
+      (4L, 0L, 5L, 3L, 0L, 3L, 0L, 0L, 6L, 0L, 31L))
+    assert(got == expect, s"got $got")
+    // Lee-et-al. semantics check, independent of the offset arithmetic:
+    // slicing the normalized texts at the reported char spans yields
+    // the SAME duplicated substring on both sides of each pair
+    def norm(s: String) = s.trim.split("\\s+").mkString(" ")
+    val texts = Map(
+      1L -> "preamble alpha bravo charlie delta echo foxtrot tailone xx",
+      2L -> "misc xalpha bravo charlie delta echo foxtrot tailtwo yy",
+      3L -> "common one two three four tail5x",
+      4L -> "common one two three four tail5y different").map {
+      case (k, v) => k -> norm(v) }
+    def cut(doc: Long, start: Long, len: Long) =
+      texts(doc).substring(start.toInt, (start + len).toInt)
+    assert(cut(1, 9, 43) == cut(2, 6, 43))
+    assert(cut(1, 9, 43) == "alpha bravo charlie delta echo foxtrot tail")
+    assert(cut(3, 0, 31) == cut(4, 0, 31))
+    assert(cut(3, 0, 31) == "common one two three four tail5")
+    // maximality at char level: extending either span by one char on
+    // either side breaks equality with its partner's aligned stream
+    assert(texts(1).charAt(8) != texts(2).charAt(5))
+    assert(texts(1).charAt(9 + 43) != texts(2).charAt(6 + 43))
+    assert(texts(3).charAt(31) != texts(4).charAt(31))
+  }
+
+  // ---------------------------------------------------- q272 fixture
+  test("q272: sampled-PC fixture — md5 sample membership computed " +
+    "independently; estimate exact on identical-doc pairs; bound holds") {
+    def sampled(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bpc:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      hex < "8"
+    }
+    // two identical pairs (near-dup truth = exactly {(1,2),(3,4)}), one
+    // unrelated doc; identical docs have identical MinHash signatures,
+    // so the blocker always surfaces both pairs -> PC exact and sampled
+    // are both 10^6 and the plus-4 band trivially contains the truth.
+    val dir = stageDocs(Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "nothing shared with anyone here at all whatsoever")))
+    val r = SparkEntry.queries("q272_blocking_pc_sampled")(spark, dir)
+      .collect().head
+    val expTruthS = Seq((1L, 2L), (3L, 4L))
+      .count { case (a, b) => sampled(a) && sampled(b) }.toLong
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_sample_docs") == (1L to 5L).count(sampled).toLong)
+    assert(r.getAs[Long]("n_truth_f") == 2L)
+    assert(r.getAs[Long]("n_hit_f") == 2L)
+    assert(r.getAs[Long]("n_truth_s") == expTruthS)
+    assert(r.getAs[Long]("n_hit_s") == expTruthS)
+    assert(r.getAs[Long]("pc_est_micro") == 1000000L)
+    assert(r.getAs[Long]("pc_exact_micro") == 1000000L)
+    assert(r.getAs[Boolean]("within_bound"))
+  }
+
+  // ---------------------------------------------------- q274 fixture
+  test("q274: a dup arriving in batch 2 of a doc KEPT in batch 1 is " +
+    "dropped as dup_of_keep — where one-shot q111 calls it dup_in_drop") {
+    // doc 30 hits all three drop rules: batch 1 gets its exact copy
+    // (+1M) and its token-reversed copy (+3M, novel -> kept, ENTERS the
+    // keep-set); batch 2 gets the second reversed copy (+4M) — an exact
+    // dup of a doc that was only kept one micro-batch earlier.
+    val dir = stageDocs(Seq(
+      (7L, "unrelated words here entirely distinct from everything else"),
+      (10L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (30L, "one two three four five six seven eight nine ten")))
+    val got = SparkEntry.queries("q274_streaming_inc_dedup")(spark, dir)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1000010L, "dup_of_keep", 10L),
+      (1L, 1000030L, "dup_of_keep", 30L),
+      (1L, 3000030L, "kept", 3000030L),
+      (2L, 4000030L, "dup_of_keep", 3000030L)), s"got $got")
+    // the same fixture through ONE-SHOT q111: +4M and +3M land in the
+    // same drop, so the identical pair is dup_in_drop there — arrival
+    // order is part of streaming semantics
+    val oneShot = SparkEntry.queries("q111_incremental_dedup")(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(oneShot.find(_._1 == 4000030L).get ==
+      ((4000030L, "dup_in_drop", 3000030L)), s"one-shot $oneShot")
+    assert(oneShot.find(_._1 == 3000030L).get._2 == "kept")
+  }
+
   // ---------------------------------------------------- q271 fixture
   /** Pure-Scala reference replay of batch-greedy BPE: per round, count
     * weighted adjacent pairs, greedily select up to `cap` pairs with
