@@ -404,7 +404,59 @@ object BehaviorQueries extends QueryPack {
         abs(col("z2_signed_micro")) >= lit(3841459L))
   }
 
+  /** q277: POPULATION STABILITY INDEX — the industry drift metric next
+    * to q264's pairwise KL (PSI is what model-monitoring dashboards
+    * actually alert on; Siddiqi's scorecard canon, same source as
+    * q266's WOE): the purchase-value distribution of the first half of
+    * the month (days 1–15, the "expected"/training window) against the
+    * second half (days 16–30, "actual"/scoring), over 10 FIXED $50
+    * cent bins (data-independent edges; the top bin absorbs the tail),
+    * PSI = Σ_bins (pA − pB)·ln(pA/pB) with add-one smoothing over the
+    * full bin domain (a domain frame makes empty bins count — the
+    * q257/q264 move). The ln appears only at micro-nat quantization of
+    * a ratio of exact integer products (the q266 WOE contract); the
+    * distributions are micro-unit truncating ratios and every term is
+    * the exact pico-unit product — the oracle replays everything, no
+    * tolerance. On this fixture the split is calendar-arbitrary, so
+    * PSI ≈ 0 is the honest expected reading (the q267 null-holds
+    * discipline); the fixture spec drives a constructed drift.
+    *
+    * Scale shape: one map-side-combinable (side, bin) count + a
+    * 10-row domain frame — the q257 one-pass profile shape. */
+  private def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(dayofmonth(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val binned = ev.select(
+      when(col("d") <= 15, "A").otherwise("B").as("side"),
+      least(expr("cents div 5000"), lit(9L)).as("bin"))
+    val counts = spark.range(0, 10).select(col("id").as("bin"))
+      .join(binned.groupBy("bin").agg(
+        sum(when(col("side") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "B", 1L).otherwise(0L)).as("cb")),
+        Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("pa_micro", expr("(1000000 * (ca + 1)) div (na + 10)"))
+      .withColumn("pb_micro", expr("(1000000 * (cb + 1)) div (nb + 10)"))
+      .withColumn("ln_micro", expr(
+        "CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE) " +
+          "/ CAST((cb + 1) * (na + 10) AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .withColumn("psi_term_pico",
+        (col("pa_micro") - col("pb_micro")) * col("ln_micro"))
+    terms.crossJoin(broadcast(
+        terms.agg(sum("psi_term_pico").as("psi_total_pico"))))
+      .select(col("bin"), col("ca"), col("cb"), col("pa_micro"),
+        col("pb_micro"), col("ln_micro"), col("psi_term_pico"),
+        col("psi_total_pico"))
+      .orderBy("bin")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_psi_drift" -> psiDrift,
     "q267_ab_ztest" -> abZtest,
     "q249_association_rules" -> associationRules,
     "q160_markov_transitions" -> markovTransitions,
@@ -421,6 +473,41 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // bins, domain join, smoothed micro distributions, quantized
+    // ln terms and both rollups replayed; sums CAST from HUGEINT
+    "q277_psi_drift" ->
+      """WITH e AS (
+        |  SELECT day(CAST(ts AS TIMESTAMP)) AS d,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT CASE WHEN d <= 15 THEN 'A' ELSE 'B' END AS side,
+        |             least(cents // 5000, 9) AS bin FROM e),
+        |dom AS (SELECT unnest(range(0, 10)) AS bin),
+        |c AS (SELECT dom.bin,
+        |        CAST(coalesce(sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END), 0)
+        |          AS BIGINT) AS ca,
+        |        CAST(coalesce(sum(CASE WHEN side = 'B' THEN 1 ELSE 0 END), 0)
+        |          AS BIGINT) AS cb
+        |      FROM dom LEFT JOIN b ON b.bin = dom.bin GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |x AS (SELECT c.bin, c.ca, c.cb,
+        |        (1000000 * (ca + 1)) // (na + 10) AS pa_micro,
+        |        (1000000 * (cb + 1)) // (nb + 10) AS pb_micro,
+        |        CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE)
+        |          / CAST((cb + 1) * (na + 10) AS DOUBLE)) * 1e6) AS BIGINT)
+        |          AS ln_micro
+        |      FROM c, t),
+        |y AS (SELECT *, (pa_micro - pb_micro) * ln_micro AS psi_term_pico
+        |      FROM x)
+        |SELECT CAST(bin AS BIGINT) AS bin, ca, cb,
+        |       CAST(pa_micro AS BIGINT) AS pa_micro,
+        |       CAST(pb_micro AS BIGINT) AS pb_micro,
+        |       ln_micro,
+        |       CAST(psi_term_pico AS BIGINT) AS psi_term_pico,
+        |       (SELECT CAST(sum(psi_term_pico) AS BIGINT) FROM y)
+        |         AS psi_total_pico
+        |FROM y ORDER BY bin""".stripMargin,
     // Hash assignment (fnv + fmix64 in UBIGINT/HUGEINT, the q262
     // replay), per-variant rollup and the signed-square statistic
     // replayed exactly.

@@ -387,7 +387,81 @@ object SketchQueries extends QueryPack {
       .orderBy("b")
   }
 
+  /** q275: SALTED EXACT DISTINCT — the two-stage partitioned-distinct
+    * identity that lets EXACT countDistinct survive key skew at 100 TB
+    * (the exact-tier companion to q98/q222's HLL and q217's KMV). A
+    * naive count(DISTINCT user) GROUP BY event_type builds one
+    * |users|-sized distinct set per hot group in a single reducer.
+    * Salting the DISTINCT column — salt = fmix64(user_id) mod 32, so
+    * each user lands in exactly ONE bucket and the per-(type, salt)
+    * distinct sets PARTITION the per-type user set — makes stage 1 a
+    * countDistinct with 1/32 of the state per task and stage 2 a plain
+    * SUM: exact by disjointness, no approximation, and the per-task
+    * distinct state is bounded by |users|/32 instead of |users|.
+    * The fmix64 gotcha (q253/q262) applies in audit form: ANY
+    * user→bucket function preserves exactness (the identity needs only
+    * a partition), but a biased salt concentrates state — so
+    * `max_bucket_distinct` (with `n_buckets_used`) is carried as the
+    * load-balance evidence: ≈ n_users/32 means the finalized hash
+    * spreads sequential user ids. The oracle replays the fmix64 salt
+    * (split-32/32 mulmod), both stages, and the audit columns. */
+  private def saltedExactDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.fmix64
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        pmod(fmix64(col("user_id")), lit(32)).as("salt"))
+    ev.groupBy("event_type", "salt")
+      .agg(countDistinct("user_id").as("bd"), count(lit(1)).as("bn"))
+      .groupBy("event_type")
+      .agg(sum("bd").as("n_users"),
+        sum("bn").as("n_events"),
+        count(lit(1)).as("n_buckets_used"),
+        max("bd").as("max_bucket_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** q276: EQUI-DEPTH HISTOGRAM + RANGE SELECTIVITY — the remaining
+    * classic cost-based-planner synopsis next to q245's join
+    * cardinalities, q253's join-order choice and q238's set overlap:
+    * a 16-bucket equi-depth histogram of the order-value distribution
+    * (ntile over the total order (cents, orderkey) — deterministic on
+    * both engines), then the textbook range-selectivity estimate for
+    * cents ∈ [5·10⁶, 2·10⁷): per bucket n·overlap DIV width with
+    * overlap clamped to the bucket's [lo, hi+1) value interval — the
+    * uniform-within-bucket assumption, exact for fully-contained
+    * buckets since n·width DIV width = n. Estimate and exact count sit
+    * side by side (the q245 audit convention: estimator quality is
+    * hash-pinned, not asserted away), with both selectivities in ppm.
+    *
+    * Scale: the histogram is one window pass + a 16-row rollup; the
+    * estimate is arithmetic over 16 rows. At 100 TB the window pass is
+    * a global sort — production would sample first (the q272 move);
+    * the synopsis CONSUMER side is what this query pins. */
+  private def equiDepthSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    val pLo = 5000000L
+    val pHi = 20000000L
+    val c = Tables.orders(spark, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = c.withColumn("b", ntile(16).over(
+      org.apache.spark.sql.expressions.Window.orderBy("cents", "o_orderkey")))
+    val h = t.groupBy("b").agg(min("cents").as("lo"), max("cents").as("hi"),
+      count(lit(1)).as("n"))
+    val est = h.select(expr(
+        s"""n * greatest(0L, least(hi + 1, ${pHi}L) - greatest(lo, ${pLo}L))
+           | DIV (hi - lo + 1)""".stripMargin).as("est_b"))
+      .agg(sum("est_b").as("est_rows"))
+    val nr = c.agg(count(lit(1)).as("n_rows"))
+    val ex = c.where(col("cents") >= pLo && col("cents") < pHi)
+      .agg(count(lit(1)).as("exact_rows"))
+    nr.crossJoin(broadcast(est)).crossJoin(broadcast(ex))
+      .select(col("n_rows"), col("est_rows"), col("exact_rows"),
+        expr("1000000 * est_rows DIV n_rows").as("sel_est_ppm"),
+        expr("1000000 * exact_rows DIV n_rows").as("sel_exact_ppm"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_salted_exact_distinct" -> saltedExactDistinct,
+    "q276_equidepth_selectivity" -> equiDepthSelectivity,
     "q262_bootstrap_ci" -> bootstrapCi,
     "q216_mg_heavy_hitters" -> heavyHitters,
     "q217_kmv_distinct" -> kmvDistinct,
@@ -407,6 +481,52 @@ object SketchQueries extends QueryPack {
        |  (a, cp) -> (a * 31 + cp) % 1000000007)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // fmix64 salt replayed via the split-32/32 mulmod on the raw
+    // unsigned user id, then both aggregation stages
+    "q275_salted_exact_distinct" -> {
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      val fm = xs33(mulmod(xs33(mulmod(xs33("CAST(user_id AS UBIGINT)"),
+        4283543511L, 3981806797L)), 3301882366L, 444984403L))
+      s"""WITH s AS (
+         |  SELECT event_type, user_id,
+         |         CAST($fm % 32 AS BIGINT) AS salt
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, salt, count(DISTINCT user_id) AS bd,
+         |         count(*) AS bn
+         |  FROM s GROUP BY 1, 2)
+         |SELECT event_type, CAST(sum(bd) AS BIGINT) AS n_users,
+         |       CAST(sum(bn) AS BIGINT) AS n_events,
+         |       CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |       CAST(max(bd) AS BIGINT) AS max_bucket_distinct
+         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "q276_equidepth_selectivity" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT cents,
+        |        ntile(16) OVER (ORDER BY cents, o_orderkey) AS b FROM c),
+        |h AS (SELECT b, min(cents) AS lo, max(cents) AS hi, count(*) AS n
+        |      FROM t GROUP BY b),
+        |e AS (SELECT n * greatest(0, least(hi + 1, 20000000)
+        |               - greatest(lo, 5000000)) // (hi - lo + 1) AS est_b
+        |      FROM h),
+        |m AS (SELECT (SELECT count(*) FROM c) AS n_rows,
+        |             (SELECT sum(est_b) FROM e) AS est_rows,
+        |             (SELECT count(*) FROM c
+        |              WHERE cents >= 5000000 AND cents < 20000000) AS exact_rows)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(est_rows AS BIGINT) AS est_rows,
+        |       CAST(exact_rows AS BIGINT) AS exact_rows,
+        |       CAST(1000000 * est_rows // n_rows AS BIGINT) AS sel_est_ppm,
+        |       CAST(1000000 * exact_rows // n_rows AS BIGINT) AS sel_exact_ppm
+        |FROM m""".stripMargin,
     // The FNV-1a fold + fmix64 finalizer per (orderkey, replicate),
     // bit-33 weights, and every replicate aggregate replayed — the
     // resampling itself is hash-checked.

@@ -94,8 +94,15 @@ object ScaleUp {
     val ev = Tables.events(spark, srcDir)
     val maxU = ev.agg(max("user_id")).head().getLong(0)
     write(copies(factor) { k =>
+      // ts as UNANNOTATED µs int64: [[Tables.events]]' TimestampType
+      // column would round-trip through parquet INT96 (Spark's default
+      // outputTimestampType), which the raw LongType reader rejects
+      // ([FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH] — hit by
+      // every events-reading query on the r10 fixture); a plain bigint
+      // takes the reader's documented magnitude-CASE fallback.
       ev.select((col("event_id") + k * 1000000000L).as("event_id"),
-        col("ts"), (col("user_id") + k * (maxU + 1)).as("user_id"),
+        unix_micros(col("ts")).as("ts"),
+        (col("user_id") + k * (maxU + 1)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }, "events", factor.min(8))
 

@@ -266,6 +266,106 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 >= 4L), "rounds with no pairs must emit nothing")
   }
 
+  /** Events staged as raw µs-long ts (the magnitude-CASE fallback). */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r10e_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  private def dayUs(day: Int): Long = // 2024-01-<day> 12:00 UTC in µs
+    (java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L + 43200L) * 1000000L
+
+  // ---------------------------------------------------- q275
+  test("q275: salted two-stage distinct equals the plain countDistinct " +
+    "(partition identity) and spreads state across buckets") {
+    val got = SparkEntry.queries("q275_salted_exact_distinct")(
+        spark, "/root/testdata/sf0.001").collect()
+    val direct = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"), count(lit(1)).as("ne"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (nu, ne) = direct(t)
+      assert(r.getAs[Long]("n_users") == nu,
+        s"$t: salted sum ${r.getAs[Long]("n_users")} != direct $nu")
+      assert(r.getAs[Long]("n_events") == ne)
+      val buckets = r.getAs[Long]("n_buckets_used")
+      val maxB = r.getAs[Long]("max_bucket_distinct")
+      assert(buckets >= 1L && buckets <= 32L)
+      // pigeonhole lower bound and sanity upper bound
+      assert(maxB * buckets >= nu && maxB <= nu)
+      // load balance from the finalized hash: the hottest bucket holds
+      // well under half the users once there are enough to spread
+      if (nu >= 64) assert(maxB * 2 < nu,
+        s"$t: max bucket $maxB of $nu users — salt not spreading")
+    }
+  }
+
+  // ---------------------------------------------------- q276 fixture
+  test("q276: equi-depth selectivity on a uniform fixture — fractional " +
+    "buckets interpolate exactly; estimate meets the exact count") {
+    // 32 orders at cents = k*10^6 (k = 1..32) -> 16 buckets of 2; the
+    // [5M, 20M) probe covers k = 5..19: 7 fully-contained buckets
+    // (n*width DIV width = n exactly) and the {19,20} bucket at
+    // overlap 10^6 of width 10^6+1 -> 2*10^6 DIV (10^6+1) = 1.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eqd_").toString
+    (1 to 32).map(k => (k.toLong, k * 10000.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("q276_equidepth_selectivity")(spark, tmp)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 32L)
+    assert(r.getAs[Long]("exact_rows") == 15L)
+    assert(r.getAs[Long]("est_rows") == 15L)
+    assert(r.getAs[Long]("sel_est_ppm") == 1000000L * 15 / 32)
+    assert(r.getAs[Long]("sel_exact_ppm") == 1000000L * 15 / 32)
+  }
+
+  // ---------------------------------------------------- q277 fixture
+  test("q277: PSI on a constructed full-shift drift — terms match the " +
+    "hand formula, symmetric bins carry equal terms, empty bins zero") {
+    // A window (days 1-15): 20 purchases at $10 (bin 0); B window
+    // (days 16-30): 20 at $260 (bin 5). With add-one smoothing over 10
+    // bins: p_present = 21/30, p_absent = 1/30; only bins 0 and 5
+    // carry mass and their terms are equal by symmetry.
+    val rows =
+      (0 until 20).map(i => (i.toLong, dayUs(1 + i % 15), 100L + i,
+        "purchase", 10.0)) ++
+      (0 until 20).map(i => (200L + i, dayUs(16 + i % 15), 300L + i,
+        "purchase", 260.0))
+    val dir = stageEvents(rows)
+    val got = SparkEntry.queries("q277_psi_drift")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(got.length == 10)
+    val paP = 1000000L * 21 / 30 // present side
+    val paA = 1000000L * 1 / 30  // absent side
+    val lnP = math.round(math.log(21.0 * 30 / (1.0 * 30)) * 1e6)
+    val term = (paP - paA) * lnP
+    val b0 = got(0)
+    assert(b0.getAs[Long]("ca") == 20L && b0.getAs[Long]("cb") == 0L)
+    assert(b0.getAs[Long]("pa_micro") == paP && b0.getAs[Long]("pb_micro") == paA)
+    assert(b0.getAs[Long]("ln_micro") == lnP)
+    assert(b0.getAs[Long]("psi_term_pico") == term)
+    val b5 = got(5)
+    assert(b5.getAs[Long]("ca") == 0L && b5.getAs[Long]("cb") == 20L)
+    assert(b5.getAs[Long]("ln_micro") == -lnP)
+    assert(b5.getAs[Long]("psi_term_pico") == term,
+      "mirror bin must carry the SAME positive term")
+    got.zipWithIndex.filterNot(x => x._2 == 0 || x._2 == 5).foreach { case (r, _) =>
+      assert(r.getAs[Long]("psi_term_pico") == 0L)
+      assert(r.getAs[Long]("ln_micro") == 0L)
+    }
+    assert(got.head.getAs[Long]("psi_total_pico") == 2 * term)
+    // the canonical PSI>0.2 "significant shift" threshold in pico units
+    assert(got.head.getAs[Long]("psi_total_pico") > 200000L * 1000000L,
+      "a full distribution shift must read as significant")
+  }
+
   // ---------------------------------------------------- q271 job shape
   test("q271: job count scales with COUNT ROUNDS, not merges (>=16 " +
     "merges trained in under one job per merge)") {
