@@ -455,7 +455,73 @@ object BehaviorQueries extends QueryPack {
       .orderBy("bin")
   }
 
+  /** q280: KAPLAN–MEIER SURVIVAL (product-limit estimator, Kaplan &
+    * Meier 1958 — public) in exact LOG space — the time-to-event tier
+    * the funnel/retention family (q161/q176) stops short of: days from
+    * each user's FIRST signup to their first purchase at-or-after it,
+    * right-censored at the corpus horizon (max event day — users who
+    * never convert contribute at-risk time, which a naive mean-delay
+    * over converters gets wrong; that bias is the whole reason KM
+    * exists). Per event day t: n_t = users still at risk (observation
+    * time ≥ t, where T_u = delay if converted else horizon − signup),
+    * d_t = conversions at t, and the survival curve as CUMULATIVE
+    * micro-nat log: ls_cum(t) = Σ_{s ≤ t} round(ln((n_s−d_s)/n_s)·10⁶)
+    * — the ln appears only at per-day quantization of a ratio of exact
+    * integers (the q266/q277 contract) and the cumulative is an exact
+    * integer sum, so the curve is hash-reproducible where the float
+    * product Π(1−d/n) is not. A day with n = d sends survival to
+    * exact zero (log −∞): such days are excluded from the curve and
+    * surfaced in the `zero_tail` boolean instead — the honest
+    * encoding. At-risk counts come from one censused (T, converted)
+    * rollup + a strict-prefix window subtraction; every window runs
+    * over the DAY domain (≤ the calendar span — the q261
+    * domain-bounded move), never over users. */
+  private def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT)")
+        .as("day"))
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("sday"))
+    val conv = s.join(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("day").as("pday")), Seq("user_id"))
+      .where(col("pday") >= col("sday"))
+      .groupBy("user_id").agg(min(col("pday") - col("sday")).as("te"))
+    val h = ev.agg(max("day").as("hday"))
+    val obs = s.join(conv, Seq("user_id"), "left").crossJoin(broadcast(h))
+      .select(col("user_id"),
+        coalesce(col("te"), col("hday") - col("sday")).as("tt"),
+        col("te").isNotNull.as("converted"))
+    val ct = obs.groupBy("tt").agg(count(lit(1)).as("c"),
+      sum(when(col("converted"), 1L).otherwise(0L)).as("d"))
+    val wPrev = Window.orderBy("tt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = ct.crossJoin(broadcast(obs.agg(count(lit(1)).as("cohort"))))
+      .withColumn("n_at_risk",
+        col("cohort") - coalesce(sum("c").over(wPrev), lit(0L)))
+      .where(col("d") > 0)
+    // an n = d day absorbs every remaining at-risk user, so it is
+    // necessarily the LAST event day — excluding it leaves a clean
+    // prefix curve and the boolean carries the exact-zero tail
+    val zero = risk.agg(
+      (coalesce(max(when(col("n_at_risk") === col("d"), 1L).otherwise(0L)),
+        lit(0L)) === 1L).as("zero_tail"))
+    risk.where(col("n_at_risk") > col("d"))
+      .withColumn("ls_step_micro", expr(
+        "CAST(round(ln(CAST(n_at_risk - d AS DOUBLE) " +
+          "/ CAST(n_at_risk AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .withColumn("ls_cum_micro", sum("ls_step_micro").over(
+        Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(zero))
+      .select(col("tt").as("t"), col("cohort"), col("n_at_risk"),
+        col("d").as("d_events"), col("ls_step_micro"), col("ls_cum_micro"),
+        col("zero_tail"))
+      .orderBy("t")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_survival_km" -> survivalKm,
     "q277_psi_drift" -> psiDrift,
     "q267_ab_ztest" -> abZtest,
     "q249_association_rules" -> associationRules,
@@ -473,6 +539,50 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // cohort, first-signup/first-conversion delays, horizon censoring,
+    // at-risk census via the strict-prefix window, per-day quantized
+    // log terms and the cumulative curve replayed
+    "q280_survival_km" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |s AS (SELECT user_id, min(day) AS sday FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |cv AS (SELECT s.user_id, min(p.day - s.sday) AS te
+        |       FROM s JOIN e p ON p.user_id = s.user_id
+        |        AND p.event_type = 'purchase' AND p.day >= s.sday
+        |       GROUP BY 1),
+        |h AS (SELECT max(day) AS hday FROM e),
+        |obs AS (SELECT s.user_id,
+        |          coalesce(cv.te, h.hday - s.sday) AS tt,
+        |          cv.te IS NOT NULL AS converted
+        |        FROM s LEFT JOIN cv ON cv.user_id = s.user_id, h),
+        |ct AS (SELECT tt, count(*) AS c,
+        |         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |       FROM obs GROUP BY 1),
+        |coh AS (SELECT count(*) AS cohort FROM obs),
+        |risk AS (
+        |  SELECT ct.tt, ct.d, coh.cohort,
+        |         coh.cohort - CAST(coalesce(sum(ct.c) OVER (ORDER BY ct.tt
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_at_risk
+        |  FROM ct, coh WHERE ct.d > 0),
+        |z AS (SELECT coalesce(max(CASE WHEN n_at_risk = d THEN 1 ELSE 0 END), 0)
+        |        = 1 AS zero_tail FROM risk),
+        |curve AS (
+        |  SELECT tt, cohort, n_at_risk, d,
+        |         CAST(round(ln(CAST(n_at_risk - d AS DOUBLE)
+        |           / CAST(n_at_risk AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS ls_step_micro
+        |  FROM risk WHERE n_at_risk > d)
+        |SELECT tt AS t, CAST(cohort AS BIGINT) AS cohort, n_at_risk,
+        |       d AS d_events, ls_step_micro,
+        |       CAST(sum(ls_step_micro) OVER (ORDER BY tt
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS ls_cum_micro,
+        |       (SELECT zero_tail FROM z) AS zero_tail
+        |FROM curve ORDER BY t""".stripMargin,
     // bins, domain join, smoothed micro distributions, quantized
     // ln terms and both rollups replayed; sums CAST from HUGEINT
     "q277_psi_drift" ->

@@ -343,7 +343,43 @@ object RelationalQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q279: PARETO FRONTIER (2-D skyline, Börzsönyi et al. ICDE'01 —
+    * public) — the multi-objective "best tradeoffs" operator classic
+    * analytics suites ship and none of the prior 278 queries covers:
+    * per order-priority class, the orders minimizing BOTH value and
+    * date (no other order in the class is ≤ in both dimensions and <
+    * in one). The 2-D case needs NO pairwise join: over DISTINCT
+    * (cents, day) pairs sorted (cents asc, day asc), a pair is
+    * dominated iff the running min of day over the strict prefix is
+    * ≤ its own day — preceding rows have (cents <, any day) or
+    * (cents =, day <), which is exactly the dominator set, and
+    * equal-equal pairs can't occur after the distinct. One sort + one
+    * window pass per class; the frontier is the classic staircase
+    * (cents increasing, day strictly decreasing — the spec pins it).
+    * At 100 TB: groupBy-distinct with map-side combine, then a
+    * per-class window — no self-join, no quadratic anything. */
+  private def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").as("day"))
+    val pairs = o.groupBy("prio", "cents", "day")
+      .agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prio").orderBy("cents", "day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    pairs.withColumn("mprec", min("day").over(w))
+      .where(col("mprec").isNull || col("mprec") > col("day"))
+      .withColumn("frontier_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("prio").orderBy("cents", "day")))
+      .select(col("prio"), col("frontier_rank").cast("long").as("frontier_rank"),
+        col("cents"), col("day"), col("n_orders"))
+      .orderBy("prio", "frontier_rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_pareto_frontier" -> paretoFrontier,
     "q151_bloom_join" -> bloomJoin,
     "q02_pricing_summary" -> pricingSummary,
     "q03_top_revenue_orders" -> topRevenueOrders,
@@ -367,6 +403,27 @@ object RelationalQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // distinct pairs, strict-prefix running min, dominance filter and
+    // the staircase rank replayed with the same window frames
+    "q279_pareto_frontier" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day
+        |  FROM orders),
+        |p AS (SELECT prio, cents, day, count(*) AS n_orders
+        |      FROM o GROUP BY 1, 2, 3),
+        |m AS (SELECT *, min(day) OVER (PARTITION BY prio
+        |        ORDER BY cents, day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprec
+        |      FROM p),
+        |f AS (SELECT * FROM m WHERE mprec IS NULL OR mprec > day)
+        |SELECT prio,
+        |       CAST(row_number() OVER (PARTITION BY prio
+        |         ORDER BY cents, day) AS BIGINT) AS frontier_rank,
+        |       cents, day, CAST(n_orders AS BIGINT) AS n_orders
+        |FROM f ORDER BY prio, frontier_rank""".stripMargin,
     // the bloom is a pure pre-filter (no false negatives, join removes
     // false positives) — the plain selective join IS the semantics
     "q151_bloom_join" ->

@@ -459,7 +459,62 @@ object SketchQueries extends QueryPack {
         expr("1000000 * exact_rows DIV n_rows").as("sel_exact_ppm"))
   }
 
+  /** q278: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007 —
+    * public) — the WEIGHTED synopsis missing next to the distinct-set
+    * sketches (q217/q238) and the equi-depth histogram (q276): k
+    * items chosen by priority p_i = w_i / u_i (u_i uniform from the
+    * hash chain), with the (k+1)-th priority τ as the threshold; each
+    * sampled item estimates ANY post-hoc subset sum as
+    * Σ max(w_i, τ)·[i ∈ subset] — one fixed k-row summary answers
+    * weighted questions decided AFTER sampling, which per-subset
+    * sketches cannot. Deterministic end to end: u_i is the fmix64∘fnv
+    * 32-bit value + 1 (the q253/q262 hash discipline — a biased u is a
+    * biased estimator), priorities are the truncating integer
+    * w·2³² div u (the τ back-conversion τ div 2³² truncates the same
+    * way on both engines), ties break by order key. Estimate and
+    * exact sit side by side for the TOTAL and for a post-hoc subset
+    * (URGENT orders) — the q245 audit convention.
+    *
+    * Scale: the top-(k+1) is a TakeOrdered (no global sort); the
+    * estimator is arithmetic over k rows. */
+  private def prioritySampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val k = 64
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("w"))
+    val pri = o.withColumn("u",
+        shiftrightunsigned(fmix64(fnv1a(concat(lit("prio:"),
+          col("o_orderkey").cast("string")))), 32) + 1L)
+      .withColumn("p", expr("w * 4294967296L div u"))
+    val top = pri.orderBy(col("p").desc, col("o_orderkey")).limit(k + 1)
+      .localCheckpoint(true) // tiny; read by τ and the sample legs
+    // τ = the (k+1)-th priority = min over the k+1 retained rows; when
+    // the population has ≤ k rows the whole population is the sample
+    // and τ = 0 (DLT's convention — the estimator degenerates to the
+    // exact sum)
+    val tau = top.agg(count(lit(1)).as("tc"), min(col("p")).as("mp"))
+      .select(when(col("tc") < k + 1, 0L).otherwise(col("mp")).as("tau_p"))
+    val sample = top.orderBy(col("p").desc, col("o_orderkey")).limit(k)
+    val est = sample.crossJoin(broadcast(tau))
+      .select(col("o_orderpriority"), col("w"),
+        greatest(col("w"), expr("tau_p div 4294967296L")).as("ew"))
+      .agg(sum("ew").as("est_total_cents"),
+        sum(when(col("o_orderpriority") === "1-URGENT", col("ew"))
+          .otherwise(0L)).as("est_urgent_cents"))
+    val exact = o.agg(sum("w").as("exact_total_cents"),
+      sum(when(col("o_orderpriority") === "1-URGENT", col("w"))
+        .otherwise(0L)).as("exact_urgent_cents"),
+      count(lit(1)).as("n_rows"))
+    exact.crossJoin(broadcast(est)).crossJoin(broadcast(tau))
+      .select(col("n_rows"), lit(k.toLong).as("k"),
+        expr("tau_p div 4294967296L").as("tau_w"),
+        col("est_total_cents"), col("exact_total_cents"),
+        col("est_urgent_cents"), col("exact_urgent_cents"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_priority_sampling" -> prioritySampling,
     "q275_salted_exact_distinct" -> saltedExactDistinct,
     "q276_equidepth_selectivity" -> equiDepthSelectivity,
     "q262_bootstrap_ci" -> bootstrapCi,
@@ -481,6 +536,56 @@ object SketchQueries extends QueryPack {
        |  (a, cp) -> (a * 31 + cp) % 1000000007)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the full DLT chain replayed: fnv+fmix hash, u, integer
+    // priorities, top-(k+1), τ (0 when the population fits), both
+    // estimator legs against both exact legs
+    "q278_priority_sampling" -> {
+      def fnv(e: String): String =
+        s"""list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+           |      list_transform(regexp_split_to_array($e, ''),
+           |                     c -> CAST(unicode(c) AS UBIGINT))),
+           |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+           |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      val fm = xs33(mulmod(xs33(mulmod(xs33(
+        fnv("'prio:' || CAST(o_orderkey AS VARCHAR)")),
+        4283543511L, 3981806797L)), 3301882366L, 444984403L))
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS w
+         |  FROM orders),
+         |pr AS (
+         |  SELECT *, CAST($fm // 4294967296 AS BIGINT) + 1 AS u
+         |  FROM o),
+         |p2 AS (SELECT *, w * 4294967296 // u AS p FROM pr),
+         |top AS (SELECT * FROM p2 ORDER BY p DESC, o_orderkey LIMIT 65),
+         |tau AS (SELECT CASE WHEN count(*) < 65 THEN 0
+         |                    ELSE min(p) END AS tau_p FROM top),
+         |samp AS (SELECT * FROM top ORDER BY p DESC, o_orderkey LIMIT 64),
+         |est AS (
+         |  SELECT CAST(sum(greatest(w, tau_p // 4294967296)) AS BIGINT)
+         |           AS est_total_cents,
+         |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |               THEN greatest(w, tau_p // 4294967296)
+         |               ELSE 0 END) AS BIGINT) AS est_urgent_cents
+         |  FROM samp, tau),
+         |ex AS (
+         |  SELECT CAST(sum(w) AS BIGINT) AS exact_total_cents,
+         |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+         |               THEN w ELSE 0 END) AS BIGINT) AS exact_urgent_cents,
+         |         count(*) AS n_rows
+         |  FROM o)
+         |SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(64 AS BIGINT) AS k,
+         |       CAST(tau_p // 4294967296 AS BIGINT) AS tau_w,
+         |       est_total_cents, exact_total_cents,
+         |       est_urgent_cents, exact_urgent_cents
+         |FROM ex, est, tau""".stripMargin
+    },
     // fmix64 salt replayed via the split-32/32 mulmod on the raw
     // unsigned user id, then both aggregation stages
     "q275_salted_exact_distinct" -> {

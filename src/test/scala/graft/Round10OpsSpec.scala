@@ -366,6 +366,129 @@ class Round10OpsSpec extends AnyFunSuite {
       "a full distribution shift must read as significant")
   }
 
+  // ---------------------------------------------------- q278 fixture
+  test("q278: priority sampling matches a pure-Scala DLT replay on a " +
+    "small population, and degenerates to the exact sum when n <= k") {
+    import graft.functions.Hashing
+    // 40 orders (< k = 64): the whole population is the sample, tau = 0
+    // and both estimates equal the exact sums
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dlt_").toString
+    val rows = (1 to 40).map { i =>
+      (i.toLong, if (i % 3 == 0) "1-URGENT" else "3-MEDIUM", i * 1000.0)
+    }
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("q278_priority_sampling")(spark, tmp)
+      .collect().head
+    val exactTotal = rows.map(t => math.round(t._3 * 100)).sum
+    val exactUrgent = rows.filter(_._2 == "1-URGENT")
+      .map(t => math.round(t._3 * 100)).sum
+    assert(r.getAs[Long]("n_rows") == 40L)
+    assert(r.getAs[Long]("tau_w") == 0L)
+    assert(r.getAs[Long]("est_total_cents") == exactTotal)
+    assert(r.getAs[Long]("est_urgent_cents") == exactUrgent)
+    assert(r.getAs[Long]("exact_total_cents") == exactTotal)
+    assert(r.getAs[Long]("exact_urgent_cents") == exactUrgent)
+    // independent replay of the hash -> priority chain on sf0.001:
+    // recompute every priority in Scala, take the top 65, and pin the
+    // engine's tau_w and estimate
+    val o = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+    val pri = o.map { row =>
+      val key = row.getLong(0)
+      val w = math.round(row.getDouble(2) * 100)
+      val u = (Hashing.fmix64(Hashing.fnv1a64(
+        s"prio:$key".getBytes("UTF-8"))) >>> 32) + 1L
+      (key, row.getString(1), w, w * 4294967296L / u)
+    }
+    val sorted = pri.sortBy(t => (-t._4, t._1))
+    val (tau, sample) =
+      if (sorted.length <= 64) (0L, sorted.toSeq)
+      else (sorted(64)._4, sorted.take(64).toSeq)
+    val tauW = tau / 4294967296L
+    val estTotal = sample.map(t => math.max(t._3, tauW)).sum
+    val estUrgent = sample.filter(_._2 == "1-URGENT")
+      .map(t => math.max(t._3, tauW)).sum
+    val rr = SparkEntry.queries("q278_priority_sampling")(
+        spark, "/root/testdata/sf0.001").collect().head
+    assert(rr.getAs[Long]("tau_w") == tauW)
+    assert(rr.getAs[Long]("est_total_cents") == estTotal)
+    assert(rr.getAs[Long]("est_urgent_cents") == estUrgent)
+  }
+
+  // ---------------------------------------------------- q279 fixture
+  test("q279: skyline keeps exactly the non-dominated pairs (ties " +
+    "merge, equal-one-dim dominance prunes) and is a strict staircase") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sky_").toString
+    // (cents, day): (100,10)x2 frontier; (100,12) dominated same-cents;
+    // (200,5) frontier; (200,8) dominated; (300,5) dominated by (200,5)
+    // at equal day; (150,11) dominated by (100,10)
+    Seq((1L, 1.00, "1996-01-11"), (2L, 1.00, "1996-01-11"),
+        (3L, 1.00, "1996-01-13"), (4L, 2.00, "1996-01-06"),
+        (5L, 2.00, "1996-01-09"), (6L, 3.00, "1996-01-06"),
+        (7L, 1.50, "1996-01-12"))
+      .toDF("o_orderkey", "o_totalprice", "ds")
+      .withColumn("o_orderdate", col("ds").cast("timestamp")).drop("ds")
+      .withColumn("o_orderpriority", lit("X"))
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    val day0 = java.time.LocalDate.parse("1996-01-11").toEpochDay
+    val got = SparkEntry.queries("q279_pareto_frontier")(spark, tmp)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("X", 1L, 100L, day0, 2L),
+      ("X", 2L, 200L, day0 - 5, 1L)), s"got $got")
+    // structural invariant on the real corpus: per class the frontier
+    // is strictly increasing in cents and strictly decreasing in day,
+    // and no frontier point is dominated by ANY distinct point
+    val o = graft.tables.Tables.orders(spark, "/root/testdata/sf0.001")
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(round(o_totalprice * 100) AS LONG) AS cents",
+        "CAST(datediff(o_orderdate, DATE'1970-01-01') AS LONG) AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val front = SparkEntry.queries("q279_pareto_frontier")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    front.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._3) == sorted.map(_._3).distinct.sorted,
+        "cents must be strictly increasing")
+      assert(sorted.map(_._4) == sorted.map(_._4).distinct.sortBy(-(_: Long)),
+        "day must be strictly decreasing")
+    }
+    front.foreach { case (p, _, c, d, _) =>
+      assert(!o.exists(t => t._1 == p && t._2 <= c && t._3 <= d
+        && (t._2 < c || t._3 < d)), s"($p,$c,$d) is dominated")
+    }
+  }
+
+  // ---------------------------------------------------- q280 fixture
+  test("q280: Kaplan-Meier log-curve on a hand cohort — censoring " +
+    "counts at-risk time, pre-signup purchases don't convert, an " +
+    "n = d day becomes the zero tail") {
+    // u1: signup d1, purchase d3 (T=2 ev); u2: signup d1, purchase d1
+    // (T=0 ev); u3: signup d2, never purchases (censored at H-2 = 8);
+    // u4: signup d1, purchase d10 = horizon (T=9 ev, n=d -> zero
+    // tail); u5: purchase d3 BEFORE its signup d5 (must not count),
+    // then d7 (T=2 ev).
+    val rows = Seq(
+      (1L, dayUs(1), 1L, "signup", 1.0), (2L, dayUs(3), 1L, "purchase", 1.0),
+      (3L, dayUs(1), 2L, "signup", 1.0), (4L, dayUs(1), 2L, "purchase", 1.0),
+      (5L, dayUs(2), 3L, "signup", 1.0),
+      (6L, dayUs(1), 4L, "signup", 1.0), (7L, dayUs(10), 4L, "purchase", 1.0),
+      (8L, dayUs(3), 5L, "purchase", 1.0), (9L, dayUs(5), 5L, "signup", 1.0),
+      (10L, dayUs(7), 5L, "purchase", 1.0))
+    val dir = stageEvents(rows)
+    val got = SparkEntry.queries("q280_survival_km")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    def ls(n: Long, d: Long) = math.round(math.log((n - d).toDouble / n) * 1e6)
+    val s0 = ls(5, 1) // t=0: n=5 d=1 (u2)
+    val s2 = ls(4, 2) // t=2: n=4 d=2 (u1, u5)
+    // t=9 (u4): n=1 d=1 -> excluded, zero_tail carries it
+    assert(got == Seq(
+      (0L, 5L, 5L, 1L, s0, s0, true),
+      (2L, 5L, 4L, 2L, s2, s0 + s2, true)), s"got $got")
+  }
+
   // ---------------------------------------------------- q271 job shape
   test("q271: job count scales with COUNT ROUNDS, not merges (>=16 " +
     "merges trained in under one job per merge)") {
