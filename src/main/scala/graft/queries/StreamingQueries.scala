@@ -630,12 +630,13 @@ object StreamingQueries extends QueryPack {
     * Batches (deterministic, one staged file per trigger): batch 1 =
     * the +1M exact copies and +3M token-reversed docs; batch 2 = the
     * +4M second-reversed copies, each an exact dup of its +3M sibling
-    * — the cross-batch case by construction. The keep-set is BUCKETED
+    * — the cross-batch case by construction. BOTH sinks are BUCKETED
     * parquet maintained with [[Pipelines.mergeIntoParquet]] (the q103
-    * MERGE discipline: idempotent upsert keyed by doc_id, so a
-    * replayed batch after a failure re-merges to the same snapshot;
-    * the verdict parquet append is the non-idempotent part and is
-    * documented as such — production pairs it with the same merge).
+    * MERGE discipline): the keep-set upserts by doc_id, and the
+    * verdict table does too — each doc is classified in exactly one
+    * batch, so a replayed batch after a failure re-merges both
+    * snapshots to identical states: the sink side is exactly-once
+    * under retries, not just the state side.
     * Per-batch cost is q111's incremental shape: pairs touching the
     * batch only, keep-vs-keep never re-pairs; the keep-set read is a
     * bucket-pruned scan of the persisted index.
@@ -674,7 +675,8 @@ object StreamingQueries extends QueryPack {
               "doc_id", "text", k = 3, threshold = 0.3, maxShingleDf = 20)
             .withColumn("batch_seq", lit(id + 1))
             .localCheckpoint(true)
-          verdicts.write.mode("append").parquet(outDir)
+          Pipelines.mergeIntoParquet(verdicts, outDir, key = "doc_id",
+            version = "batch_seq", tiebreak = "doc_id", nBuckets = 16)
           mergeKeep(batch.join(
               verdicts.where(col("status") === "kept"),
               Seq("doc_id"), "left_semi")
@@ -685,7 +687,7 @@ object StreamingQueries extends QueryPack {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(outDir)
+    spark.read.parquet(outDir) // drops the merge's __bkt via the select
       .select(col("batch_seq"), col("doc_id"), col("status"), col("rep_id"))
       .orderBy("batch_seq", "doc_id")
   }
