@@ -520,7 +520,50 @@ object BehaviorQueries extends QueryPack {
       .orderBy("t")
   }
 
+  /** q282: TWO-SAMPLE KOLMOGOROV–SMIRNOV — the unbinned, exact
+    * distribution-equality test completing the drift family (χ² q258
+    * for categories, PSI q277 over fixed bins, KL q264 over models):
+    * D = max_v |F_A(v) − F_B(v)| between the same calendar halves as
+    * q277, computed EXACTLY as max |cumA·N_B − cumB·N_A| over the
+    * distinct cent values (one value-key rollup + one cumulative
+    * window over the ≤ max-cents value DOMAIN — the q261 bound; no
+    * row-level global sort). Significance at α = 0.05 via the usual
+    * squared comparison (the q251/q265/q269 move — no sqrt ever
+    * evaluates): reject iff D² > c²·(N_A+N_B)/(N_A·N_B) with
+    * c² = −ln(α/2)/2 = 1.8444 carried as the exact-enough integer
+    * 18444/10⁴, cross-multiplied in decimal(38,0)/HUGEINT. On this
+    * calendar-arbitrary split the honest expected verdict is
+    * insignificant (the q267/q277 null-holds discipline); the fixture
+    * spec drives a full shift to significance. */
+  private def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(dayofmonth(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val sided = ev.select(
+      when(col("d") <= 15, 1L).otherwise(0L).as("isa"), col("cents"))
+    val perV = sided.groupBy("cents").agg(
+      sum(col("isa")).as("nav"), sum(lit(1L) - col("isa")).as("nbv"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = sided.agg(sum("isa").as("na"),
+      (count(lit(1)) - sum(col("isa"))).as("nb"))
+    val dmax = perV
+      .withColumn("cuma", sum("nav").over(w))
+      .withColumn("cumb", sum("nbv").over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dn"))
+      .agg(max("dn").as("d_num"))
+    tot.crossJoin(broadcast(dmax))
+      .select(col("na"), col("nb"), col("d_num"),
+        expr("1000000 * d_num DIV (na * nb)").as("d_micro"),
+        expr("""CAST(d_num AS DECIMAL(38,0)) * d_num * 10000
+               | > CAST(18444 AS DECIMAL(38,0)) * na * nb * (na + nb)"""
+          .stripMargin).as("ks_significant"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_ks_two_sample" -> ksTwoSample,
     "q280_survival_km" -> survivalKm,
     "q277_psi_drift" -> psiDrift,
     "q267_ab_ztest" -> abZtest,
@@ -539,6 +582,35 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // per-value census, cumulative ECDF numerators, the exact D
+    // numerator and the cross-multiplied squared-z verdict replayed
+    "q282_ks_two_sample" ->
+      """WITH e AS (
+        |  SELECT day(CAST(ts AS TIMESTAMP)) AS d,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT CASE WHEN d <= 15 THEN 1 ELSE 0 END AS isa, cents FROM e),
+        |v AS (SELECT cents, CAST(sum(isa) AS BIGINT) AS nav,
+        |             CAST(sum(1 - isa) AS BIGINT) AS nbv
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT cents, nav, nbv,
+        |        CAST(sum(nav) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cuma,
+        |        CAST(sum(nbv) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cumb
+        |      FROM v),
+        |t AS (SELECT CAST(sum(isa) AS BIGINT) AS na,
+        |             CAST(count(*) - sum(isa) AS BIGINT) AS nb FROM s),
+        |m AS (SELECT CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+        |      FROM c, t)
+        |SELECT na, nb, d_num,
+        |       CAST(1000000 * d_num // (na * nb) AS BIGINT) AS d_micro,
+        |       CAST(d_num AS HUGEINT) * d_num * 10000
+        |         > CAST(18444 AS HUGEINT) * na * nb * (na + nb)
+        |         AS ks_significant
+        |FROM t, m""".stripMargin,
     // cohort, first-signup/first-conversion delays, horizon censoring,
     // at-risk census via the strict-prefix window, per-day quantized
     // log terms and the cumulative curve replayed

@@ -354,6 +354,62 @@ object PipelineQueries extends QueryPack {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** q281: POINT-IN-TIME lookup against the SCD-2 history — the
+    * warehouse consumption pattern q95 builds for (a dimension row "as
+    * of" a fact's timestamp): every lineitem's SHIP date is attributed
+    * to the customer's order era active at ship time (the q95
+    * intervals partition each customer's timeline, so the lookup is an
+    * AS-OF: the last era with valid_from ≤ ship date). Implemented in
+    * the scalable as-of shape — ONE union of era rows and probe rows,
+    * one customer-key shuffle, one sorted window with a running
+    * last-non-null (era_key, era_ts) pair (era rows sort before probes
+    * at equal ts, and later same-date eras last, which reproduces
+    * q95's zero-length-interval semantics exactly). This corpus's ship
+    * dates are synthetic and can PRECEDE the order date (measured
+    * min gap ≈ −2400 days), so the census is the full taxonomy: `none`
+    * (ship before the customer's first era), `earlier_era`, `own_era`,
+    * `later_era` — ordered by the SCD2 total order (date, orderkey).
+    * Items + cents per bucket. No range join, no per-probe scan of the
+    * dimension — the 100 TB PIT shape. */
+  private def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val eras = o.select(col("o_custkey").as("ck"),
+      expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").as("ts"),
+      col("o_orderkey").as("era_key"), lit(1).as("is_era"),
+      lit(null).cast("long").as("own_key"),
+      lit(null).cast("long").as("own_ts"),
+      lit(null).cast("long").as("cents"))
+    val probes = Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck"),
+        expr("CAST(datediff(l_shipdate, DATE'1970-01-01') AS BIGINT)").as("ts"),
+        lit(null).cast("long").as("era_key"), lit(0).as("is_era"),
+        col("l_orderkey").as("own_key"),
+        expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)")
+          .as("own_ts"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("ck")
+      .orderBy(col("ts"), col("is_era").desc, col("era_key").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    eras.unionByName(probes)
+      .withColumn("active_era", last("era_key", ignoreNulls = true).over(w))
+      .withColumn("active_ts",
+        last(when(col("is_era") === 1, col("ts")), ignoreNulls = true).over(w))
+      .where(col("is_era") === 0)
+      .select(
+        when(col("active_era").isNull, "a_none")
+          .when(col("active_era") === col("own_key"), "c_own_era")
+          .when(col("active_ts") < col("own_ts") ||
+            (col("active_ts") === col("own_ts") &&
+              col("active_era") < col("own_key")), "b_earlier_era")
+          .otherwise("d_later_era").as("attribution"),
+        col("cents"))
+      .groupBy("attribution")
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("sum_cents"))
+      .orderBy("attribution")
+  }
+
   /** q99: the q93 band join written the NATURAL way — a plain BETWEEN
     * predicate, no manual binning — planned through
     * [[graft.plans.BinnedRangeJoinRule]] (SparkSessionExtensions tier):
@@ -543,6 +599,7 @@ object PipelineQueries extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_scd2_point_in_time" -> scd2PointInTime,
     "q118_zorder_stats" -> zorderStats,
     "q148_quantile_normalize" -> quantileNormalize,
     "q128_domain_cap" -> domainCap,
@@ -581,6 +638,41 @@ object PipelineQueries extends QueryPack {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // the as-of union-window replayed in the equivalent INTERVAL-JOIN
+    // form (eras partition each customer's timeline: lead() closes
+    // each era, zero-length same-date eras match nothing, exactly the
+    // Spark side's last-era-at-equal-ts tiebreak), then the same
+    // (date, orderkey)-ordered taxonomy and census
+    "q281_scd2_point_in_time" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS od
+        |  FROM orders),
+        |eras AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS era_key, od AS vf,
+        |         lead(od) OVER (PARTITION BY o_custkey
+        |                        ORDER BY od, o_orderkey) AS vt
+        |  FROM o),
+        |p AS (
+        |  SELECT o2.o_custkey AS ck, l.l_orderkey AS own_key, o2.od AS own_ts,
+        |         CAST(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS ts,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN o o2 ON l.l_orderkey = o2.o_orderkey),
+        |att AS (
+        |  SELECT p.*, e.era_key AS active_era, e.vf AS active_ts
+        |  FROM p LEFT JOIN eras e ON e.ck = p.ck AND e.vf <= p.ts
+        |    AND (e.vt IS NULL OR p.ts < e.vt))
+        |SELECT CASE WHEN active_era IS NULL THEN 'a_none'
+        |            WHEN active_era = own_key THEN 'c_own_era'
+        |            WHEN active_ts < own_ts
+        |              OR (active_ts = own_ts AND active_era < own_key)
+        |              THEN 'b_earlier_era'
+        |            ELSE 'd_later_era' END AS attribution,
+        |       count(*) AS n_items,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM att GROUP BY 1 ORDER BY 1""".stripMargin,
     "q128_domain_cap" ->
       """SELECT source, doc_id, rn FROM (
         |  SELECT source, doc_id,

@@ -489,6 +489,60 @@ class Round10OpsSpec extends AnyFunSuite {
       (2L, 5L, 4L, 2L, s2, s0 + s2, true)), s"got $got")
   }
 
+  // ---------------------------------------------------- q281 fixture
+  test("q281: PIT lookup attributes ship dates to the era active at " +
+    "ship time — boundary day flips to the new era, zero-length " +
+    "same-date eras never match, pre-history ships are none") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pit_").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(day).atStartOfDay)
+    // customer 1: eras k1@d10, k2@d20; customer 2: k3@d10 and k4@d10
+    // (same date -> k3's era is zero-length)
+    Seq((1L, 1L, ts(10)), (2L, 1L, ts(20)), (3L, 2L, ts(10)), (4L, 2L, ts(10)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    // ship d5 on k1 -> none; d15 on k2 -> earlier (k1 active, own k2
+    // newer); d12 on k1 -> own; d25 on k1 -> later (k2 active);
+    // d20 EXACTLY on k1 -> later (boundary belongs to the new era);
+    // d10 on k3 -> later via k4 (zero-length k3 era skipped)
+    Seq((1L, 0.01, ts(5)), (2L, 0.02, ts(15)), (1L, 0.04, ts(12)),
+        (1L, 0.08, ts(25)), (1L, 0.16, ts(20)), (3L, 0.32, ts(10)))
+      .toDF("l_orderkey", "l_extendedprice", "l_shipdate")
+      .coalesce(1).write.parquet(s"$tmp/lineitem.parquet")
+    val got = SparkEntry.queries("q281_scd2_point_in_time")(spark, tmp)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a_none", 1L, 1L),
+      ("b_earlier_era", 1L, 2L),
+      ("c_own_era", 1L, 4L),
+      ("d_later_era", 3L, 8L + 16L + 32L)), s"got $got")
+  }
+
+  // ---------------------------------------------------- q282 fixture
+  test("q282: KS on a full shift reads D = 1 and significant; on " +
+    "identical samples D = 0 and insignificant") {
+    val shifted = stageEvents(
+      (0 until 20).map(i => (i.toLong, dayUs(1 + i % 15), 100L + i,
+        "purchase", 10.0)) ++
+      (0 until 20).map(i => (200L + i, dayUs(16 + i % 15), 300L + i,
+        "purchase", 260.0)))
+    val r = SparkEntry.queries("q282_ks_two_sample")(spark, shifted)
+      .collect().head
+    assert(r.getAs[Long]("na") == 20L && r.getAs[Long]("nb") == 20L)
+    assert(r.getAs[Long]("d_num") == 400L, "full shift -> D = 1 = na*nb/400")
+    assert(r.getAs[Long]("d_micro") == 1000000L)
+    assert(r.getAs[Boolean]("ks_significant"))
+    val same = stageEvents(
+      (0 until 10).map(i => (i.toLong, dayUs(1 + i % 15), 100L + i,
+        "purchase", 10.0)) ++
+      (0 until 10).map(i => (200L + i, dayUs(16 + i % 15), 300L + i,
+        "purchase", 10.0)))
+    val r2 = SparkEntry.queries("q282_ks_two_sample")(spark, same)
+      .collect().head
+    assert(r2.getAs[Long]("d_num") == 0L)
+    assert(!r2.getAs[Boolean]("ks_significant"))
+  }
+
   // ---------------------------------------------------- q271 job shape
   test("q271: job count scales with COUNT ROUNDS, not merges (>=16 " +
     "merges trained in under one job per merge)") {
