@@ -439,12 +439,20 @@ object BehaviorQueries extends QueryPack {
       .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    // every count×count / 1e6×count product rides decimal(38,0) (HUGEINT
+    // in the replay) before any divide or double-cast — in BIGINT the
+    // ln arguments (ca+1)·(nb+10) wrap silently once a side holds a few
+    // billion purchases while DuckDB raises (the q282 d_micro pattern)
     val terms = counts.crossJoin(broadcast(tot))
-      .withColumn("pa_micro", expr("(1000000 * (ca + 1)) div (na + 10)"))
-      .withColumn("pb_micro", expr("(1000000 * (cb + 1)) div (nb + 10)"))
+      .withColumn("pa_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (ca + 1))" +
+          " DIV (na + 10) AS BIGINT)"))
+      .withColumn("pb_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (cb + 1))" +
+          " DIV (nb + 10) AS BIGINT)"))
       .withColumn("ln_micro", expr(
-        "CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE) " +
-          "/ CAST((cb + 1) * (na + 10) AS DOUBLE)) * 1e6) AS BIGINT)"))
+        "CAST(round(ln(CAST(CAST(ca + 1 AS DECIMAL(38,0)) * (nb + 10) AS DOUBLE) " +
+          "/ CAST(CAST(cb + 1 AS DECIMAL(38,0)) * (na + 10) AS DOUBLE)) * 1e6) AS BIGINT)"))
       .withColumn("psi_term_pico",
         (col("pa_micro") - col("pb_micro")) * col("ln_micro"))
     terms.crossJoin(broadcast(
@@ -556,7 +564,13 @@ object BehaviorQueries extends QueryPack {
       .agg(max("dn").as("d_num"))
     tot.crossJoin(broadcast(dmax))
       .select(col("na"), col("nb"), col("d_num"),
-        expr("1000000 * d_num DIV (na * nb)").as("d_micro"),
+        // widened before the multiply: 1e6·d_num and na·nb both pass
+        // through decimal(38,0) — BIGINT would wrap silently once
+        // na·nb > ~9.2e12 (a few million purchases per side) while the
+        // DuckDB replay raises; same discipline as ks_significant
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num)
+               | DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"""
+          .stripMargin).as("d_micro"),
         expr("""CAST(d_num AS DECIMAL(38,0)) * d_num * 10000
                | > CAST(18444 AS DECIMAL(38,0)) * na * nb * (na + nb)"""
           .stripMargin).as("ks_significant"))
@@ -606,7 +620,8 @@ object BehaviorQueries extends QueryPack {
         |m AS (SELECT CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
         |      FROM c, t)
         |SELECT na, nb, d_num,
-        |       CAST(1000000 * d_num // (na * nb) AS BIGINT) AS d_micro,
+        |       CAST((CAST(1000000 AS HUGEINT) * d_num)
+        |            // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS d_micro,
         |       CAST(d_num AS HUGEINT) * d_num * 10000
         |         > CAST(18444 AS HUGEINT) * na * nb * (na + nb)
         |         AS ks_significant
@@ -634,12 +649,13 @@ object BehaviorQueries extends QueryPack {
         |         CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d
         |       FROM obs GROUP BY 1),
         |coh AS (SELECT count(*) AS cohort FROM obs),
-        |risk AS (
+        |risk0 AS (
         |  SELECT ct.tt, ct.d, coh.cohort,
         |         coh.cohort - CAST(coalesce(sum(ct.c) OVER (ORDER BY ct.tt
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |           AS BIGINT) AS n_at_risk
-        |  FROM ct, coh WHERE ct.d > 0),
+        |  FROM ct, coh),
+        |risk AS (SELECT * FROM risk0 WHERE d > 0),
         |z AS (SELECT coalesce(max(CASE WHEN n_at_risk = d THEN 1 ELSE 0 END), 0)
         |        = 1 AS zero_tail FROM risk),
         |curve AS (
@@ -674,11 +690,13 @@ object BehaviorQueries extends QueryPack {
         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
         |             CAST(sum(cb) AS BIGINT) AS nb FROM c),
         |x AS (SELECT c.bin, c.ca, c.cb,
-        |        (1000000 * (ca + 1)) // (na + 10) AS pa_micro,
-        |        (1000000 * (cb + 1)) // (nb + 10) AS pb_micro,
-        |        CAST(round(ln(CAST((ca + 1) * (nb + 10) AS DOUBLE)
-        |          / CAST((cb + 1) * (na + 10) AS DOUBLE)) * 1e6) AS BIGINT)
-        |          AS ln_micro
+        |        CAST((CAST(1000000 AS HUGEINT) * (ca + 1))
+        |             // (na + 10) AS BIGINT) AS pa_micro,
+        |        CAST((CAST(1000000 AS HUGEINT) * (cb + 1))
+        |             // (nb + 10) AS BIGINT) AS pb_micro,
+        |        CAST(round(ln(CAST(CAST(ca + 1 AS HUGEINT) * (nb + 10) AS DOUBLE)
+        |          / CAST(CAST(cb + 1 AS HUGEINT) * (na + 10) AS DOUBLE)) * 1e6)
+        |          AS BIGINT) AS ln_micro
         |      FROM c, t),
         |y AS (SELECT *, (pa_micro - pb_micro) * ln_micro AS psi_term_pico
         |      FROM x)

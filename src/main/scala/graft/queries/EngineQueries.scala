@@ -368,14 +368,20 @@ object EngineQueries extends QueryPack {
     * round's single checkpoint.
     *
     * Why symbol-disjointness makes the batch exact: applying merge
-    * (a,b)→"ab" only consumes occurrences of symbols a and b, so it can
-    * neither create nor destroy occurrences of any pair over OTHER
-    * symbols — every batch member's round-start count is still its
-    * exact count at its own application point, and sequential
-    * application in selection order equals simultaneous application
-    * (the fold order inside the plan is irrelevant). This is the
-    * standard correctness argument for batched/parallel BPE; pairs that
-    * share a symbol wait for the next count round.
+    * (a,b)→"ab" consumes occurrences of symbols a and b and CREATES
+    * occurrences of "ab", so it can neither create nor destroy
+    * occurrences of any pair over other symbols — provided "other"
+    * excludes the concatenation too. The used set therefore holds
+    * {a, b, ab} per selection: without the concatenation, (t,he)
+    * followed by ("the",x) would let the first merge manufacture
+    * "the" symbols and the second member's round-start count would
+    * not be its application-point count. With it, every batch
+    * member's round-start count is exact at its own application
+    * point and sequential application in selection order equals
+    * simultaneous application (the fold order inside the plan is
+    * irrelevant). This is the standard correctness argument for
+    * batched/parallel BPE; pairs that share a symbol (or target an
+    * already-produced string) wait for the next count round.
     *
     * Jobs per round: pair-table collect (sort sample + collect), one
     * lazy checkpoint materialized by the round's total-symbols
@@ -412,7 +418,14 @@ object EngineQueries extends QueryPack {
       val batch = scala.collection.mutable.Buffer.empty[(String, String, Long)]
       for (row <- pairs if batch.size < BpeBatchCap) {
         val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-        if (!used(l) && !used(r)) { used += l; used += r; batch += ((l, r, c)) }
+        // the PRODUCED symbol l+r joins the used set too: a merge applied
+        // earlier in the batch creates occurrences of its concatenation,
+        // so a later member over that string (e.g. (t,he) then ("the",x))
+        // would see application-point counts ≠ round-start counts —
+        // blocking the concatenation closes the string-collision corner
+        if (!used(l) && !used(r)) {
+          used += l; used += r; used += l + r; batch += ((l, r, c))
+        }
       }
       batch.foreach { case (l, r, _) =>
         seg = seg.withColumn("syms", expr(bpeMergeExpr(l, r)))
@@ -974,7 +987,8 @@ object EngineQueries extends QueryPack {
         val notTaken = if (j == 1) ""
           else s"""
              |  WHERE NOT EXISTS (SELECT 1 FROM selall${i}_${j - 1} s
-             |    WHERE p.l = s.l OR p.l = s.r2 OR p.r2 = s.l OR p.r2 = s.r2)""".stripMargin
+             |    WHERE p.l = s.l OR p.l = s.r2 OR p.r2 = s.l OR p.r2 = s.r2
+             |       OR p.l = s.l || s.r2 OR p.r2 = s.l || s.r2)""".stripMargin
         ctes += s"""sel${i}_$j AS MATERIALIZED (
            |  SELECT p.l, p.r2, p.cnt FROM p$i p$notTaken
            |  ORDER BY p.cnt DESC, p.l, p.r2 LIMIT 1)""".stripMargin

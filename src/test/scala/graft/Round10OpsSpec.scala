@@ -225,7 +225,9 @@ class Round10OpsSpec extends AnyFunSuite {
       val used = scala.collection.mutable.Set.empty[String]
       val batch = scala.collection.mutable.Buffer.empty[(String, String, Long)]
       for (((l, r), c) <- ordered if batch.size < cap)
-        if (!used(l) && !used(r)) { used += l; used += r; batch += ((l, r, c)) }
+        if (!used(l) && !used(r)) {
+          used += l; used += r; used += l + r; batch += ((l, r, c))
+        }
       for ((l, r, _) <- batch)
         segs = segs.map { case (f, syms) => (f, greedyMerge(syms, l, r)) }
       val total = segs.map { case (f, syms) => f * syms.length }.sum
