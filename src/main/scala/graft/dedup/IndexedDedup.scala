@@ -1,0 +1,211 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus dedup against PERSISTED indexes — the scale form of
+  * [[Dedup.incrementalDedup]] (which re-shingles the entire keep-set
+  * every micro-batch; see its production caveat). Verdicts are
+  * BIT-IDENTICAL to running `incrementalDedup(keep, batch)` per batch
+  * (q274's semantics, oracle-replayed): same k-shingle Jaccard, same
+  * keep∪batch document-frequency cap, same min-label components, same
+  * kept / dup_of_keep / dup_in_drop statuses. What changes is the cost
+  * shape: per batch the keep side is touched only through two
+  * [[LinearHashIndex]] probes whose IO tracks the batch's key sets —
+  * keep texts are never re-read, keep shingles never recomputed.
+  *
+  * State (both linear-hash indexes, bucket IO ∝ probe set):
+  *   - SHINGLE index `(s, doc_id)`: posting lists of every keep doc for
+  *     every shingle whose keep-side df is ≤ maxShingleDf; a shingle
+  *     that crosses the cap is PERMANENTLY collapsed to one tombstone
+  *     row `(s, -1)` (keep only grows, so keep-side df is monotone) —
+  *     hot postings would otherwise grow without bound and poison the
+  *     probe-proportionality of their buckets.
+  *   - DOC index `(doc_id, n_keep, ver)`: per keep doc, its count of
+  *     currently-surviving shingles (|sh(d)| minus tombstoned), plus
+  *     the last-writer batch id. Doubles as the keep-membership set for
+  *     rep classification.
+  *
+  * Per batch: probe the shingle index by the batch's shingle set; the
+  * combined df of shingle s is |postings(s)| + batch-count(s), so the
+  * batch-relative hot set (tombstoned ∪ over-cap-combined) falls out of
+  * the probe with no global aggregation; candidate pairs are
+  * batch×postings and batch×batch on surviving shingles only; keep-doc
+  * Jaccard sizes are doc-index lookups corrected by the probe-visible
+  * batch-hot shingles. Components and statuses as in
+  * `incrementalDedup`.
+  *
+  * Exactly-once: all three writes are idempotent under whole-batch
+  * replay (the Structured Streaming failure model — a batch re-runs
+  * from the start with the same data): the verdict sink and doc-index
+  * upserts are version-gated by batch id, shingle-index postings merge
+  * as a set union, and the keep side of pair/df computation EXCLUDES
+  * the current batch's doc ids, so state already extended by a crashed
+  * attempt yields the same verdicts. Write order verdicts → doc index
+  * → shingle index narrows the remaining window to a crash INSIDE one
+  * index job's commit (bucket-level, see [[LinearHashIndex]]); closing
+  * it entirely needs a multi-table atomic manifest commit (a table
+  * format's job), recorded as the production TODO, matching q274's
+  * guarantee bar.
+  */
+object IndexedDedup {
+
+  final case class Indexes(shingle: LinearHashIndex, doc: LinearHashIndex)
+
+  val ShingleSchema = "s STRING, doc_id BIGINT"
+  val DocSchema = "doc_id BIGINT, n_keep BIGINT, ver BIGINT"
+
+  /** Seed both indexes from the initial keep corpus. */
+  def bootstrap(spark: SparkSession, docs: DataFrame, k: Int,
+                maxShingleDf: Int, shingleRoot: String, docRoot: String,
+                rowCap: Long): Indexes = {
+    val si = new LinearHashIndex(spark, shingleRoot, "s", ShingleSchema, rowCap)
+    val di = new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap)
+    val ex = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), k)).as("s"))
+      .localCheckpoint(true)
+    val hot0 = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("s")
+    si.bootstrap(
+      ex.join(broadcast(hot0), Seq("s"), "left_anti").select("s", "doc_id")
+        .unionByName(hot0.select(col("s"), lit(-1L).as("doc_id"))))
+    val n0 = ex.join(broadcast(hot0).withColumn("__h", lit(true)), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("__h"), 0L).otherwise(1L)).as("n_keep"))
+    di.bootstrap(docs.select("doc_id").join(n0, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_keep"), lit(0L)).as("n_keep"),
+        lit(0L).as("ver")))
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ex)
+    Indexes(si, di)
+  }
+
+  /** Classify one micro-batch against the indexed keep-set and extend
+    * the indexes with the batch's kept docs. Returns the verdicts
+    * `(doc_id, status, rep_id)` — statuses exactly as
+    * [[Dedup.incrementalDedup]]. */
+  def processBatch(spark: SparkSession, idx: Indexes, batch: DataFrame,
+                   batchSeq: Long, k: Int, threshold: Double,
+                   maxShingleDf: Int): DataFrame = {
+    val bIds = batch.select("doc_id")
+    val bEx = batch.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), k)).as("s"))
+      .localCheckpoint(true)
+    // ---- probe the keep side by the batch's shingle set
+    val probeKeys = bEx.select("s").distinct()
+    val pRows = idx.shingle.probe(probeKeys).localCheckpoint(true)
+    val pm = pRows.join(broadcast(probeKeys), Seq("s"))
+    val tomb = pm.where(col("doc_id") === -1L).select("s")
+    // the replay shield: a crashed attempt may already have merged this
+    // batch's kept docs into the index — they are batch side, not keep
+    val posts = pm.where(col("doc_id") >= 0L)
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // ---- batch-relative hot set: df over keep ∪ batch, exactly
+    // incrementalDedup's cap (keep count from postings, batch count
+    // from the exploded batch)
+    val dfKeep = posts.groupBy("s").agg(count(lit(1)).as("dfk"))
+    val dfB = bEx.groupBy("s").agg(count(lit(1)).as("dfb"))
+    val hotB = dfB.join(dfKeep, Seq("s"), "left")
+      .where(coalesce(col("dfk"), lit(0L)) + col("dfb") > maxShingleDf)
+      .select("s").unionByName(tomb).distinct()
+    // ---- pairs on surviving shingles (batch×keep and batch×batch)
+    val bSurv = bEx.join(broadcast(hotB), Seq("s"), "left_anti")
+    val nB = bSurv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kSurv = posts.join(broadcast(hotB), Seq("s"), "left_anti")
+    val dk = bSurv.select(col("s"), col("doc_id").as("doc_a"))
+      .join(kSurv.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+    val dd = bSurv.select(col("s"), col("doc_id").as("doc_a"))
+      .join(bSurv.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+    val cnt = dk.unionByName(dd)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // ---- Jaccard sizes: batch docs from the batch; matched keep docs
+    // from the doc index, corrected by probe-visible batch-hot shingles
+    val hotNew = hotB.join(broadcast(tomb), Seq("s"), "left_anti")
+    val decHot = posts.join(broadcast(hotNew), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dec"))
+    val keepIds = cnt.select(col("doc_b").as("doc_id")).distinct()
+      .join(broadcast(bIds), Seq("doc_id"), "left_anti")
+    val diRows = idx.doc.probe(keepIds).localCheckpoint(true)
+    val nKeep = diRows.join(broadcast(keepIds), Seq("doc_id"))
+      .join(decHot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_keep") - coalesce(col("dec"), lit(0L))).as("n"))
+    val sz = nB.unionByName(nKeep)
+    val edges = cnt
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .where(col("c").cast("double")
+        / (col("na") + col("nb") - col("c")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+    val verdicts0 = batch.select(col("doc_id").as("doc"))
+      .join(labels.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+      .withColumn("rep_id", coalesce(col("label"), col("doc")))
+    val reps = verdicts0.select("rep_id").distinct()
+    // keep membership of reps: doc-index rows already probed cover every
+    // matched keep doc; batch ids excluded (the same replay shield)
+    val keepReps = diRows.join(broadcast(bIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("rep_id"))
+      .join(broadcast(reps), Seq("rep_id"), "left_semi")
+    val verdicts = verdicts0
+      .join(broadcast(keepReps.withColumn("__ik", lit(true))), Seq("rep_id"), "left")
+      .select(col("doc").as("doc_id"),
+        when(col("rep_id") === col("doc"), lit("kept"))
+          .when(col("__ik"), lit("dup_of_keep"))
+          .otherwise(lit("dup_in_drop")).as("status"),
+        col("rep_id"))
+      .localCheckpoint(true)
+    // ---- extend the indexes with the batch's kept docs
+    val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
+    val keptEx = bEx.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+    val keptCnt = keptEx.groupBy("s").agg(count(lit(1)).as("addc"))
+    // keep-side df is monotone: shingles crossing the cap once the kept
+    // docs land are tombstoned for good
+    val newPerm = keptCnt.join(dfKeep, Seq("s"), "left")
+      .where(coalesce(col("dfk"), lit(0L)) + col("addc") > maxShingleDf)
+      .select("s").join(broadcast(tomb), Seq("s"), "left_anti")
+    val tombAfter = tomb.unionByName(newPerm).distinct()
+    val keptN = keptIds.join(
+        keptEx.join(broadcast(tombAfter).withColumn("__h", lit(true)),
+            Seq("s"), "left")
+          .groupBy("doc_id")
+          .agg(sum(when(col("__h"), 0L).otherwise(1L)).as("nk")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nk"), lit(0L)).as("ins_n"))
+    val decPerm = posts.join(broadcast(newPerm), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dec"))
+    // doc index first (version-gated — a replayed batch must not
+    // re-apply crossing decrements), then the shingle index (set-union
+    // merge + tombstone collapse, naturally idempotent)
+    val diKeys = keptIds.unionByName(decPerm.select("doc_id"))
+    idx.doc.rewrite(diKeys) { old =>
+      old.join(keptN, Seq("doc_id"), "full_outer")
+        .join(decPerm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ver").isNull, col("ins_n"))
+            .when(col("ver") >= batchSeq, col("n_keep"))
+            .when(col("dec").isNotNull, col("n_keep") - col("dec"))
+            .otherwise(col("n_keep")).as("n_keep"),
+          when(col("ver").isNull
+              || (col("ver") < batchSeq && col("dec").isNotNull),
+            lit(batchSeq)).otherwise(col("ver")).as("ver"))
+    }
+    val siKeys = keptEx.select("s").distinct()
+    idx.shingle.rewrite(siKeys) { old =>
+      old.join(broadcast(newPerm), Seq("s"), "left_anti")
+        .unionByName(keptEx
+          .join(broadcast(tombAfter), Seq("s"), "left_anti")
+          .select("s", "doc_id"))
+        .unionByName(newPerm.select(col("s"), lit(-1L).as("doc_id")))
+        .distinct()
+    }
+    Seq(pRows, bEx, diRows).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    // cnt + verdicts stay pinned for the caller's sink merge; verdicts is
+    // the returned frame — the caller releases it (the q274 contract)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(cnt)
+    verdicts
+  }
+}

@@ -449,6 +449,149 @@ object EngineQueries extends QueryPack {
       .orderBy("merge_seq")
   }
 
+  /** Production-BPE shape constants, shared by the q286 trainer and its
+    * generated oracle (both unroll the same round/sub-round structure). */
+  private[graft] val BpeProdRounds = 10
+  private[graft] val BpeProdSubRounds = 4
+  private[graft] val BpeProdTopPairs = 512
+
+  /** Deterministic batch selection for q286: `subRounds` waves of
+    * LOCAL-MAXIMUM pairs over the top-`TopPairs` pair census. A pair
+    * wins a wave iff it precedes (count DESC, l, r ASC) every other
+    * candidate it CONFLICTS with, where conflict(p,q) means sharing a
+    * side symbol or one pair's concatenation being the other's side;
+    * winners' symbols (l, r, and l+r — the q271 string-collision rule)
+    * retire from candidacy for the round's remaining waves. Unlike
+    * q271's sequential greedy scan this rule is ORDER-FREE (a pure
+    * predicate over the census), so the oracle replays each wave as one
+    * NOT-EXISTS self-join instead of unrolling per-selection steps —
+    * which is what lets the batch grow to dozens of merges per count
+    * round without the oracle exploding.
+    *
+    * Exactness (why round-start counts are application-point counts and
+    * one simultaneous pass equals sequential application in (count DESC,
+    * l, r) order): selected pairs never share side symbols, so no
+    * merge destroys another's occurrences; a merge CREATES only its
+    * concatenation, and a selected pair consuming another selected
+    * pair's concatenation as a side always ORDERS BEFORE the producer —
+    * if the consumer q (q.l or q.r = p.l+p.r) were selected in a later
+    * wave than p, p's selection had already retired q's side via the
+    * used set; in the same wave they conflict, so the earlier-ordered
+    * one wins; and a producer ordering before its consumer would have
+    * blocked the consumer the same way. Hence produced symbols never
+    * participate again within the round, which is exactly what the
+    * single-pass applier implements (a freshly-produced token cannot
+    * seed another merge until the next round's census). */
+  private[graft] def bpeSelectBatch(pairs: Seq[(String, String, Long)],
+      subRounds: Int): Seq[(String, String, Long, Int)] = {
+    type P = (String, String, Long)
+    def ordBefore(p: P, q: P): Boolean =
+      p._3 > q._3 || (p._3 == q._3 &&
+        (p._1 < q._1 || (p._1 == q._1 && p._2 < q._2)))
+    def conflict(p: P, q: P): Boolean = {
+      val pc = p._1 + p._2; val qc = q._1 + q._2
+      p._1 == q._1 || p._1 == q._2 || p._2 == q._1 || p._2 == q._2 ||
+        qc == p._1 || qc == p._2 || pc == q._1 || pc == q._2
+    }
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.Buffer.empty[(String, String, Long, Int)]
+    for (t <- 1 to subRounds) {
+      val cand = pairs.filter(p => !used(p._1) && !used(p._2))
+      val winners = cand.filter(p => cand.forall(q =>
+        q == p || !conflict(p, q) || ordBefore(p, q)))
+      winners.foreach { p =>
+        used += p._1; used += p._2; used += p._1 + p._2
+        out += ((p._1, p._2, p._3, t))
+      }
+    }
+    out.toSeq
+  }
+
+  /** One-pass application of a whole symbol-disjoint merge batch: a
+    * left-to-right fold whose state carries the accumulated symbols
+    * plus a FRESH flag on the tail token — a token produced by a merge
+    * this round never seeds another merge (see [[bpeSelectBatch]]'s
+    * exactness note), which is the only difference from running
+    * [[bpeMergeExpr]] once per member. Symbols are [a-z]+ by
+    * construction; the membership set is inlined with a space
+    * separator. */
+  private[graft] def bpeBatchMergeExpr(batch: Seq[(String, String)]): String = {
+    val arr = batch.map { case (l, r) => s"'$l $r'" }.mkString(", ")
+    s"""aggregate(slice(syms, 2, size(syms) - 1),
+       |  named_struct('arr', array(syms[0]), 'fresh', false),
+       |  (acc, s) -> CASE WHEN NOT acc.fresh AND array_contains(array($arr),
+       |        concat(element_at(acc.arr, -1), ' ', s))
+       |    THEN named_struct('arr',
+       |           concat(slice(acc.arr, 1, size(acc.arr) - 1),
+       |                  array(concat(element_at(acc.arr, -1), s))),
+       |           'fresh', true)
+       |    ELSE named_struct('arr', concat(acc.arr, array(s)), 'fresh', false)
+       |    END,
+       |  acc -> acc.arr)""".stripMargin
+  }
+
+  /** q286: BPE training at the PRODUCTION amortization target (VERDICT
+    * r10 #4) — q271 made the Spark-job count rounds-shaped (~4 jobs per
+    * count round, cap 8); at 32k merges that is still thousands of
+    * rounds. This trainer drives jobs-per-merge below 0.25 two ways:
+    * the batch cap rises to whatever [[bpeSelectBatch]]'s wave rule can
+    * prove disjoint over the top-512 census (dozens per round once the
+    * symbol vocabulary widens), and each round spends exactly TWO jobs —
+    * a TakeOrderedAndProject pair-census collect (ORDER BY + LIMIT
+    * plans as a single top-k job; q271's full-sort collect paid a range-
+    * partitioning sample pass) and the batch apply + lazy checkpoint
+    * materialized by the round's Σ freq·|syms| checksum aggregate.
+    * Round10OpsSpec pins both the job bound and the ≥128-merge yield;
+    * the oracle unrolls every round as census → 4 NOT-EXISTS waves →
+    * one parity-rule batch application. */
+  private def bpeProductionTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("w"), col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    var prevCp = seg
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, String, String, Long, Long)]
+    var mseq = 0L
+    for (round <- 1 to BpeProdRounds) {
+      val top = seg.select(col("freq"), explode(expr(
+          """CASE WHEN size(syms) >= 2
+            |  THEN transform(sequence(1, size(syms) - 1),
+            |         i -> struct(syms[i - 1] AS l, syms[i] AS r))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(BpeProdTopPairs) // single top-k job, no sort-sample pass
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val sel = bpeSelectBatch(top, BpeProdSubRounds)
+      if (sel.nonEmpty) {
+        seg = seg.withColumn("syms",
+            expr(bpeBatchMergeExpr(sel.map(p => (p._1, p._2)))))
+          .localCheckpoint(false)
+        val total = seg.agg(sum(col("freq") * size(col("syms"))))
+          .collect()(0).getLong(0)
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+        prevCp = seg
+        // application/batch order: (count DESC, l, r) across the round
+        sel.sortBy(p => (-p._3, p._1, p._2)).zipWithIndex.foreach {
+          case ((l, r, c, t), j) =>
+            mseq += 1
+            out += ((mseq, round.toLong, t.toLong, (j + 1).toLong, l, r, c,
+              total))
+        }
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
+    import spark.implicits._
+    out.toSeq.toDF("merge_seq", "merge_round", "sub_round", "batch_pos",
+        "lsym", "rsym", "pair_count", "total_symbols_after_round")
+      .orderBy("merge_seq")
+  }
+
   /** q208: ORC sink+source roundtrip — the remaining built-in columnar
     * format beside parquet (q137 covers CSV/JSON text wires; q199 XML).
     * Unlike the text formats, ORC carries NATIVE types, so the real

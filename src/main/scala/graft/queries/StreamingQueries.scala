@@ -692,7 +692,63 @@ object StreamingQueries extends QueryPack {
       .orderBy("batch_seq", "doc_id")
   }
 
+  /** q283: q274 against PERSISTED keep-side indexes — the round-10
+    * verdict's top item ("q274 re-shingles the whole keep-set every
+    * micro-batch"). Identical batches, thresholds, and verdicts (the
+    * oracle IS q274's oracle), but each foreachBatch runs
+    * [[graft.dedup.IndexedDedup.processBatch]]: the keep-set lives as
+    * two [[graft.dedup.LinearHashIndex]]es (shingle postings with
+    * df-cap tombstones; per-doc surviving-shingle counts) probed by the
+    * batch's own key sets, so per-batch keep-side IO tracks the batch —
+    * keep texts are never re-read, keep shingles never recomputed, and
+    * the index merges touch only the batch's buckets
+    * (IndexedDedupSpec pins the scan-volume claim with a SparkListener
+    * and replays batches for the exactly-once contract). The verdict
+    * sink keeps q274's idempotent doc_id-keyed MERGE. */
+  private def streamingIndexedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.IndexedDedup
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = docs.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    val outDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_out_")
+    val idx = IndexedDedup.bootstrap(spark, docs, k = 3, maxShingleDf = 20,
+      MlQueries.tempDirDeletedOnExit("graft_xdedup_si_"),
+      MlQueries.tempDirDeletedOnExit("graft_xdedup_di_"), rowCap = 4096L)
+    val watch = stageBatches("graft_xdedup_", Seq(b1, b2))
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_xdedup_ckpt_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val sp = batch.sparkSession
+          val verdicts = IndexedDedup.processBatch(sp, idx, batch,
+              batchSeq = id + 1, k = 3, threshold = 0.3, maxShingleDf = 20)
+          Pipelines.mergeIntoParquet(
+            verdicts.withColumn("batch_seq", lit(id + 1)), outDir,
+            key = "doc_id", version = "batch_seq", tiebreak = "doc_id",
+            nBuckets = 16)
+          org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(verdicts)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .select(col("batch_seq"), col("doc_id"), col("status"), col("rep_id"))
+      .orderBy("batch_seq", "doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_streaming_indexed_dedup" -> streamingIndexedDedup,
     "q274_streaming_inc_dedup" -> streamingIncDedup,
     "q239_streaming_cusum" -> streamingCusumQ,
     "q120_tws_watermark" -> twsWatermarkReplay,
@@ -803,6 +859,9 @@ object StreamingQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,
+    // q283 computes q274's verdicts against persisted indexes — the
+    // oracle is LITERALLY the same replay, which is the claim
+    "q283_streaming_indexed_dedup" -> streamingIncDedupOracle,
     // exact equality: 5 distinct types < m = 8, so the MG summary never
     // evicts and equals the plain windowed group-by
     "q229_streaming_heavy_hitters" ->
