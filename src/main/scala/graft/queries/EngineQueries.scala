@@ -451,7 +451,7 @@ object EngineQueries extends QueryPack {
 
   /** Production-BPE shape constants, shared by the q286 trainer and its
     * generated oracle (both unroll the same round/sub-round structure). */
-  private[graft] val BpeProdRounds = 10
+  private[graft] val BpeProdRounds = 20
   private[graft] val BpeProdSubRounds = 4
   private[graft] val BpeProdTopPairs = 512
 
@@ -532,30 +532,51 @@ object EngineQueries extends QueryPack {
 
   /** q286: BPE training at the PRODUCTION amortization target (VERDICT
     * r10 #4) — q271 made the Spark-job count rounds-shaped (~4 jobs per
-    * count round, cap 8); at 32k merges that is still thousands of
-    * rounds. This trainer drives jobs-per-merge below 0.25 two ways:
-    * the batch cap rises to whatever [[bpeSelectBatch]]'s wave rule can
-    * prove disjoint over the top-512 census (dozens per round once the
-    * symbol vocabulary widens), and each round spends exactly TWO jobs —
-    * a TakeOrderedAndProject pair-census collect (ORDER BY + LIMIT
-    * plans as a single top-k job; q271's full-sort collect paid a range-
-    * partitioning sample pass) and the batch apply + lazy checkpoint
-    * materialized by the round's Σ freq·|syms| checksum aggregate.
-    * Round10OpsSpec pins both the job bound and the ≥128-merge yield;
-    * the oracle unrolls every round as census → 4 NOT-EXISTS waves →
-    * one parity-rule batch application. */
+    * count round, cap 8); at real merge budgets that is still thousands
+    * of rounds. This trainer spends ONE job per count round and drives
+    * jobs-per-merge under 0.25:
+    *   - the batch cap rises to whatever [[bpeSelectBatch]]'s wave rule
+    *     can prove disjoint over the top-512 census (dozens per round
+    *     while the vocabulary has independent material);
+    *   - the census collect is the round's ONLY job: ORDER BY + LIMIT
+    *     plans as one TakeOrderedAndProject pass (q271's full-sort
+    *     collect paid a range-partitioning sample job) and the same
+    *     action materializes the PREVIOUS round's lazy checkpoint;
+    *   - the per-round Σ freq·|syms| checksum is DERIVED, not measured:
+    *     a merge with application-point count c removes exactly c
+    *     symbols, so total_after = total_before − Σ batch counts — valid
+    *     precisely because of the batch-exactness lemma, and audited
+    *     END-TO-END by the oracle, which MEASURES sum(freq) over its
+    *     materialized per-round segmentations: any wrong application or
+    *     a broken disjointness argument makes engine-derived and
+    *     oracle-measured totals hash-mismatch (and shifts every later
+    *     measured census besides).
+    * The trainer stops at the corpus' saturation point — the driver
+    * corpus holds 30 distinct [a-z]+ words, so at most Σ(len−1) = 107
+    * merges EXIST; the trainer reaches all of them (an empty census
+    * breaks the loop; the oracle's remaining unrolled rounds yield
+    * empty waves, keeping parity). Round11OpsSpec pins ≥128 merges at
+    * < 0.25 jobs/merge on a richer-vocabulary fixture where that many
+    * merges exist. */
   private def bpeProductionTrain(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
     var seg = words.select(col("w"), col("freq"), split(col("w"), "").as("syms"))
-      .localCheckpoint(true)
-    var prevCp = seg
+      .localCheckpoint(false) // materialized by the init total below
+    var total = seg.agg(sum(col("freq") * size(col("syms"))))
+      .collect()(0).getLong(0)
+    var prevCp: DataFrame = null
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Long, String, String, Long, Long)]
     var mseq = 0L
-    for (round <- 1 to BpeProdRounds) {
+    var round = 1
+    var done = false
+    while (round <= BpeProdRounds && !done) {
+      // the round's single job: top-k census; as the first action on the
+      // current (lazily checkpointed) segmentation it also materializes
+      // it, letting the previous round's blocks go
       val top = seg.select(col("freq"), explode(expr(
           """CASE WHEN size(syms) >= 2
             |  THEN transform(sequence(1, size(syms) - 1),
@@ -564,19 +585,21 @@ object EngineQueries extends QueryPack {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(BpeProdTopPairs) // single top-k job, no sort-sample pass
+        .limit(BpeProdTopPairs)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (prevCp != null) {
+        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
+        prevCp = null
+      }
       val sel = bpeSelectBatch(top, BpeProdSubRounds)
-      if (sel.nonEmpty) {
+      if (sel.isEmpty) done = true // saturation: every word is one symbol
+      else {
+        prevCp = seg
         seg = seg.withColumn("syms",
             expr(bpeBatchMergeExpr(sel.map(p => (p._1, p._2)))))
           .localCheckpoint(false)
-        val total = seg.agg(sum(col("freq") * size(col("syms"))))
-          .collect()(0).getLong(0)
-        org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
-        prevCp = seg
-        // application/batch order: (count DESC, l, r) across the round
+        total -= sel.iterator.map(_._3).sum // the exactness-lemma derivation
         sel.sortBy(p => (-p._3, p._1, p._2)).zipWithIndex.foreach {
           case ((l, r, c, t), j) =>
             mseq += 1
@@ -584,7 +607,12 @@ object EngineQueries extends QueryPack {
               total))
         }
       }
+      round += 1
     }
+    // the final segmentation was materialized by the empty/last census;
+    // release both live checkpoints — the output is driver-local
+    if (prevCp != null)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
     import spark.implicits._
     out.toSeq.toDF("merge_seq", "merge_round", "sub_round", "batch_pos",
@@ -724,6 +752,7 @@ object EngineQueries extends QueryPack {
     "q204_bpe_pair_counts" -> bpePairCounts,
     "q213_bpe_train_loop" -> bpeTrainLoop,
     "q220_bpe_encode" -> bpeEncode,
+    "q286_bpe_production_train" -> bpeProductionTrain,
     "q271_bpe_batched_train" -> bpeBatchedTrain,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
@@ -994,7 +1023,8 @@ object EngineQueries extends QueryPack {
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q213_bpe_train_loop" -> bpeLoopOracle,
     "q220_bpe_encode" -> bpeEncodeOracle,
-    "q271_bpe_batched_train" -> bpeBatchedOracle
+    "q271_bpe_batched_train" -> bpeBatchedOracle,
+    "q286_bpe_production_train" -> bpeProductionOracle
   )
 
   /** q213 oracle: the 3 merge rounds unrolled relationally. Per round:
@@ -1175,6 +1205,117 @@ object EngineQueries extends QueryPack {
   /** q220 oracle: q213's unrolled training rounds, then every document
     * re-encoded from seg3 — per-word symbol counts joined back to the
     * per-doc word stream. */
+  /** q286 oracle: every count round unrolled as top-512 census → 4
+    * order-free NOT-EXISTS local-maximum waves (the [[bpeSelectBatch]]
+    * predicate verbatim: conflict = shared side OR either concatenation
+    * being the other's side; winners' symbols + concatenations retire
+    * via the cumulative used-set) → ONE parity-rule batch application
+    * (consecutive matches are same-pair runs under disjointness, so the
+    * single-winner machinery generalizes by joining the whole wave
+    * union). Per-round totals are MEASURED (sum(freq) over the
+    * materialized segmentation) against the engine's lemma-DERIVED
+    * running totals — the cross-engine audit of the batch-exactness
+    * argument itself. Rounds beyond saturation yield empty waves and
+    * pass the segmentation through untouched, mirroring the engine's
+    * early break. */
+  private def bpeProductionOracle: String = {
+    val R = BpeProdRounds
+    val T = BpeProdSubRounds
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val outs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "seg0"
+    def waveSql(cand: String, t: Int): String =
+      s"""  SELECT p.l, p.r2, p.cnt, $t AS sub_round FROM $cand p
+         |  WHERE NOT EXISTS (SELECT 1 FROM $cand q
+         |    WHERE NOT (q.l = p.l AND q.r2 = p.r2)
+         |      AND (q.l = p.l OR q.l = p.r2 OR q.r2 = p.l OR q.r2 = p.r2
+         |           OR q.l || q.r2 = p.l OR q.l || q.r2 = p.r2
+         |           OR p.l || p.r2 = q.l OR p.l || p.r2 = q.r2)
+         |      AND (q.cnt > p.cnt OR (q.cnt = p.cnt AND (q.l < p.l
+         |           OR (q.l = p.l AND q.r2 < p.r2)))))""".stripMargin
+    for (i <- 1 to R) {
+      ctes += s"""p$i AS MATERIALIZED (
+         |  SELECT l, r2, cnt FROM (
+         |    SELECT a.sym AS l, b.sym AS r2, CAST(sum(a.freq) AS BIGINT) AS cnt
+         |    FROM $prev a JOIN $prev b ON a.w = b.w AND b.pos = a.pos + 1
+         |    GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, l, r2 LIMIT $BpeProdTopPairs)""".stripMargin
+      var cand = s"p$i"
+      for (t <- 1 to T) {
+        ctes += s"w${i}_$t AS MATERIALIZED (\n${waveSql(cand, t)})"
+        val prevUs = if (t == 1) ""
+          else s"  SELECT s FROM us${i}_${t - 1}\n  UNION\n"
+        ctes += s"""us${i}_$t AS MATERIALIZED (
+           |$prevUs  SELECT l AS s FROM w${i}_$t
+           |  UNION SELECT r2 FROM w${i}_$t
+           |  UNION SELECT l || r2 FROM w${i}_$t)""".stripMargin
+        if (t < T) {
+          ctes += s"""c${i}_${t + 1} AS MATERIALIZED (
+             |  SELECT p.l, p.r2, p.cnt FROM p$i p
+             |  WHERE NOT EXISTS (SELECT 1 FROM us${i}_$t u
+             |    WHERE u.s = p.l OR u.s = p.r2))""".stripMargin
+          cand = s"c${i}_${t + 1}"
+        }
+      }
+      ctes += s"""sel$i AS MATERIALIZED (
+         |${(1 to T).map(t => s"  SELECT * FROM w${i}_$t")
+            .mkString("\n  UNION ALL\n")})""".stripMargin
+      ctes += s"""x$i AS (
+         |  SELECT w, freq, pos, sym,
+         |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM $prev),
+         |m$i AS (
+         |  SELECT x.w, x.freq, x.pos, x.sym, t.l IS NOT NULL AS m
+         |  FROM x$i x LEFT JOIN sel$i t ON t.l = x.sym AND t.r2 = x.nxt),
+         |g$i AS (
+         |  SELECT *, CASE WHEN m THEN pos - row_number()
+         |                 OVER (PARTITION BY w, m ORDER BY pos) END AS grp
+         |  FROM m$i),
+         |a$i AS (
+         |  SELECT *, CASE WHEN m THEN row_number()
+         |                 OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+         |            ELSE false END AS active
+         |  FROM g$i),
+         |e$i AS (
+         |  SELECT w, freq, pos, sym, active,
+         |         lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         |         coalesce(lag(active) OVER (PARTITION BY w ORDER BY pos),
+         |                  false) AS prev_active
+         |  FROM a$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+         |         CASE WHEN active THEN sym || nxt ELSE sym END AS sym
+         |  FROM e$i WHERE NOT prev_active)""".stripMargin
+      outs += s"""SELECT $i AS merge_round, sub_round, l, r2, cnt,
+         |  (SELECT CAST(sum(freq) AS BIGINT) FROM s$i) AS tot
+         |FROM sel$i""".stripMargin
+      prev = s"s$i"
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |         unnest(generate_series(1, length(w))) AS pos,
+       |         unnest(regexp_split_to_array(w, '')) AS sym
+       |  FROM words),
+       |${ctes.mkString(",\n")},
+       |all_sel AS (
+       |${outs.mkString("\nUNION ALL\n")})
+       |SELECT CAST(row_number() OVER (ORDER BY merge_round, cnt DESC, l, r2)
+       |         AS BIGINT) AS merge_seq,
+       |       CAST(merge_round AS BIGINT) AS merge_round,
+       |       CAST(sub_round AS BIGINT) AS sub_round,
+       |       CAST(row_number() OVER (PARTITION BY merge_round
+       |         ORDER BY cnt DESC, l, r2) AS BIGINT) AS batch_pos,
+       |       l AS lsym, r2 AS rsym, CAST(cnt AS BIGINT) AS pair_count,
+       |       CAST(tot AS BIGINT) AS total_symbols_after_round
+       |FROM all_sel ORDER BY merge_seq""".stripMargin
+  }
+
   private def bpeEncodeOracle: String =
     s"""WITH dw AS (
        |  SELECT doc_id, w FROM (

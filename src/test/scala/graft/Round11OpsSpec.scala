@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 pins: the q286 production-BPE trainer (wave selection,
+  * single-pass batch apply, one-job rounds, lemma-derived totals) and
+  * the round's other breadth queries. */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1
+      var waited = 0
+      while (jobs.get() != last && waited < 5000) {
+        last = jobs.get(); Thread.sleep(200); waited += 200
+      }
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r11_").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // ---------------------------------------------------- q286
+  /** Pure-Scala reference for the production trainer that applies each
+    * selected pair SEQUENTIALLY in (count DESC, l, r) order — the
+    * engine applies the whole batch in ONE fold pass, so equality here
+    * is a direct test of the sequential≡simultaneous exactness lemma;
+    * and the reference MEASURES each round's Σ freq·|syms| while the
+    * engine DERIVES it from the pair counts, auditing the
+    * count-exactness half of the lemma too. */
+  private def refProdBpe(words: Seq[(String, Long)], rounds: Int, top: Int,
+      waves: Int): Seq[(Long, Long, Long, Long, String, String, Long, Long)] = {
+    def greedyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = scala.collection.mutable.Buffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    var segs = words.map { case (w, f) => (f, w.split("").toVector) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, String, String, Long, Long)]
+    var mseq = 0L
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((f, syms) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val census = counts.toSeq.map { case ((l, r), c) => (l, r, c) }
+        .sortBy { case (l, r, c) => (-c, l, r) }.take(top)
+      val sel = graft.queries.EngineQueries.bpeSelectBatch(census, waves)
+      if (sel.isEmpty) done = true
+      else {
+        // SEQUENTIAL application, batch order
+        for ((l, r, _, _) <- sel.sortBy(p => (-p._3, p._1, p._2)))
+          segs = segs.map { case (f, syms) => (f, greedyMerge(syms, l, r)) }
+        val total = segs.map { case (f, syms) => f * syms.length }.sum // measured
+        sel.sortBy(p => (-p._3, p._1, p._2)).zipWithIndex.foreach {
+          case ((l, r, c, t), j) =>
+            mseq += 1
+            out += ((mseq, round.toLong, t.toLong, (j + 1).toLong, l, r, c,
+              total))
+        }
+      }
+      round += 1
+    }
+    out.toSeq
+  }
+
+  /** 36 stride-permutation words over a–z: same letters, different
+    * adjacency structure per stride, so level-0 merges contend for the
+    * 26-letter alphabet while every post-merge symbol is word-family-
+    * specific — a corpus whose saturation comfortably exceeds 128
+    * distinct merge rules (unlike the 30-word driver corpus, which
+    * saturates at 89). */
+  private def strideWords: Seq[(String, Long)] =
+    (for {
+      (stride, si) <- Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25).zipWithIndex
+      off <- 0 until 3
+    } yield {
+      val w = (0 until 8)
+        .map(j => ('a' + ((off * 7 + j * stride) % 26)).toChar).mkString
+      (w, 5L + si * 3 + off)
+    }).groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+
+  test("q286: production BPE on a rich-vocabulary fixture — single-pass " +
+    "batch apply equals sequential application (the exactness lemma), " +
+    "derived totals equal measured totals, >=128 merges at <0.25 " +
+    "jobs/merge with one census job per round") {
+    val words = strideWords
+    val corpus = words.zipWithIndex.flatMap { case ((w, f), i) =>
+      // freq f copies of each word, spread over a few docs
+      Seq((i * 10L, (w + " ") * f.toInt))
+    }
+    val dir = stageDocs(corpus)
+    val expect = refProdBpe(words.map { case (w, f) => (w, f) },
+      rounds = graft.queries.EngineQueries.BpeProdRounds,
+      top = graft.queries.EngineQueries.BpeProdTopPairs,
+      waves = graft.queries.EngineQueries.BpeProdSubRounds)
+    assert(expect.length >= 128,
+      s"fixture saturates below the target: ${expect.length}")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      // the trainer runs its loop eagerly and returns a driver-local
+      // frame; materializing THAT is sink cost, not trainer cost — keep
+      // it outside the counted window
+      var res: org.apache.spark.sql.DataFrame = null
+      val jobs = countJobs {
+        res = SparkEntry.queries("q286_bpe_production_train")(spark, dir)
+      }
+      val got = res.as[(Long, Long, Long, Long, String, String, Long, Long)]
+        .collect().toSeq
+      assert(got == expect,
+        s"engine vs sequential reference diverge:\n${got.diff(expect).take(5)}" +
+          s"\nvs\n${expect.diff(got).take(5)}")
+      val merges = got.length
+      val rounds = got.map(_._2).max
+      // jobs: 1 init total + one census per round incl. the empty
+      // saturation-detecting one — everything else rides those actions
+      assert(jobs <= rounds + 2,
+        s"round cost crept past one job per census: $jobs jobs, $rounds rounds")
+      assert(jobs * 4 < merges,
+        s"jobs/merge >= 0.25: $jobs jobs for $merges merges")
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  test("q286: driver-corpus run reaches full saturation — every word " +
+    "collapses to one symbol (final derived total = word occurrences)") {
+    val got = SparkEntry.queries("q286_bpe_production_train")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length > 0)
+    val finalTotal = got.last.getAs[Long]("total_symbols_after_round")
+    val nWords = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2).count()
+    assert(finalTotal == nWords,
+      s"not saturated: final total $finalTotal vs $nWords word occurrences")
+  }
+}
