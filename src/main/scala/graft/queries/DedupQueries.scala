@@ -264,6 +264,79 @@ object DedupQueries extends QueryPack {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The q273 span machinery as a reusable DuckDB CTE chain ending at
+    * `f` (doc/island spans, partner keys, boundary extensions, char
+    * offsets) — shared by the q273 oracle and the q287 corpus-cut
+    * oracle built on top of it. Pipe margins strip in the consumer. */
+  private val charSpanOracleCtes: String =
+    """t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |           || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+        |  FROM t, unnest(range(1, len(toks) - 3)) AS r(i)
+        |  WHERE len(toks) >= 5),
+        |d AS (SELECT sh, count(DISTINCT doc_id) AS df FROM p GROUP BY sh),
+        |u AS (SELECT p.doc_id, p.pos
+        |      FROM p JOIN d USING (sh) WHERE d.df >= 2),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM u),
+        |s AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |      FROM i),
+        |isl AS (SELECT doc_id, island, min(pos) AS p, max(pos) AS q
+        |        FROM s GROUP BY 1, 2),
+        |a AS (SELECT isl.*, t.toks,
+        |        array_to_string(t.toks[isl.p+1:isl.p+5], ' ') AS sh_first,
+        |        array_to_string(t.toks[isl.q+1:isl.q+5], ' ') AS sh_last
+        |      FROM isl JOIN t USING (doc_id)),
+        |lk AS (SELECT a.doc_id, a.island,
+        |         min(o.doc_id * 1048576 + o.pos) AS lkey
+        |       FROM a JOIN p o ON o.sh = a.sh_first AND o.doc_id <> a.doc_id
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT a.doc_id, a.island,
+        |         min(o.doc_id * 1048576 + o.pos) AS rkey
+        |       FROM a JOIN p o ON o.sh = a.sh_last AND o.doc_id <> a.doc_id
+        |       GROUP BY 1, 2),
+        |j AS (SELECT a.*, lkey // 1048576 AS l_doc, lkey % 1048576 AS l_pos,
+        |             rkey // 1048576 AS r_doc, rkey % 1048576 AS r_pos
+        |      FROM a JOIN lk USING (doc_id, island)
+        |             JOIN rk USING (doc_id, island)),
+        |j2 AS (SELECT j.*, tl.toks AS ltoks, tr.toks AS rtoks
+        |       FROM j JOIN t tl ON tl.doc_id = j.l_doc
+        |              JOIN t tr ON tr.doc_id = j.r_doc),
+        |b AS (SELECT *,
+        |        CASE WHEN p > 0 THEN toks[CAST(p AS INT)] END AS dtl,
+        |        CASE WHEN l_pos > 0 THEN ltoks[CAST(l_pos AS INT)] END AS ptl,
+        |        CASE WHEN len(toks) >= q + 6 THEN toks[CAST(q AS INT) + 6] END AS dtr,
+        |        CASE WHEN len(rtoks) >= r_pos + 6
+        |             THEN rtoks[CAST(r_pos AS INT) + 6] END AS ptr
+        |      FROM j2),
+        |e AS (SELECT *,
+        |        CASE WHEN dtl IS NULL OR ptl IS NULL THEN 0
+        |          ELSE len([k for k in range(1,
+        |                 least(length(dtl), length(ptl)) + 1)
+        |               if substr(reverse(dtl), 1, CAST(k AS INT))
+        |                  = substr(reverse(ptl), 1, CAST(k AS INT))]) + 1
+        |        END AS ext_l,
+        |        CASE WHEN dtr IS NULL OR ptr IS NULL THEN 0
+        |          ELSE len([k for k in range(1,
+        |                 least(length(dtr), length(ptr)) + 1)
+        |               if substr(dtr, 1, CAST(k AS INT))
+        |                  = substr(ptr, 1, CAST(k AS INT))]) + 1
+        |        END AS ext_r
+        |      FROM b),
+        |f AS (SELECT *,
+        |        CASE WHEN p = 0 THEN 0
+        |          ELSE length(array_to_string(toks[1:CAST(p AS INT)], ' ')) + 1
+        |        END AS cs,
+        |        length(array_to_string(toks[1:CAST(q AS INT) + 5], ' ')) AS ce
+        |      FROM e)"""
+
   /** q273: CHARACTER-EXACT maximal dup spans — q241 upgraded from
     * 5-gram to character granularity (VERDICT r9 #6, the Lee et al.
     * substring-dedup boundary semantics). A q241 island covers tokens
@@ -368,6 +441,61 @@ object DedupQueries extends QueryPack {
         expr("cs - ext_left_chars").as("span_char_start"),
         expr("ce + ext_right_chars - cs + ext_left_chars").as("span_char_len"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** q287: SUBSTRING-DEDUP CORPUS TRANSFORM (VERDICT r10 #5) — the Lee
+    * et al. END PRODUCT the q273 spans exist for: duplicated extents
+    * are EXCISED from the corpus, keeping one canonical occurrence of
+    * each. The canonical rule is q273's own key: a span is CUT iff its
+    * left-partner occurrence key (partner_doc·2²⁰ + partner_pos) orders
+    * before the span's own (doc·2²⁰ + span_start) — the minimum
+    * (doc, pos) occurrence survives, everything later is removed; fully
+    * deterministic, no pairwise coordination. Surgery runs on the
+    * single-space-normalized text with a running-max fold over the
+    * doc's sorted cut ranges, so the (rare) case of adjacent islands'
+    * one-token extensions overlapping in char space clamps instead of
+    * double-cutting. Audits: span/cut counts, original vs kept char
+    * lengths, and the md5 of the kept text — the oracle re-derives the
+    * spans, replays the verdicts and the stitching (as a window +
+    * ordered string_agg — a different construction of the same string),
+    * and the hashes must meet.
+    *
+    * Scale shape: q273's span machinery plus ONE doc-key join of spans
+    * back to the text and a per-doc fold — no new shuffles beyond the
+    * span aggregation itself. */
+  private def substringDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val spans = charExactDupSpans(spark, dir)
+      .select(col("doc_id"), col("span_char_start").as("s"),
+        col("span_char_len").as("len"),
+        (col("left_partner_doc") * 1048576L + col("left_partner_pos"))
+          .as("pkey"),
+        (col("doc_id") * 1048576L + col("span_start")).as("okey"))
+    val agg = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("pkey") < col("okey"), 1L).otherwise(0L)).as("n_cut"),
+      // collect_list drops the NULLs the kept spans become
+      sort_array(collect_list(when(col("pkey") < col("okey"),
+        struct(col("s"), col("len"))))).as("ranges"))
+    val nt = Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws(" ", split(trim(col("text")), "\\s+")).as("nt"))
+    agg.join(nt, "doc_id")
+      .withColumn("kept", expr(
+        """aggregate(ranges,
+          |  named_struct('t', CAST('' AS STRING), 'e', 0L),
+          |  (acc, r) -> named_struct(
+          |    't', concat(acc.t, substring(nt, CAST(acc.e + 1 AS INT),
+          |           CAST(greatest(0L, r.s - acc.e) AS INT))),
+          |    'e', greatest(acc.e, r.s + r.len)),
+          |  acc -> concat(acc.t, substring(nt, CAST(acc.e + 1 AS INT),
+          |           CAST(greatest(0L, length(nt) - acc.e) AS INT))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_spans"), col("n_cut"),
+        length(col("nt")).cast("long").as("orig_chars"),
+        length(col("kept")).cast("long").as("kept_chars"),
+        (length(col("nt")) - length(col("kept"))).cast("long")
+          .as("cut_chars"),
+        md5(col("kept")).as("kept_md5"))
+      .orderBy("doc_id")
   }
 
   /** q246: BLOCKING QUALITY METRICS — entity-resolution's standard
@@ -1021,6 +1149,7 @@ object DedupQueries extends QueryPack {
     "q122_shared_spans" -> sharedSpans,
     "q241_maximal_dup_spans" -> maximalDupSpans,
     "q273_char_exact_dup_spans" -> charExactDupSpans,
+    "q287_substring_dedup_corpus" -> substringDedupCorpus,
     "q246_blocking_quality" -> blockingQuality,
     "q272_blocking_pc_sampled" -> blockingPcSampled,
     "q36_exact_dedup" -> exactDedup,
@@ -1405,73 +1534,7 @@ object DedupQueries extends QueryPack {
     // boundary, token-level LCS/LCP via the monotone prefix-equality
     // count, char offsets from joined token-slice lengths.
     "q273_char_exact_dup_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |           || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
-        |  FROM t, unnest(range(1, len(toks) - 3)) AS r(i)
-        |  WHERE len(toks) >= 5),
-        |d AS (SELECT sh, count(DISTINCT doc_id) AS df FROM p GROUP BY sh),
-        |u AS (SELECT p.doc_id, p.pos
-        |      FROM p JOIN d USING (sh) WHERE d.df >= 2),
-        |i AS (SELECT doc_id, pos,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM u),
-        |s AS (SELECT doc_id, pos,
-        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |      FROM i),
-        |isl AS (SELECT doc_id, island, min(pos) AS p, max(pos) AS q
-        |        FROM s GROUP BY 1, 2),
-        |a AS (SELECT isl.*, t.toks,
-        |        array_to_string(t.toks[isl.p+1:isl.p+5], ' ') AS sh_first,
-        |        array_to_string(t.toks[isl.q+1:isl.q+5], ' ') AS sh_last
-        |      FROM isl JOIN t USING (doc_id)),
-        |lk AS (SELECT a.doc_id, a.island,
-        |         min(o.doc_id * 1048576 + o.pos) AS lkey
-        |       FROM a JOIN p o ON o.sh = a.sh_first AND o.doc_id <> a.doc_id
-        |       GROUP BY 1, 2),
-        |rk AS (SELECT a.doc_id, a.island,
-        |         min(o.doc_id * 1048576 + o.pos) AS rkey
-        |       FROM a JOIN p o ON o.sh = a.sh_last AND o.doc_id <> a.doc_id
-        |       GROUP BY 1, 2),
-        |j AS (SELECT a.*, lkey // 1048576 AS l_doc, lkey % 1048576 AS l_pos,
-        |             rkey // 1048576 AS r_doc, rkey % 1048576 AS r_pos
-        |      FROM a JOIN lk USING (doc_id, island)
-        |             JOIN rk USING (doc_id, island)),
-        |j2 AS (SELECT j.*, tl.toks AS ltoks, tr.toks AS rtoks
-        |       FROM j JOIN t tl ON tl.doc_id = j.l_doc
-        |              JOIN t tr ON tr.doc_id = j.r_doc),
-        |b AS (SELECT *,
-        |        CASE WHEN p > 0 THEN toks[CAST(p AS INT)] END AS dtl,
-        |        CASE WHEN l_pos > 0 THEN ltoks[CAST(l_pos AS INT)] END AS ptl,
-        |        CASE WHEN len(toks) >= q + 6 THEN toks[CAST(q AS INT) + 6] END AS dtr,
-        |        CASE WHEN len(rtoks) >= r_pos + 6
-        |             THEN rtoks[CAST(r_pos AS INT) + 6] END AS ptr
-        |      FROM j2),
-        |e AS (SELECT *,
-        |        CASE WHEN dtl IS NULL OR ptl IS NULL THEN 0
-        |          ELSE len([k for k in range(1,
-        |                 least(length(dtl), length(ptl)) + 1)
-        |               if substr(reverse(dtl), 1, CAST(k AS INT))
-        |                  = substr(reverse(ptl), 1, CAST(k AS INT))]) + 1
-        |        END AS ext_l,
-        |        CASE WHEN dtr IS NULL OR ptr IS NULL THEN 0
-        |          ELSE len([k for k in range(1,
-        |                 least(length(dtr), length(ptr)) + 1)
-        |               if substr(dtr, 1, CAST(k AS INT))
-        |                  = substr(ptr, 1, CAST(k AS INT))]) + 1
-        |        END AS ext_r
-        |      FROM b),
-        |f AS (SELECT *,
-        |        CASE WHEN p = 0 THEN 0
-        |          ELSE length(array_to_string(toks[1:CAST(p AS INT)], ' ')) + 1
-        |        END AS cs,
-        |        length(array_to_string(toks[1:CAST(q AS INT) + 5], ' ')) AS ce
-        |      FROM e)
+      s"""WITH $charSpanOracleCtes
         |SELECT doc_id, p AS span_start, q - p + 5 AS span_tokens,
         |       CAST(l_doc AS BIGINT) AS left_partner_doc,
         |       CAST(l_pos AS BIGINT) AS left_partner_pos,
@@ -1482,6 +1545,59 @@ object DedupQueries extends QueryPack {
         |       CAST(cs - ext_l AS BIGINT) AS span_char_start,
         |       CAST(ce + ext_r - cs + ext_l AS BIGINT) AS span_char_len
         |FROM f ORDER BY doc_id, span_start""".stripMargin,
+    // q287: q273's spans consumed — canonical-or-cut verdict per span
+    // (pkey < okey on q273's integer occurrence keys), running-max
+    // overlap-safe segment stitching, post-cut length + md5 audits.
+    "q287_substring_dedup_corpus" ->
+      s"""WITH $charSpanOracleCtes,
+        |spans AS (
+        |  SELECT doc_id, l_doc * 1048576 + l_pos AS pkey,
+        |         doc_id * 1048576 + p AS okey,
+        |         cs - ext_l AS s, ce + ext_r - cs + ext_l AS len
+        |  FROM f),
+        |nt AS (
+        |  SELECT doc_id,
+        |         array_to_string(regexp_split_to_array(trim(text), '\\s+'),
+        |                         ' ') AS nt
+        |  FROM documents),
+        |cuts AS (SELECT * FROM spans WHERE pkey < okey),
+        |seg AS (
+        |  SELECT doc_id, s, len,
+        |         coalesce(max(s + len) OVER (PARTITION BY doc_id
+        |           ORDER BY s, len
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+        |  FROM cuts),
+        |pieces AS (
+        |  SELECT seg.doc_id,
+        |         string_agg(substr(nt.nt, CAST(pe + 1 AS INT),
+        |                           CAST(greatest(0, s - pe) AS INT)),
+        |                    '' ORDER BY s, len) AS head,
+        |         max(greatest(s + len, pe)) AS e_end
+        |  FROM seg JOIN nt USING (doc_id) GROUP BY seg.doc_id),
+        |kept AS (
+        |  SELECT sp.doc_id,
+        |         coalesce(p.head, '')
+        |           || substr(nt.nt, CAST(coalesce(p.e_end, 0) + 1 AS INT),
+        |                CAST(greatest(0, length(nt.nt)
+        |                                 - coalesce(p.e_end, 0)) AS INT))
+        |           AS kt,
+        |         nt.nt AS nt
+        |  FROM (SELECT DISTINCT doc_id FROM spans) sp
+        |  JOIN nt USING (doc_id)
+        |  LEFT JOIN pieces p USING (doc_id)),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN pkey < okey THEN 1 ELSE 0 END) AS n_cut
+        |  FROM spans GROUP BY 1)
+        |SELECT st.doc_id, CAST(st.n_spans AS BIGINT) AS n_spans,
+        |       CAST(st.n_cut AS BIGINT) AS n_cut,
+        |       CAST(length(k.nt) AS BIGINT) AS orig_chars,
+        |       CAST(length(k.kt) AS BIGINT) AS kept_chars,
+        |       CAST(length(k.nt) - length(k.kt) AS BIGINT) AS cut_chars,
+        |       md5(k.kt) AS kept_md5
+        |FROM stats st JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Distinct 5-token spans per doc (same set semantics as
     // WordShingles), span df across docs, >=2 → shared.
     "q122_shared_spans" ->

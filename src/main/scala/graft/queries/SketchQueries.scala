@@ -459,6 +459,82 @@ object SketchQueries extends QueryPack {
         expr("1000000 * exact_rows DIV n_rows").as("sel_exact_ppm"))
   }
 
+  /** q284: SAMPLED-BUILD equi-depth histogram (VERDICT r10 #2) — q276's
+    * build leg is a GLOBAL ntile sort of the table, the only
+    * near-linear term in SCALING.md (e = 0.83); production builds the
+    * synopsis from a sample. Here the boundaries come from a
+    * deterministic 1/8 md5 row sample (the q94/q115/q272 discipline:
+    * md5('eqd:'||key) < '2'), sorted SAMPLE-side only; the full table
+    * then takes ONE hash-agg pass — each row range-joined to the ≤16
+    * broadcast boundary intervals (no shuffle, no global sort anywhere)
+    * — yielding exact per-bucket counts and value bounds under the
+    * sampled boundaries. Quality is DATA, not hope (the q272 pattern):
+    * the exact-build comparison rides the equi-depth DEFINITION — an
+    * exact ntile build has every bucket at n/16 by construction, so
+    * max bucket count vs n/16 IS the sampled-vs-exact distance,
+    * pinned inside a DKW-style 2/√m band (sample-size-aware — a fixed
+    * percentage is vacuous at small samples and slack at large ones); and the q276 range-selectivity
+    * consumer runs against the sampled synopsis with its estimate
+    * hash-pinned next to the exact count (tolerance boolean at 10 pp).
+    *
+    * Scale: sample scan is a pushed-nothing full read but CPU-trivial;
+    * the sort is sample-sized; the counting pass is map-side-combined
+    * hash agg over 16 broadcast intervals. SCALING.md carries the
+    * measured exponent next to q276's 0.83. */
+  private def sampledEquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val pLo = 5000000L
+    val pHi = 20000000L
+    val c = Tables.orders(spark, dir).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val s = c.where(
+      md5(concat(lit("eqd:"), col("o_orderkey").cast("string"))) < lit("2"))
+    val sb = s.withColumn("b", ntile(16).over(
+      org.apache.spark.sql.expressions.Window.orderBy("cents", "o_orderkey")))
+    val cuts = sb.groupBy("b").agg(max("cents").as("cut"))
+    val iv = cuts.select(col("b"),
+      coalesce(lag("cut", 1).over(
+          org.apache.spark.sql.expressions.Window.orderBy("b")),
+        lit(Long.MinValue)).as("lo_excl"),
+      when(col("b") === 16, lit(Long.MaxValue)).otherwise(col("cut"))
+        .as("hi_incl"))
+    val h = c.join(broadcast(iv),
+        col("cents") > col("lo_excl") && col("cents") <= col("hi_incl"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+    // rowcount×valuerange products ride decimal(38,0) (the q282/q277
+    // overflow discipline); each per-bucket term lands back in BIGINT
+    val est = h.select(expr(
+        s"""CAST((CAST(n AS DECIMAL(38,0))
+           |  * greatest(0L, least(hi + 1, ${pHi}L) - greatest(lo, ${pLo}L)))
+           | DIV (hi - lo + 1) AS BIGINT)""".stripMargin).as("est_b"))
+      .agg(sum("est_b").as("est_rows"))
+    val bal = h.agg(max("n").as("max_bucket_n"), min("n").as("min_bucket_n"),
+      count(lit(1)).as("n_buckets_filled"))
+    val nr = c.agg(count(lit(1)).as("n_rows"))
+    val ns = s.agg(count(lit(1)).as("n_sample"))
+    val ex = c.where(col("cents") >= pLo && col("cents") < pHi)
+      .agg(count(lit(1)).as("exact_rows"))
+    nr.crossJoin(broadcast(ns)).crossJoin(broadcast(bal))
+      .crossJoin(broadcast(est)).crossJoin(broadcast(ex))
+      .select(col("n_rows"), col("n_sample"), col("n_buckets_filled"),
+        col("max_bucket_n"), col("min_bucket_n"),
+        // exact-build distance: an exact ntile build sits at n/16 per
+        // bucket by definition; the sampled build must stay within a
+        // DKW-style 2/sqrt(m) band of it (the bound tightens as the
+        // sample grows — a fixed percentage would be vacuous at small m
+        // and slack at large m); floor() on both engines, since DuckDB's
+        // double->BIGINT cast rounds while Spark's truncates
+        expr("""max_bucket_n <= n_rows DIV 16 + CAST(floor(2.0D * n_rows / sqrt(CAST(n_sample AS DOUBLE))) AS BIGINT)""".stripMargin).as("balance_ok"),
+        col("est_rows"), col("exact_rows"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * est_rows)"
+          + " DIV n_rows AS BIGINT)").as("sel_est_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * exact_rows)"
+          + " DIV n_rows AS BIGINT)").as("sel_exact_ppm"),
+        expr("""abs((CAST(1000000 AS DECIMAL(38,0)) * est_rows) DIV n_rows
+               | - (CAST(1000000 AS DECIMAL(38,0)) * exact_rows) DIV n_rows)
+               | <= 100000""".stripMargin).as("est_within_tol"))
+  }
+
   /** q278: PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007 —
     * public) — the WEIGHTED synopsis missing next to the distinct-set
     * sketches (q217/q238) and the equi-depth histogram (q276): k
@@ -517,6 +593,7 @@ object SketchQueries extends QueryPack {
     "q278_priority_sampling" -> prioritySampling,
     "q275_salted_exact_distinct" -> saltedExactDistinct,
     "q276_equidepth_selectivity" -> equiDepthSelectivity,
+    "q284_sampled_equidepth" -> sampledEquiDepth,
     "q262_bootstrap_ci" -> bootstrapCi,
     "q216_mg_heavy_hitters" -> heavyHitters,
     "q217_kmv_distinct" -> kmvDistinct,
@@ -610,6 +687,58 @@ object SketchQueries extends QueryPack {
          |       CAST(max(bd) AS BIGINT) AS max_bucket_distinct
          |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    // sample, sample-side ntile boundaries, interval assignment of the
+    // full table, per-bucket exact counts/bounds, the interpolated
+    // estimate, and both tolerance booleans replayed
+    "q284_sampled_equidepth" ->
+      """WITH c AS (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT * FROM c
+        |      WHERE md5('eqd:' || CAST(o_orderkey AS VARCHAR)) < '2'),
+        |sb AS (SELECT cents,
+        |        ntile(16) OVER (ORDER BY cents, o_orderkey) AS b FROM s),
+        |cuts AS (SELECT b, max(cents) AS cut FROM sb GROUP BY 1),
+        |iv AS (SELECT b,
+        |        coalesce(lag(cut) OVER (ORDER BY b),
+        |                 -9223372036854775808) AS lo_excl,
+        |        CASE WHEN b = 16 THEN 9223372036854775807
+        |             ELSE cut END AS hi_incl
+        |      FROM cuts),
+        |h AS (SELECT iv.b, CAST(count(*) AS BIGINT) AS n,
+        |             min(c.cents) AS lo, max(c.cents) AS hi
+        |      FROM c JOIN iv ON c.cents > iv.lo_excl AND c.cents <= iv.hi_incl
+        |      GROUP BY 1),
+        |e AS (SELECT CAST(CAST(n AS HUGEINT)
+        |               * greatest(0, least(hi + 1, 20000000)
+        |                             - greatest(lo, 5000000))
+        |               // (hi - lo + 1) AS BIGINT) AS est_b
+        |      FROM h),
+        |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_rows,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sample,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM h)
+        |               AS n_buckets_filled,
+        |             (SELECT CAST(max(n) AS BIGINT) FROM h) AS max_bucket_n,
+        |             (SELECT CAST(min(n) AS BIGINT) FROM h) AS min_bucket_n,
+        |             (SELECT CAST(sum(est_b) AS BIGINT) FROM e) AS est_rows,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM c
+        |              WHERE cents >= 5000000 AND cents < 20000000)
+        |               AS exact_rows)
+        |SELECT n_rows, n_sample, n_buckets_filled, max_bucket_n,
+        |       min_bucket_n,
+        |       max_bucket_n <= n_rows // 16 + CAST(floor(
+        |         2.0 * n_rows / sqrt(CAST(n_sample AS DOUBLE))) AS BIGINT)
+        |         AS balance_ok,
+        |       est_rows, exact_rows,
+        |       CAST((CAST(1000000 AS HUGEINT) * est_rows) // n_rows
+        |            AS BIGINT) AS sel_est_ppm,
+        |       CAST((CAST(1000000 AS HUGEINT) * exact_rows) // n_rows
+        |            AS BIGINT) AS sel_exact_ppm,
+        |       abs((CAST(1000000 AS HUGEINT) * est_rows) // n_rows
+        |           - (CAST(1000000 AS HUGEINT) * exact_rows) // n_rows)
+        |         <= 100000 AS est_within_tol
+        |FROM m""".stripMargin,
     "q276_equidepth_selectivity" ->
       """WITH c AS (
         |  SELECT o_orderkey,

@@ -749,6 +749,7 @@ object StreamingQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q283_streaming_indexed_dedup" -> streamingIndexedDedup,
+    "q285_streaming_ivf_index" -> streamingIvfIndex,
     "q274_streaming_inc_dedup" -> streamingIncDedup,
     "q239_streaming_cusum" -> streamingCusumQ,
     "q120_tws_watermark" -> twsWatermarkReplay,
@@ -804,6 +805,92 @@ object StreamingQueries extends QueryPack {
        |  UNION
        |  SELECT s.x, r.label FROM y$n s JOIN reach$n r ON s.y = r.x),
        |lab$n AS (SELECT x AS node, min(label) AS label FROM reach$n GROUP BY x)""".stripMargin
+
+  /** q285: STREAMING IVF index maintenance (VERDICT r10 #3) — the
+    * similarity-side twin of q283: embeddings arrive in three
+    * micro-batches and [[graft.similarity.IvfIndex.mergeBatch]] extends
+    * a persisted cell-partitioned parquet index per batch (frozen seed
+    * centroids, no per-batch refit — drift caveat in IvfIndex's
+    * scaladoc); probes then read ONLY the probed `cell=` partitions
+    * (4 of 16 per query) and score exact L2 inside them. Assignment is
+    * order-independent and the merge idempotent, so the streamed index
+    * equals the one-shot build — the oracle replays seed centroids,
+    * assignment, per-query probe ranking, and L2 top-5 in SQL
+    * (sub-exhaustive probe INCLUDED, the q139 discipline).
+    * Round11OpsSpec pins the cross-batch contract: a vector arriving in
+    * batch 3 is findable afterwards, recall@5 vs brute force at the
+    * measured floor, and the probe scan's partition pruning. */
+  private def streamingIvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Clustering, IvfIndex}
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir = MlQueries.tempDirDeletedOnExit("graft_ivfidx_")
+    val batches = (0 until 3).map(i =>
+      emb.select("vec_id", "embedding")
+        .where(pmod(col("vec_id"), lit(3)) === i))
+    val watch = stageBatches("graft_ivfidx_", batches)
+    val stream = spark.readStream
+      .schema(emb.select("vec_id", "embedding").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_ivfidx_ckpt_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          IvfIndex.mergeBatch(batch, "vec_id", "embedding", centroids,
+            idxDir, batchSeq = id + 1)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", centroids, nProbe = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q285 oracle: the one-shot replay the idempotent stream converges
+    * to — seed centroids (first 16 by vec_id), argmin assignment, the
+    * same ‖c‖²−2·q·c probe ranking (top 4 cells per query), exact-L2
+    * top-5 within probed cells. */
+  private def streamingIvfIndexOracle: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+      |cc AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+      |         dv
+      |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 16)),
+      |ca AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT x.vec_id, c.cell,
+      |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+      |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+      |             c.cell) AS rn
+      |    FROM v x CROSS JOIN cc c) WHERE rn = 1),
+      |probe AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.cell,
+      |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+      |             - list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+      |             c.cell) AS rn
+      |    FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN cc c)
+      |  WHERE rn <= 4),
+      |scored AS (
+      |  SELECT pr.query_id, x.vec_id,
+      |         list_sum([(q.dv[i]-x.dv[i])*(q.dv[i]-x.dv[i])
+      |                   for i in range(1, 65)]) AS l2
+      |  FROM ca JOIN probe pr ON pr.cell = ca.cell
+      |  JOIN v x ON x.vec_id = ca.vec_id
+      |  JOIN v q ON q.vec_id = pr.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, l2,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY l2, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, l2
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q274 oracle: the BATCH SEQUENCE replayed — batch 1 against the
     * original corpus, keep1 = corpus + batch-1 kept docs, batch 2
@@ -862,6 +949,7 @@ object StreamingQueries extends QueryPack {
     // q283 computes q274's verdicts against persisted indexes — the
     // oracle is LITERALLY the same replay, which is the claim
     "q283_streaming_indexed_dedup" -> streamingIncDedupOracle,
+    "q285_streaming_ivf_index" -> streamingIvfIndexOracle,
     // exact equality: 5 distinct types < m = 8, so the MG summary never
     // evicts and equals the plain windowed group-by
     "q229_streaming_heavy_hitters" ->

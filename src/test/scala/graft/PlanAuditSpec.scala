@@ -712,6 +712,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q272 sampled blocking: nested loops are exactly the five " +
+    "single-row scalar stitches; every truth/candidate join is hash-based") {
+    val p = SparkEntry.queries("q272_blocking_pc_sampled")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // the only BNLs are crossJoins of broadcast one-row aggregate legs
+    // (counts/estimates stitched into the single output row) — the
+    // domain-bounded convention; pair-space work never nests
+    assert("BroadcastNestedLoop".r.findAllIn(p).length == 5, p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 10,
+      "truth/candidate joins stopped broadcasting")
+    assert("SortMergeJoin".r.findAllIn(p).length <= 2,
+      "pair joins regressed to extra sort-merges")
+  }
+
+  test("q274/q283 dedup kernel tail: rep classification broadcasts " +
+    "(semi + outer BuildRight), no nested loop — the stage the " +
+    "checkpoints leave visible") {
+    import org.apache.spark.sql.functions._
+    // the pair/df stages hide behind incrementalDedup's eager
+    // localCheckpoint (their IO shape is pinned empirically in
+    // IndexedDedupSpec); the verdict tail is the auditable batch plan
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    val keep = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val p = graft.dedup.Dedup
+      .incrementalDedup(keep, batch, "doc_id", "text", 3, 0.3, 20)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi, BuildRight"),
+      "keep-rep membership stopped broadcasting")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "rep verdict join regressed to a shuffle")
+  }
+
+  test("q285 probe: the IVF index scan is partition-pruned to the " +
+    "probed cells and the query side broadcasts") {
+    import org.apache.spark.sql.functions._
+    import graft.similarity.{Clustering, IvfIndex}
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_ivfplan_").toString
+    IvfIndex.mergeBatch(emb.select("vec_id", "embedding"), "vec_id",
+      "embedding", centroids, idxDir, 1L)
+    val p = IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", centroids, nProbe = 4, k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "query-side scoring join stopped broadcasting")
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)

@@ -151,6 +151,126 @@ class Round11OpsSpec extends AnyFunSuite {
     } finally spark.conf.set(aqeKey, aqePrev)
   }
 
+  // ---------------------------------------------------- q284
+  test("q284: sampled-boundary equi-depth on a uniform fixture — exact " +
+    "probe count is exact, balance and estimate tolerances hold, every " +
+    "bucket fills") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seqd_").toString
+    (1 to 256).map(k => (k.toLong, k * 1000.0)) // cents = k·10^5
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    val r = SparkEntry.queries("q284_sampled_equidepth")(spark, tmp)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 256L)
+    // deterministic md5 sample — nonempty, well under the population
+    val ns = r.getAs[Long]("n_sample")
+    assert(ns > 0 && ns < 100, s"1/8 md5 sample off: $ns of 256")
+    assert(r.getAs[Long]("n_buckets_filled") == 16L)
+    // probe [5e6, 2e7) over cents k·10^5, k = 1..256 → k = 50..199
+    assert(r.getAs[Long]("exact_rows") == 150L)
+    assert(r.getAs[Boolean]("balance_ok"),
+      s"max bucket ${r.getAs[Long]("max_bucket_n")} outside the " +
+        s"2/sqrt(m) band around n/16 = 16 at m = $ns")
+    assert(r.getAs[Boolean]("est_within_tol"),
+      s"est ${r.getAs[Long]("sel_est_ppm")} vs exact ${r.getAs[Long]("sel_exact_ppm")}")
+  }
+
+  // ---------------------------------------------------- q285
+  test("q285: streamed IVF index — a vector arriving in the LAST batch " +
+    "is findable, probes are partition-pruned to the probed cells, " +
+    "recall@5 vs brute-force L2 holds the measured floor, and a " +
+    "replayed batch leaves the index bit-identical") {
+    import graft.similarity.{Clustering, IvfIndex, Similarity}
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_ivfspec_").toString
+    val batches = (0 until 3).map(i =>
+      emb.select("vec_id", "embedding")
+        .where(pmod(col("vec_id"), lit(3)) === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IvfIndex.mergeBatch(b, "vec_id", "embedding", centroids, idxDir,
+        batchSeq = i + 1L)
+    }
+    val queries = emb.where(col("vec_id") < 10)
+    val probed = IvfIndex.probe(spark, idxDir, queries, "vec_id",
+      "embedding", centroids, nProbe = 4, k = 5)
+    // cross-batch findability: query 2 (vec_id % 3 == 2 → batch 3) must
+    // retrieve ITSELF as rank 1 at l2 = 0 — it entered in the last batch
+    val got = probed.collect()
+    val self2 = got.filter(r => r.getAs[Long]("query_id") == 2L
+      && r.getAs[Int]("rank") == 1).head
+    assert(self2.getAs[Long]("vec_id") == 2L
+      && self2.getAs[Double]("l2") == 0.0, s"batch-3 vector not indexed")
+    // partition pruning: the scan carries cell PartitionFilters
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#")
+      || plan.contains("PartitionFilters: [isnotnull(cell#")
+      || plan.contains("cell#") && plan.contains("PartitionFilters"),
+      s"probe scan is not partition-pruned:\n${plan.take(2000)}")
+    // recall@5 vs brute-force L2 over the full corpus (self included,
+    // both sides) — sub-exhaustive 4/16 probe, measured floor
+    val qv = queries.select(col("vec_id").as("query_id"),
+      Similarity.vecDouble(col("embedding")).as("qv"))
+    val cv = emb.select(col("vec_id"),
+      Similarity.vecDouble(col("embedding")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
+    val brute = cv.crossJoin(broadcast(qv))
+      .withColumn("l2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("query_id", "vec_id")
+    val hits = brute.join(probed.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id"), "left_semi").count()
+    val truth = brute.count()
+    assert(hits * 10 >= truth * 4, // measured ≈ 0.5+ on this corpus
+      s"recall@5 collapsed: $hits/$truth")
+    // replay idempotence: re-merge batch 2 with its original batchSeq
+    def snapshot(): Set[String] =
+      spark.read.parquet(idxDir).select("cell", "vec_id")
+        .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").toSet
+    val s0 = snapshot()
+    IvfIndex.mergeBatch(batches(1), "vec_id", "embedding", centroids,
+      idxDir, batchSeq = 2L)
+    assert(snapshot() == s0, "replayed batch mutated the index")
+    val replayed = IvfIndex.probe(spark, idxDir, queries, "vec_id",
+      "embedding", centroids, nProbe = 4, k = 5).collect()
+    assert(replayed.map(_.toString).sorted.toSeq
+      == got.map(_.toString).sorted.toSeq)
+  }
+
+  // ---------------------------------------------------- q287
+  test("q287: duplicated extent excised, canonical (min doc,pos) " +
+    "occurrence kept — audits and kept-text hash exact on a " +
+    "constructed pair") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = stageDocs(Seq(
+      1L -> shared,                    // canonical: first occurrence
+      2L -> s"xx yy $shared zz",       // later occurrence -> cut
+      3L -> "totally unrelated words with no duplicated extent here"))
+    val got = SparkEntry.queries("q287_substring_dedup_corpus")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3 has no df>=2 shingle: no span row at all
+    assert(got.keySet == Set(1L, 2L))
+    val a = got(1L)
+    assert(a.getAs[Long]("n_spans") == 1L && a.getAs[Long]("n_cut") == 0L)
+    assert(a.getAs[Long]("kept_chars") == a.getAs[Long]("orig_chars"))
+    val b = got(2L)
+    assert(b.getAs[Long]("n_spans") == 1L && b.getAs[Long]("n_cut") == 1L)
+    val keptB = "xx yy " + " zz" // the extent excised, raw stitch
+    assert(b.getAs[Long]("orig_chars") == s"xx yy $shared zz".length.toLong)
+    assert(b.getAs[Long]("kept_chars") == keptB.length.toLong)
+    val md5B = java.security.MessageDigest.getInstance("MD5")
+      .digest(keptB.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(b.getAs[String]("kept_md5") == md5B,
+      s"kept text differs from '$keptB'")
+  }
+
   test("q286: driver-corpus run reaches full saturation — every word " +
     "collapses to one symbol (final derived total = word occurrences)") {
     val got = SparkEntry.queries("q286_bpe_production_train")(
