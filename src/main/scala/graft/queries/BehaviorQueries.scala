@@ -576,7 +576,52 @@ object BehaviorQueries extends QueryPack {
           .stripMargin).as("ks_significant"))
   }
 
+  /** q289: DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training
+    * data op (word2vec/recsys style) the sampling family (q94 rate,
+    * q115 mixture, q278 weighted) is still missing: for every user's
+    * positive set (distinct purchase days-of-month), draw up to 2
+    * NEGATIVE days by hashed rejection — candidate c ∈ 0..7 maps to
+    * day = fmix64(fnv1a("neg:user:c")) >>33 mod 31 + 1 (the q253/q262
+    * finalized-hash discipline: raw FNV bits on sequential keys are
+    * biased), candidates landing on a positive day or on an
+    * already-drawn day are rejected, survivors rank by candidate
+    * sequence. Fully deterministic: re-runs, retries, and the oracle
+    * all draw the identical negatives — the property that makes
+    * training-data generation reproducible and incrementally
+    * extendable (a re-sampled shard is bit-identical).
+    *
+    * Scale shape: one distinct-rollup on (user, day), an 8-way
+    * per-user candidate expansion (constant), one anti-join back on
+    * (user, day), two user-keyed windows — no global sort, no
+    * driver state. */
+  private def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val pos = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), dayofmonth(col("ts")).cast("long").as("day"))
+      .distinct()
+    val users = pos.groupBy("user_id").agg(count(lit(1)).as("n_pos_days"))
+    val cand = users
+      .select(col("user_id"), col("n_pos_days"),
+        explode(sequence(lit(0), lit(7))).as("c"))
+      .withColumn("day",
+        shiftrightunsigned(fmix64(fnv1a(concat(lit("neg:"),
+          col("user_id").cast("string"), lit(":"),
+          col("c").cast("string")))), 33) % 31 + 1)
+    val wDay = Window.partitionBy("user_id", "day").orderBy("c")
+    val wUser = Window.partitionBy("user_id").orderBy("c")
+    cand.join(pos, Seq("user_id", "day"), "left_anti")
+      .withColumn("rn", row_number().over(wDay))
+      .where(col("rn") === 1) // two candidates on the same day: first wins
+      .withColumn("neg_rank", row_number().over(wUser).cast("long"))
+      .where(col("neg_rank") <= 2)
+      .select(col("user_id"), col("neg_rank"), col("c").cast("long")
+        .as("cand_seq"), col("day").as("neg_day"), col("n_pos_days"))
+      .orderBy("user_id", "neg_rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_negative_sampling" -> negativeSampling,
     "q282_ks_two_sample" -> ksTwoSample,
     "q280_survival_km" -> survivalKm,
     "q277_psi_drift" -> psiDrift,
@@ -596,6 +641,54 @@ object BehaviorQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // positives, the fmix64 candidate chain (split-32/32 mulmod), the
+    // rejection anti-join, same-day dedupe, and ranking replayed
+    "q289_negative_sampling" -> {
+      def fnv(e: String): String =
+        s"""list_reduce(
+           |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+           |      list_transform(regexp_split_to_array($e, ''),
+           |                     c -> CAST(unicode(c) AS UBIGINT))),
+           |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+           |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+      def mulmod(x: String, cHi: Long, cLo: Long) =
+        s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+          s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+          s" % 18446744073709551616 AS UBIGINT)"
+      def xs33(x: String) = s"xor($x, $x // 8589934592)"
+      def fmixed(e: String) = xs33(mulmod(xs33(mulmod(xs33(fnv(e)),
+        4283543511L, 3981806797L)), 3301882366L, 444984403L))
+      val h = fmixed("'neg:' || CAST(u.user_id AS VARCHAR)" +
+        " || ':' || CAST(c.c AS VARCHAR)")
+      s"""WITH pos AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS day
+         |  FROM events WHERE event_type = 'purchase'),
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pos_days
+         |      FROM pos GROUP BY 1),
+         |cand AS (
+         |  SELECT u.user_id, u.n_pos_days, c.c,
+         |         CAST(($h) // 8589934592 % 31 + 1 AS BIGINT) AS day
+         |  FROM u, (SELECT unnest(range(0, 8)) AS c) c),
+         |np AS (
+         |  SELECT cand.* FROM cand
+         |  LEFT JOIN pos ON pos.user_id = cand.user_id
+         |               AND pos.day = cand.day
+         |  WHERE pos.user_id IS NULL),
+         |fd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+         |                               ORDER BY c) AS rn
+         |  FROM np),
+         |rk AS (
+         |  SELECT user_id, n_pos_days, c, day,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY c)
+         |           AS neg_rank
+         |  FROM fd WHERE rn = 1)
+         |SELECT user_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+         |       CAST(c AS BIGINT) AS cand_seq, day AS neg_day, n_pos_days
+         |FROM rk WHERE neg_rank <= 2
+         |ORDER BY user_id, neg_rank""".stripMargin
+    },
     // per-value census, cumulative ECDF numerators, the exact D
     // numerator and the cross-multiplied squared-z verdict replayed
     "q282_ks_two_sample" ->

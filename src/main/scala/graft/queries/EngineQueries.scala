@@ -552,12 +552,14 @@ object EngineQueries extends QueryPack {
     *     oracle-measured totals hash-mismatch (and shifts every later
     *     measured census besides).
     * The trainer stops at the corpus' saturation point — the driver
-    * corpus holds 30 distinct [a-z]+ words, so at most Σ(len−1) = 107
-    * merges EXIST; the trainer reaches all of them (an empty census
-    * breaks the loop; the oracle's remaining unrolled rounds yield
-    * empty waves, keeping parity). Round11OpsSpec pins ≥128 merges at
-    * < 0.25 jobs/merge on a richer-vocabulary fixture where that many
-    * merges exist. */
+    * corpus holds 30 distinct [a-z]+ words (Σ(len−1) = 107 per-word
+    * merge applications, realized by 89 distinct merge RULES since
+    * words share structure), and the trainer reaches full saturation:
+    * every word collapses to one symbol, an empty census breaks the
+    * loop, and the oracle's remaining unrolled rounds yield empty
+    * waves, keeping parity. Round11OpsSpec pins ≥128 merges at < 0.25
+    * jobs/merge on a richer-vocabulary fixture where that many rules
+    * exist, plus the saturation property itself. */
   private def bpeProductionTrain(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))

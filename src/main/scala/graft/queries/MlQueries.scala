@@ -806,7 +806,124 @@ object MlQueries extends QueryPack {
       .orderBy("brand")
   }
 
+  /** q288: LOGISTIC-REGRESSION training through the oracle — the
+    * gradient-descent family joining the exactly-replayable trainers
+    * (q240 tree, q247 NB, q251 AdaBoost, q254 ranking). Three
+    * full-batch GD steps over (intercept, scaled order value,
+    * weekday-of-key) predicting URGENT priority, in EXACT micro-unit
+    * integer arithmetic end to end: the sigmoid is the fast/rational
+    * form σ(z) ≈ ½ + z/(2(1+|z|)) — rational, hence exact under
+    * integer micro quantization on both engines, where true exp()
+    * differs across libm implementations in ulps that a hash compare
+    * would amplify (the honest substitution, stated, not hidden; GD on
+    * the fast sigmoid is still a proper monotone-link M-estimator).
+    * Per step ONE aggregation job yields the three gradient sums
+    * (decimal-widened — err·x is bounded but row counts are not) and
+    * the pre-update accuracy; weights update driver-side at lr = ½.
+    * The oracle unrolls all three steps: scores, rational sigmoid,
+    * gradient rollups in HUGEINT, weight updates — same truncating
+    * divisions throughout.
+    *
+    * Scale shape: the model is 3 driver longs; each step is one
+    * map-side-combinable aggregate over a pure projection — the
+    * classic distributed-GD shape (jobs = steps, state = weights). */
+  private def logisticGd(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      when(col("o_orderpriority") === "1-URGENT", 1000000L).otherwise(0L)
+        .as("ym"),
+      lit(1000000L).as("x0"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 10").as("x1"),
+      expr("(o_orderkey % 7) * 142857").as("x2"))
+    var w = Array(0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    for (step <- 1 to 3) {
+      val scored = base
+        .withColumn("z", lit(w(0)) + expr(s"(${w(1)}L * x1) DIV 1000000")
+          + expr(s"(${w(2)}L * x2) DIV 1000000"))
+        .withColumn("p", expr(
+          "500000 + (500000 * z) DIV (2 * (1000000 + abs(z)))"))
+        .withColumn("err", col("p") - col("ym"))
+      val r = scored.agg(
+        count(lit(1)).as("n"),
+        sum((col("err") * col("x0")).cast("decimal(38,0)")).as("s0"),
+        sum((col("err") * col("x1")).cast("decimal(38,0)")).as("s1"),
+        sum((col("err") * col("x2")).cast("decimal(38,0)")).as("s2"),
+        sum(when((col("p") >= 500000L) === (col("ym") === 1000000L), 1L)
+          .otherwise(0L)).as("hits"))
+        .select(col("n"),
+          expr("CAST(s0 DIV (1000000 * n) AS BIGINT)").as("g0"),
+          expr("CAST(s1 DIV (1000000 * n) AS BIGINT)").as("g1"),
+          expr("CAST(s2 DIV (1000000 * n) AS BIGINT)").as("g2"),
+          expr("(1000000 * hits) DIV n").as("acc"))
+        .collect()(0)
+      val (g0, g1, g2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val acc = r.getLong(4)
+      w = Array(w(0) - (500000L * g0) / 1000000L,
+        w(1) - (500000L * g1) / 1000000L,
+        w(2) - (500000L * g2) / 1000000L)
+      out += ((step.toLong, g0, g1, g2, acc, w(0), w(1), w(2), r.getLong(0)))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "g0_micro", "g1_micro", "g2_micro",
+      "acc_before_micro", "w0_micro", "w1_micro", "w2_micro", "n")
+  }
+
+  /** q288 oracle: the three GD steps unrolled — per step the scored
+    * frame under the previous weights, the rational sigmoid, HUGEINT
+    * gradient rollups, and the lr=½ weight update, all with the same
+    * truncating integer divisions. */
+  private def logisticGdOracle: String = {
+    val steps = (1 to 3).map { k =>
+      val pw = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT ym, x0, x1, x2,
+         |         500000 + (500000 * z) // (2 * (1000000 + abs(z))) AS p
+         |  FROM (SELECT b.*, w.w0 + (w.w1 * b.x1) // 1000000
+         |               + (w.w2 * b.x2) // 1000000 AS z
+         |        FROM base b, $pw w)),
+         |r$k AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         sum(CAST((p - ym) * x0 AS HUGEINT)) AS s0,
+         |         sum(CAST((p - ym) * x1 AS HUGEINT)) AS s1,
+         |         sum(CAST((p - ym) * x2 AS HUGEINT)) AS s2,
+         |         CAST(sum(CASE WHEN (p >= 500000) = (ym = 1000000)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |  FROM p$k),
+         |g$k AS (
+         |  SELECT n, CAST(s0 // (1000000 * n) AS BIGINT) AS g0,
+         |         CAST(s1 // (1000000 * n) AS BIGINT) AS g1,
+         |         CAST(s2 // (1000000 * n) AS BIGINT) AS g2,
+         |         CAST((1000000 * hits) // n AS BIGINT) AS acc
+         |  FROM r$k),
+         |w$k AS (
+         |  SELECT w.w0 - (500000 * g.g0) // 1000000 AS w0,
+         |         w.w1 - (500000 * g.g1) // 1000000 AS w1,
+         |         w.w2 - (500000 * g.g2) // 1000000 AS w2
+         |  FROM $pw w, g$k g)""".stripMargin
+    }
+    val outs = (1 to 3).map { k =>
+      s"""SELECT $k AS step, g.g0 AS g0_micro, g.g1 AS g1_micro,
+         |  g.g2 AS g2_micro, g.acc AS acc_before_micro,
+         |  w.w0 AS w0_micro, w.w1 AS w1_micro, w.w2 AS w2_micro, g.n
+         |FROM g$k g, w$k w""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+       |              THEN 1000000 ELSE 0 END AS ym,
+       |         1000000 AS x0,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) // 10 AS x1,
+       |         (o_orderkey % 7) * 142857 AS x2
+       |  FROM orders),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |              CAST(0 AS BIGINT) AS w2),
+       |${steps.mkString(",\n")}
+       |${outs.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_logistic_gd" -> logisticGd,
     "q178_feature_hashing" -> featureHashing,
     "q256_roc_auc" -> rocAuc,
     "q258_chi2_feature_rank" -> chi2FeatureRank,
@@ -826,6 +943,7 @@ object MlQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q288_logistic_gd" -> logisticGdOracle,
     // Brand counts, the prior, and the single-truncating-division
     // posterior mean replayed.
     "q268_eb_shrinkage" ->

@@ -718,7 +718,7 @@ object StreamingQueries extends QueryPack {
     val outDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_out_")
     val idx = IndexedDedup.bootstrap(spark, docs, k = 3, maxShingleDf = 20,
       MlQueries.tempDirDeletedOnExit("graft_xdedup_si_"),
-      MlQueries.tempDirDeletedOnExit("graft_xdedup_di_"), rowCap = 4096L)
+      MlQueries.tempDirDeletedOnExit("graft_xdedup_di_"), rowCap = 65536L)
     val watch = stageBatches("graft_xdedup_", Seq(b1, b2))
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")

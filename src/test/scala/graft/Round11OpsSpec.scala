@@ -243,6 +243,85 @@ class Round11OpsSpec extends AnyFunSuite {
       == got.map(_.toString).sorted.toSeq)
   }
 
+  // ---------------------------------------------------- q289
+  test("q289: negatives never land on positive days, at most two per " +
+    "user ranked by candidate order, and the draw is deterministic") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_neg_").toString
+    def dayUs(day: Int): Long =
+      (java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L + 43200L) *
+        1000000L
+    // user 1 purchases on 16 of 31 days (the rejection path works
+    // hard); user 2 on one day; user 3 never (absent from output)
+    val rows =
+      (1 to 16).map(d => (d.toLong, dayUs(d), 1L, "purchase", 5.0)) ++
+        Seq((100L, dayUs(5), 2L, "purchase", 5.0),
+          (101L, dayUs(7), 3L, "click", 1.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def run() = SparkEntry.queries("q289_negative_sampling")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val got = run()
+    assert(run() == got, "negative draw is not deterministic")
+    assert(got.map(_._1).toSet == Set(1L, 2L), "only purchasers sampled")
+    val posByUser = Map(1L -> (1 to 16).map(_.toLong).toSet, 2L -> Set(5L))
+    got.foreach { case (u, rank, seq, day, nPos) =>
+      assert(!posByUser(u).contains(day),
+        s"user $u drew positive day $day as a negative")
+      assert(rank >= 1 && rank <= 2 && seq >= 0 && seq <= 7)
+      assert(nPos == posByUser(u).size.toLong)
+    }
+    got.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.size).toSeq,
+        s"user $u ranks not consecutive: $rs")
+      assert(rs.map(_._4).distinct.size == rs.size,
+        s"user $u drew the same day twice")
+    }
+  }
+
+  // ---------------------------------------------------- q288
+  test("q288: the three integer-GD steps equal a pure-Scala replay " +
+    "(same truncating divisions), gradients shrink monotonically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lgd_").toString
+    val rows = (1 to 64).map { k =>
+      (k.toLong, k * 937.5, if (k % 3 == 0) "1-URGENT" else "3-MEDIUM")
+    }
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$tmp/orders.parquet")
+    // pure-Scala replay with identical integer arithmetic
+    val feats = rows.map { case (key, price, prio) =>
+      (if (prio == "1-URGENT") 1000000L else 0L,
+        1000000L, math.round(price * 100) / 10, (key % 7) * 142857L)
+    }
+    var w = Array(0L, 0L, 0L)
+    val expect = (1 to 3).map { step =>
+      val scored = feats.map { case (ym, x0, x1, x2) =>
+        val z = w(0) + w(1) * x1 / 1000000L + w(2) * x2 / 1000000L
+        val p = 500000L + 500000L * z / (2L * (1000000L + math.abs(z)))
+        (ym, x0, x1, x2, p)
+      }
+      val n = scored.size.toLong
+      def g(f: ((Long, Long, Long, Long, Long)) => Long): Long = {
+        val s = scored.map(r => BigInt((r._5 - r._1) * f(r))).sum
+        (s / (BigInt(1000000) * n)).toLong
+      }
+      val (g0, g1, g2) = (g(_._2), g(_._3), g(_._4))
+      val acc = 1000000L * scored.count(r =>
+        (r._5 >= 500000L) == (r._1 == 1000000L)) / n
+      w = Array(w(0) - 500000L * g0 / 1000000L,
+        w(1) - 500000L * g1 / 1000000L, w(2) - 500000L * g2 / 1000000L)
+      (step.toLong, g0, g1, g2, acc, w(0), w(1), w(2), n)
+    }
+    val got = SparkEntry.queries("q288_logistic_gd")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == expect, s"got $got\nexpect $expect")
+    // full-batch GD at a sane step size contracts the gradient here
+    val mags = got.map(r => math.abs(r._2) + math.abs(r._3) + math.abs(r._4))
+    assert(mags == mags.sorted.reverse && mags.distinct == mags,
+      s"gradient magnitudes not strictly shrinking: $mags")
+  }
+
   // ---------------------------------------------------- q287
   test("q287: duplicated extent excised, canonical (min doc,pos) " +
     "occurrence kept — audits and kept-text hash exact on a " +
