@@ -598,7 +598,78 @@ object PipelineQueries extends QueryPack {
       .orderBy("rf")
   }
 
+  /** q290: BOTTOM-K PER-GROUP uniform sample — the "exactly k rows per
+    * stratum" op the sampling family still lacks (q94 is rate-based so
+    * stratum yields float with the stratum size; q278 is weighted;
+    * q289 draws negatives): the k users with the SMALLEST finalized
+    * hash per event type are a uniform-without-replacement k-sample,
+    * deterministic across runs/retries/engines — distributed reservoir
+    * sampling without the sequential-scan state, and re-drawable on a
+    * grown table with bounded churn (an item leaves only when a
+    * smaller-hashed newcomer arrives). Hash = fmix64∘fnv1a of
+    * "grs:type:user" (the q253/q262 finalized-hash discipline), rank by
+    * (hash, user) per type.
+    *
+    * Scale shape: one distinct rollup + a rank window per group key —
+    * and the window input could be pre-pruned by any per-partition
+    * top-k; no global sort, no driver state. */
+  private def bottomkGroupSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h", "user_id")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h",
+        shiftrightunsigned(fmix64(fnv1a(concat(lit("grs:"), col("event_type"),
+          lit(":"), col("user_id").cast("string")))), 1))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("user_id"), col("h"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** q291: HASH-SPLIT train/val/test — the canonical reproducible
+    * dataset split: each doc routes to train/val/test by its finalized
+    * hash bucket (80/10/10 of fmix64("spl:doc") mod 100), so the split
+    * is a PURE FUNCTION of the key — stable under re-runs, shard order,
+    * cluster size, and INCREMENTAL growth (a new doc lands in its split
+    * without moving any other, the property a row_number split lacks).
+    * Output: per-split census with char mass and an id-sum checksum,
+    * plus coverage/disjointness audits (splits partition the corpus by
+    * construction — the booleans make the invariant data, not a
+    * comment).
+    *
+    * Scale shape: one projection + one 3-group aggregate; the split
+    * column costs one hash per row inside the scan. */
+  private def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b",
+        shiftrightunsigned(fmix64(fnv1a(concat(lit("spl:"),
+          col("doc_id").cast("string")))), 33) % 100)
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test"))
+    val per = docs.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("n_chars"),
+      sum("doc_id").as("id_checksum"))
+    val tot = docs.agg(count(lit(1)).as("n_total"),
+      sum("doc_id").as("sum_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_chars"),
+        col("id_checksum"), col("n_total"),
+        expr("(1000000 * n_docs) DIV n_total").as("share_ppm"),
+        (sum(col("n_docs")).over() === col("n_total")).as("covers_all"),
+        (sum(col("id_checksum")).over() === col("sum_total"))
+          .as("ids_partition"))
+      .orderBy("split")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_bottomk_group_sample" -> bottomkGroupSample,
+    "q291_train_val_test_split" -> trainValTestSplit,
     "q281_scd2_point_in_time" -> scd2PointInTime,
     "q118_zorder_stats" -> zorderStats,
     "q148_quantile_normalize" -> quantileNormalize,
@@ -637,7 +708,66 @@ object PipelineQueries extends QueryPack {
       |         AND CAST(round(p_retailprice*100) AS BIGINT) + 500
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The split-32/32 fmix64 replay chain (the q253/q262 discipline) as
+    * local SQL builders — per-oracle copies are the house style. */
+  private def fmixedSql(e: String): String = {
+    def fnv(x: String): String =
+      s"""list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      list_transform(regexp_split_to_array($x, ''),
+         |                     c -> CAST(unicode(c) AS UBIGINT))),
+         |    (a, b) -> CAST((CAST(xor(a, b) AS HUGEINT) * 1099511628211)
+         |                   % 18446744073709551616 AS UBIGINT))""".stripMargin
+    def mulmod(x: String, cHi: Long, cLo: Long) =
+      s"CAST(((CAST($x AS HUGEINT) * $cLo) % 18446744073709551616" +
+        s" + ((($x % 4294967296) * $cHi) % 4294967296) * 4294967296)" +
+        s" % 18446744073709551616 AS UBIGINT)"
+    def xs33(x: String) = s"xor($x, $x // 8589934592)"
+    xs33(mulmod(xs33(mulmod(xs33(fnv(e)),
+      4283543511L, 3981806797L)), 3301882366L, 444984403L))
+  }
+
   override def oracles: Map[String, String] = Map(
+    // distinct (type, user) domain, the finalized hash, per-type rank
+    "q290_bottomk_group_sample" -> {
+      val h = fmixedSql("'grs:' || event_type || ':' "
+        + "|| CAST(user_id AS VARCHAR)")
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |x AS (SELECT event_type, user_id,
+         |        CAST(($h) // 2 AS BIGINT) AS h
+         |      FROM d),
+         |r AS (SELECT event_type, user_id, h,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY h, user_id) AS rank
+         |      FROM x)
+         |SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, h
+         |FROM r WHERE rank <= 5
+         |ORDER BY event_type, rank""".stripMargin
+    },
+    // hash bucket, split routing, census, coverage booleans replayed
+    "q291_train_val_test_split" -> {
+      val h = fmixedSql("'spl:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |         CASE WHEN b < 80 THEN 'train'
+         |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, n_chars,
+         |          CAST(($h) // 8589934592 % 100 AS BIGINT) AS b
+         |        FROM documents)),
+         |per AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |        FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |          CAST(sum(doc_id) AS BIGINT) AS sum_total FROM d)
+         |SELECT split, n_docs, n_chars, id_checksum, n_total,
+         |       CAST((1000000 * n_docs) // n_total AS BIGINT) AS share_ppm,
+         |       CAST((SELECT sum(n_docs) FROM per) AS BIGINT) = n_total
+         |         AS covers_all,
+         |       CAST((SELECT sum(id_checksum) FROM per) AS BIGINT)
+         |         = sum_total AS ids_partition
+         |FROM per, tot ORDER BY split""".stripMargin
+    },
     // the as-of union-window replayed in the equivalent INTERVAL-JOIN
     // form (eras partition each customer's timeline: lead() closes
     // each era, zero-length same-date eras match nothing, exactly the

@@ -243,6 +243,58 @@ class Round11OpsSpec extends AnyFunSuite {
       == got.map(_.toString).sorted.toSeq)
   }
 
+  // ---------------------------------------------------- q290/q291
+  test("q290: exactly 5 per event type ranked by ascending finalized " +
+    "hash, drawn from the distinct user domain, deterministic") {
+    def run() = SparkEntry.queries("q290_bottomk_group_sample")(
+      spark, "/root/testdata/sf0.001").collect()
+    val got = run()
+    assert(run().map(_.toString).toSeq == got.map(_.toString).toSeq)
+    val users = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L),
+        s"$t ranks: ${rs.map(_.getAs[Long]("rank")).toSeq}")
+      val hs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("h"))
+      assert(hs.toSeq == hs.sorted.toSeq && hs.forall(_ >= 0L))
+      rs.foreach(r => assert(users((t, r.getAs[Long]("user_id")))))
+    }
+  }
+
+  test("q291: the hash split partitions the corpus (booleans true), " +
+    "shares near 80/10/10, and a grown corpus never moves a doc") {
+    val got = SparkEntry.queries("q291_train_val_test_split")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    got.values.foreach { r =>
+      assert(r.getAs[Boolean]("covers_all") && r.getAs[Boolean]("ids_partition"))
+    }
+    val shares = got.map { case (k, r) => k -> r.getAs[Long]("share_ppm") }
+    assert(math.abs(shares("train") - 800000L) < 100000L, s"$shares")
+    assert(math.abs(shares("val") - 100000L) < 60000L, s"$shares")
+    // stability: each doc's split is a pure function of doc_id — the
+    // same ids under sf0.01 (a superset corpus) keep their routing
+    val s1 = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def routing(dir: String): Map[Long, String] = {
+      import graft.functions.HashFunctions.{fmix64, fnv1a}
+      graft.tables.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          when(shiftrightunsigned(fmix64(fnv1a(concat(lit("spl:"),
+            col("doc_id").cast("string")))), 33) % 100 < 80, "train")
+            .when(shiftrightunsigned(fmix64(fnv1a(concat(lit("spl:"),
+              col("doc_id").cast("string")))), 33) % 100 < 90, "val")
+            .otherwise("test").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val r1 = routing("/root/testdata/sf0.001")
+    val r2 = routing("/root/testdata/sf0.01")
+    s1.foreach(id => assert(r2.get(id).forall(_ == r1(id)),
+      s"doc $id moved splits when the corpus grew"))
+  }
+
   // ---------------------------------------------------- q289
   test("q289: negatives never land on positive days, at most two per " +
     "user ranked by candidate order, and the draw is deterministic") {
