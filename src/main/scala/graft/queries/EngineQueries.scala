@@ -545,7 +545,10 @@ object EngineQueries extends QueryPack {
     *   - the per-round Σ freq·|syms| checksum is DERIVED, not measured:
     *     a merge with application-point count c removes exactly c
     *     symbols, so total_after = total_before − Σ batch counts — valid
-    *     precisely because of the batch-exactness lemma, and audited
+    *     because of the batch-exactness lemma AND because the census
+    *     counts NON-OVERLAPPING occurrences (an l==r pair over a run of
+    *     n identical symbols counts floor(n/2), matching the greedy
+    *     applier; overlap counting would overstate removals), audited
     *     END-TO-END by the oracle, which MEASURES sum(freq) over its
     *     materialized per-round segmentations: any wrong application or
     *     a broken disjointness argument makes engine-derived and
@@ -578,12 +581,30 @@ object EngineQueries extends QueryPack {
     while (round <= BpeProdRounds && !done) {
       // the round's single job: top-k census; as the first action on the
       // current (lazily checkpointed) segmentation it also materializes
-      // it, letting the previous round's blocks go
+      // it, letting the previous round's blocks go. The census counts
+      // NON-OVERLAPPING occurrences (a left-to-right consumed-flag scan)
+      // — for an l==r pair a run of n identical symbols yields floor(n/2)
+      // countable applications, not the n-1 overlapping adjacencies,
+      // which is exactly what the single-pass greedy applier merges;
+      // overlap counting would break the exactness lemma the derived
+      // totals ride on (l!=r occurrences can never overlap, so the scan
+      // only changes self-pair counts)
       val top = seg.select(col("freq"), explode(expr(
           """CASE WHEN size(syms) >= 2
-            |  THEN transform(sequence(1, size(syms) - 1),
-            |         i -> struct(syms[i - 1] AS l, syms[i] AS r))
-            |  ELSE array() END""".stripMargin)).as("p"))
+            |  THEN aggregate(sequence(1, size(syms) - 1),
+            |         named_struct(
+            |           'ps', CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>),
+            |           'consumed', false),
+            |         (acc, i) -> CASE
+            |           WHEN syms[i - 1] = syms[i] AND acc.consumed
+            |             THEN named_struct('ps', acc.ps, 'consumed', false)
+            |           ELSE named_struct(
+            |             'ps', concat(acc.ps, array(
+            |               named_struct('l', syms[i - 1], 'r', syms[i]))),
+            |             'consumed', syms[i - 1] = syms[i]) END,
+            |         acc -> acc.ps)
+            |  ELSE CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING>>) END"""
+          .stripMargin)).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
@@ -1236,10 +1257,23 @@ object EngineQueries extends QueryPack {
          |      AND (q.cnt > p.cnt OR (q.cnt = p.cnt AND (q.l < p.l
          |           OR (q.l = p.l AND q.r2 < p.r2)))))""".stripMargin
     for (i <- 1 to R) {
+      // non-overlapping census: for l==r runs only odd in-run positions
+      // count (gaps-and-islands parity — consecutive occurrences of the
+      // SAME pair are same-symbol runs), mirroring the engine's
+      // consumed-flag scan; l!=r occurrences can never overlap
       ctes += s"""p$i AS MATERIALIZED (
          |  SELECT l, r2, cnt FROM (
-         |    SELECT a.sym AS l, b.sym AS r2, CAST(sum(a.freq) AS BIGINT) AS cnt
-         |    FROM $prev a JOIN $prev b ON a.w = b.w AND b.pos = a.pos + 1
+         |    SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |      SELECT w, freq, l, r2,
+         |             row_number() OVER (PARTITION BY w, l, r2, grp
+         |               ORDER BY pos) % 2 = 1 AS odd
+         |      FROM (
+         |        SELECT a.w, a.freq, a.pos, a.sym AS l, b.sym AS r2,
+         |               CASE WHEN a.sym = b.sym THEN a.pos - row_number()
+         |                 OVER (PARTITION BY a.w, a.sym, b.sym
+         |                       ORDER BY a.pos) END AS grp
+         |        FROM $prev a JOIN $prev b ON a.w = b.w AND b.pos = a.pos + 1))
+         |    WHERE l <> r2 OR odd
          |    GROUP BY 1, 2)
          |  ORDER BY cnt DESC, l, r2 LIMIT $BpeProdTopPairs)""".stripMargin
       var cand = s"p$i"

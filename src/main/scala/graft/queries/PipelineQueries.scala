@@ -660,7 +660,11 @@ object PipelineQueries extends QueryPack {
     per.crossJoin(broadcast(tot))
       .select(col("split"), col("n_docs"), col("n_chars"),
         col("id_checksum"), col("n_total"),
-        expr("(1000000 * n_docs) DIV n_total").as("share_ppm"),
+        // 1e6-times-count products ride decimal(38,0) (the q284/q282
+        // discipline — BIGINT wraps silently at extreme row counts
+        // where DuckDB raises)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs) DIV n_total" +
+          " AS BIGINT)").as("share_ppm"),
         (sum(col("n_docs")).over() === col("n_total")).as("covers_all"),
         (sum(col("id_checksum")).over() === col("sum_total"))
           .as("ids_partition"))
@@ -761,7 +765,8 @@ object PipelineQueries extends QueryPack {
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
          |          CAST(sum(doc_id) AS BIGINT) AS sum_total FROM d)
          |SELECT split, n_docs, n_chars, id_checksum, n_total,
-         |       CAST((1000000 * n_docs) // n_total AS BIGINT) AS share_ppm,
+         |       CAST((CAST(1000000 AS HUGEINT) * n_docs) // n_total
+         |         AS BIGINT) AS share_ppm,
          |       CAST((SELECT sum(n_docs) FROM per) AS BIGINT) = n_total
          |         AS covers_all,
          |       CAST((SELECT sum(id_checksum) FROM per) AS BIGINT)

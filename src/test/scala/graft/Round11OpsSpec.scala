@@ -68,8 +68,21 @@ class Round11OpsSpec extends AnyFunSuite {
     while (round <= rounds && !done) {
       val counts = scala.collection.mutable.Map
         .empty[(String, String), Long].withDefaultValue(0L)
-      for ((f, syms) <- segs; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) += f
+      // NON-OVERLAPPING census (the engine's consumed-flag scan): an
+      // l==r run of n symbols counts floor(n/2) — what the greedy
+      // applier actually merges — not the n-1 overlapping adjacencies
+      for ((f, syms) <- segs) {
+        var i = 0
+        var consumed = false
+        while (i < syms.length - 1) {
+          if (syms(i) == syms(i + 1) && consumed) consumed = false
+          else {
+            counts((syms(i), syms(i + 1))) += f
+            consumed = syms(i) == syms(i + 1)
+          }
+          i += 1
+        }
+      }
       val census = counts.toSeq.map { case ((l, r), c) => (l, r, c) }
         .sortBy { case (l, r, c) => (-c, l, r) }.take(top)
       val sel = graft.queries.EngineQueries.bpeSelectBatch(census, waves)
@@ -149,6 +162,36 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(jobs * 4 < merges,
         s"jobs/merge >= 0.25: $jobs jobs for $merges merges")
     } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  test("q286: self-pair runs (l==r) — census counts floor(run/2), and " +
+    "derived totals equal the reference's MEASURED totals when an (x,x) " +
+    "merge is selected over runs of 3+ identical symbols") {
+    // words with identical-symbol runs >= 3: under overlap counting the
+    // (a,a) census would claim 3 removals for 'aaaa' (run 4) where the
+    // greedy applier removes 2 — the advisor's witness. Mixed material
+    // keeps several rounds alive ('aa' symbols then pair again).
+    val words = Seq(
+      ("aaaa", 9L), ("aaab", 7L), ("baaa", 6L), ("aabaa", 5L),
+      ("haha", 4L), ("hahaha", 4L), ("deed", 3L), ("feed", 3L),
+      ("seed", 2L), ("noon", 2L))
+    val corpus = words.zipWithIndex.map { case ((w, f), i) =>
+      (i * 10L, (w + " ") * f.toInt)
+    }
+    val dir = stageDocs(corpus)
+    val expect = refProdBpe(words,
+      rounds = graft.queries.EngineQueries.BpeProdRounds,
+      top = graft.queries.EngineQueries.BpeProdTopPairs,
+      waves = graft.queries.EngineQueries.BpeProdSubRounds)
+    // the witness is live: some selected merge is a self-pair
+    assert(expect.exists(m => m._5 == m._6),
+      s"fixture never selects an l==r pair: ${expect.map(m => (m._5, m._6))}")
+    val got = SparkEntry.queries("q286_bpe_production_train")(spark, dir)
+      .as[(Long, Long, Long, Long, String, String, Long, Long)]
+      .collect().toSeq
+    assert(got == expect,
+      s"engine vs measured-total reference diverge on self-pair runs:\n" +
+        s"${got.diff(expect).take(5)}\nvs\n${expect.diff(got).take(5)}")
   }
 
   // ---------------------------------------------------- q284
