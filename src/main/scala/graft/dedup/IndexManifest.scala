@@ -1,0 +1,108 @@
+package graft.dedup
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Single-file rename-committed snapshot naming the CURRENT bucket
+  * generation of every index in a multi-index state store, plus the
+  * last batch id whose effects they include (VERDICT r11 #1 — the
+  * atomic multi-table commit that closes [[IndexedDedup]]'s documented
+  * crash window between its two index job commits).
+  *
+  * The contract mirrors a table format's manifest in miniature:
+  *   - every bucket rewrite lands in FRESH generation-suffixed
+  *     directories ([[LinearHashIndex]] `L<l>I<i>G<g>`) — committed
+  *     data is never modified in place;
+  *   - readers resolve buckets ONLY through the highest committed
+  *     `manifest-<v>` file, so a writer crash anywhere between the
+  *     first bucket write and the manifest rename leaves every reader
+  *     on the previous fully-consistent snapshot of ALL indexes;
+  *   - the commit itself is one temp-file write + one atomic
+  *     `rename()` — the single-file commit point. A retry of the
+  *     crashed batch recomputes from the previous manifest and
+  *     re-writes the SAME fresh-generation directories (deterministic
+  *     given manifest state + batch), so leftovers are overwritten,
+  *     never duplicated; directories no longer referenced are
+  *     garbage-collected only AFTER the new manifest lands.
+  *
+  * Single-writer (the foreachBatch model): `commit` asserts the rename
+  * wins, which a second concurrent writer would break — the same
+  * assumption the rest of the per-batch pipeline already makes.
+  *
+  * File format (versioned name `manifest-%09d`, UTF-8 lines):
+  * {{{
+  *   batchSeq=<long>
+  *   <indexName>\t<bucketId>        // one line per live bucket
+  * }}}
+  */
+final class IndexManifest(spark: SparkSession, val root: String) {
+  import IndexManifest.State
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("manifest-")) name.stripPrefix("manifest-").toLongOption
+    else None
+
+  private def fileName(v: Long): String = f"manifest-$v%09d"
+
+  /** Highest committed snapshot, or None before the first commit. */
+  def read(): Option[State] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return None
+    val versions = fs.listStatus(p).flatMap(s => versionOf(s.getPath.getName))
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val f = new Path(root, fileName(v))
+    val len = fs.getFileStatus(f).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(f)
+    try in.readFully(buf) finally in.close()
+    val lines = new String(buf, UTF_8).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val batchSeq = lines.head.stripPrefix("batchSeq=").toLong
+    val buckets = lines.tail.map { ln =>
+      val Array(ix, b) = ln.split("\t"); (ix, b)
+    }.groupBy(_._1).map { case (ix, bs) => ix -> bs.map(_._2).toSet }
+    Some(State(v, batchSeq, buckets))
+  }
+
+  /** Atomically publish a new snapshot of ALL indexes: write a temp
+    * file, rename to the next version. Crash leftovers (.tmp files,
+    * manifests older than the previous version) are cleaned here — the
+    * single-writer point where they are provably dead. */
+  def commit(batchSeq: Long, buckets: Map[String, Set[String]]): State = {
+    val p = new Path(root)
+    fs.mkdirs(p)
+    val cur = read().map(_.version).getOrElse(0L)
+    fs.listStatus(p).foreach { s =>
+      val nm = s.getPath.getName
+      val stale = nm.startsWith(".tmp-") ||
+        versionOf(nm).exists(_ < cur) // keep current as the reader fallback
+      if (stale) fs.delete(s.getPath, false)
+    }
+    val next = cur + 1
+    val body = (s"batchSeq=$batchSeq" +: buckets.toSeq.sortBy(_._1).flatMap {
+      case (ix, bs) => bs.toSeq.sorted.map(b => s"$ix\t$b")
+    }).mkString("", "\n", "\n")
+    val tmp = new Path(root, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val dst = new Path(root, fileName(next))
+    require(fs.rename(tmp, dst),
+      s"IndexManifest $root: commit of version $next lost a race " +
+        "(single-writer contract violated)")
+    State(next, batchSeq, buckets)
+  }
+}
+
+object IndexManifest {
+  /** One committed snapshot: `buckets(indexName)` is the exact set of
+    * live bucket ids ([[LinearHashIndex]] `L<l>I<i>G<g>`) readers of
+    * that index must resolve through. */
+  final case class State(version: Long, batchSeq: Long,
+                         buckets: Map[String, Set[String]])
+}

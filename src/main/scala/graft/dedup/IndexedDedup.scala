@@ -35,68 +35,102 @@ import org.apache.spark.sql.functions._
   * batch-hot shingles. Components and statuses as in
   * `incrementalDedup`.
   *
-  * Exactly-once: all three writes are idempotent under whole-batch
-  * replay (the Structured Streaming failure model — a batch re-runs
-  * from the start with the same data): the verdict sink and doc-index
-  * upserts are version-gated by batch id, shingle-index postings merge
-  * as a set union, and the keep side of pair/df computation EXCLUDES
-  * the current batch's doc ids, so state already extended by a crashed
-  * attempt yields the same verdicts. Write order verdicts → doc index
-  * → shingle index narrows the remaining window to a crash INSIDE one
-  * index job's commit (bucket-level, see [[LinearHashIndex]]); closing
-  * it entirely needs a multi-table atomic manifest commit (a table
-  * format's job), recorded as the production TODO, matching q274's
-  * guarantee bar.
+  * ATOMIC VISIBILITY (VERDICT r11 #1 — closes the crash window the r11
+  * design documented): both indexes resolve through ONE
+  * [[IndexManifest]] snapshot naming their current bucket generations
+  * plus the last applied batch id. Index rewrites land in fresh
+  * generation directories that no reader can see; the batch becomes
+  * visible only when the single-file manifest rename commits BOTH new
+  * bucket sets and the batch id together. A crash anywhere between the
+  * first bucket write and the manifest rename leaves readers —
+  * including the replayed batch itself — on the previous consistent
+  * snapshot; the replay recomputes the same verdicts and re-writes the
+  * same fresh directories (processBatch is deterministic given
+  * manifest state + batch). A replay AFTER the manifest landed sees
+  * `batchSeq ≤ manifest.batchSeq`, recomputes verdicts read-only (the
+  * keep side of pair/df computation excludes the batch's doc ids, so
+  * state already extended yields the same verdicts), and skips the
+  * write path. The verdict sink stays outside the manifest and keeps
+  * its own idempotent version-gated MERGE, as before.
   */
 object IndexedDedup {
 
-  final case class Indexes(shingle: LinearHashIndex, doc: LinearHashIndex)
+  final case class Indexes(shingle: LinearHashIndex, doc: LinearHashIndex,
+                           manifest: IndexManifest)
 
   val ShingleSchema = "s STRING, doc_id BIGINT"
   val DocSchema = "doc_id BIGINT, n_keep BIGINT, ver BIGINT"
 
-  /** Seed both indexes from the initial keep corpus. */
+  /** Manifest index names. */
+  private val ShingleIx = "shingle"
+  private val DocIx = "doc"
+
+  /** Crash-injection points for the commit-protocol specs: between the
+    * two index rewrites, and after both rewrites but before the
+    * manifest rename. Production never sets these. */
+  private[graft] var testCrashBetweenIndexWrites: () => Unit = () => ()
+  private[graft] var testCrashBeforeManifestCommit: () => Unit = () => ()
+
+  /** Attach to an existing on-disk index pair + manifest (a bootstrap
+    * snapshot copied to a working directory, a restart after a crash). */
+  def attach(spark: SparkSession, shingleRoot: String, docRoot: String,
+             manifestRoot: String, rowCap: Long): Indexes =
+    Indexes(
+      new LinearHashIndex(spark, shingleRoot, "s", ShingleSchema, rowCap),
+      new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap),
+      new IndexManifest(spark, manifestRoot))
+
+  /** Seed both indexes from the initial keep corpus and commit manifest
+    * version 1 (batchSeq 0) making them visible atomically. */
   def bootstrap(spark: SparkSession, docs: DataFrame, k: Int,
                 maxShingleDf: Int, shingleRoot: String, docRoot: String,
-                rowCap: Long): Indexes = {
-    val si = new LinearHashIndex(spark, shingleRoot, "s", ShingleSchema, rowCap)
-    val di = new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap)
+                manifestRoot: String, rowCap: Long): Indexes = {
+    val idx = attach(spark, shingleRoot, docRoot, manifestRoot, rowCap)
+    require(idx.manifest.read().isEmpty,
+      s"IndexedDedup: manifest $manifestRoot already committed")
     val ex = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), k)).as("s"))
       .localCheckpoint(true)
     val hot0 = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select("s")
-    si.bootstrap(
+    val liveS = idx.shingle.bootstrap(
       ex.join(broadcast(hot0), Seq("s"), "left_anti").select("s", "doc_id")
         .unionByName(hot0.select(col("s"), lit(-1L).as("doc_id"))))
     val n0 = ex.join(broadcast(hot0).withColumn("__h", lit(true)), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(sum(when(col("__h"), 0L).otherwise(1L)).as("n_keep"))
-    di.bootstrap(docs.select("doc_id").join(n0, Seq("doc_id"), "left")
+    val liveD = idx.doc.bootstrap(docs.select("doc_id")
+      .join(n0, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_keep"), lit(0L)).as("n_keep"),
         lit(0L).as("ver")))
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ex)
-    Indexes(si, di)
+    idx.manifest.commit(0L, Map(ShingleIx -> liveS, DocIx -> liveD))
+    idx
   }
 
   /** Classify one micro-batch against the indexed keep-set and extend
-    * the indexes with the batch's kept docs. Returns the verdicts
-    * `(doc_id, status, rep_id)` — statuses exactly as
-    * [[Dedup.incrementalDedup]]. */
+    * the indexes with the batch's kept docs (one atomic manifest
+    * commit). Returns the verdicts `(doc_id, status, rep_id)` —
+    * statuses exactly as [[Dedup.incrementalDedup]]. */
   def processBatch(spark: SparkSession, idx: Indexes, batch: DataFrame,
                    batchSeq: Long, k: Int, threshold: Double,
                    maxShingleDf: Int): DataFrame = {
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}"))
+    val liveS = snap.buckets(ShingleIx)
+    val liveD = snap.buckets(DocIx)
     val bIds = batch.select("doc_id")
     val bEx = batch.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), k)).as("s"))
       .localCheckpoint(true)
     // ---- probe the keep side by the batch's shingle set
     val probeKeys = bEx.select("s").distinct()
-    val pRows = idx.shingle.probe(probeKeys).localCheckpoint(true)
+    val pRows = idx.shingle.probe(probeKeys, liveS).localCheckpoint(true)
     val pm = pRows.join(broadcast(probeKeys), Seq("s"))
     val tomb = pm.where(col("doc_id") === -1L).select("s")
-    // the replay shield: a crashed attempt may already have merged this
-    // batch's kept docs into the index — they are batch side, not keep
+    // the replay shield: a committed earlier attempt may already have
+    // merged this batch's kept docs into the index — they are batch
+    // side, not keep
     val posts = pm.where(col("doc_id") >= 0L)
       .join(broadcast(bIds), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
@@ -127,7 +161,7 @@ object IndexedDedup {
       .groupBy("doc_id").agg(count(lit(1)).as("dec"))
     val keepIds = cnt.select(col("doc_b").as("doc_id")).distinct()
       .join(broadcast(bIds), Seq("doc_id"), "left_anti")
-    val diRows = idx.doc.probe(keepIds).localCheckpoint(true)
+    val diRows = idx.doc.probe(keepIds, liveD).localCheckpoint(true)
     val nKeep = diRows.join(broadcast(keepIds), Seq("doc_id"))
       .join(decHot, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -157,49 +191,61 @@ object IndexedDedup {
           .otherwise(lit("dup_in_drop")).as("status"),
         col("rep_id"))
       .localCheckpoint(true)
-    // ---- extend the indexes with the batch's kept docs
-    val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
-    val keptEx = bEx.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
-    val keptCnt = keptEx.groupBy("s").agg(count(lit(1)).as("addc"))
-    // keep-side df is monotone: shingles crossing the cap once the kept
-    // docs land are tombstoned for good
-    val newPerm = keptCnt.join(dfKeep, Seq("s"), "left")
-      .where(coalesce(col("dfk"), lit(0L)) + col("addc") > maxShingleDf)
-      .select("s").join(broadcast(tomb), Seq("s"), "left_anti")
-    val tombAfter = tomb.unionByName(newPerm).distinct()
-    val keptN = keptIds.join(
-        keptEx.join(broadcast(tombAfter).withColumn("__h", lit(true)),
-            Seq("s"), "left")
-          .groupBy("doc_id")
-          .agg(sum(when(col("__h"), 0L).otherwise(1L)).as("nk")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("nk"), lit(0L)).as("ins_n"))
-    val decPerm = posts.join(broadcast(newPerm), Seq("s"))
-      .groupBy("doc_id").agg(count(lit(1)).as("dec"))
-    // doc index first (version-gated — a replayed batch must not
-    // re-apply crossing decrements), then the shingle index (set-union
-    // merge + tombstone collapse, naturally idempotent)
-    val diKeys = keptIds.unionByName(decPerm.select("doc_id"))
-    idx.doc.rewrite(diKeys) { old =>
-      old.join(keptN, Seq("doc_id"), "full_outer")
-        .join(decPerm, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("ver").isNull, col("ins_n"))
-            .when(col("ver") >= batchSeq, col("n_keep"))
-            .when(col("dec").isNotNull, col("n_keep") - col("dec"))
-            .otherwise(col("n_keep")).as("n_keep"),
-          when(col("ver").isNull
-              || (col("ver") < batchSeq && col("dec").isNotNull),
-            lit(batchSeq)).otherwise(col("ver")).as("ver"))
-    }
-    val siKeys = keptEx.select("s").distinct()
-    idx.shingle.rewrite(siKeys) { old =>
-      old.join(broadcast(newPerm), Seq("s"), "left_anti")
-        .unionByName(keptEx
-          .join(broadcast(tombAfter), Seq("s"), "left_anti")
-          .select("s", "doc_id"))
-        .unionByName(newPerm.select(col("s"), lit(-1L).as("doc_id")))
-        .distinct()
+    // ---- extend the indexes with the batch's kept docs — skipped when
+    // the committed manifest already includes this batch (a replay
+    // after the commit landed): the snapshot is complete, the verdict
+    // recomputation above is read-only against it
+    if (snap.batchSeq < batchSeq) {
+      val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
+      val keptEx = bEx.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+      val keptCnt = keptEx.groupBy("s").agg(count(lit(1)).as("addc"))
+      // keep-side df is monotone: shingles crossing the cap once the
+      // kept docs land are tombstoned for good
+      val newPerm = keptCnt.join(dfKeep, Seq("s"), "left")
+        .where(coalesce(col("dfk"), lit(0L)) + col("addc") > maxShingleDf)
+        .select("s").join(broadcast(tomb), Seq("s"), "left_anti")
+      val tombAfter = tomb.unionByName(newPerm).distinct()
+      val keptN = keptIds.join(
+          keptEx.join(broadcast(tombAfter).withColumn("__h", lit(true)),
+              Seq("s"), "left")
+            .groupBy("doc_id")
+            .agg(sum(when(col("__h"), 0L).otherwise(1L)).as("nk")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nk"), lit(0L)).as("ins_n"))
+      val decPerm = posts.join(broadcast(newPerm), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("dec"))
+      // both rewrites land in fresh bucket generations invisible to
+      // readers; the version gates stay (they also shield a crashed
+      // PRE-manifest attempt whose directories this retry overwrites)
+      val diKeys = keptIds.unionByName(decPerm.select("doc_id"))
+      val newLiveD = idx.doc.rewrite(diKeys, liveD) { old =>
+        old.join(keptN, Seq("doc_id"), "full_outer")
+          .join(decPerm, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ver").isNull, col("ins_n"))
+              .when(col("ver") >= batchSeq, col("n_keep"))
+              .when(col("dec").isNotNull, col("n_keep") - col("dec"))
+              .otherwise(col("n_keep")).as("n_keep"),
+            when(col("ver").isNull
+                || (col("ver") < batchSeq && col("dec").isNotNull),
+              lit(batchSeq)).otherwise(col("ver")).as("ver"))
+      }
+      testCrashBetweenIndexWrites()
+      val siKeys = keptEx.select("s").distinct()
+      val newLiveS = idx.shingle.rewrite(siKeys, liveS) { old =>
+        old.join(broadcast(newPerm), Seq("s"), "left_anti")
+          .unionByName(keptEx
+            .join(broadcast(tombAfter), Seq("s"), "left_anti")
+            .select("s", "doc_id"))
+          .unionByName(newPerm.select(col("s"), lit(-1L).as("doc_id")))
+          .distinct()
+      }
+      testCrashBeforeManifestCommit()
+      // THE commit point: both indexes + the batch id flip together
+      idx.manifest.commit(batchSeq,
+        Map(ShingleIx -> newLiveS, DocIx -> newLiveD))
+      idx.shingle.gc(newLiveS)
+      idx.doc.gc(newLiveD)
     }
     Seq(pRows, bEx, diRows).foreach(
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)

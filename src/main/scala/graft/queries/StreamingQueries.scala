@@ -692,6 +692,31 @@ object StreamingQueries extends QueryPack {
       .orderBy("batch_seq", "doc_id")
   }
 
+  /** q283's bootstrapped index snapshot, built ONCE per session per sf
+    * dir (the q209 staging-cache discipline, applied per VERDICT r11
+    * #3): the O(corpus) bootstrap is setup, not the operator — each
+    * query run copies the snapshot to fresh working directories and
+    * streams against the COPY, so bench reps time the steady-state
+    * per-batch path (index probes + fresh-generation rewrites + the
+    * manifest commit), which is the cost shape the
+    * IndexedDedupSpec contract is about. */
+  private val xdedupSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  /** Copy `src`'s contents under the existing dir `dst` (local-FS
+    * snapshot clone; bounded by the index size at fixture SF). */
+  private def copyDirContents(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new Path(src)
+    val fs = sp.getFileSystem(conf)
+    fs.listStatus(sp).foreach { st =>
+      FileUtil.copy(fs, st.getPath, fs,
+        new Path(new Path(dst), st.getPath.getName), false, conf)
+      ()
+    }
+  }
+
   /** q283: q274 against PERSISTED keep-side indexes — the round-10
     * verdict's top item ("q274 re-shingles the whole keep-set every
     * micro-batch"). Identical batches, thresholds, and verdicts (the
@@ -701,10 +726,11 @@ object StreamingQueries extends QueryPack {
     * df-cap tombstones; per-doc surviving-shingle counts) probed by the
     * batch's own key sets, so per-batch keep-side IO tracks the batch —
     * keep texts are never re-read, keep shingles never recomputed, and
-    * the index merges touch only the batch's buckets
-    * (IndexedDedupSpec pins the scan-volume claim with a SparkListener
-    * and replays batches for the exactly-once contract). The verdict
-    * sink keeps q274's idempotent doc_id-keyed MERGE. */
+    * the index merges land in fresh bucket generations made visible by
+    * ONE atomic [[graft.dedup.IndexManifest]] rename covering both
+    * indexes + the batch id (IndexedDedupSpec pins the scan-volume
+    * claim with a SparkListener and crash-injects the commit protocol).
+    * The verdict sink keeps q274's idempotent doc_id-keyed MERGE. */
   private def streamingIndexedDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.IndexedDedup
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -716,9 +742,21 @@ object StreamingQueries extends QueryPack {
     val b2 = docs.where(col("doc_id") % 30 === 0)
       .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
     val outDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_out_")
-    val idx = IndexedDedup.bootstrap(spark, docs, k = 3, maxShingleDf = 20,
-      MlQueries.tempDirDeletedOnExit("graft_xdedup_si_"),
-      MlQueries.tempDirDeletedOnExit("graft_xdedup_di_"), rowCap = 65536L)
+    val (snapSi, snapDi, snapMf) = xdedupSnapByDir.computeIfAbsent(dir, _ => {
+      val si = MlQueries.tempDirDeletedOnExit("graft_xdedup_snap_si_")
+      val di = MlQueries.tempDirDeletedOnExit("graft_xdedup_snap_di_")
+      val mf = MlQueries.tempDirDeletedOnExit("graft_xdedup_snap_mf_")
+      IndexedDedup.bootstrap(spark, docs, k = 3, maxShingleDf = 20,
+        si, di, mf, rowCap = 65536L)
+      (si, di, mf)
+    })
+    val siDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_si_")
+    val diDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_di_")
+    val mfDir = MlQueries.tempDirDeletedOnExit("graft_xdedup_mf_")
+    copyDirContents(spark, snapSi, siDir)
+    copyDirContents(spark, snapDi, diDir)
+    copyDirContents(spark, snapMf, mfDir)
+    val idx = IndexedDedup.attach(spark, siDir, diDir, mfDir, rowCap = 65536L)
     val watch = stageBatches("graft_xdedup_", Seq(b1, b2))
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")
