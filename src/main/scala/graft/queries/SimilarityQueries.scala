@@ -386,7 +386,85 @@ object SimilarityQueries extends QueryPack {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q292: IVF index REBUILD + COMPACTION (VERDICT r11 #4) — the
+    * lifecycle job q285's frozen-centroid design defers. The index is
+    * built the production way (three idempotent per-batch merges
+    * against 16 frozen seed centroids — per-batch files accrete per
+    * cell), then [[graft.similarity.IvfIndex.rebuild]] refits the
+    * centroids with ONE exact fixed-point Lloyd mean-update over the
+    * current membership, reassigns every row, and swaps the index in
+    * place with per-cell compaction (one file per cell directory —
+    * pinned in Round12OpsSpec). The output is the DRIFT AUDIT the
+    * verdict asked for: per phase (before/after) the cell-balance
+    * census (n_cells, max/min members) and probe recall hits against
+    * the exact float top-5 — every number replayed by the oracle (seed
+    * assignment, fixed-point refit, reassignment, sub-exhaustive probe
+    * ranking, brute-force truth: the q114 + q285 disciplines composed).
+    *
+    * Scale shape: the rebuild is one full-index read + one cells×dim
+    * fixed-point aggregation + one full-index write — the monthly job,
+    * never the per-batch path; probes stay partition-pruned before and
+    * after; the brute-force truth is the audit leg only (q139's recall
+    * discipline), bounded by the 10-query probe set. */
+  private def ivfRebuildCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.IvfIndex
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir = MlQueries.tempDirDeletedOnExit("graft_ivfreb_")
+    (0 until 3).foreach { i =>
+      IvfIndex.mergeBatch(
+        emb.select("vec_id", "embedding")
+          .where(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", seeds, idxDir, batchSeq = i + 1L)
+    }
+    val queries = emb.where(col("vec_id") < 10)
+    // exact float top-5 per query: the recall truth for BOTH phases
+    // (broadcast nested-loop by construction — the probe set is tiny)
+    val truth = emb
+      .select(col("vec_id").as("cand_id"),
+        Similarity.vecDouble(col("embedding")).as("cv"))
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").cast("long").as("query_id"),
+        Similarity.vecDouble(col("embedding")).as("qv"))))
+      .withColumn("l2", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("l2"), col("cand_id"))))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"))
+      .localCheckpoint(true)
+    // 1-row collect per phase: the before census MUST materialize
+    // before the rebuild swaps the directory under the lazy plan
+    def phaseRow(phase: String, cs: Seq[(Int, Array[Double])])
+        : (String, Long, Long, Long, Long, Long) = {
+      val census = spark.read.parquet(idxDir).groupBy("cell")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("n_cells"),
+          max("n").as("max_cell_n"), min("n").as("min_cell_n"))
+      val hits = IvfIndex.probe(spark, idxDir, queries, "vec_id",
+          "embedding", cs, nProbe = 4, k = 5)
+        .select(col("query_id"), col("vec_id").as("cand_id"))
+        .join(truth, Seq("query_id", "cand_id"), "left_semi")
+        .agg(count(lit(1)).as("recall_hits"))
+      val r = census.crossJoin(broadcast(hits)).head()
+      (phase, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    }
+    val before = phaseRow("before", seeds)
+    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding")
+    val after = phaseRow("after", refit)
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(truth)
+    import spark.implicits._
+    Seq(before, after)
+      .toDF("phase", "n_rows", "n_cells", "max_cell_n", "min_cell_n",
+        "recall_hits")
+      .orderBy("phase")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_ivf_rebuild_compact" -> ivfRebuildCompact,
     "q225_tfidf_cosine_rerank" -> tfidfCosineRerank,
     "q40_cosine_neardup" -> cosineNearDup,
     "q152_prefix_rerank_topk" -> prefixRerank,
@@ -448,7 +526,95 @@ object SimilarityQueries extends QueryPack {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q292 oracle: both phases replayed end-to-end — 16 seed centroids,
+    * argmin assignment (≡ the merged index: order-independent +
+    * idempotent, the q285 lemma), the fixed-point Lloyd refit (q114's
+    * 2²⁴ integer sums), reassignment, per-phase cell census, the
+    * top-4-cell probe ranking with exact-L2 top-5 (q285), and recall
+    * hits against the brute-force float top-5. */
+  private def ivfRebuildOracle: String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT x.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+         |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+         |             c.cell) AS rn
+         |    FROM v x CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def probeCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT qq.vec_id AS query_id, c.cell,
+         |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+         |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+         |             - list_sum([qq.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+         |             c.cell) AS rn
+         |    FROM q qq CROSS JOIN $cents c) WHERE rn <= 4)""".stripMargin
+    def topCte(name: String, asg: String, pr: String) =
+      s"""$name AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT pr.query_id, x.vec_id AS cand_id,
+         |           row_number() OVER (PARTITION BY pr.query_id ORDER BY
+         |             list_sum([(qq.dv[i]-x.dv[i])*(qq.dv[i]-x.dv[i])
+         |                       for i in range(1, 65)]), x.vec_id) AS rn
+         |    FROM $asg ca JOIN $pr pr ON pr.cell = ca.cell
+         |    JOIN v x ON x.vec_id = ca.vec_id
+         |    JOIN q qq ON qq.vec_id = pr.query_id) WHERE rn <= 5)""".stripMargin
+    def phase(label: String, asg: String, topn: String) =
+      s"""SELECT '$label' AS phase,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $asg) AS n_rows,
+         |  (SELECT CAST(count(DISTINCT cell) AS BIGINT) FROM $asg)
+         |    AS n_cells,
+         |  (SELECT CAST(max(n) AS BIGINT)
+         |   FROM (SELECT count(*) AS n FROM $asg GROUP BY cell))
+         |    AS max_cell_n,
+         |  (SELECT CAST(min(n) AS BIGINT)
+         |   FROM (SELECT count(*) AS n FROM $asg GROUP BY cell))
+         |    AS min_cell_n,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM $topn t JOIN truth USING (query_id, cand_id))
+         |    AS recall_hits""".stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |cc AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |           AS cell, dv
+       |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 16)),
+       |q AS MATERIALIZED (SELECT vec_id, dv FROM v WHERE vec_id < 10),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT qq.vec_id AS query_id, x.vec_id AS cand_id,
+       |           row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |             list_sum([(qq.dv[i]-x.dv[i])*(qq.dv[i]-x.dv[i])
+       |                       for i in range(1, 65)]), x.vec_id) AS rn
+       |    FROM q qq CROSS JOIN v x) WHERE rn <= 5),
+       |${assign("a0", "cc")},
+       |${probeCte("pr0", "cc")},
+       |${topCte("top0", "a0", "pr0")},
+       |s1 AS (
+       |  SELECT a0.cell, idx.i AS pos,
+       |         sum(CAST(round(v.dv[idx.i] * 16777216.0) AS BIGINT)) AS sfix,
+       |         count(*) AS n
+       |  FROM a0 JOIN v USING (vec_id)
+       |       CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+       |  GROUP BY 1, 2),
+       |c1 AS MATERIALIZED (
+       |  SELECT cell,
+       |         list((CAST(sfix AS DOUBLE) / n) / 16777216.0 ORDER BY pos)
+       |           AS dv
+       |  FROM s1 GROUP BY cell),
+       |${assign("a1", "c1")},
+       |${probeCte("pr1", "c1")},
+       |${topCte("top1", "a1", "pr1")}
+       |${phase("before", "a0", "top0")}
+       |UNION ALL
+       |${phase("after", "a1", "top1")}
+       |ORDER BY phase""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q292_ivf_rebuild_compact" -> ivfRebuildOracle,
     // q159's candidate replay (blocked shared-shingle Jaccard >= 0.3),
     // then the tf·idf_milli weights and the q174-shaped cosine in SQL
     "q225_tfidf_cosine_rerank" ->

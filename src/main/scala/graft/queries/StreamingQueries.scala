@@ -785,7 +785,81 @@ object StreamingQueries extends QueryPack {
       .orderBy("batch_seq", "doc_id")
   }
 
+  /** q293: INDEXED-DEDUP DRIFT AUDIT (VERDICT r11 #5) — the regression
+    * harness for the persisted-index path, driver-visible as data: on a
+    * deterministic sample of the corpus (doc_id % 4 = 0, the q272
+    * sampled-window discipline) the SAME batch sequence runs through
+    * BOTH legs — [[graft.dedup.IndexedDedup]] against the persisted
+    * indexes (permanent df-cap tombstones, manifest-committed state)
+    * and [[graft.dedup.Dedup.incrementalDedup]]'s full recompute — and
+    * the output is the per-batch agreement census (status and rep
+    * agreement as exact integers, an all_agree boolean). The design
+    * claim is 100% agreement (keep-side df is monotone, so permanent
+    * tombstones mirror the recompute's cap batch-for-batch); the oracle
+    * replays ONE leg and asserts the census with n_agree = n_docs, so
+    * ANY divergence — tombstone drift over many batches, a manifest
+    * regression, a probe bug — lands as a hash mismatch in the gate.
+    *
+    * Scale shape: the indexed leg is the production path (probe-bounded
+    * IO); the recompute leg is the audit standard run on the SAMPLE
+    * only (the q272/q246 honesty pattern — production drops it). */
+  private def indexedDedupDriftAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{Dedup, IndexedDedup}
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 4 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = sample.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    val idx = IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+      MlQueries.tempDirDeletedOnExit("graft_xda_si_"),
+      MlQueries.tempDirDeletedOnExit("graft_xda_di_"),
+      MlQueries.tempDirDeletedOnExit("graft_xda_mf_"), rowCap = 65536L)
+    val a1 = IndexedDedup.processBatch(spark, idx, b1, 1L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val a2 = IndexedDedup.processBatch(spark, idx, b2, 2L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val r1 = Dedup.incrementalDedup(sample, b1, "doc_id", "text", k = 3,
+      threshold = 0.3, maxShingleDf = 20).localCheckpoint(true)
+    val keep1 = sample.unionByName(
+      b1.join(r1.where(col("status") === "kept").select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+    val r2 = Dedup.incrementalDedup(keep1, b2, "doc_id", "text", k = 3,
+      threshold = 0.3, maxShingleDf = 20).localCheckpoint(true)
+    def census(seqN: Long, ix: DataFrame, rc: DataFrame) = {
+      val r = ix
+        .select(col("doc_id"), col("status").as("s_ix"), col("rep_id").as("r_ix"))
+        .join(rc.select(col("doc_id"), col("status").as("s_rc"),
+          col("rep_id").as("r_rc")), Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s_rc") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("s_rc") === "dup_of_keep", 1L).otherwise(0L))
+            .as("n_dup_of_keep"),
+          sum(when(col("s_rc") === "dup_in_drop", 1L).otherwise(0L))
+            .as("n_dup_in_drop"),
+          sum(when(col("s_ix") === col("s_rc"), 1L).otherwise(0L))
+            .as("n_status_agree"),
+          sum(when(col("r_ix") === col("r_rc"), 1L).otherwise(0L))
+            .as("n_rep_agree"))
+        .head() // 1 aggregate row per batch — driver-bounded
+      (seqN, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        r.getLong(4) == r.getLong(0) && r.getLong(5) == r.getLong(0))
+    }
+    val rows = Seq(census(1L, a1, r1), census(2L, a2, r2))
+    Seq(a1, a2, r1, r2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    import spark.implicits._
+    rows.toDF("batch_seq", "n_docs", "n_kept", "n_dup_of_keep",
+        "n_dup_in_drop", "n_status_agree", "n_rep_agree", "all_agree")
+      .orderBy("batch_seq")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
     "q283_streaming_indexed_dedup" -> streamingIndexedDedup,
     "q285_streaming_ivf_index" -> streamingIvfIndex,
     "q274_streaming_inc_dedup" -> streamingIncDedup,
@@ -982,7 +1056,74 @@ object StreamingQueries extends QueryPack {
        |ORDER BY batch_seq, doc_id""".stripMargin
   }
 
+  /** q293 oracle: the recompute leg replayed on the sampled window (the
+    * q274 batch-sequence CTEs over doc_id % 4 = 0), reduced to the
+    * per-batch verdict census with n_agree = n_docs — the design claim
+    * that the indexed leg is bit-identical to the recompute; any
+    * engine-side disagreement between its two legs lands as a hash
+    * mismatch in the gate. */
+  private def indexedDedupDriftOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    def census(n: Int, v: String) =
+      s"""SELECT CAST($n AS BIGINT) AS batch_seq,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN status = 'dup_of_keep' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dup_of_keep,
+         |       CAST(sum(CASE WHEN status = 'dup_in_drop' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_dup_in_drop,
+         |       CAST(count(*) AS BIGINT) AS n_status_agree,
+         |       CAST(count(*) AS BIGINT) AS n_rep_agree,
+         |       TRUE AS all_agree
+         |FROM $v""".stripMargin
+    s"""WITH RECURSIVE docs4 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM docs4
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM docs4 WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 4000000 AS doc_id, $revText AS text
+       |  FROM docs4 WHERE doc_id % 30 = 0),
+       |u1 AS (SELECT doc_id, text FROM docs4
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status,
+       |         coalesce(lab1.label, d.doc_id) AS rep_id
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |keep1 AS (
+       |  SELECT doc_id, text FROM docs4
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |u2 AS (SELECT doc_id, text FROM keep1
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 4000000L)},
+       |v2 AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 4000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status,
+       |         coalesce(lab2.label, d.doc_id) AS rep_id
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id)
+       |${census(1, "v1")}
+       |UNION ALL
+       |${census(2, "v2")}
+       |ORDER BY batch_seq""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,
     // q283 computes q274's verdicts against persisted indexes — the
     // oracle is LITERALLY the same replay, which is the claim

@@ -68,6 +68,39 @@ object IvfIndex {
     }
   }
 
+  /** Offline index rebuild + compaction — the lifecycle job the frozen
+    * seed centroids defer (the drift caveat above): refit centroids as
+    * ONE exact fixed-point Lloyd mean-update over the CURRENT index
+    * membership ([[Clustering.fixedPointCentroids]] — order-free
+    * integer sums, so the refit is bit-reproducible and SQL-replayable),
+    * reassign every row against the refit centroids, and swap the index
+    * in place. The rewrite doubles as COMPACTION: rows are repartitioned
+    * by cell before the write, so each `cell=` directory lands as one
+    * file regardless of how many per-batch merge layers it had accreted
+    * (the q274-era small-files lesson applied to the index). Empty
+    * refit cells drop (their id simply has no members — probes handle a
+    * shrunken cell set). Returns the refit centroids for subsequent
+    * probes; the caller owns persisting them (they are k×dim scalars —
+    * codebook-sized, not data-sized). One full-index read + one
+    * cells×dim aggregation + one full-index write: the monthly-job cost
+    * shape, never the per-batch path. */
+  def rebuild(spark: SparkSession, sinkDir: String, id: String, vec: String)
+      : Seq[(Int, Array[Double])] = {
+    val cur = spark.read.parquet(sinkDir)
+    val refit = Clustering.fixedPointCentroids(cur, "cell", vec)
+    val reassigned = cur
+      .select(col(id), col(vec), col("__ver"))
+      .withColumn("cell", Clustering.assignCell(col(vec), refit))
+      // one task per cell -> one file per cell directory (compaction)
+      .repartition(math.max(1, refit.size), col("cell"))
+      .localCheckpoint(true) // break the read->overwrite cycle on sinkDir
+    // static overwrite truncates the whole table: stale cell dirs from
+    // the pre-rebuild assignment disappear even if the cell set shrank
+    try reassigned.write.mode("overwrite").partitionBy("cell").parquet(sinkDir)
+    finally org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reassigned)
+    refit
+  }
+
   /** Top-k exact-L2 neighbors from the persisted index, probing each
     * query's nProbe nearest cells; the scan is partition-pruned to the
     * probed cell union. */

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 pins: IVF index rebuild + compaction (q292) and the
+  * indexed-dedup drift/regression audit (q293). */
+class Round12OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def stageDocs(rows: Seq[(Long, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r12_").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // ---------------------------------------------------- q292
+  test("q292/IvfIndex.rebuild: per-batch merges accrete files, rebuild " +
+    "compacts to one file per cell, preserves membership exactly, moves " +
+    "the centroids, and probes stay exact through the refit set") {
+    import graft.similarity.{Clustering, IvfIndex}
+    // two separated clusters; the 16 lowest ids all sit in cluster A, so
+    // the seed cells carve A finely while B piles up — the drift shape
+    // the rebuild is for
+    def vec(base: Double, j: Int): Seq[Double] =
+      Seq.tabulate(64)(d => base + (if (d == j % 64) 0.25 else 0.0))
+    val rows =
+      (0 until 32).map(i => (i.toLong, vec(0.0, i))) ++
+        (32 until 96).map(i => (i.toLong, vec(4.0, i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_ivfreb_sp_").toString
+    // AQE would coalesce this tiny fixture's merge shuffles to one
+    // partition and mask the very accretion the rebuild exists to fix —
+    // at real scale every merge writes a file per task per cell
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      (0 until 3).foreach { i =>
+        IvfIndex.mergeBatch(emb.where(pmod(col("vec_id"), lit(3)) === i)
+            .repartition(8),
+          "vec_id", "embedding", seeds, idxDir, i + 1L)
+      }
+    } finally spark.conf.set(aqeKey, aqePrev)
+    def filesPerCell(): Map[String, Int] =
+      new java.io.File(idxDir).listFiles.filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = filesPerCell()
+    assert(before.values.exists(_ > 1),
+      s"fixture never accreted multiple files per cell: $before")
+    val idsBefore = spark.read.parquet(idxDir).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding")
+    // compaction: exactly one parquet file per surviving cell directory
+    val after = filesPerCell()
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"rebuild left multi-file cells: $after")
+    // membership preserved bit-exactly
+    val idsAfter = spark.read.parquet(idxDir).select("vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(idsAfter == idsBefore, "rebuild lost or duplicated rows")
+    // the Lloyd step actually moved the codebook
+    val seedMap = seeds.toMap
+    assert(refit.exists { case (c, v) =>
+      seedMap.get(c).forall(s => !java.util.Arrays.equals(s, v))
+    }, "refit centroids identical to seeds — the mean update was a no-op")
+    // the persisted cell column equals a direct reassignment under the
+    // refit centroids (the index is consistent with its own codebook)
+    val stored = spark.read.parquet(idxDir)
+    val mismatch = stored
+      .withColumn("expect", Clustering.assignCell(col("embedding"), refit))
+      .where(col("cell") =!= col("expect")).count()
+    assert(mismatch == 0L, s"$mismatch rows assigned off their refit cell")
+    // probes through the refit set still answer exactly
+    val got = IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") === 40),
+        "vec_id", "embedding", refit, nProbe = 4, k = 1)
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("vec_id") == 40L,
+      s"self-probe after rebuild failed: ${got.toSeq}")
+  }
+
+  // ---------------------------------------------------- q293
+  test("q293: indexed leg agrees 100% with the direct incrementalDedup " +
+    "recompute on a fixture with cross-batch dups — censuses match the " +
+    "independent reference") {
+    import graft.dedup.Dedup
+    // doc_ids are multiples of 4 (the query's sample keeps everything);
+    // ids divisible by 20 enter batch 1 (+1M, exact text), by 60 enter
+    // batch 1 reversed (+3M) and batch 2 reversed (+4M hits ids % 120)
+    val base = (0 until 40).map { i =>
+      val id = i * 4L
+      // three text families so batches carry real dups of keep docs
+      val fam = (i % 3) match {
+        case 0 => s"alpha beta gamma delta epsilon zeta eta theta w$i x$i"
+        case 1 => s"iota kappa lambda mu nu xi omicron pi w$i x$i"
+        case _ => s"rho sigma tau upsilon phi chi psi omega w$i x$i"
+      }
+      (id, fam)
+    }
+    val dir = stageDocs(base)
+    val out = SparkEntry.queries("q293_indexed_dedup_drift_audit")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1L, 2L))
+    out.foreach { r =>
+      assert(r._8, s"legs disagree in batch ${r._1}: $r")
+      assert(r._6 == r._2 && r._7 == r._2,
+        s"agreement counts below n_docs in batch ${r._1}: $r")
+      assert(r._3 + r._4 + r._5 == r._2,
+        s"status census does not partition batch ${r._1}: $r")
+    }
+    // censuses against an INDEPENDENT recompute of the same sequence
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") % 4 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = docs.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    def cens(keep: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val v = Dedup.incrementalDedup(keep, b, "doc_id", "text", k = 3,
+        threshold = 0.3, maxShingleDf = 20).collect()
+      (v.length.toLong,
+        v.count(_.getString(1) == "kept").toLong,
+        v.count(_.getString(1) == "dup_of_keep").toLong,
+        v.count(_.getString(1) == "dup_in_drop").toLong)
+    }
+    val c1 = cens(docs, b1)
+    assert((out(0)._2, out(0)._3, out(0)._4, out(0)._5) == c1,
+      s"batch-1 census ${out(0)} vs reference $c1")
+    assert(c1._3 > 0, "fixture produced no dup_of_keep in batch 1 — weak")
+    val kept1 = Dedup.incrementalDedup(docs, b1, "doc_id", "text", 3, 0.3, 20)
+      .where(col("status") === "kept").select("doc_id")
+    val keep1 = docs.unionByName(b1.join(kept1, Seq("doc_id"), "left_semi"))
+    val c2 = cens(keep1, b2)
+    assert((out(1)._2, out(1)._3, out(1)._4, out(1)._5) == c2,
+      s"batch-2 census ${out(1)} vs reference $c2")
+  }
+}
