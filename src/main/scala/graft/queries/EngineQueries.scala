@@ -564,6 +564,18 @@ object EngineQueries extends QueryPack {
     * jobs/merge on a richer-vocabulary fixture where that many rules
     * exist, plus the saturation property itself. */
   private def bpeProductionTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeProductionRules(spark, dir)
+      .toDF("merge_seq", "merge_round", "sub_round", "batch_pos",
+        "lsym", "rsym", "pair_count", "total_symbols_after_round")
+      .orderBy("merge_seq")
+  }
+
+  /** The q286 trainer loop, returning the merge table driver-side —
+    * shared by q286 (the table IS its output) and q294 (which encodes
+    * with the rules and must reproduce the trainer's segmentation). */
+  private[graft] def bpeProductionRules(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Long, String, String, Long, Long)] = {
     val words = Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -637,10 +649,46 @@ object EngineQueries extends QueryPack {
     if (prevCp != null)
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(prevCp)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(seg)
-    import spark.implicits._
-    out.toSeq.toDF("merge_seq", "merge_round", "sub_round", "batch_pos",
-        "lsym", "rsym", "pair_count", "total_symbols_after_round")
-      .orderBy("merge_seq")
+    out.toSeq
+  }
+
+  /** q294: BPE TRAIN/ENCODE ROUND-TRIP (VERDICT r11 #6) — unify the
+    * trainer and the encoder: q286's production trainer emits the rule
+    * table, a GENERIC rank-ordered encoder (q220's fold — one greedy
+    * left-to-right [[bpeMergeExpr]] pass per rule, in merge_seq order —
+    * the reference semantics every shipped tokenizer's slow path
+    * implements) re-segments the distinct-word table from characters,
+    * and the output is the full resulting segmentation per word. The
+    * round-trip property — encode(train corpus) ≡ the trainer's final
+    * segmentation — is the HASH CHECK itself: the oracle never sees the
+    * encoder; it unrolls the TRAINING (q286's census/wave/parity-apply
+    * rounds) and emits the final training segmentation, so the gate
+    * passes iff the two constructions produce identical token strings.
+    * (Why they must: within a training round selected pairs share no
+    * symbols and produced concatenations are retired, so one-pass batch
+    * application equals sequential per-rule application — the q286
+    * exactness lemma, spec-pinned by refProdBpe; across rounds the
+    * orders trivially agree.)
+    *
+    * Scale shape: training is q286's one-job-per-round loop; encoding
+    * is a vocab-sized expression fold with the rules as cluster-wide
+    * literals (the q220 trainer-encode split) — corpus occurrences
+    * never re-fold. */
+  private def bpeRoundtripEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rules = bpeProductionRules(spark, dir).sortBy(_._1)
+      .map(m => (m._5, m._6))
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words.withColumn("syms", split(col("w"), ""))
+    rules.foreach { case (l, r) =>
+      seg = seg.withColumn("syms", expr(bpeMergeExpr(l, r)))
+    }
+    seg.select(col("w"), col("freq"),
+        size(col("syms")).cast("long").as("n_toks"),
+        concat_ws(" ", col("syms")).as("toks"))
+      .orderBy("w")
   }
 
   /** q208: ORC sink+source roundtrip — the remaining built-in columnar
@@ -776,6 +824,7 @@ object EngineQueries extends QueryPack {
     "q213_bpe_train_loop" -> bpeTrainLoop,
     "q220_bpe_encode" -> bpeEncode,
     "q286_bpe_production_train" -> bpeProductionTrain,
+    "q294_bpe_roundtrip_encode" -> bpeRoundtripEncode,
     "q271_bpe_batched_train" -> bpeBatchedTrain,
     "q208_orc_roundtrip" -> orcRoundtrip,
     "q209_binary_ingest" -> binaryIngest,
@@ -1047,7 +1096,8 @@ object EngineQueries extends QueryPack {
     "q213_bpe_train_loop" -> bpeLoopOracle,
     "q220_bpe_encode" -> bpeEncodeOracle,
     "q271_bpe_batched_train" -> bpeBatchedOracle,
-    "q286_bpe_production_train" -> bpeProductionOracle
+    "q286_bpe_production_train" -> bpeProductionOracle,
+    "q294_bpe_roundtrip_encode" -> bpeRoundtripOracle
   )
 
   /** q213 oracle: the 3 merge rounds unrolled relationally. Per round:
@@ -1241,7 +1291,10 @@ object EngineQueries extends QueryPack {
     * argument itself. Rounds beyond saturation yield empty waves and
     * pass the segmentation through untouched, mirroring the engine's
     * early break. */
-  private def bpeProductionOracle: String = {
+  /** Shared CTE chain for the q286 trainer oracle and q294's
+    * round-trip: words/seg0 + every count round unrolled. Returns
+    * (cte sql, final segmentation CTE name, all-selections sql). */
+  private def bpeProdOracleChain: (String, String, String) = {
     val R = BpeProdRounds
     val T = BpeProdSubRounds
     val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1328,19 +1381,26 @@ object EngineQueries extends QueryPack {
          |FROM sel$i""".stripMargin
       prev = s"s$i"
     }
-    s"""WITH words AS MATERIALIZED (
-       |  SELECT w, count(*) AS freq FROM (
-       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-       |    FROM documents)
-       |  WHERE length(w) >= 2 GROUP BY 1),
-       |seg0 AS MATERIALIZED (
-       |  SELECT w, freq,
-       |         unnest(generate_series(1, length(w))) AS pos,
-       |         unnest(regexp_split_to_array(w, '')) AS sym
-       |  FROM words),
-       |${ctes.mkString(",\n")},
+    val chain =
+      s"""words AS MATERIALIZED (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+         |    FROM documents)
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |seg0 AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         unnest(generate_series(1, length(w))) AS pos,
+         |         unnest(regexp_split_to_array(w, '')) AS sym
+         |  FROM words),
+         |${ctes.mkString(",\n")}""".stripMargin
+    (chain, prev, outs.mkString("\nUNION ALL\n"))
+  }
+
+  private def bpeProductionOracle: String = {
+    val (chain, _, allSel) = bpeProdOracleChain
+    s"""WITH $chain,
        |all_sel AS (
-       |${outs.mkString("\nUNION ALL\n")})
+       |$allSel)
        |SELECT CAST(row_number() OVER (ORDER BY merge_round, cnt DESC, l, r2)
        |         AS BIGINT) AS merge_seq,
        |       CAST(merge_round AS BIGINT) AS merge_round,
@@ -1350,6 +1410,18 @@ object EngineQueries extends QueryPack {
        |       l AS lsym, r2 AS rsym, CAST(cnt AS BIGINT) AS pair_count,
        |       CAST(tot AS BIGINT) AS total_symbols_after_round
        |FROM all_sel ORDER BY merge_seq""".stripMargin
+  }
+
+  /** q294 oracle: the TRAINER's final segmentation, constructed by the
+    * q286 unrolled rounds — the encoder never appears here; a hash
+    * match IS the round-trip property. */
+  private def bpeRoundtripOracle: String = {
+    val (chain, finalSeg, _) = bpeProdOracleChain
+    s"""WITH $chain
+       |SELECT w, CAST(freq AS BIGINT) AS freq,
+       |       CAST(count(*) AS BIGINT) AS n_toks,
+       |       string_agg(sym, ' ' ORDER BY pos) AS toks
+       |FROM $finalSeg GROUP BY w, freq ORDER BY w""".stripMargin
   }
 
   private def bpeEncodeOracle: String =

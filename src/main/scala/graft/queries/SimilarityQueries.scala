@@ -463,6 +463,41 @@ object SimilarityQueries extends QueryPack {
       .orderBy("phase")
   }
 
+  /** q295: PERSISTED PQ CODES in the IVF index (VERDICT r11 #7) — q285
+    * persists raw vectors (IVF-flat); here each per-batch merge ALSO
+    * PQ-encodes on the same assignment scan (codebooks fit once from
+    * the corpus and frozen, exactly like the coarse seeds) and persists
+    * the m=8 codes in the index rows. Probes then ADC-score WITHOUT
+    * reading floats: the compressed stage's scan carries only
+    * (cell, vec_id, codes) — the float column is absent from its
+    * ReadSchema (pinned in Round12OpsSpec) — and the exact-L2 rerank
+    * decodes floats for the probed cells' shortlist join only. The
+    * parameters are q139's exactly (m=8, sub=8, 64 cells, coarse 8,
+    * nProbe 4, shortlist 100, k 5), so the persisted path must
+    * reproduce q139's in-run pipeline BIT-FOR-BIT — its oracle IS
+    * q139's replay, the q283/q274 oracle-identity discipline.
+    *
+    * Scale shape: per batch one assignment+encode scan and a
+    * touched-cell merge; per query nProbe/nCells of the index read in
+    * codes (m bytes/row), floats only for probed-cell shortlist rerank. */
+  private def ivfPqPersistedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{IvfIndex, Pq}
+    val emb = Tables.embeddings(spark, dir)
+    val coarse = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 8, sub = 8, k = 64)
+    val idxDir = MlQueries.tempDirDeletedOnExit("graft_ivfpqx_")
+    (0 until 3).foreach { i =>
+      IvfIndex.mergeBatch(
+        emb.select("vec_id", "embedding")
+          .where(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", coarse, idxDir, i + 1L,
+        encodeWith = Some(cb))
+    }
+    IvfIndex.probeAdc(spark, idxDir, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", coarse, cb, nProbe = 4, shortlist = 100, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q292_ivf_rebuild_compact" -> ivfRebuildCompact,
     "q225_tfidf_cosine_rerank" -> tfidfCosineRerank,
@@ -470,6 +505,7 @@ object SimilarityQueries extends QueryPack {
     "q152_prefix_rerank_topk" -> prefixRerank,
     "q130_pq_adc_topk" -> pqAdcTopK,
     "q139_ivf_pq_topk" -> ivfPqTopK,
+    "q295_ivf_pq_persisted_topk" -> ivfPqPersistedTopK,
     "q145_ivf_residual_pq_topk" -> ivfResidualPqTopK,
     "q114_kmeans_cells" -> kmeansCells,
     "q117_semantic_dedup" -> semanticDedup,
@@ -612,6 +648,111 @@ object SimilarityQueries extends QueryPack {
        |${phase("after", "a1", "top1")}
        |ORDER BY phase""".stripMargin
   }
+
+  private val ivfPqOracle: String =
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        |cc AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         dv
+        |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 8)),
+        |ca AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT x.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+        |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+        |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+        |             c.cell) AS rn
+        |    FROM v x CROSS JOIN cc c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.vec_id AS query_id, c.cell,
+        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+        |             - list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+        |             c.cell) AS rn
+        |    FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN cc c)
+        |  WHERE rn <= 4),
+        |sv AS (
+        |  SELECT vec_id, sp.s AS s,
+        |         list_slice(dv, sp.s*8 + 1, sp.s*8 + 8) AS sub
+        |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp),
+        |c0 AS (
+        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
+        |                 AS INTEGER) AS cell, sub
+        |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 64)),
+        |d0 AS (
+        |  SELECT x.vec_id, x.s, c.cell,
+        |         list_sum([c.sub[i]*c.sub[i] for i in range(1, 9)])
+        |         - list_sum([x.sub[i]*c.sub[i] for i in range(1, 9)])*2 AS d
+        |  FROM sv x JOIN c0 c ON x.s = c.s),
+        |a0 AS (
+        |  SELECT vec_id, s, cell FROM (
+        |    SELECT vec_id, s, cell,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a0.s, a0.cell, idx.i AS p,
+        |         sum(CAST(round(x.sub[idx.i] * 16777216.0) AS BIGINT)) AS sfix,
+        |         count(*) AS n
+        |  FROM a0 JOIN sv x ON x.vec_id = a0.vec_id AND x.s = a0.s
+        |       CROSS JOIN (SELECT unnest(range(1, 9)) AS i) idx
+        |  GROUP BY 1, 2, 3),
+        |c1 AS (
+        |  SELECT s, cell,
+        |         list((CAST(sfix AS DOUBLE)/n)/16777216.0 ORDER BY p) AS sub
+        |  FROM s1 GROUP BY s, cell),
+        |d1 AS (
+        |  SELECT x.vec_id, x.s, c.cell,
+        |         list_sum([c.sub[i]*c.sub[i] for i in range(1, 9)])
+        |         - list_sum([x.sub[i]*c.sub[i] for i in range(1, 9)])*2 AS d
+        |  FROM sv x JOIN c1 c ON x.s = c.s),
+        |codes AS (
+        |  SELECT vec_id, s, cell FROM (
+        |    SELECT vec_id, s, cell,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.vec_id AS query_id, c.s, c.cell,
+        |         list_sum([(q.sub[i]-c.sub[i])*(q.sub[i]-c.sub[i])
+        |                   for i in range(1, 9)]) AS ld
+        |  FROM (SELECT * FROM sv WHERE vec_id < 10) q
+        |  JOIN c1 c ON q.s = c.s),
+        |scored AS (
+        |  SELECT l.query_id, d.vec_id,
+        |         sum(CASE WHEN l.s = 0 THEN l.ld END) AS p0,
+        |         sum(CASE WHEN l.s = 1 THEN l.ld END) AS p1,
+        |         sum(CASE WHEN l.s = 2 THEN l.ld END) AS p2,
+        |         sum(CASE WHEN l.s = 3 THEN l.ld END) AS p3,
+        |         sum(CASE WHEN l.s = 4 THEN l.ld END) AS p4,
+        |         sum(CASE WHEN l.s = 5 THEN l.ld END) AS p5,
+        |         sum(CASE WHEN l.s = 6 THEN l.ld END) AS p6,
+        |         sum(CASE WHEN l.s = 7 THEN l.ld END) AS p7
+        |  FROM codes d
+        |  JOIN ca ON ca.vec_id = d.vec_id
+        |  JOIN probe pr ON pr.cell = ca.cell
+        |  JOIN lut l ON l.s = d.s AND l.cell = d.cell
+        |             AND l.query_id = pr.query_id
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY p0+p1+p2+p3+p4+p5+p6+p7, vec_id) AS srn
+        |    FROM scored) WHERE srn <= 100),
+        |rr AS (
+        |  SELECT s.query_id, s.vec_id,
+        |         list_sum([(q.dv[i]-c.dv[i])*(q.dv[i]-c.dv[i])
+        |                   for i in range(1, 65)]) AS l2
+        |  FROM short s
+        |  JOIN v c ON c.vec_id = s.vec_id
+        |  JOIN v q ON q.vec_id = s.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, l2,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY l2, vec_id) AS rank
+        |  FROM rr)
+        |SELECT query_id, rank, vec_id, l2
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q292_ivf_rebuild_compact" -> ivfRebuildOracle,
@@ -818,110 +959,13 @@ object SimilarityQueries extends QueryPack {
     // vectors, per-query probe ranking (top-nProbe cells by the same
     // csq−2·dot distance), candidate filter on probe membership, ADC,
     // exact rerank. Every stage deterministic → full replay.
-    "q139_ivf_pq_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
-        |cc AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-        |         dv
-        |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 8)),
-        |ca AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT x.vec_id, c.cell,
-        |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
-        |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
-        |             c.cell) AS rn
-        |    FROM v x CROSS JOIN cc c) WHERE rn = 1),
-        |probe AS (
-        |  SELECT query_id, cell FROM (
-        |    SELECT q.vec_id AS query_id, c.cell,
-        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
-        |             - list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])*2,
-        |             c.cell) AS rn
-        |    FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN cc c)
-        |  WHERE rn <= 4),
-        |sv AS (
-        |  SELECT vec_id, sp.s AS s,
-        |         list_slice(dv, sp.s*8 + 1, sp.s*8 + 8) AS sub
-        |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS s) sp),
-        |c0 AS (
-        |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1
-        |                 AS INTEGER) AS cell, sub
-        |  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 64)),
-        |d0 AS (
-        |  SELECT x.vec_id, x.s, c.cell,
-        |         list_sum([c.sub[i]*c.sub[i] for i in range(1, 9)])
-        |         - list_sum([x.sub[i]*c.sub[i] for i in range(1, 9)])*2 AS d
-        |  FROM sv x JOIN c0 c ON x.s = c.s),
-        |a0 AS (
-        |  SELECT vec_id, s, cell FROM (
-        |    SELECT vec_id, s, cell,
-        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
-        |    FROM d0) WHERE rn = 1),
-        |s1 AS (
-        |  SELECT a0.s, a0.cell, idx.i AS p,
-        |         sum(CAST(round(x.sub[idx.i] * 16777216.0) AS BIGINT)) AS sfix,
-        |         count(*) AS n
-        |  FROM a0 JOIN sv x ON x.vec_id = a0.vec_id AND x.s = a0.s
-        |       CROSS JOIN (SELECT unnest(range(1, 9)) AS i) idx
-        |  GROUP BY 1, 2, 3),
-        |c1 AS (
-        |  SELECT s, cell,
-        |         list((CAST(sfix AS DOUBLE)/n)/16777216.0 ORDER BY p) AS sub
-        |  FROM s1 GROUP BY s, cell),
-        |d1 AS (
-        |  SELECT x.vec_id, x.s, c.cell,
-        |         list_sum([c.sub[i]*c.sub[i] for i in range(1, 9)])
-        |         - list_sum([x.sub[i]*c.sub[i] for i in range(1, 9)])*2 AS d
-        |  FROM sv x JOIN c1 c ON x.s = c.s),
-        |codes AS (
-        |  SELECT vec_id, s, cell FROM (
-        |    SELECT vec_id, s, cell,
-        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cell) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |lut AS (
-        |  SELECT q.vec_id AS query_id, c.s, c.cell,
-        |         list_sum([(q.sub[i]-c.sub[i])*(q.sub[i]-c.sub[i])
-        |                   for i in range(1, 9)]) AS ld
-        |  FROM (SELECT * FROM sv WHERE vec_id < 10) q
-        |  JOIN c1 c ON q.s = c.s),
-        |scored AS (
-        |  SELECT l.query_id, d.vec_id,
-        |         sum(CASE WHEN l.s = 0 THEN l.ld END) AS p0,
-        |         sum(CASE WHEN l.s = 1 THEN l.ld END) AS p1,
-        |         sum(CASE WHEN l.s = 2 THEN l.ld END) AS p2,
-        |         sum(CASE WHEN l.s = 3 THEN l.ld END) AS p3,
-        |         sum(CASE WHEN l.s = 4 THEN l.ld END) AS p4,
-        |         sum(CASE WHEN l.s = 5 THEN l.ld END) AS p5,
-        |         sum(CASE WHEN l.s = 6 THEN l.ld END) AS p6,
-        |         sum(CASE WHEN l.s = 7 THEN l.ld END) AS p7
-        |  FROM codes d
-        |  JOIN ca ON ca.vec_id = d.vec_id
-        |  JOIN probe pr ON pr.cell = ca.cell
-        |  JOIN lut l ON l.s = d.s AND l.cell = d.cell
-        |             AND l.query_id = pr.query_id
-        |  GROUP BY 1, 2),
-        |short AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id,
-        |           row_number() OVER (PARTITION BY query_id
-        |                              ORDER BY p0+p1+p2+p3+p4+p5+p6+p7, vec_id) AS srn
-        |    FROM scored) WHERE srn <= 100),
-        |rr AS (
-        |  SELECT s.query_id, s.vec_id,
-        |         list_sum([(q.dv[i]-c.dv[i])*(q.dv[i]-c.dv[i])
-        |                   for i in range(1, 65)]) AS l2
-        |  FROM short s
-        |  JOIN v c ON c.vec_id = s.vec_id
-        |  JOIN v q ON q.vec_id = s.query_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, l2,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY l2, vec_id) AS rank
-        |  FROM rr)
-        |SELECT query_id, rank, vec_id, l2
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q295 persists cells+codes at merge time and probes them from
+    // the index — the values are BIT-IDENTICAL to q139's per-run
+    // pipeline (frozen seeds + frozen codebooks, deterministic fit),
+    // so the oracle is LITERALLY the same replay (the q283/q274
+    // oracle-identity discipline)
+    "q295_ivf_pq_persisted_topk" -> ivfPqOracle,
+    "q139_ivf_pq_topk" -> ivfPqOracle,
     // q114's deterministic-Lloyd SQL generalized with a subspace
     // dimension (s ∈ 0..7, 8-dim slices), then ADC: per-(query, s, cell)
     // LUT distances, per-candidate partials pivoted to fixed columns so

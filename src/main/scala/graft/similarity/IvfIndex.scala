@@ -34,15 +34,22 @@ object IvfIndex {
 
   /** Assign one batch against frozen centroids and merge it into the
     * cell-partitioned index. Touched-cell read-back only; latest-wins
-    * by (version, id) — replay-idempotent. */
+    * by (version, id) — replay-idempotent. With `encodeWith`, the SAME
+    * assignment scan also PQ-encodes the vector (m codebook cells per
+    * row, [[Pq.encode]] against codebooks as frozen as the centroids)
+    * and persists the codes in the index rows — the compressed leg
+    * [[probeAdc]] scores without decoding floats. */
   def mergeBatch(batch: DataFrame, id: String, vec: String,
                  centroids: Seq[(Int, Array[Double])], sinkDir: String,
-                 batchSeq: Long): Unit = {
+                 batchSeq: Long,
+                 encodeWith: Option[Pq.Codebooks] = None): Unit = {
     val spark = batch.sparkSession
-    val assigned = batch
+    val assigned0 = batch
       .select(col(id), col(vec))
       .withColumn("cell", Clustering.assignCell(col(vec), centroids))
       .withColumn("__ver", lit(batchSeq))
+    val assigned = encodeWith.fold(assigned0)(cb =>
+      assigned0.withColumn("codes", Pq.encode(col(vec), cb)))
     val cells = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)) // bounded by nCells, never batch size
     if (cells.isEmpty) return
@@ -66,6 +73,50 @@ object IvfIndex {
       case Some(v) => spark.conf.set(modeKey, v)
       case None => spark.conf.unset(modeKey)
     }
+  }
+
+  /** ADC top-k over a PERSISTED coded index (rows written with
+    * `mergeBatch(..., encodeWith = Some(cb))`): per query the nProbe
+    * nearest cells are ranked driver-side and the scan partition-prunes
+    * to the probed `cell=` union, exactly like [[probe]] — but the
+    * compressed stage reads ONLY (cell, id, codes): the float column is
+    * absent from its ReadSchema, so the shortlist is computed without
+    * decoding a single vector (the entire point of persisting codes at
+    * 100 TB). Scoring is a broadcast hash join on the coarse cell
+    * against per-(query, probed-cell) ADC LUTs; the exact-L2 rerank
+    * then reads floats for the probed cells only and keeps the
+    * broadcast-shortlist rows — [[Pq.ivfAdcTopK]]'s arithmetic
+    * bit-for-bit, just sourced from the index instead of a per-run
+    * encode (the q283/q274 oracle-identity discipline). */
+  def probeAdc(spark: SparkSession, sinkDir: String, queries: DataFrame,
+               id: String, vec: String, centroids: Seq[(Int, Array[Double])],
+               cb: Pq.Codebooks, nProbe: Int, shortlist: Int,
+               k: Int): DataFrame = {
+    import spark.implicits._
+    val coarse = centroids.sortBy(_._1)
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"),
+        Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy("query_id").collect()
+    val lutRows = qRows.toSeq.flatMap { row =>
+      val q = row.getSeq[Double](1).toArray
+      val lut = Pq.adcLut(q, cb).map(_.toSeq).toSeq
+      Pq.probeCells(q, coarse, nProbe).map(cell => (row.getLong(0), cell, lut))
+    }
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val probedCells = lutRows.map(_._2).distinct // ≤ nCells driver ints
+    // compressed stage: floats NEVER in this scan's ReadSchema
+    val coded = spark.read.parquet(sinkDir)
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("cell"), col(id).as("vec_id"), col("codes"))
+    val short = Pq.shortlistTopR(coded.join(broadcast(lutDf), Seq("cell"))
+      .withColumn("adc_dist", Pq.adcDist(col("lut"), col("codes"), cb.m)),
+      shortlist)
+    // rerank: floats read for the probed cells only, shortlist rows kept
+    val rerankSrc = spark.read.parquet(sinkDir)
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col(id), col(vec))
+    Pq.rerankExact(rerankSrc, queries, id, vec, k, short)
   }
 
   /** Offline index rebuild + compaction — the lifecycle job the frozen

@@ -130,7 +130,7 @@ object Pq {
     * [[Clustering.assignCell]] — one shared implementation so the probe
     * ranking the oracles replicate cannot drift between the IVF-PQ
     * variants. */
-  private def probeCells(q: Array[Double], coarse: Seq[(Int, Array[Double])],
+  private[similarity] def probeCells(q: Array[Double], coarse: Seq[(Int, Array[Double])],
                          nProbe: Int): Seq[Int] =
     coarse.map { case (cell, c) =>
       var dot = 0.0
@@ -142,7 +142,7 @@ object Pq {
   /** Rank scored (query_id, vec_id, adc_dist) candidates per query and
     * keep the top `r` — the shared shortlist window of every ADC
     * variant (ties to the lower vec_id, like all rank stages here). */
-  private def shortlistTopR(scored: DataFrame, r: Int): DataFrame = {
+  private[similarity] def shortlistTopR(scored: DataFrame, r: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
     scored.withColumn("srn", row_number().over(w))
@@ -193,7 +193,7 @@ object Pq {
     * to the corpus scan, so the heavy side moves no floats into a
     * shuffle. Sequential zip_with/aggregate fold (the SQL `list_sum`
     * shape). */
-  private def rerankExact(corpus: DataFrame, queries: DataFrame, id: String,
+  private[similarity] def rerankExact(corpus: DataFrame, queries: DataFrame, id: String,
                           vec: String, k: Int, short: DataFrame): DataFrame = {
     val cand = corpus
       .select(col(id).as("vec_id"), Similarity.vecDouble(col(vec)).as("cv"))
