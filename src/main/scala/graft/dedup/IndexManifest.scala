@@ -55,8 +55,20 @@ final class IndexManifest(spark: SparkSession, val root: String) {
     if (!fs.exists(p)) return None
     val versions = fs.listStatus(p).flatMap(s => versionOf(s.getPath.getName))
     if (versions.isEmpty) return None
-    val v = versions.max
+    readVersion(versions.max)
+  }
+
+  /** TIME TRAVEL: a specific retained snapshot version, or None if it
+    * was never committed or aged out of retention (commit keeps the
+    * current and previous versions). Committed bucket directories are
+    * immutable, so a retained snapshot stays READABLE as long as the
+    * writer's gc keep-set is the UNION of every retained snapshot's
+    * buckets — which is what [[IndexedDedup.processBatch]] passes. */
+  def read(version: Long): Option[State] = readVersion(version)
+
+  private def readVersion(v: Long): Option[State] = {
     val f = new Path(root, fileName(v))
+    if (!fs.exists(f)) return None
     val len = fs.getFileStatus(f).getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(f)

@@ -111,12 +111,19 @@ object IndexedDedup {
   /** Classify one micro-batch against the indexed keep-set and extend
     * the indexes with the batch's kept docs (one atomic manifest
     * commit). Returns the verdicts `(doc_id, status, rep_id)` —
-    * statuses exactly as [[Dedup.incrementalDedup]]. */
+    * statuses exactly as [[Dedup.incrementalDedup]].
+    *
+    * With `asOf`, the classification runs READ-ONLY against that
+    * retained historical snapshot (manifest TIME TRAVEL): replaying
+    * batch N against the snapshot that preceded it must reproduce the
+    * live verdicts bit-for-bit — the auditability a mutable-in-place
+    * index cannot offer (q297 makes this driver-visible). */
   def processBatch(spark: SparkSession, idx: Indexes, batch: DataFrame,
                    batchSeq: Long, k: Int, threshold: Double,
-                   maxShingleDf: Int): DataFrame = {
-    val snap = idx.manifest.read().getOrElse(
-      sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}"))
+                   maxShingleDf: Int,
+                   asOf: Option[IndexManifest.State] = None): DataFrame = {
+    val snap = asOf.getOrElse(idx.manifest.read().getOrElse(
+      sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}")))
     val liveS = snap.buckets(ShingleIx)
     val liveD = snap.buckets(DocIx)
     val bIds = batch.select("doc_id")
@@ -194,8 +201,9 @@ object IndexedDedup {
     // ---- extend the indexes with the batch's kept docs — skipped when
     // the committed manifest already includes this batch (a replay
     // after the commit landed): the snapshot is complete, the verdict
-    // recomputation above is read-only against it
-    if (snap.batchSeq < batchSeq) {
+    // recomputation above is read-only against it. A time-travel read
+    // (asOf) is ALWAYS read-only.
+    if (asOf.isEmpty && snap.batchSeq < batchSeq) {
       val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
       val keptEx = bEx.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       val keptCnt = keptEx.groupBy("s").agg(count(lit(1)).as("addc"))
@@ -244,8 +252,11 @@ object IndexedDedup {
       // THE commit point: both indexes + the batch id flip together
       idx.manifest.commit(batchSeq,
         Map(ShingleIx -> newLiveS, DocIx -> newLiveD))
-      idx.shingle.gc(newLiveS)
-      idx.doc.gc(newLiveD)
+      // gc keeps the union of the retained snapshots (current +
+      // previous — `snap` is the previous after this commit), so
+      // manifest time travel to the previous version stays readable
+      idx.shingle.gc(newLiveS ++ liveS)
+      idx.doc.gc(newLiveD ++ liveD)
     }
     Seq(pRows, bEx, diRows).foreach(
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)

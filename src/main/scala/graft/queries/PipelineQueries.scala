@@ -671,7 +671,73 @@ object PipelineQueries extends QueryPack {
       .orderBy("split")
   }
 
+  /** q296: TEMPERATURE-WEIGHTED DATA MIXING — the multilingual
+    * up-sampling op every LLM pretraining pipeline runs (mix corpora by
+    * p_i ∝ n_i^α, α < 1 boosting low-resource groups): per language the
+    * α = 0.5 weight is quantized to EXACT integer micro-units
+    * (round(sqrt(n)·10⁶) — sqrt is IEEE-correctly-rounded, so both
+    * engines derive the identical integer), and a 200-doc budget is
+    * apportioned by LARGEST REMAINDER entirely in integer arithmetic
+    * (base = budget·w DIV W, leftover seats by (remainder DESC, lang) —
+    * exact, order-free, no float comparison anywhere). Each language
+    * then draws its allocation deterministically as the bottom-alloc
+    * docs by finalized hash (the q290 bottom-k discipline), so the
+    * mixed dataset is a pure function of (corpus, budget, α) — stable
+    * across runs, engines, and shard order. Languages allocated more
+    * than they have draw everything (n_drawn < alloc surfaces the
+    * shortfall rather than silently reflowing it).
+    *
+    * Scale shape: one group-by census (driver gets language-cardinality
+    * rows), driver-side apportionment, one hash-rank window per
+    * language partition for the draw — no global sort, no driver data. */
+  private def temperatureMixing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val budget = 200L
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // α = 0.5 weights in exact integer micro-units, then largest
+    // remainder — language cardinality bounds every driver structure
+    val wq = counts.map { case (l, n) =>
+      (l, n, math.round(math.sqrt(n.toDouble) * 1e6))
+    }
+    val wSum = wq.map(_._3).sum
+    val base = wq.map { case (l, n, w) =>
+      (l, n, w, budget * w / wSum, budget * w % wSum)
+    }
+    val extra = budget - base.map(_._4).sum
+    val seatWinners = base.sortBy { case (l, _, _, _, rem) => (-rem, l) }
+      .take(extra.toInt).map(_._1).toSet
+    val alloc = base.map { case (l, n, w, fq, _) =>
+      (l, n, w, fq + (if (seatWinners(l)) 1L else 0L))
+    }
+    val allocSum = alloc.map(_._4).sum
+    import spark.implicits._
+    val allocDf = alloc.map(a => (a._1, a._4)).toSeq.toDF("lang", "alloc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("h", "doc_id")
+    val drawn = docs
+      .withColumn("h", shiftrightunsigned(fmix64(fnv1a(
+        concat(lit("mix:"), col("lang"), lit(":"),
+          col("doc_id").cast("string")))), 1))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(allocDf), Seq("lang"))
+      .where(col("r") <= col("alloc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_drawn"), sum("doc_id").as("drawn_id_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap // language-cardinality rows
+    alloc.map { case (l, n, wgt, a) =>
+      val (nd, ids) = drawn.getOrElse(l, (0L, 0L))
+      (l, n, wgt, a, nd, ids, allocSum == budget)
+    }.toSeq
+      .toDF("lang", "n_docs", "weight_micro", "alloc", "n_drawn",
+        "drawn_id_sum", "allocation_exact")
+      .orderBy("lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q296_temperature_mixing" -> temperatureMixing,
     "q290_bottomk_group_sample" -> bottomkGroupSample,
     "q291_train_val_test_split" -> trainValTestSplit,
     "q281_scd2_point_in_time" -> scd2PointInTime,
@@ -733,6 +799,54 @@ object PipelineQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     // distinct (type, user) domain, the finalized hash, per-type rank
+    // α=0.5 micro-weights, integer largest-remainder apportionment,
+    // per-language bottom-k hash draw — all replayed exactly
+    "q296_temperature_mixing" -> {
+      val h = fmixedSql("'mix:' || lang || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |wq AS (
+         |  SELECT lang, n,
+         |         CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+         |           AS w
+         |  FROM c),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wq),
+         |base AS (
+         |  SELECT lang, n, w,
+         |         (200 * w) // wsum AS fq, (200 * w) % wsum AS rem
+         |  FROM wq, tot),
+         |seats AS (SELECT CAST(200 - sum(fq) AS BIGINT) AS extra FROM base),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr
+         |       FROM base),
+         |alloc AS MATERIALIZED (
+         |  SELECT lang, n, w,
+         |         CAST(fq + CASE WHEN rr <= (SELECT extra FROM seats)
+         |                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |  FROM rk),
+         |hx AS (
+         |  SELECT lang, doc_id, CAST(($h) // 2 AS BIGINT) AS hv
+         |  FROM documents),
+         |rkd AS (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY hv, doc_id) AS r
+         |  FROM hx),
+         |drawn AS (
+         |  SELECT rkd.lang, doc_id
+         |  FROM rkd JOIN alloc a USING (lang) WHERE rkd.r <= a.alloc),
+         |agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_drawn,
+         |         CAST(sum(doc_id) AS BIGINT) AS drawn_id_sum
+         |  FROM drawn GROUP BY 1)
+         |SELECT a.lang, a.n AS n_docs, a.w AS weight_micro, a.alloc,
+         |       coalesce(agg.n_drawn, 0) AS n_drawn,
+         |       coalesce(agg.drawn_id_sum, 0) AS drawn_id_sum,
+         |       CAST((SELECT sum(alloc) FROM alloc) AS BIGINT) = 200
+         |         AS allocation_exact
+         |FROM alloc a LEFT JOIN agg USING (lang)
+         |ORDER BY a.lang""".stripMargin
+    },
     "q290_bottomk_group_sample" -> {
       val h = fmixedSql("'grs:' || event_type || ':' "
         + "|| CAST(user_id AS VARCHAR)")

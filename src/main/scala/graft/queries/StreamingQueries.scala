@@ -858,7 +858,82 @@ object StreamingQueries extends QueryPack {
       .orderBy("batch_seq")
   }
 
+  /** q297: MANIFEST TIME TRAVEL over the persisted dedup indexes — the
+    * consumption story the r12 atomic-commit work enables: committed
+    * bucket generations are immutable and the manifest retains the
+    * previous version (gc keeps the union of retained snapshots), so
+    * the index state AS OF any retained commit is exactly readable.
+    * The query runs the standard two-batch sequence on a doc_id % 5
+    * sample, then (a) reads BOTH retained snapshots and reports their
+    * state censuses — keep-doc count + id checksum from the doc index,
+    * surviving postings + permanent tombstones from the shingle
+    * index — and (b) REPLAYS batch 2 read-only against the pre-batch-2
+    * snapshot ([[graft.dedup.IndexedDedup.processBatch]] `asOf`),
+    * asserting bit-identical verdicts to the live run as a data column.
+    * The oracle derives every census from first principles (keep_v =
+    * corpus + kept docs of the replayed batches; tombstones = shingles
+    * with keep-side df past the cap; postings = (shingle, doc) pairs
+    * under it), so a retention bug, a gc overreach, or a snapshotleak
+    * all hash-fail.
+    *
+    * Scale shape: snapshot reads are manifest-resolved bucket listings;
+    * the audit censuses scan the index once per retained version —
+    * an audit job, not the per-batch path. */
+  private def indexTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.IndexedDedup
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 5 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = sample.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    val idx = IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+      MlQueries.tempDirDeletedOnExit("graft_xtt_si_"),
+      MlQueries.tempDirDeletedOnExit("graft_xtt_di_"),
+      MlQueries.tempDirDeletedOnExit("graft_xtt_mf_"), rowCap = 65536L)
+    val v1 = IndexedDedup.processBatch(spark, idx, b1, 1L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val live2 = IndexedDedup.processBatch(spark, idx, b2, 2L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val prev = idx.manifest.read(2L).getOrElse(
+      sys.error("previous manifest version aged out — retention broken"))
+    val cur = idx.manifest.read().get
+    // the time-travel replay: batch 2 against the snapshot it saw live
+    val replay2 = IndexedDedup.processBatch(spark, idx, b2, 2L, k = 3,
+      threshold = 0.3, maxShingleDf = 20, asOf = Some(prev))
+    val nLive = live2.count()
+    val nAgree = live2
+      .select(col("doc_id"), col("status").as("s1"), col("rep_id").as("r1"))
+      .join(replay2.select(col("doc_id"), col("status").as("s2"),
+        col("rep_id").as("r2")), Seq("doc_id"))
+      .where(col("s1") === col("s2") && col("r1") === col("r2")).count()
+    val agrees = nLive == nAgree && nLive == replay2.count()
+    def verStats(st: graft.dedup.IndexManifest.State): (Long, Long, Long, Long) = {
+      val d = idx.doc.allRows(st.buckets("doc"))
+        .agg(count(lit(1)), sum("doc_id")).head()
+      val s = idx.shingle.allRows(st.buckets("shingle"))
+        .agg(sum(when(col("doc_id") >= 0L, 1L).otherwise(0L)),
+          sum(when(col("doc_id") === -1L, 1L).otherwise(0L))).head()
+      (d.getLong(0), d.getLong(1), s.getLong(0), s.getLong(1))
+    }
+    val (pd, pc, pp, pt) = verStats(prev)
+    val (cd, cc2, cp, ct) = verStats(cur)
+    Seq(v1, live2, replay2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    import spark.implicits._
+    Seq(
+      (prev.version, prev.batchSeq, pd, pc, pp, pt, agrees),
+      (cur.version, cur.batchSeq, cd, cc2, cp, ct, agrees))
+      .toDF("version", "batch_seq", "n_index_docs", "doc_id_checksum",
+        "n_postings", "n_tombstones", "replay_agrees")
+      .orderBy("version")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_index_time_travel" -> indexTimeTravel,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
     "q283_streaming_indexed_dedup" -> streamingIndexedDedup,
     "q285_streaming_ivf_index" -> streamingIvfIndex,
@@ -1122,7 +1197,85 @@ object StreamingQueries extends QueryPack {
        |ORDER BY batch_seq""".stripMargin
   }
 
+  /** q297 oracle: both retained snapshots' state censuses derived from
+    * first principles — keep_v = sample + kept docs of the replayed
+    * batch sequence; tombstones(v) = shingles whose keep-side df
+    * crossed the cap (keep only grows, so this is exactly the permanent
+    * tombstone set); postings(v) = (shingle, doc) pairs under the cap.
+    * replay_agrees is TRUE by the snapshot-determinism claim. */
+  private def indexTimeTravelOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    def stats(n: Int, keep: String): String =
+      s"""tk$n AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM $keep),
+         |exk$n AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(
+         |           [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+         |            for i in range(1, len(toks) - 1)])) AS sg
+         |  FROM tk$n),
+         |dk$n AS MATERIALIZED (SELECT sg, count(*) AS df FROM exk$n GROUP BY 1),
+         |st$n AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $keep) AS n_index_docs,
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM $keep) AS doc_id_checksum,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM exk$n JOIN dk$n USING (sg) WHERE df <= 20) AS n_postings,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM dk$n WHERE df > 20)
+         |    AS n_tombstones)""".stripMargin
+    s"""WITH RECURSIVE docs5 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM docs5
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM docs5 WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 4000000 AS doc_id, $revText AS text
+       |  FROM docs5 WHERE doc_id % 30 = 0),
+       |u1 AS (SELECT doc_id, text FROM docs5
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |keep1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM docs5
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |u2 AS (SELECT doc_id, text FROM keep1
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 4000000L)},
+       |v2 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 4000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id),
+       |keep2 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM keep1
+       |  UNION ALL
+       |  SELECT b2.doc_id, b2.text FROM b2 JOIN v2 USING (doc_id)
+       |  WHERE v2.status = 'kept'),
+       |${stats(1, "keep1")},
+       |${stats(2, "keep2")}
+       |SELECT CAST(2 AS BIGINT) AS version, CAST(1 AS BIGINT) AS batch_seq,
+       |       st1.*, TRUE AS replay_agrees FROM st1
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), CAST(2 AS BIGINT), st2.*, TRUE FROM st2
+       |ORDER BY version""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "q297_index_time_travel" -> indexTimeTravelOracle,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,
     // q283 computes q274's verdicts against persisted indexes — the

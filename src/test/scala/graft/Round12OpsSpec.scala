@@ -203,6 +203,92 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------- q296
+  test("q296: temperature mixing on a skewed fixture — exact integer " +
+    "largest-remainder apportionment, boosted low-resource groups, " +
+    "alloc > n drains the group (n_drawn = n)") {
+    // skew: 64 en docs, 9 fr, 2 zh — α=0.5 compresses 64:9:2 to 8:3:~1.4
+    val rows = (0 until 64).map(i => (i.toLong, "en")) ++
+      (64 until 73).map(i => (i.toLong, "fr")) ++
+      Seq((73L, "zh"), (74L, "zh"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mix_").toString
+    rows.toDF("doc_id", "lang")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q296_temperature_mixing")(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    // independent apportionment replay
+    val counts = Seq(("en", 64L), ("fr", 9L), ("zh", 2L))
+    val wq = counts.map { case (l, n) =>
+      (l, n, math.round(math.sqrt(n.toDouble) * 1e6))
+    }
+    val wSum = wq.map(_._3).sum
+    val base = wq.map { case (l, n, w) =>
+      (l, n, w, 200L * w / wSum, 200L * w % wSum)
+    }
+    val extra = (200L - base.map(_._4).sum).toInt
+    val winners = base.sortBy(b => (-b._5, b._1)).take(extra).map(_._1).toSet
+    val expect = base.map { case (l, n, w, fq, _) =>
+      (l, n, w, fq + (if (winners(l)) 1L else 0L))
+    }
+    assert(got.map(g => (g._1, g._2, g._3, g._4)) == expect,
+      s"apportionment differs: $got vs $expect")
+    assert(got.map(_._4).sum == 200L && got.forall(_._7),
+      s"allocation does not partition the budget: $got")
+    // α < 1 boosts: zh's share of the budget must exceed its corpus share
+    val zh = got.find(_._1 == "zh").get
+    assert(zh._4 * 75L > 200L * zh._2,
+      s"temperature failed to boost the low-resource group: $zh")
+    // over-allocated groups drain: n_drawn = min(alloc, n)
+    got.foreach { g =>
+      assert(g._5 == math.min(g._4, g._2),
+        s"n_drawn != min(alloc, n) for $g")
+    }
+    assert(got.exists(g => g._4 > g._2),
+      "fixture never over-allocates — weaken detected, adjust skew")
+  }
+
+  // ---------------------------------------------------- q297
+  test("q297: manifest retention and time travel — the bootstrap version " +
+    "ages out, the previous version stays readable after gc, and an " +
+    "asOf read bumps no version") {
+    import graft.dedup.IndexedDedup
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val keep = (1 to 20).map(i => (i.toLong, s"a$i b$i c$i d$i e$i f$i"))
+      .toDF("doc_id", "text")
+    val idx = IndexedDedup.bootstrap(spark, keep, k = 3, maxShingleDf = 20,
+      tmp("graft_tt_si_"), tmp("graft_tt_di_"), tmp("graft_tt_mf_"),
+      rowCap = 64L)
+    val b1 = Seq((101L, "a5 b5 c5 d5 e5 f5"), (102L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((201L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val v1 = IndexedDedup.processBatch(spark, idx, b1, 1L, 3, 0.3, 20)
+    val live2 = IndexedDedup.processBatch(spark, idx, b2, 2L, 3, 0.3, 20)
+    // retention: current (3) + previous (2); bootstrap (1) aged out
+    assert(idx.manifest.read().get.version == 3L)
+    assert(idx.manifest.read(2L).isDefined && idx.manifest.read(1L).isEmpty)
+    val prev = idx.manifest.read(2L).get
+    // the previous snapshot's buckets survived the post-commit gc
+    val prevDocs = idx.doc.allRows(prev.buckets("doc"))
+      .as[(Long, Long, Long)].collect()
+    assert(prevDocs.map(_._1).toSet == (1 to 20).map(_.toLong).toSet + 102L,
+      s"previous snapshot lost rows: ${prevDocs.map(_._1).sorted.toSeq}")
+    // asOf replay: read-only (no version bump), verdicts = live
+    val replay2 = IndexedDedup.processBatch(spark, idx, b2, 2L, 3, 0.3, 20,
+      asOf = Some(prev))
+    assert(idx.manifest.read().get.version == 3L, "asOf read committed")
+    val a = live2.as[(Long, String, Long)].collect().toSet
+    val b = replay2.as[(Long, String, Long)].collect().toSet
+    assert(a == b, s"time-travel replay differs: $b vs $a")
+    assert(a.contains((201L, "dup_of_keep", 102L)),
+      s"cross-batch dup missing from the fixture's verdicts: $a")
+    Seq(v1, live2, replay2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+  }
+
   // ---------------------------------------------------- q293
   test("q293: indexed leg agrees 100% with the direct incrementalDedup " +
     "recompute on a fixture with cross-batch dups — censuses match the " +
