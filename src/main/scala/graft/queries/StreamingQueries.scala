@@ -787,7 +787,7 @@ object StreamingQueries extends QueryPack {
 
   /** q293: INDEXED-DEDUP DRIFT AUDIT (VERDICT r11 #5) — the regression
     * harness for the persisted-index path, driver-visible as data: on a
-    * deterministic sample of the corpus (doc_id % 4 = 0, the q272
+    * deterministic sample of the corpus (doc_id % 8 = 0, the q272
     * sampled-window discipline) the SAME batch sequence runs through
     * BOTH legs — [[graft.dedup.IndexedDedup]] against the persisted
     * indexes (permanent df-cap tombstones, manifest-committed state)
@@ -806,7 +806,7 @@ object StreamingQueries extends QueryPack {
   private def indexedDedupDriftAudit(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.{Dedup, IndexedDedup}
     val sample = Tables.documents(spark, dir).select("doc_id", "text")
-      .where(col("doc_id") % 4 === 0)
+      .where(col("doc_id") % 8 === 0)
     val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
     val b1 = sample.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -863,7 +863,7 @@ object StreamingQueries extends QueryPack {
     * bucket generations are immutable and the manifest retains the
     * previous version (gc keeps the union of retained snapshots), so
     * the index state AS OF any retained commit is exactly readable.
-    * The query runs the standard two-batch sequence on a doc_id % 5
+    * The query runs the standard two-batch sequence on a doc_id % 7
     * sample, then (a) reads BOTH retained snapshots and reports their
     * state censuses — keep-doc count + id checksum from the doc index,
     * surviving postings + permanent tombstones from the shingle
@@ -882,7 +882,7 @@ object StreamingQueries extends QueryPack {
   private def indexTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.IndexedDedup
     val sample = Tables.documents(spark, dir).select("doc_id", "text")
-      .where(col("doc_id") % 5 === 0)
+      .where(col("doc_id") % 7 === 0)
     val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
     val b1 = sample.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
@@ -1154,7 +1154,7 @@ object StreamingQueries extends QueryPack {
          |       TRUE AS all_agree
          |FROM $v""".stripMargin
     s"""WITH RECURSIVE docs4 AS MATERIALIZED (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0),
        |b1 AS MATERIALIZED (
        |  SELECT doc_id + 1000000 AS doc_id, text FROM docs4
        |  WHERE doc_id % 10 = 0
@@ -1225,7 +1225,7 @@ object StreamingQueries extends QueryPack {
          |  (SELECT CAST(count(*) AS BIGINT) FROM dk$n WHERE df > 20)
          |    AS n_tombstones)""".stripMargin
     s"""WITH RECURSIVE docs5 AS MATERIALIZED (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
        |b1 AS MATERIALIZED (
        |  SELECT doc_id + 1000000 AS doc_id, text FROM docs5
        |  WHERE doc_id % 10 = 0

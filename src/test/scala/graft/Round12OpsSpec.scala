@@ -294,11 +294,11 @@ class Round12OpsSpec extends AnyFunSuite {
     "recompute on a fixture with cross-batch dups — censuses match the " +
     "independent reference") {
     import graft.dedup.Dedup
-    // doc_ids are multiples of 4 (the query's sample keeps everything);
-    // ids divisible by 20 enter batch 1 (+1M, exact text), by 60 enter
-    // batch 1 reversed (+3M) and batch 2 reversed (+4M hits ids % 120)
+    // doc_ids are multiples of 8 (the query's sample keeps everything);
+    // ids divisible by 40 enter batch 1 (+1M, exact text), by 120 enter
+    // batch 1 reversed (+3M) and batch 2 reversed (+4M hits ids % 240)
     val base = (0 until 40).map { i =>
-      val id = i * 4L
+      val id = i * 8L
       // three text families so batches carry real dups of keep docs
       val fam = (i % 3) match {
         case 0 => s"alpha beta gamma delta epsilon zeta eta theta w$i x$i"
@@ -321,7 +321,7 @@ class Round12OpsSpec extends AnyFunSuite {
     }
     // censuses against an INDEPENDENT recompute of the same sequence
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").where(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").where(col("doc_id") % 8 === 0)
     val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
     val b1 = docs.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
