@@ -108,8 +108,13 @@ object Bench {
     // Self-contained artifact: the driver's tail capture has truncated the
     // full stdout line before (BENCH_r05.json parsed:null) — persist the
     // complete result map where a regression stays adjudicable without a
-    // re-run. Repo root unless overridden.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json")
+    // re-run. Default is the UNTRACKED BENCH_LAST_RUN.json (gitignored):
+    // three rounds in a row an ambient-loaded driver re-run landed on top
+    // of the committed clean BENCH.json in the working tree (VERDICT r9–
+    // r11 process finding). The deliberate clean run opts into the
+    // committed artifact via SPARK_GRAFT_BENCH_OUT=/root/repo/BENCH.json.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LAST_RUN.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

@@ -1129,7 +1129,111 @@ object DedupQueries extends QueryPack {
     out
   }
 
+  /** q298: FELLEGI–SUNTER PROBABILISTIC RECORD LINKAGE (Fellegi &
+    * Sunter, JASA 1969 — the decision model behind every production
+    * entity-resolution system; reference corpus context:
+    * data_ingestion/fetch_data.py:18-24 keys everything on clean
+    * symbols, so the dirty-key linkage tier is the generalization).
+    * The classic two-file setup is derived deterministically: file A =
+    * customers verbatim; file B = the same entities re-registered with
+    * key-driven corruptions (every 3rd name gets a suffix, every 4th
+    * segment is wrong, 40% of balances jitter by up to ±500 cents —
+    * arithmetic on the key, so both engines and every re-run derive
+    * the identical file). Candidate pairs come from blocking on
+    * (nation, $1000 balance band) — never all-pairs; a jittered
+    * balance can cross a band edge, so blocking recall is measured and
+    * published, not assumed. Per pair the agreement vector is
+    * (name exact, segment exact, balance within $1); m/u probabilities
+    * are estimated from the labeled pairs (the supervised variant —
+    * truth is key equality by construction) with add-one smoothing,
+    * and the field weights are the micro-nat log-likelihood ratios
+    * wA = ln(m/u), wD = ln((1−m)/(1−u)) quantized by the q266
+    * ratio-of-exact-int-products contract (products < 2^53, so the
+    * double ratio inside ln is exact). A pair links iff its integer
+    * weight sum is positive; the output row carries the six weights,
+    * the confusion census, and precision/recall/blocking-recall as
+    * exact micro-unit truncating ratios.
+    *
+    * Scale shape: blocked equi-join (shuffle on the composite block
+    * key), ONE map-side-combinable agreement census for m/u, a 1-row
+    * weight frame broadcast back onto the pair scan, one final census
+    * — no all-pairs product anywhere, pairs bounded by Σ block². */
+  private def fellegiSunterLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val a = cust.select(col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"), col("c_nationkey").as("nat_a"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents_a"),
+        col("c_mktsegment").as("seg_a"))
+      .withColumn("band_a", expr("cents_a div 100000"))
+    val b = cust.select(col("c_custkey").as("key_b"),
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")).as("name_b"),
+        col("c_nationkey").as("nat_b"),
+        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") +
+          when(col("c_custkey") % 5 < 2,
+            (col("c_custkey") * 37) % 1001 - 500).otherwise(0L))
+          .as("cents_b"),
+        when(col("c_custkey") % 4 === 0, lit("CORRUPTED"))
+          .otherwise(col("c_mktsegment")).as("seg_b"))
+      .withColumn("band_b", expr("cents_b div 100000"))
+    val pairs = a.join(b,
+        col("nat_a") === col("nat_b") && col("band_a") === col("band_b"))
+      .select(
+        (col("name_a") === col("name_b")).cast("long").as("g_name"),
+        (col("seg_a") === col("seg_b")).cast("long").as("g_seg"),
+        (abs(col("cents_a") - col("cents_b")) <= 100).cast("long")
+          .as("g_bal"),
+        (col("key_a") === col("key_b")).cast("long").as("m"))
+    val est = pairs.agg(
+      count(lit(1)).as("n_pairs"), sum("m").as("nm"),
+      (count(lit(1)) - sum("m")).as("nu"),
+      sum(col("m") * col("g_name")).as("ma_name"),
+      sum((lit(1) - col("m")) * col("g_name")).as("ua_name"),
+      sum(col("m") * col("g_seg")).as("ma_seg"),
+      sum((lit(1) - col("m")) * col("g_seg")).as("ua_seg"),
+      sum(col("m") * col("g_bal")).as("ma_bal"),
+      sum((lit(1) - col("m")) * col("g_bal")).as("ua_bal"))
+    def wA(f: String) = expr(
+      s"CAST(round(ln(CAST((ma_$f + 1) * (nu + 2) AS DOUBLE) / " +
+        s"CAST((ua_$f + 1) * (nm + 2) AS DOUBLE)) * 1e6) AS BIGINT)")
+    def wD(f: String) = expr(
+      s"CAST(round(ln(CAST((nm - ma_$f + 1) * (nu + 2) AS DOUBLE) / " +
+        s"CAST((nu - ua_$f + 1) * (nm + 2) AS DOUBLE)) * 1e6) AS BIGINT)")
+    val w = est.select(col("n_pairs"), col("nm"), col("nu"),
+      wA("name").as("wa_name"), wD("name").as("wd_name"),
+      wA("seg").as("wa_seg"), wD("seg").as("wd_seg"),
+      wA("bal").as("wa_bal"), wD("bal").as("wd_bal"))
+    val scored = pairs.crossJoin(broadcast(w))
+      .withColumn("score",
+        col("g_name") * col("wa_name") +
+          (lit(1) - col("g_name")) * col("wd_name") +
+          col("g_seg") * col("wa_seg") +
+          (lit(1) - col("g_seg")) * col("wd_seg") +
+          col("g_bal") * col("wa_bal") +
+          (lit(1) - col("g_bal")) * col("wd_bal"))
+    val cen = scored.agg(
+      first("n_pairs").as("n_pairs"), first("nm").as("n_match"),
+      first("wa_name").as("wa_name"), first("wd_name").as("wd_name"),
+      first("wa_seg").as("wa_seg"), first("wd_seg").as("wd_seg"),
+      first("wa_bal").as("wa_bal"), first("wd_bal").as("wd_bal"),
+      sum(when(col("score") > 0 && col("m") === 1, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(col("score") > 0 && col("m") === 0, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col("score") <= 0 && col("m") === 1, 1L).otherwise(0L))
+        .as("fn"))
+    cen.crossJoin(broadcast(
+        cust.agg(count(lit(1)).as("n_cust"))))
+      .select(col("n_pairs"), col("n_match"),
+        col("wa_name"), col("wd_name"), col("wa_seg"), col("wd_seg"),
+        col("wa_bal"), col("wd_bal"), col("tp"), col("fp"), col("fn"),
+        expr("(1000000 * tp) div (tp + fp)").as("precision_micro"),
+        expr("(1000000 * tp) div n_match").as("recall_micro"),
+        expr("(1000000 * n_match) div n_cust").as("block_recall_micro"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_fellegi_sunter_linkage" -> fellegiSunterLinkage,
     "q233_scc_components" -> sccComponents,
     "q244_condensation_layers" -> condensationLayers,
     "q218_kcore_survivors" -> kcoreSurvivors,
@@ -1164,6 +1268,93 @@ object DedupQueries extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the derived dirty file, blocking join, agreement census, smoothed
+    // m/u, micro-nat weights, pair scores, and confusion census all
+    // replayed from the customer table alone
+    "q298_fellegi_sunter_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS key_a, c_name AS name_a,
+        |         c_nationkey AS nat_a,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents_a,
+        |         c_mktsegment AS seg_a
+        |  FROM customer),
+        |a2 AS (SELECT *, cents_a // 100000 AS band_a FROM a),
+        |b AS (
+        |  SELECT c_custkey AS key_b,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_name || '~'
+        |              ELSE c_name END AS name_b,
+        |         c_nationkey AS nat_b,
+        |         CAST(round(c_acctbal * 100) AS BIGINT)
+        |           + CASE WHEN c_custkey % 5 < 2
+        |                  THEN (c_custkey * 37) % 1001 - 500
+        |                  ELSE 0 END AS cents_b,
+        |         CASE WHEN c_custkey % 4 = 0 THEN 'CORRUPTED'
+        |              ELSE c_mktsegment END AS seg_b
+        |  FROM customer),
+        |b2 AS (SELECT *, cents_b // 100000 AS band_b FROM b),
+        |p AS MATERIALIZED (
+        |  SELECT CAST(name_a = name_b AS BIGINT) AS g_name,
+        |         CAST(seg_a = seg_b AS BIGINT) AS g_seg,
+        |         CAST(abs(cents_a - cents_b) <= 100 AS BIGINT) AS g_bal,
+        |         CAST(key_a = key_b AS BIGINT) AS m
+        |  FROM a2 JOIN b2 ON nat_a = nat_b AND band_a = band_b),
+        |est AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(m) AS BIGINT) AS nm,
+        |         CAST(count(*) - sum(m) AS BIGINT) AS nu,
+        |         CAST(sum(m * g_name) AS BIGINT) AS ma_name,
+        |         CAST(sum((1 - m) * g_name) AS BIGINT) AS ua_name,
+        |         CAST(sum(m * g_seg) AS BIGINT) AS ma_seg,
+        |         CAST(sum((1 - m) * g_seg) AS BIGINT) AS ua_seg,
+        |         CAST(sum(m * g_bal) AS BIGINT) AS ma_bal,
+        |         CAST(sum((1 - m) * g_bal) AS BIGINT) AS ua_bal
+        |  FROM p),
+        |w AS (
+        |  SELECT n_pairs, nm, nu,
+        |    CAST(round(ln(CAST((ma_name + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((ua_name + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wa_name,
+        |    CAST(round(ln(CAST((nm - ma_name + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((nu - ua_name + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wd_name,
+        |    CAST(round(ln(CAST((ma_seg + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((ua_seg + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wa_seg,
+        |    CAST(round(ln(CAST((nm - ma_seg + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((nu - ua_seg + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wd_seg,
+        |    CAST(round(ln(CAST((ma_bal + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((ua_bal + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wa_bal,
+        |    CAST(round(ln(CAST((nm - ma_bal + 1) * (nu + 2) AS DOUBLE)
+        |      / CAST((nu - ua_bal + 1) * (nm + 2) AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS wd_bal
+        |  FROM est),
+        |s AS (
+        |  SELECT p.m,
+        |         p.g_name * w.wa_name + (1 - p.g_name) * w.wd_name
+        |       + p.g_seg * w.wa_seg + (1 - p.g_seg) * w.wd_seg
+        |       + p.g_bal * w.wa_bal + (1 - p.g_bal) * w.wd_bal AS score
+        |  FROM p, w),
+        |cen AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN score > 0 AND m = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score > 0 AND m = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score <= 0 AND m = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn
+        |  FROM s),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM customer)
+        |SELECT w.n_pairs, w.nm AS n_match,
+        |       w.wa_name, w.wd_name, w.wa_seg, w.wd_seg, w.wa_bal,
+        |       w.wd_bal, cen.tp, cen.fp, cen.fn,
+        |       CAST(1000000 * cen.tp // (cen.tp + cen.fp) AS BIGINT)
+        |         AS precision_micro,
+        |       CAST(1000000 * cen.tp // w.nm AS BIGINT) AS recall_micro,
+        |       CAST(1000000 * w.nm // nc.n_cust AS BIGINT)
+        |         AS block_recall_micro
+        |FROM w, cen, nc""".stripMargin,
     "q233_scc_components" -> sccOracle,
     "q244_condensation_layers" -> condLayersOracle,
     "q255_sssp_distances" -> ssspOracle,

@@ -736,7 +736,69 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  /** q299: SHARDED SHUFFLE WITH DISTRIBUTED POSITION ASSIGNMENT — the
+    * training-shard writer's missing half. q74 shuffles by a hash key
+    * and q291 routes by hash, but neither yields the per-record
+    * SEQUENCE NUMBER inside each output shard that a data loader
+    * resumes/seeks by. The naive pos = row_number() OVER (PARTITION BY
+    * shard) puts an entire shard — 1/16 of the corpus — through ONE
+    * task's sort at 100 TB; this query computes the identical rank with
+    * the classic two-phase decomposition: the 63-bit order hash's top
+    * 11 bits form 2048 coarse blocks per shard, a (shard, block) count
+    * census (bounded by 16·2048 rows, never the corpus) turns into
+    * running-sum offsets, and pos = offset + row_number within
+    * (shard, block) — every window partition is ~n/32768, every stage
+    * map-side or bounded. Both hashes ride fmix64∘fnv1a (the q253/q262
+    * bias discipline); order ties are broken by doc_id inside the
+    * block, and cross-block order is strict because the block IS the
+    * hash's prefix. The oracle computes pos with the naive single
+    * window — a DIFFERENT construction hashing identically, which is
+    * the proof the decomposition is exact. Output: per-shard census
+    * (docs, char mass, id sum) plus a position-weighted checksum that
+    * pins every record's pos, and the 2× balance boolean.
+    *
+    * Scale shape: one hash projection, one (shard, block)-keyed count
+    * (map-side combinable), one window over the BLOCK domain, one
+    * window per (shard, block) slice, one census — no global sort, no
+    * corpus-sized single partition anywhere. */
+  private def shardedShuffleRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.{fmix64, fnv1a}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nchars"))
+    val hashed = docs.select(col("doc_id"), col("nchars"),
+      (shiftrightunsigned(fmix64(fnv1a(concat(lit("shd:"),
+        col("doc_id").cast("string")))), 33) % 16).as("shard"),
+      shiftrightunsigned(fmix64(fnv1a(concat(lit("ord:"),
+        col("doc_id").cast("string")))), 1).as("ord"))
+      .withColumn("block", shiftrightunsigned(col("ord"), 52))
+    val census = hashed.groupBy("shard", "block")
+      .agg(count(lit(1)).as("nb"))
+    val wOff = Window.partitionBy("shard").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = census
+      .withColumn("offset", sum("nb").over(wOff) - col("nb"))
+      .select("shard", "block", "offset")
+    val wIn = Window.partitionBy("shard", "block").orderBy("ord", "doc_id")
+    val pos = hashed.join(offsets, Seq("shard", "block"))
+      .withColumn("pos", col("offset") + row_number().over(wIn))
+    val per = pos.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nchars").as("char_mass"),
+      sum("doc_id").as("id_sum"),
+      // pos-weighted products ride decimal(38,0) (the q284/q291
+      // discipline — pos·(id%p) sums wrap BIGINT at extreme row counts)
+      sum(col("pos").cast("decimal(38,0)") * (col("doc_id") % 1000003))
+        .cast("long").as("order_checksum"))
+    val bal = per.agg(max("n_docs").as("mx"), min("n_docs").as("mn"))
+    per.crossJoin(broadcast(bal))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("char_mass"), col("id_sum"), col("order_checksum"),
+        (col("mx") <= lit(2) * col("mn")).cast("long").as("within_2x"))
+      .orderBy("shard")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_sharded_shuffle_rank" -> shardedShuffleRank,
     "q296_temperature_mixing" -> temperatureMixing,
     "q290_bottomk_group_sample" -> bottomkGroupSample,
     "q291_train_val_test_split" -> trainValTestSplit,
@@ -798,6 +860,35 @@ object PipelineQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // both hash chains replayed; pos computed with the NAIVE single
+    // per-shard window — a different construction from the engine's
+    // two-phase offset + block rank, hashing identically iff the
+    // distributed decomposition is exact
+    "q299_sharded_shuffle_rank" -> {
+      val hs = fmixedSql("'shd:' || CAST(doc_id AS VARCHAR)")
+      val ho = fmixedSql("'ord:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nchars,
+         |         CAST(($hs) // 8589934592 % 16 AS BIGINT) AS shard,
+         |         CAST(($ho) // 2 AS BIGINT) AS ord
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY shard
+         |                               ORDER BY ord, doc_id) AS pos
+         |  FROM h),
+         |c AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nchars) AS BIGINT) AS char_mass,
+         |         CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |         CAST(sum(CAST(pos AS HUGEINT) * (doc_id % 1000003))
+         |           AS BIGINT) AS order_checksum
+         |  FROM r GROUP BY 1),
+         |g AS (SELECT max(n_docs) AS mx, min(n_docs) AS mn FROM c)
+         |SELECT c.shard, c.n_docs, c.char_mass, c.id_sum,
+         |       c.order_checksum,
+         |       CAST(g.mx <= 2 * g.mn AS BIGINT) AS within_2x
+         |FROM c, g ORDER BY c.shard""".stripMargin
+    },
     // distinct (type, user) domain, the finalized hash, per-type rank
     // α=0.5 micro-weights, integer largest-remainder apportionment,
     // per-language bottom-k hash draw — all replayed exactly

@@ -349,4 +349,108 @@ class Round12OpsSpec extends AnyFunSuite {
     assert((out(1)._2, out(1)._3, out(1)._4, out(1)._5) == c2,
       s"batch-2 census ${out(1)} vs reference $c2")
   }
+
+  // ---------------------------------------------------- q298
+  test("q298: Fellegi–Sunter weights, scores, and census equal a " +
+    "pure-Scala replay on a hand fixture; weight signs follow " +
+    "agreement semantics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs_").toString
+    // 24 customers over 2 nations; balances spread so every band-0
+    // block holds several entities (non-match pairs exist) and two
+    // entities sit within $1 of each other (a bal-agreeing non-match)
+    val rows = (1 to 24).map { k =>
+      (k.toLong, f"Customer#$k%09d", k % 2,
+        (k % 6) * 250.0 + (if (k == 7) 1250.3 else 0.0),
+        Seq("AUTOMOBILE", "BUILDING", "MACHINERY")(k % 3))
+    }
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+      .coalesce(1).write.parquet(s"$tmp/customer.parquet")
+    // pure-Scala replay of the whole decision model
+    case class Rec(key: Long, name: String, nat: Int, cents: Long,
+                   seg: String) { def band: Long = cents / 100000L }
+    val a = rows.map { case (k, n, nat, bal, s) =>
+      Rec(k, n, nat, math.round(bal * 100), s) }
+    val b = rows.map { case (k, n, nat, bal, s) =>
+      val cents = math.round(bal * 100) +
+        (if (k % 5 < 2) (k * 37) % 1001 - 500 else 0L)
+      Rec(k, if (k % 3 == 0) n + "~" else n, nat, cents,
+        if (k % 4 == 0) "CORRUPTED" else s)
+    }
+    val pairs = for {
+      ra <- a; rb <- b
+      if ra.nat == rb.nat && ra.band == rb.band
+    } yield (if (ra.name == rb.name) 1L else 0L,
+      if (ra.seg == rb.seg) 1L else 0L,
+      if (math.abs(ra.cents - rb.cents) <= 100) 1L else 0L,
+      if (ra.key == rb.key) 1L else 0L)
+    val nPairs = pairs.size.toLong
+    val nm = pairs.count(_._4 == 1L).toLong
+    val nu = nPairs - nm
+    def est(g: ((Long, Long, Long, Long)) => Long): (Long, Long) =
+      (pairs.count(p => p._4 == 1L && g(p) == 1L).toLong,
+        pairs.count(p => p._4 == 0L && g(p) == 1L).toLong)
+    def w(ma: Long, ua: Long): (Long, Long) = (
+      math.round(math.log(((ma + 1) * (nu + 2)).toDouble /
+        ((ua + 1) * (nm + 2)).toDouble) * 1e6),
+      math.round(math.log(((nm - ma + 1) * (nu + 2)).toDouble /
+        ((nu - ua + 1) * (nm + 2)).toDouble) * 1e6))
+    val (maN, uaN) = est(_._1); val (waN, wdN) = w(maN, uaN)
+    val (maS, uaS) = est(_._2); val (waS, wdS) = w(maS, uaS)
+    val (maB, uaB) = est(_._3); val (waB, wdB) = w(maB, uaB)
+    def score(p: (Long, Long, Long, Long)): Long =
+      (if (p._1 == 1L) waN else wdN) + (if (p._2 == 1L) waS else wdS) +
+        (if (p._3 == 1L) waB else wdB)
+    val tp = pairs.count(p => score(p) > 0 && p._4 == 1L).toLong
+    val fp = pairs.count(p => score(p) > 0 && p._4 == 0L).toLong
+    val fn = pairs.count(p => score(p) <= 0 && p._4 == 1L).toLong
+    val got = SparkEntry.queries("q298_fellegi_sunter_linkage")(spark, tmp)
+      .collect()(0)
+    val expect = org.apache.spark.sql.Row(nPairs, nm, waN, wdN, waS, wdS,
+      waB, wdB, tp, fp, fn, 1000000L * tp / (tp + fp), 1000000L * tp / nm,
+      1000000L * nm / 24L)
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(nu > 0 && fn + tp == nm, "fixture too clean to test anything")
+    // agreement weights positive, disagreement negative — the FS
+    // semantics that make the zero threshold meaningful
+    assert(Seq(waN, waS, waB).forall(_ > 0), s"wa: $waN $waS $waB")
+    assert(Seq(wdN, wdS, wdB).forall(_ < 0), s"wd: $wdN $wdS $wdB")
+  }
+
+  // ---------------------------------------------------- q299
+  test("q299: two-phase distributed rank census equals a naive " +
+    "single-sort replay; per-shard positions are exactly 1..n") {
+    import graft.functions.Hashing
+    val dir = stageDocs((1 to 400).map(i =>
+      (i.toLong, s"document number $i with ${"x" * (i % 17)}")))
+    def fm(s: String): Long =
+      Hashing.fmix64(Hashing.fnv1a64(s.getBytes("UTF-8")))
+    // naive replay: shard + 63-bit order hash, per-shard sort, census
+    val recs = (1 to 400).map { i =>
+      val id = i.toLong
+      val nchars = s"document number $i with ${"x" * (i % 17)}".length.toLong
+      val shard = (fm(s"shd:$id") >>> 33) % 16
+      val ord = fm(s"ord:$id") >>> 1
+      (shard, ord, id, nchars)
+    }
+    val expect = recs.groupBy(_._1).map { case (shard, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val chk = sorted.zipWithIndex.map { case (r, i) =>
+        BigInt(i + 1) * (r._3 % 1000003) }.sum
+      (shard, rs.size.toLong, rs.map(_._4).sum, rs.map(_._3).sum,
+        chk.toLong)
+    }.toSeq.sortBy(_._1)
+    val mx = expect.map(_._2).max; val mn = expect.map(_._2).min
+    val got = SparkEntry.queries("q299_sharded_shuffle_rank")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expect.map(e =>
+      (e._1, e._2, e._3, e._4, e._5, if (mx <= 2 * mn) 1L else 0L)),
+      s"got $got\nexpect $expect")
+    assert(got.map(_._2).sum == 400L, "census does not cover the corpus")
+    // determinism: a second run is bit-identical
+    val again = SparkEntry.queries("q299_sharded_shuffle_rank")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got, "shard/rank assignment not deterministic")
+  }
 }
