@@ -932,7 +932,57 @@ object StreamingQueries extends QueryPack {
       .orderBy("version")
   }
 
+  /** q300: PERSISTED STREAMING BM25 INDEX — the retrieval member of the
+    * index layer (q283: dedup keep-set; q285/q295: ANN cells+codes; this:
+    * the inverted text index). Half the corpus seeds
+    * [[graft.text.Bm25Index.bootstrap]]; the other half arrives in two
+    * micro-batches merged by [[graft.text.Bm25Index.mergeBatch]] — term
+    * postings sharded over 16 doc-hash sub-keys (a single-key posting
+    * list cannot split a linear-hash bucket), doc lengths, and the
+    * global (N, Σdl) row all flip visible per batch through ONE atomic
+    * manifest commit. The fixed 6-term query then scores q92's
+    * bit-reproducible rational-idf BM25 from three probes (posting
+    * shards + matched doc lengths + the stats row) — IO tracks the
+    * query, never the corpus. Merges are order-independent and
+    * id-idempotent, so the streamed index equals a one-shot build: the
+    * oracle replays plain global BM25 over the FINAL corpus (with the
+    * same df ≤ 65536 near-stopword gate, inert at fixture SFs) and the
+    * top-10 hash-matches bit for bit. */
+  private def persistedBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bm25Index
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val seed = docs.where(col("doc_id") % 2 === 0)
+    val batches = Seq(docs.where(col("doc_id") % 4 === 1),
+      docs.where(col("doc_id") % 4 === 3))
+    val idx = Bm25Index.bootstrap(spark, seed, maxTermDf = 65536L,
+      MlQueries.tempDirDeletedOnExit("graft_bm25_t_"),
+      MlQueries.tempDirDeletedOnExit("graft_bm25_d_"),
+      MlQueries.tempDirDeletedOnExit("graft_bm25_g_"),
+      MlQueries.tempDirDeletedOnExit("graft_bm25_m_"),
+      rowCap = 65536L)
+    val watch = stageBatches("graft_bm25_", batches)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    val q = stream.writeStream
+      .option("checkpointLocation",
+        MlQueries.tempDirDeletedOnExit("graft_bm25_ckpt_"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Bm25Index.mergeBatch(batch.sparkSession, idx, batch,
+          batchSeq = id + 1, maxTermDf = 65536L)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Bm25Index.query(spark, idx, Bm25Terms, k = 10).orderBy("rank")
+  }
+
+  private[queries] val Bm25Terms =
+    Seq("table", "join", "hash", "dup", "vector", "stream")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
     "q283_streaming_indexed_dedup" -> streamingIndexedDedup,
@@ -1275,6 +1325,50 @@ object StreamingQueries extends QueryPack {
   }
 
   override def oracles: Map[String, String] = Map(
+    // the idempotent streamed index converges to the one-shot build, so
+    // the oracle is plain global BM25 over the FINAL corpus: q92's exact
+    // expression tree (rational idf, binary-exact constants, fixed
+    // left-assoc term sum) + the same df <= 65536 near-stopword gate
+    "q300_persisted_bm25_topk" -> {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+      }.mkString(",\n         ")
+      val dfs = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+      ).mkString(",\n         ")
+      val contribs = Bm25Terms.indices.map { i =>
+        s"""(CASE WHEN tf$i > 0 AND df$i <= 65536 THEN
+           |    ((CAST(n_docs - df$i AS DOUBLE) + 0.5)
+           |     / (CAST(df$i AS DOUBLE) + 0.5))
+           |    * ((CAST(tf$i AS DOUBLE) * 2.25)
+           |       / (CAST(tf$i AS DOUBLE)
+           |          + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+           |                           / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           |  ELSE 0.0 END)""".stripMargin
+      }.mkString("\n         + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |         $tfs
+         |  FROM d),
+         |l AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |         $dfs
+         |  FROM f),
+         |s AS (
+         |  SELECT f.doc_id,
+         |         $contribs
+         |         AS score
+         |  FROM f, l),
+         |r AS (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM s WHERE score > 0)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     "q297_index_time_travel" -> indexTimeTravelOracle,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,

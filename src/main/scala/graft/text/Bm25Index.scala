@@ -1,0 +1,240 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{IndexManifest, LinearHashIndex}
+
+/** Persisted streaming BM25 inverted index — the retrieval-side member
+  * of the index layer (dedup: [[graft.dedup.IndexedDedup]]; similarity:
+  * [[graft.similarity.IvfIndex]]). One-shot [[Retrieval.bm25TopK]]
+  * re-tokenizes and re-scans the whole corpus per query set; here the
+  * corpus is ingested once (bootstrap + per-micro-batch merges) into
+  * three [[LinearHashIndex]]es committed by ONE [[IndexManifest]]
+  * snapshot, and a query's IO is probe-bounded: |terms|·B posting-shard
+  * buckets + the matched docs' length buckets + one stats bucket —
+  * never the corpus.
+  *
+  * State (all under one atomic manifest):
+  *   - TERM index `(tk, term, doc_id, tf)` keyed by the SHARDED posting
+  *     key tk = term + '#' + (hash(doc_id) mod B): one term's posting
+  *     list spreads over B keys, so no single linear-hash key ever
+  *     outgrows a bucket — the doc-partitioned posting-shard layout of
+  *     every distributed inverted index (a single-key posting list
+  *     CANNOT split: same key ⇒ same bucket hash forever).
+  *   - DOC index `(doc_id, dl)`: whitespace token counts for the BM25
+  *     length normalizer.
+  *   - STATS index: one row `(k='g', n_docs, total_dl)` — the global
+  *     scoring statistics, read with a single-bucket probe.
+  *
+  * Near-stopword pruning: a term whose document frequency crosses
+  * maxTermDf is PERMANENTLY collapsed to one tombstone row
+  * `(term#0, term, -1, 0)` and excluded from scoring — df is monotone
+  * on an append-only corpus, so "tombstoned ⟺ final df > maxTermDf"
+  * regardless of batch boundaries, which is exactly what makes the
+  * streamed index's query results equal a one-shot build's (the q300
+  * oracle replays pruning as a plain HAVING df <= cap over the final
+  * corpus). BM25's idf at df near N is ~0 anyway; the cap is the
+  * impact-pruning production engines apply to stopwords, sized so only
+  * near-stopwords ever cross it (posting rows per term ≤ cap, per
+  * shard ≤ cap/B ≪ rowCap).
+  *
+  * Crash safety: rewrites land in fresh bucket generations; the batch
+  * becomes visible only when the single-file manifest rename commits
+  * all three indexes + the batch id together, and a replay of an
+  * already-committed batch is a no-op (batchSeq gate) — the
+  * [[graft.dedup.IndexedDedup]] protocol verbatim.
+  *
+  * Reference corpus context: the reference scores/retrieves nothing —
+  * this is the 100 TB-scale retrieval tier above q92's one-shot BM25
+  * (same rational-idf bit-reproducible scorer, q92's discipline).
+  */
+object Bm25Index {
+
+  final case class Indexes(term: LinearHashIndex, doc: LinearHashIndex,
+                           stats: LinearHashIndex, manifest: IndexManifest)
+
+  val TermSchema = "tk STRING, term STRING, doc_id BIGINT, tf BIGINT"
+  val DocSchema = "doc_id BIGINT, dl BIGINT"
+  val StatsSchema = "k STRING, n_docs BIGINT, total_dl BIGINT"
+
+  /** Posting shards per term (the tk sub-key fan-out). */
+  val Shards = 16
+
+  private val TermIx = "term"
+  private val DocIx = "doc"
+  private val StatsIx = "stats"
+
+  private def unpersist(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(df)
+
+  /** The sharded posting key for a (term, doc) row. */
+  private def tkCol(term: org.apache.spark.sql.Column,
+                    doc: org.apache.spark.sql.Column) =
+    concat(term, lit("#"), pmod(hash(doc), lit(Shards)).cast("string"))
+
+  /** Tombstones live in shard 0 under their own doc sentinel. */
+  private def tombRows(terms: DataFrame): DataFrame =
+    terms.select(concat(col("term"), lit("#0")).as("tk"), col("term"),
+      lit(-1L).as("doc_id"), lit(0L).as("tf"))
+
+  def attach(spark: SparkSession, termRoot: String, docRoot: String,
+             statsRoot: String, manifestRoot: String, rowCap: Long): Indexes =
+    Indexes(
+      new LinearHashIndex(spark, termRoot, "tk", TermSchema, rowCap),
+      new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap),
+      new LinearHashIndex(spark, statsRoot, "k", StatsSchema, rowCap),
+      new IndexManifest(spark, manifestRoot))
+
+  /** Per-doc term frequencies + doc length from whitespace tokens (the
+    * q92 tokenizer — [[TextAnalysis.tokens]]). */
+  private def docTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** Seed all three indexes from the initial corpus; manifest version 1
+    * (batchSeq 0) makes them visible atomically. */
+  def bootstrap(spark: SparkSession, docs: DataFrame, maxTermDf: Long,
+                termRoot: String, docRoot: String, statsRoot: String,
+                manifestRoot: String, rowCap: Long): Indexes = {
+    val idx = attach(spark, termRoot, docRoot, statsRoot, manifestRoot, rowCap)
+    require(idx.manifest.read().isEmpty,
+      s"Bm25Index: manifest $manifestRoot already committed")
+    val dt = docTerms(docs).localCheckpoint(true)
+    val hot0 = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxTermDf).select("term")
+    val liveT = idx.term.bootstrap(
+      dt.join(broadcast(hot0), Seq("term"), "left_anti")
+        .select(tkCol(col("term"), col("doc_id")).as("tk"),
+          col("term"), col("doc_id"), col("tf"))
+        .unionByName(tombRows(hot0)))
+    val dls = dt.select("doc_id", "dl").distinct().localCheckpoint(true)
+    val liveD = idx.doc.bootstrap(dls)
+    val liveG = idx.stats.bootstrap(
+      dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+        .select(lit("g").as("k"), col("n_docs"), col("total_dl")))
+    unpersist(dt); unpersist(dls)
+    idx.manifest.commit(0L, Map(TermIx -> liveT, DocIx -> liveD,
+      StatsIx -> liveG))
+    idx
+  }
+
+  /** Extend the index with one micro-batch of NEW documents (one atomic
+    * manifest commit; a replay of a committed batch is a no-op, and doc
+    * ids already indexed are skipped, so retries and overlapping feeds
+    * both converge). */
+  def mergeBatch(spark: SparkSession, idx: Indexes, batch: DataFrame,
+                 batchSeq: Long, maxTermDf: Long): Unit = {
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
+    if (snap.batchSeq >= batchSeq) return // committed replay: read-only
+    val liveT = snap.buckets(TermIx)
+    val liveD = snap.buckets(DocIx)
+    val liveG = snap.buckets(StatsIx)
+    val bIds = batch.select("doc_id").distinct()
+    val already = idx.doc.probe(bIds, liveD)
+      .join(bIds, Seq("doc_id"), "left_semi").select("doc_id")
+    val nt = docTerms(batch)
+      .join(broadcast(already), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // batch-relative df: current postings (probe) + this batch's docs;
+    // monotone, so crossing the cap tombstones the term for good
+    val terms = nt.select("term").distinct()
+    val probeKeys = terms.crossJoin(
+        spark.range(Shards).select(col("id").cast("string").as("sh")))
+      .select(concat(col("term"), lit("#"), col("sh")).as("tk"))
+    val pm = idx.term.probe(probeKeys, liveT)
+      .join(broadcast(terms), Seq("term"))
+    val tomb = pm.where(col("doc_id") === -1L).select("term")
+    val posts = pm.where(col("doc_id") >= 0L)
+    val dfKeep = posts.groupBy("term").agg(count(lit(1)).as("dfk"))
+    val addc = nt.groupBy("term").agg(count(lit(1)).as("addc"))
+    val newPerm = addc.join(dfKeep, Seq("term"), "left")
+      .where(coalesce(col("dfk"), lit(0L)) + col("addc") > maxTermDf)
+      .select("term").join(broadcast(tomb), Seq("term"), "left_anti")
+      .localCheckpoint(true)
+    val tombAfter = tomb.unionByName(newPerm).distinct()
+    val newLiveT = idx.term.rewrite(probeKeys, liveT) { old =>
+      old.join(broadcast(newPerm), Seq("term"), "left_anti")
+        .unionByName(nt
+          .join(broadcast(tombAfter), Seq("term"), "left_anti")
+          .select(tkCol(col("term"), col("doc_id")).as("tk"),
+            col("term"), col("doc_id"), col("tf")))
+        .unionByName(tombRows(newPerm))
+    }
+    val newDl = nt.select("doc_id", "dl").distinct().localCheckpoint(true)
+    val newLiveD = idx.doc.rewrite(newDl.select("doc_id"), liveD) { old =>
+      old.unionByName(newDl)
+    }
+    val inc = newDl.agg(count(lit(1)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("ddl"))
+    val gKeys = idx.stats.allRows(liveG).select("k") // 1 row
+    val newLiveG = idx.stats.rewrite(gKeys, liveG) { old =>
+      old.crossJoin(broadcast(inc)).select(col("k"),
+        (col("n_docs") + col("dn")).as("n_docs"),
+        (col("total_dl") + col("ddl")).as("total_dl"))
+    }
+    // THE commit point: all three indexes + the batch id flip together;
+    // gc keeps the retained-snapshot union (time travel stays readable)
+    idx.manifest.commit(batchSeq, Map(TermIx -> newLiveT,
+      DocIx -> newLiveD, StatsIx -> newLiveG))
+    idx.term.gc(newLiveT ++ liveT)
+    idx.doc.gc(newLiveD ++ liveD)
+    idx.stats.gc(newLiveG ++ liveG)
+    unpersist(nt); unpersist(newPerm); unpersist(newDl)
+  }
+
+  /** Top-k docs for the fixed `terms` against the committed snapshot —
+    * [[Retrieval.bm25Term]]'s exact node tree over probed postings, so
+    * the result hash-matches a one-shot scorer over the same corpus.
+    * Per-term contributions pivot into fixed columns and sum in fixed
+    * left-assoc order (adding exact 0.0s — order-free), the q92 float
+    * determinism contract. Output: (rank, doc_id, score). */
+  def query(spark: SparkSession, idx: Indexes, terms: Seq[String],
+            k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "fixed small term set")
+    import spark.implicits._
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
+    val probeKeys = terms.flatMap(t => (0 until Shards).map(s => s"$t#$s"))
+      .toDF("tk")
+    val termsDf = terms.toDF("term")
+    val pm = idx.term.probe(probeKeys, snap.buckets(TermIx))
+      .join(broadcast(termsDf), Seq("term"))
+    val posts = pm.where(col("doc_id") >= 0L).localCheckpoint(true)
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = posts.select("doc_id").distinct()
+    val dls = idx.doc.probe(matched, snap.buckets(DocIx))
+      .join(matched, Seq("doc_id"), "left_semi")
+    val g = idx.stats.probe(Seq("g").toDF("k"), snap.buckets(StatsIx))
+      .where(col("k") === "g")
+    val contrib = Retrieval.bm25Term(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("avgdl"))
+    val rows = posts.join(broadcast(dfT), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib", contrib)
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib")).otherwise(lit(0.0)))
+        .as(s"c$i")
+    }
+    val score = terms.indices.map(i => col(s"c$i")).reduceLeft(_ + _)
+    val top = rows.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
+      .withColumn("score", score)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), col("doc_id").asc)
+      .limit(k)
+    val out = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "score")
+      .localCheckpoint(true)
+    unpersist(posts)
+    out
+  }
+}

@@ -41,8 +41,11 @@ object Retrieval {
   val B = 0.75  // length normalization (exactly representable)
 
   /** One BM25 term contribution. All casts and the operation order
-    * mirror the DuckDB oracle expression node for node. */
-  private def bm25Term(tf: Column, df: Column, dl: Column,
+    * mirror the DuckDB oracle expression node for node. (private[graft]:
+    * [[Bm25Index.query]] scores probed postings with the SAME node tree,
+    * which is what makes the persisted path hash-identical to this
+    * in-run scorer.) */
+  private[graft] def bm25Term(tf: Column, df: Column, dl: Column,
       nDocs: Column, avgdl: Column): Column = {
     val idf = ((nDocs - df).cast("double") + lit(0.5)) /
       (df.cast("double") + lit(0.5))

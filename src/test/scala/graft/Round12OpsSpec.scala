@@ -350,6 +350,65 @@ class Round12OpsSpec extends AnyFunSuite {
       s"batch-2 census ${out(1)} vs reference $c2")
   }
 
+  // ---------------------------------------------------- q300
+  test("q300/Bm25Index: streamed index query equals the one-shot q92 " +
+    "scorer bit-for-bit; df-cap tombstones prune near-stopwords; a " +
+    "committed-batch replay is a no-op") {
+    import graft.text.{Bm25Index, Retrieval}
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val texts = Seq(
+      1L -> "alpha beta gamma common",
+      2L -> "alpha alpha delta common",
+      3L -> "beta delta epsilon common",
+      4L -> "gamma gamma gamma common zeta",
+      5L -> "delta epsilon zeta common",
+      6L -> "alpha zeta common common")
+    val docs = texts.toDF("doc_id", "text")
+    // cap 4: 'common' (df 6) tombstones once batch 2 lands; every other
+    // term df <= 3 survives
+    val idx = Bm25Index.bootstrap(spark,
+      docs.where(col("doc_id") <= 2), maxTermDf = 4L,
+      tmp("b25t_"), tmp("b25d_"), tmp("b25g_"), tmp("b25m_"),
+      rowCap = 64L)
+    Bm25Index.mergeBatch(spark, idx, docs.where(col("doc_id").isin(3L, 4L)),
+      batchSeq = 1L, maxTermDf = 4L)
+    Bm25Index.mergeBatch(spark, idx, docs.where(col("doc_id") >= 5L),
+      batchSeq = 2L, maxTermDf = 4L)
+    val terms = Seq("alpha", "gamma", "zeta", "common")
+    val got = Bm25Index.query(spark, idx, terms, k = 6)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // one-shot reference: q92's scorer over the full corpus, ONE stats
+    // partition, with the tombstoned term dropped from the term set
+    // (the pruning semantics: final df > cap contributes nothing)
+    val ref = Retrieval.bm25TopK(docs.withColumn("part", lit("all")),
+        part = "part", id = "doc_id", text = "text",
+        terms = terms.filterNot(_ == "common"), k = 6)
+      .select(col("rank").cast("long"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      .filter(_._3 > 0)
+    assert(got == ref, s"got $got\nref $ref")
+    // the pruned term holds exactly one tombstone row in the term index
+    val snap = idx.manifest.read().get
+    val common = idx.term.allRows(snap.buckets("term"))
+      .where(col("term") === "common").collect()
+    assert(common.length == 1 && common(0).getLong(2) == -1L,
+      s"expected a single tombstone for 'common': ${common.toSeq}")
+    // a replay of a committed batch is a read-only no-op
+    Bm25Index.mergeBatch(spark, idx, docs.where(col("doc_id") >= 5L),
+      batchSeq = 2L, maxTermDf = 4L)
+    assert(idx.manifest.read().get.version == snap.version,
+      "committed-batch replay bumped the manifest")
+    val again = Bm25Index.query(spark, idx, terms, k = 6)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(again == got, "replay changed query results")
+    // global stats row tracked the increments exactly
+    val g = idx.stats.allRows(snap.buckets("stats")).collect()(0)
+    assert(g.getLong(1) == 6L && g.getLong(2) ==
+      texts.map(_._2.split("\\s+").length.toLong).sum,
+      s"stats row wrong: $g")
+  }
+
   // ---------------------------------------------------- q298
   test("q298: Fellegi–Sunter weights, scores, and census equal a " +
     "pure-Scala replay on a hand fixture; weight signs follow " +
