@@ -948,34 +948,59 @@ object StreamingQueries extends QueryPack {
     * oracle replays plain global BM25 over the FINAL corpus (with the
     * same df ≤ 65536 near-stopword gate, inert at fixture SFs) and the
     * top-10 hash-matches bit for bit. */
+  /** q300's bootstrapped index snapshot, built ONCE per session per sf
+    * dir (the q283 discipline, per VERDICT r11 #3): the O(corpus)
+    * bootstrap is setup; each run copies the snapshot and streams the
+    * two merge batches + the query against the COPY, so bench reps time
+    * the steady-state per-batch path. */
+  private val bm25SnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, String, String, String)]()
+
   private def persistedBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.Bm25Index
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val seed = docs.where(col("doc_id") % 2 === 0)
     val batches = Seq(docs.where(col("doc_id") % 4 === 1),
       docs.where(col("doc_id") % 4 === 3))
-    val idx = Bm25Index.bootstrap(spark, seed, maxTermDf = 65536L,
-      MlQueries.tempDirDeletedOnExit("graft_bm25_t_"),
-      MlQueries.tempDirDeletedOnExit("graft_bm25_d_"),
-      MlQueries.tempDirDeletedOnExit("graft_bm25_g_"),
-      MlQueries.tempDirDeletedOnExit("graft_bm25_m_"),
+    val (snapT, snapD, snapG, snapM) =
+      bm25SnapByDir.computeIfAbsent(dir, _ => {
+        val t = MlQueries.tempDirDeletedOnExit("graft_bm25_snap_t_")
+        val d = MlQueries.tempDirDeletedOnExit("graft_bm25_snap_d_")
+        val g = MlQueries.tempDirDeletedOnExit("graft_bm25_snap_g_")
+        val m = MlQueries.tempDirDeletedOnExit("graft_bm25_snap_m_")
+        Bm25Index.bootstrap(spark, seed, maxTermDf = 65536L, t, d, g, m,
+          rowCap = 65536L)
+        (t, d, g, m)
+      })
+    val tDir = MlQueries.tempDirDeletedOnExit("graft_bm25_t_")
+    val dDir = MlQueries.tempDirDeletedOnExit("graft_bm25_d_")
+    val gDir = MlQueries.tempDirDeletedOnExit("graft_bm25_g_")
+    val mDir = MlQueries.tempDirDeletedOnExit("graft_bm25_m_")
+    copyDirContents(spark, snapT, tDir)
+    copyDirContents(spark, snapD, dDir)
+    copyDirContents(spark, snapG, gDir)
+    copyDirContents(spark, snapM, mDir)
+    val idx = Bm25Index.attach(spark, tDir, dDir, gDir, mDir,
       rowCap = 65536L)
     val watch = stageBatches("graft_bm25_", batches)
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(watch)
-    val q = stream.writeStream
-      .option("checkpointLocation",
-        MlQueries.tempDirDeletedOnExit("graft_bm25_ckpt_"))
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        Bm25Index.mergeBatch(batch.sparkSession, idx, batch,
-          batchSeq = id + 1, maxTermDf = 65536L)
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    Bm25Index.query(spark, idx, Bm25Terms, k = 10).orderBy("rank")
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_bm25_ckpt_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Bm25Index.mergeBatch(batch.sparkSession, idx, batch,
+            batchSeq = id + 1, maxTermDf = 65536L)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Bm25Index.query(spark, idx, Bm25Terms, k = 10).orderBy("rank")
+    }
   }
 
   private[queries] val Bm25Terms =
