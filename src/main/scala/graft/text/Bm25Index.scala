@@ -66,6 +66,13 @@ object Bm25Index {
   private val DocIx = "doc"
   private val StatsIx = "stats"
 
+  /** Crash-injection points for the commit-protocol specs (the
+    * [[graft.dedup.IndexedDedup]] discipline): after the term-index
+    * rewrite, and after all rewrites but before the manifest rename.
+    * Production never sets these. */
+  private[graft] var testCrashBetweenIndexWrites: () => Unit = () => ()
+  private[graft] var testCrashBeforeManifestCommit: () => Unit = () => ()
+
   private def unpersist(df: DataFrame): Unit =
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(df)
 
@@ -166,6 +173,7 @@ object Bm25Index {
             col("term"), col("doc_id"), col("tf")))
         .unionByName(tombRows(newPerm))
     }
+    testCrashBetweenIndexWrites()
     val newDl = nt.select("doc_id", "dl").distinct().localCheckpoint(true)
     val newLiveD = idx.doc.rewrite(newDl.select("doc_id"), liveD) { old =>
       old.unionByName(newDl)
@@ -178,6 +186,7 @@ object Bm25Index {
         (col("n_docs") + col("dn")).as("n_docs"),
         (col("total_dl") + col("ddl")).as("total_dl"))
     }
+    testCrashBeforeManifestCommit()
     // THE commit point: all three indexes + the batch id flip together;
     // gc keeps the retained-snapshot union (time travel stays readable)
     idx.manifest.commit(batchSeq, Map(TermIx -> newLiveT,
