@@ -767,6 +767,49 @@ class PlanAuditSpec extends AnyFunSuite {
       "query-side scoring join stopped broadcasting")
   }
 
+  test("q298 linkage: the blocked candidate join is a HASH join on the " +
+    "composite block key (never a nested loop), and the weight/census " +
+    "stitches are the only broadcast-nested-loops") {
+    val df = SparkEntry.queries("q298_fellegi_sunter_linkage")(spark, dir)
+    df.collect()
+    // AQE's toString appends the pre-adaptive plan after
+    // "== Initial Plan ==" — audit the FINAL plan only
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the pair-space join must key on (nation, band): a hash join —
+    // broadcast at this SF, shuffled-hash/sort-merge at scale — and
+    // never a BroadcastNestedLoopJoin over customer rows
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    // permitted BNLs: the 1-row weight frame onto pairs and the 1-row
+    // n_cust frame onto the census (the domain-bounded stitch
+    // convention) — nothing else
+    assert(bnl <= 2, s"expected <=2 single-row stitches, got $bnl:\n" +
+      plan.take(3000))
+  }
+
+  test("q299 shard rank: two-phase shape — the offsets frame aggregates " +
+    "before joining back (partial agg + hash join), no global sort " +
+    "below the final 16-row order") {
+    val df = SparkEntry.queries("q299_sharded_shuffle_rank")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the (shard, block) census combines map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    // offsets join back by hash join, never nested-loop over docs
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnl <= 1, // the 1-row balance stitch only
+      s"expected <=1 single-row stitch, got $bnl:\n" + plan.take(3000))
+    // the only Sorts permitted sit inside window partitions and the
+    // final 16-row orderBy — no corpus-wide total-order exchange
+    assert(!plan.contains("rangepartitioning(ord"),
+      "a global sort on the order hash defeats the two-phase design:\n" +
+        plan.take(3000))
+  }
+
   test("partition pruning reaches a partitioned-parquet scan") {
     val out = java.nio.file.Files.createTempDirectory("graft_part_").toString
     graft.tables.Tables.events(spark, dir)
