@@ -206,6 +206,8 @@ object Bm25Index {
   def query(spark: SparkSession, idx: Indexes, terms: Seq[String],
             k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "fixed small term set")
+    require(terms.distinct.size == terms.size,
+      "duplicate query terms would double-count their contribution")
     import spark.implicits._
     val snap = idx.manifest.read().getOrElse(
       sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
