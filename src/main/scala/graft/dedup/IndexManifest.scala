@@ -36,9 +36,19 @@ import org.apache.spark.sql.SparkSession
   *   batchSeq=<long>
   *   <indexName>\t<bucketId>        // one line per live bucket
   * }}}
+  *
+  * `retain` (VERDICT r12 #5) is the number of committed snapshots kept
+  * readable for TIME TRAVEL: `commit` deletes manifests older than the
+  * newest `retain` versions, and writers must gc bucket directories
+  * against [[retainedUnion]] — the union of every retained snapshot's
+  * buckets — so each retained version stays fully readable. The
+  * default (2 = current + previous) is the pre-r13 behavior.
   */
-final class IndexManifest(spark: SparkSession, val root: String) {
+final class IndexManifest(spark: SparkSession, val root: String,
+                          val retain: Int = 2) {
   import IndexManifest.State
+
+  require(retain >= 1, s"IndexManifest $root: retain must be >= 1")
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,11 +70,26 @@ final class IndexManifest(spark: SparkSession, val root: String) {
 
   /** TIME TRAVEL: a specific retained snapshot version, or None if it
     * was never committed or aged out of retention (commit keeps the
-    * current and previous versions). Committed bucket directories are
+    * newest `retain` versions). Committed bucket directories are
     * immutable, so a retained snapshot stays READABLE as long as the
     * writer's gc keep-set is the UNION of every retained snapshot's
-    * buckets — which is what [[IndexedDedup.processBatch]] passes. */
+    * buckets — which is what [[retainedUnion]] computes and
+    * [[IndexedDedup.processBatch]] passes. */
   def read(version: Long): Option[State] = readVersion(version)
+
+  /** Every currently-retained snapshot, oldest first. */
+  def retained(): Seq[State] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).flatMap(s => versionOf(s.getPath.getName))
+      .sorted.toIndexedSeq.flatMap(readVersion)
+  }
+
+  /** The gc keep-set for one index: the union of its live buckets
+    * across every retained snapshot. Deleting any directory outside
+    * this set can never break a retained read. */
+  def retainedUnion(indexName: String): Set[String] =
+    retained().flatMap(_.buckets.getOrElse(indexName, Set.empty)).toSet
 
   private def readVersion(v: Long): Option[State] = {
     val f = new Path(root, fileName(v))
@@ -90,13 +115,14 @@ final class IndexManifest(spark: SparkSession, val root: String) {
     val p = new Path(root)
     fs.mkdirs(p)
     val cur = read().map(_.version).getOrElse(0L)
+    val next = cur + 1
     fs.listStatus(p).foreach { s =>
       val nm = s.getPath.getName
       val stale = nm.startsWith(".tmp-") ||
-        versionOf(nm).exists(_ < cur) // keep current as the reader fallback
+        // keep the newest `retain` versions once this commit lands
+        versionOf(nm).exists(_ <= next - retain)
       if (stale) fs.delete(s.getPath, false)
     }
-    val next = cur + 1
     val body = (s"batchSeq=$batchSeq" +: buckets.toSeq.sortBy(_._1).flatMap {
       case (ix, bs) => bs.toSeq.sorted.map(b => s"$ix\t$b")
     }).mkString("", "\n", "\n")

@@ -55,15 +55,16 @@ import org.apache.spark.sql.functions._
   */
 object IndexedDedup {
 
+  /** `shingleName`/`docName` are the manifest index names — default to
+    * the historical "shingle"/"doc"; a cross-family pipeline committing
+    * several index families under ONE manifest prefixes them. */
   final case class Indexes(shingle: LinearHashIndex, doc: LinearHashIndex,
-                           manifest: IndexManifest)
+                           manifest: IndexManifest,
+                           shingleName: String = "shingle",
+                           docName: String = "doc")
 
   val ShingleSchema = "s STRING, doc_id BIGINT"
   val DocSchema = "doc_id BIGINT, n_keep BIGINT, ver BIGINT"
-
-  /** Manifest index names. */
-  private val ShingleIx = "shingle"
-  private val DocIx = "doc"
 
   /** Crash-injection points for the commit-protocol specs: between the
     * two index rewrites, and after both rewrites but before the
@@ -72,22 +73,38 @@ object IndexedDedup {
   private[graft] var testCrashBeforeManifestCommit: () => Unit = () => ()
 
   /** Attach to an existing on-disk index pair + manifest (a bootstrap
-    * snapshot copied to a working directory, a restart after a crash). */
+    * snapshot copied to a working directory, a restart after a crash).
+    * `retain` = manifest snapshot retention ([[IndexManifest]]);
+    * `namePrefix` namespaces the manifest index names for cross-family
+    * single-manifest pipelines. */
   def attach(spark: SparkSession, shingleRoot: String, docRoot: String,
-             manifestRoot: String, rowCap: Long): Indexes =
+             manifestRoot: String, rowCap: Long, retain: Int = 2,
+             namePrefix: String = ""): Indexes =
     Indexes(
       new LinearHashIndex(spark, shingleRoot, "s", ShingleSchema, rowCap),
       new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap),
-      new IndexManifest(spark, manifestRoot))
+      new IndexManifest(spark, manifestRoot, retain),
+      namePrefix + "shingle", namePrefix + "doc")
 
   /** Seed both indexes from the initial keep corpus and commit manifest
     * version 1 (batchSeq 0) making them visible atomically. */
   def bootstrap(spark: SparkSession, docs: DataFrame, k: Int,
                 maxShingleDf: Int, shingleRoot: String, docRoot: String,
-                manifestRoot: String, rowCap: Long): Indexes = {
-    val idx = attach(spark, shingleRoot, docRoot, manifestRoot, rowCap)
+                manifestRoot: String, rowCap: Long, retain: Int = 2): Indexes = {
+    val idx = attach(spark, shingleRoot, docRoot, manifestRoot, rowCap, retain)
     require(idx.manifest.read().isEmpty,
       s"IndexedDedup: manifest $manifestRoot already committed")
+    idx.manifest.commit(0L, bootstrapStaged(spark, idx, docs, k, maxShingleDf))
+    idx
+  }
+
+  /** Seed both indexes and return the bucket sets to commit — the
+    * CALLER owns the manifest commit (a cross-family pipeline puts
+    * several families' sets under ONE commit). Nothing is visible until
+    * that commit lands. */
+  private[graft] def bootstrapStaged(spark: SparkSession, idx: Indexes,
+                                     docs: DataFrame, k: Int,
+                                     maxShingleDf: Int): Map[String, Set[String]] = {
     val ex = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), k)).as("s"))
       .localCheckpoint(true)
@@ -104,8 +121,7 @@ object IndexedDedup {
       .select(col("doc_id"), coalesce(col("n_keep"), lit(0L)).as("n_keep"),
         lit(0L).as("ver")))
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(ex)
-    idx.manifest.commit(0L, Map(ShingleIx -> liveS, DocIx -> liveD))
-    idx
+    Map(idx.shingleName -> liveS, idx.docName -> liveD)
   }
 
   /** Classify one micro-batch against the indexed keep-set and extend
@@ -122,10 +138,34 @@ object IndexedDedup {
                    batchSeq: Long, k: Int, threshold: Double,
                    maxShingleDf: Int,
                    asOf: Option[IndexManifest.State] = None): DataFrame = {
+    val (verdicts, staged) = stageBatch(spark, idx, batch, batchSeq, k,
+      threshold, maxShingleDf, asOf)
+    staged.foreach { m =>
+      // THE commit point: both indexes + the batch id flip together
+      idx.manifest.commit(batchSeq, m)
+      // gc keeps the union of the retained snapshots, so manifest time
+      // travel to every retained version stays readable
+      idx.shingle.gc(idx.manifest.retainedUnion(idx.shingleName))
+      idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
+    }
+    verdicts
+  }
+
+  /** [[processBatch]] with the manifest commit LEFT TO THE CALLER:
+    * returns the verdicts plus, when the batch extends the indexes,
+    * this family's new bucket sets to include in the caller's single
+    * manifest commit (None = read-only replay/time-travel — nothing to
+    * commit). The caller must gc each index against
+    * `manifest.retainedUnion` after its commit lands. */
+  private[graft] def stageBatch(spark: SparkSession, idx: Indexes,
+                                batch: DataFrame, batchSeq: Long, k: Int,
+                                threshold: Double, maxShingleDf: Int,
+                                asOf: Option[IndexManifest.State] = None)
+      : (DataFrame, Option[Map[String, Set[String]]]) = {
     val snap = asOf.getOrElse(idx.manifest.read().getOrElse(
       sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}")))
-    val liveS = snap.buckets(ShingleIx)
-    val liveD = snap.buckets(DocIx)
+    val liveS = snap.buckets(idx.shingleName)
+    val liveD = snap.buckets(idx.docName)
     val bIds = batch.select("doc_id")
     val bEx = batch.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), k)).as("s"))
@@ -203,7 +243,8 @@ object IndexedDedup {
     // after the commit landed): the snapshot is complete, the verdict
     // recomputation above is read-only against it. A time-travel read
     // (asOf) is ALWAYS read-only.
-    if (asOf.isEmpty && snap.batchSeq < batchSeq) {
+    val staged: Option[Map[String, Set[String]]] =
+      if (asOf.isEmpty && snap.batchSeq < batchSeq) {
       val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
       val keptEx = bEx.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       val keptCnt = keptEx.groupBy("s").agg(count(lit(1)).as("addc"))
@@ -249,20 +290,129 @@ object IndexedDedup {
           .distinct()
       }
       testCrashBeforeManifestCommit()
-      // THE commit point: both indexes + the batch id flip together
-      idx.manifest.commit(batchSeq,
-        Map(ShingleIx -> newLiveS, DocIx -> newLiveD))
-      // gc keeps the union of the retained snapshots (current +
-      // previous — `snap` is the previous after this commit), so
-      // manifest time travel to the previous version stays readable
-      idx.shingle.gc(newLiveS ++ liveS)
-      idx.doc.gc(newLiveD ++ liveD)
-    }
+      Some(Map(idx.shingleName -> newLiveS, idx.docName -> newLiveD))
+    } else None
     Seq(pRows, bEx, diRows).foreach(
       org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
     // cnt + verdicts stay pinned for the caller's sink merge; verdicts is
     // the returned frame — the caller releases it (the q274 contract)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(cnt)
-    verdicts
+    (verdicts, staged)
+  }
+
+  /** RETRACTION (VERDICT r12 #1 — takedown/GDPR/corpus-refresh): remove
+    * `retract`'s docs (doc_id, text) from the keep-set indexes under
+    * the SAME single-manifest commit protocol as [[processBatch]].
+    * Postings of the retracted docs are deleted, their doc-index rows
+    * dropped, and — because keep-side df is no longer monotone once
+    * docs can leave — df-cap tombstones touched by the retracted docs
+    * are RE-AUDITED: a tombstoned shingle whose df over the remaining
+    * corpus falls back ≤ maxShingleDf is UN-TOMBSTONED by re-deriving
+    * its posting list from `retained` (the remaining keep corpus —
+    * production's durable corpus store), and every remaining doc that
+    * contains it gets its surviving-shingle count incremented. The
+    * result is BIT-EQUIVALENT to an index bootstrapped from scratch on
+    * the remaining corpus (IndexedDedupSpec proves content equality
+    * per index): tombstones end exactly {s : df(remaining) > cap}
+    * because retraction only lowers df — a shingle over the cap on the
+    * remaining corpus was already tombstoned before.
+    *
+    * With `retained = None` the cap is a ONE-WAY POLICY: tombstones
+    * stay permanent (no corpus re-scan), trading exact-rebuild
+    * equivalence for a cheaper retract — verdicts stay conservative
+    * (a tombstoned shingle never creates pairs).
+    *
+    * Cost shape: probe IO tracks the retract batch's key sets; the
+    * only remaining-corpus scan is the tombstone re-audit, restricted
+    * to the touched tombstoned shingles (skipped entirely when none).
+    * Replay of a committed retract is a no-op (batchSeq gate); a crash
+    * before the manifest rename leaves readers on the previous
+    * snapshot and the deterministic retry overwrites the same fresh
+    * generations.
+    *
+    * History note: a retraction REWRITES KEEP-SET HISTORY by design —
+    * replaying a pre-retraction merge batch afterwards is not
+    * guaranteed to reproduce its original verdicts (its duplicates may
+    * have been taken down). The replay-idempotence contract is
+    * per-snapshot, which is what the manifest gate enforces. */
+  def retractBatch(spark: SparkSession, idx: Indexes, retract: DataFrame,
+                   batchSeq: Long, k: Int, maxShingleDf: Int,
+                   retained: Option[DataFrame]): Unit = {
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}"))
+    if (snap.batchSeq >= batchSeq) return // committed replay: no-op
+    stageRetract(spark, idx, retract, batchSeq, k, maxShingleDf, retained,
+      snap).foreach { m =>
+      idx.manifest.commit(batchSeq, m)
+      idx.shingle.gc(idx.manifest.retainedUnion(idx.shingleName))
+      idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
+    }
+  }
+
+  /** [[retractBatch]] with the commit left to the caller (None = the
+    * batch was already committed or nothing to do). */
+  private[graft] def stageRetract(spark: SparkSession, idx: Indexes,
+                                  retract: DataFrame, batchSeq: Long, k: Int,
+                                  maxShingleDf: Int,
+                                  retained: Option[DataFrame],
+                                  snap: IndexManifest.State)
+      : Option[Map[String, Set[String]]] = {
+    if (snap.batchSeq >= batchSeq) return None
+    val liveS = snap.buckets(idx.shingleName)
+    val liveD = snap.buckets(idx.docName)
+    val rIds = retract.select("doc_id").distinct()
+    // docs actually in the keep-set — retracting a non-member is a no-op
+    val present = idx.doc.probe(rIds, liveD)
+      .join(broadcast(rIds), Seq("doc_id"), "left_semi")
+      .select("doc_id").localCheckpoint(true)
+    val rEx = retract.join(broadcast(present), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("s"))
+      .localCheckpoint(true)
+    val sKeys = rEx.select("s").distinct()
+    val pm = idx.shingle.probe(sKeys, liveS)
+      .join(broadcast(sKeys), Seq("s"))
+    val tombTouched = pm.where(col("doc_id") === -1L).select("s")
+      .localCheckpoint(true)
+    // tombstone re-audit: df over the REMAINING corpus, restricted to
+    // the touched tombstoned shingles (only they can have lost df)
+    val restored = retained match {
+      case Some(rem) if !tombTouched.isEmpty =>
+        rem.select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("s"))
+          .join(broadcast(tombTouched), Seq("s"))
+          .localCheckpoint(true)
+      case _ => rEx.select("s", "doc_id").limit(0).localCheckpoint(true)
+    }
+    val unTomb = restored.groupBy("s").agg(count(lit(1)).as("dfr"))
+      .where(col("dfr") <= maxShingleDf).select("s")
+      .localCheckpoint(true)
+    val restoredLive = restored
+      .join(broadcast(unTomb), Seq("s"), "left_semi")
+      .select("s", "doc_id")
+    val newLiveS = idx.shingle.rewrite(sKeys, liveS) { old =>
+      // drop the retracted docs' postings and the un-tombstoned
+      // tombstone rows (a tombstoned shingle has ONLY its tombstone
+      // row, so the anti-join on s removes nothing else), then restore
+      // the re-derived posting lists
+      old.join(broadcast(present), Seq("doc_id"), "left_anti")
+        .join(broadcast(unTomb), Seq("s"), "left_anti")
+        .unionByName(restoredLive)
+        .distinct()
+    }
+    testCrashBetweenIndexWrites()
+    val incRem = restoredLive.groupBy("doc_id").agg(count(lit(1)).as("inc"))
+      .localCheckpoint(true)
+    val dKeys = present.unionByName(incRem.select("doc_id"))
+    val newLiveD = idx.doc.rewrite(dKeys, liveD) { old =>
+      old.join(broadcast(present), Seq("doc_id"), "left_anti")
+        .join(incRem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("n_keep") + coalesce(col("inc"), lit(0L))).as("n_keep"),
+          when(col("inc").isNotNull, lit(batchSeq)).otherwise(col("ver"))
+            .as("ver"))
+    }
+    testCrashBeforeManifestCommit()
+    Seq(present, rEx, tombTouched, restored, unTomb, incRem).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    Some(Map(idx.shingleName -> newLiveS, idx.docName -> newLiveD))
   }
 }

@@ -957,12 +957,15 @@ object StreamingQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, String, String, String)]()
 
-  private def persistedBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The seed-half BM25 bootstrap snapshot for `dir`, built once per
+    * session (q300/q302 share it — identical corpus and parameters),
+    * then CLONED to fresh working directories so each run's merges /
+    * retractions mutate a private copy. Returns the attached copy. */
+  private def bm25WorkingCopy(spark: SparkSession, dir: String)
+      : graft.text.Bm25Index.Indexes = {
     import graft.text.Bm25Index
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val seed = docs.where(col("doc_id") % 2 === 0)
-    val batches = Seq(docs.where(col("doc_id") % 4 === 1),
-      docs.where(col("doc_id") % 4 === 3))
     val (snapT, snapD, snapG, snapM) =
       bm25SnapByDir.computeIfAbsent(dir, _ => {
         val t = MlQueries.tempDirDeletedOnExit("graft_bm25_snap_t_")
@@ -981,8 +984,15 @@ object StreamingQueries extends QueryPack {
     copyDirContents(spark, snapD, dDir)
     copyDirContents(spark, snapG, gDir)
     copyDirContents(spark, snapM, mDir)
-    val idx = Bm25Index.attach(spark, tDir, dDir, gDir, mDir,
-      rowCap = 65536L)
+    Bm25Index.attach(spark, tDir, dDir, gDir, mDir, rowCap = 65536L)
+  }
+
+  private def persistedBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bm25Index
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val batches = Seq(docs.where(col("doc_id") % 4 === 1),
+      docs.where(col("doc_id") % 4 === 3))
+    val idx = bm25WorkingCopy(spark, dir)
     val watch = stageBatches("graft_bm25_", batches)
     val stream = spark.readStream
       .schema("doc_id BIGINT, text STRING")
@@ -1006,7 +1016,165 @@ object StreamingQueries extends QueryPack {
   private[queries] val Bm25Terms =
     Seq("table", "join", "hash", "dup", "vector", "stream")
 
+  /** q301: INDEXED-DEDUP RETRACTION (VERDICT r12 #1 — takedown/GDPR
+    * over the persisted keep-set): bootstrap a doc_id % 6 sample, merge
+    * one batch ([[graft.dedup.IndexedDedup.processBatch]]), then
+    * RETRACT the original keep docs with doc_id % 10 = 0 via
+    * [[graft.dedup.IndexedDedup.retractBatch]] (postings deleted, doc
+    * rows dropped, touched df-cap tombstones re-audited against the
+    * retained corpus — one atomic manifest commit), and finally
+    * classify a batch of exact COPIES of the retracted docs. The copies
+    * come back "kept" — the content was taken down, so it re-enters the
+    * corpus — where without the retraction they would be dup_of_keep;
+    * the output also carries the post-retract index censuses (doc
+    * count + id checksum, surviving postings, tombstones) read from the
+    * committed snapshot. The oracle replays batch 1 as incremental
+    * dedup, DELETES the retracted ids from the keep set, derives every
+    * census from first principles over the remaining corpus, and
+    * replays batch 2 against it — so a retraction that leaked a
+    * posting, kept a stale doc row, or missed a tombstone re-audit
+    * hash-fails.
+    *
+    * Scale shape: retraction IO tracks the retract batch's key sets
+    * (two probes + two fresh-generation rewrites); the only
+    * remaining-corpus work is the tombstone re-audit restricted to
+    * touched tombstoned shingles. The censuses are audit reads, not
+    * the per-batch path. */
+  private def indexedDedupRetract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.IndexedDedup
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 6 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val retractDocs = sample.where(col("doc_id") % 10 === 0)
+    val b2 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val idx = IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+      MlQueries.tempDirDeletedOnExit("graft_xrt_si_"),
+      MlQueries.tempDirDeletedOnExit("graft_xrt_di_"),
+      MlQueries.tempDirDeletedOnExit("graft_xrt_mf_"), rowCap = 65536L)
+    val v1 = IndexedDedup.processBatch(spark, idx, b1, 1L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val kept1 = b1.join(v1.where(col("status") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // the retained corpus = keep set AFTER the takedown (production's
+    // durable corpus store) — feeds the tombstone re-audit only
+    val remaining = sample
+      .join(retractDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(kept1)
+    IndexedDedup.retractBatch(spark, idx, retractDocs, 2L, k = 3,
+      maxShingleDf = 20, retained = Some(remaining))
+    // post-retract state censuses from the committed snapshot
+    val snap = idx.manifest.read().get
+    val d = idx.doc.allRows(snap.buckets(idx.docName))
+      .agg(count(lit(1)), sum("doc_id")).head()
+    val s = idx.shingle.allRows(snap.buckets(idx.shingleName))
+      .agg(sum(when(col("doc_id") >= 0L, 1L).otherwise(0L)),
+        sum(when(col("doc_id") === -1L, 1L).otherwise(0L))).head()
+    val v2 = IndexedDedup.processBatch(spark, idx, b2, 3L, k = 3,
+      threshold = 0.3, maxShingleDf = 20)
+    val out = v2.select(col("doc_id"), col("status"), col("rep_id"))
+      .withColumn("n_index_docs", lit(d.getLong(0)))
+      .withColumn("doc_id_checksum", lit(d.getLong(1)))
+      .withColumn("n_postings", lit(s.getLong(0)))
+      .withColumn("n_tombstones", lit(s.getLong(1)))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    Seq(v1, v2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    out
+  }
+
+  /** q302: BM25 INDEX RETRACTION (VERDICT r12 #1, retrieval family):
+    * the q300 seed snapshot takes one merge batch (doc_id % 4 = 1),
+    * then [[graft.text.Bm25Index.retractBatch]] removes every indexed
+    * doc with doc_id % 10 = 0 — postings deleted, doc-length rows
+    * dropped, global (n_docs, Σdl) decremented exactly, touched
+    * df-cap tombstones re-audited — under one manifest commit, and the
+    * fixed 6-term query runs against the post-retract snapshot. The
+    * retraction provably rewrites retrieval: the oracle is plain
+    * global BM25 over the REMAINING corpus only (the streamed+retracted
+    * index is bit-equivalent to a fresh build on it), so a leaked
+    * posting, a stale doc length, or an un-decremented stat flips
+    * scores and hash-fails.
+    *
+    * Scale shape: retract IO = the retracted docs' term shards + doc
+    * buckets + the stats bucket; query IO unchanged from q300. */
+  private def bm25IndexRetract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bm25Index
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val idx = bm25WorkingCopy(spark, dir)
+    Bm25Index.mergeBatch(spark, idx, docs.where(col("doc_id") % 4 === 1),
+      batchSeq = 1L, maxTermDf = 65536L)
+    val retractDocs = docs.where(
+      (col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1)
+        && col("doc_id") % 10 === 0)
+    val remaining = docs.where(
+      (col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1)
+        && !(col("doc_id") % 10 === 0))
+    Bm25Index.retractBatch(spark, idx, retractDocs, batchSeq = 2L,
+      maxTermDf = 65536L, retained = Some(remaining))
+    Bm25Index.query(spark, idx, Bm25Terms, k = 10).orderBy("rank")
+  }
+
+  /** q303: BM25 QUERY-TABLE RETRIEVAL over the persisted index
+    * (VERDICT r12 #3): a TABLE of six queries with variable term sets
+    * is scored in ONE pass by [[graft.text.Bm25Index.queryTable]] —
+    * the probe reads the union of all queries' terms' posting shards
+    * once, every (query, doc) score folds its term contributions in
+    * term-sorted order (float-deterministic without per-query
+    * recompiles), and ranking is the per-query partial
+    * WindowGroupLimit. The index is the FULL corpus bootstrapped once
+    * per session (read-only — runs attach to the shared snapshot);
+    * one query carries a vocabulary-absent term ('shuffle') to pin the
+    * missing-term path. The oracle scores each query's alphabetical
+    * term list with exact-0.0 absent terms over the whole corpus —
+    * q92's bit-reproducibility contract generalized to a workload.
+    *
+    * Scale shape: query IO ∝ |distinct workload terms| · 16 shards +
+    * matched doc-length buckets + 1 stats bucket — independent of both
+    * corpus size and query count growth in matched docs aside. */
+  private def bm25QueryTableTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bm25Index
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val (t, d, g, m) = bm25FullSnapByDir.computeIfAbsent(dir, _ => {
+      val t0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_t_")
+      val d0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_d_")
+      val g0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_g_")
+      val m0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_m_")
+      Bm25Index.bootstrap(spark, docs, maxTermDf = 65536L, t0, d0, g0, m0,
+        rowCap = 65536L)
+      (t0, d0, g0, m0)
+    })
+    val idx = Bm25Index.attach(spark, t, d, g, m, rowCap = 65536L)
+    val queries = Bm25QueryTable.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("query_id", "term")
+    Bm25Index.queryTable(spark, idx, queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25FullSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, String, String, String)]()
+
+  /** The q303 query workload: id → term set ('shuffle' is absent from
+    * the corpus vocabulary — the missing-term path). */
+  private[queries] val Bm25QueryTable: Seq[(Long, Seq[String])] = Seq(
+    10L -> Seq("table", "join"),
+    11L -> Seq("hash", "dup", "stream"),
+    12L -> Seq("vector", "query"),
+    13L -> Seq("sort", "merge", "shuffle"),
+    14L -> Seq("scan", "filter", "batch", "table"),
+    15L -> Seq("join", "vector"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_indexed_dedup_retract" -> indexedDedupRetract,
+    "q302_bm25_index_retract" -> bm25IndexRetract,
+    "q303_bm25_query_table_topk" -> bm25QueryTableTopK,
     "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
@@ -1159,6 +1327,75 @@ object StreamingQueries extends QueryPack {
     * against keep1. The id-threshold status rules are exact membership
     * tests here: batch 1's non-drop endpoints are precisely the
     * original ids (< 10⁶) and batch 2's are precisely keep1 (< 4·10⁶). */
+  /** q301 oracle: batch-1 incremental-dedup replay on the doc_id % 6
+    * sample, DELETE the retracted originals from the keep set, derive
+    * the post-retract censuses from first principles over the remaining
+    * corpus (tombstones = shingles with df > 20 over it — exactly what
+    * the re-audited index must hold), then replay batch 2 against the
+    * remaining keep set. */
+  private def indexedDedupRetractOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    s"""WITH RECURSIVE docs6 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM docs6
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM docs6 WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM docs6
+       |  WHERE doc_id % 10 = 0),
+       |u1 AS (SELECT doc_id, text FROM docs6
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |rem AS MATERIALIZED (
+       |  SELECT doc_id, text FROM docs6 WHERE doc_id % 10 != 0
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |tr AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM rem),
+       |gr AS (
+       |  SELECT doc_id,
+       |         list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+       |                        for i in range(1, len(toks) - 1)]) AS sh
+       |  FROM tr),
+       |exr AS MATERIALIZED (SELECT doc_id, unnest(sh) AS sg FROM gr),
+       |dkr AS MATERIALIZED (SELECT sg, count(*) AS df FROM exr GROUP BY 1),
+       |cen AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rem) AS n_index_docs,
+       |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM rem) AS doc_id_checksum,
+       |  (SELECT CAST(count(*) AS BIGINT)
+       |   FROM exr JOIN dkr USING (sg) WHERE df <= 20) AS n_postings,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM dkr WHERE df > 20)
+       |    AS n_tombstones),
+       |u2 AS (SELECT doc_id, text FROM rem
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 5000000L)},
+       |v2 AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 5000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status,
+       |         coalesce(lab2.label, d.doc_id) AS rep_id
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id)
+       |SELECT v2.doc_id, v2.status, CAST(v2.rep_id AS BIGINT) AS rep_id,
+       |       cen.n_index_docs, cen.doc_id_checksum, cen.n_postings,
+       |       cen.n_tombstones
+       |FROM v2, cen ORDER BY v2.doc_id""".stripMargin
+  }
+
   private def streamingIncDedupOracle: String = {
     val revText = """array_to_string(list_reverse(
                     |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
@@ -1349,51 +1586,99 @@ object StreamingQueries extends QueryPack {
        |ORDER BY version""".stripMargin
   }
 
+  /** One BM25 term contribution over the per-doc tf/df columns —
+    * [[graft.text.Retrieval.bm25Term]]'s exact expression tree with the
+    * df ≤ 65536 near-stopword gate. */
+  private def bm25ContribSql(i: Int): String =
+    s"""(CASE WHEN tf$i > 0 AND df$i <= 65536 THEN
+       |    ((CAST(n_docs - df$i AS DOUBLE) + 0.5)
+       |     / (CAST(df$i AS DOUBLE) + 0.5))
+       |    * ((CAST(tf$i AS DOUBLE) * 2.25)
+       |       / (CAST(tf$i AS DOUBLE)
+       |          + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+       |                           / (CAST(sum_dl AS DOUBLE) / n_docs))))
+       |  ELSE 0.0 END)""".stripMargin
+
+  /** The per-doc tf + global stats CTE prefix (d, f, l) for a one-shot
+    * global BM25 replay over `corpus` with the given term list. */
+  private def bm25StatsSql(corpus: String, terms: Seq[String]): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n         ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    ).mkString(",\n         ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM $corpus),
+       |f AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |         $tfs
+       |  FROM d),
+       |l AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |         $dfs
+       |  FROM f)""".stripMargin
+  }
+
+  /** Plain global BM25 top-k over `corpus` — the truth standard the
+    * streamed (q300) and streamed+retracted (q302) indexes provably
+    * converge to. */
+  private def bm25GlobalOracle(corpus: String, terms: Seq[String],
+                               k: Int): String = {
+    val contribs = terms.indices.map(bm25ContribSql).mkString("\n         + ")
+    s"""${bm25StatsSql(corpus, terms)},
+       |s AS (
+       |  SELECT f.doc_id,
+       |         $contribs
+       |         AS score
+       |  FROM f, l),
+       |r AS (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM s WHERE score > 0)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     // the idempotent streamed index converges to the one-shot build, so
     // the oracle is plain global BM25 over the FINAL corpus: q92's exact
     // expression tree (rational idf, binary-exact constants, fixed
     // left-assoc term sum) + the same df <= 65536 near-stopword gate
-    "q300_persisted_bm25_topk" -> {
-      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
-      }.mkString(",\n         ")
-      val dfs = Bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
-      ).mkString(",\n         ")
-      val contribs = Bm25Terms.indices.map { i =>
-        s"""(CASE WHEN tf$i > 0 AND df$i <= 65536 THEN
-           |    ((CAST(n_docs - df$i AS DOUBLE) + 0.5)
-           |     / (CAST(df$i AS DOUBLE) + 0.5))
-           |    * ((CAST(tf$i AS DOUBLE) * 2.25)
-           |       / (CAST(tf$i AS DOUBLE)
-           |          + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
-           |                           / (CAST(sum_dl AS DOUBLE) / n_docs))))
-           |  ELSE 0.0 END)""".stripMargin
-      }.mkString("\n         + ")
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-         |         $tfs
-         |  FROM d),
-         |l AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |         $dfs
-         |  FROM f),
+    "q300_persisted_bm25_topk" -> bm25GlobalOracle("documents", Bm25Terms, 10),
+    // retract(batch) is bit-equivalent to an index rebuilt without the
+    // retracted docs, so the oracle is the same one-shot BM25 over the
+    // REMAINING corpus only
+    "q302_bm25_index_retract" -> bm25GlobalOracle(
+      """(SELECT doc_id, text FROM documents
+        |   WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1)
+        |     AND doc_id % 10 != 0)""".stripMargin, Bm25Terms, 10),
+    // per-query alphabetical-order term sums with exact-0.0 absent
+    // terms — the engine's term-sorted fold is IEEE-identical
+    "q303_bm25_query_table_topk" -> {
+      val union = Bm25QueryTable.flatMap(_._2).distinct.sorted
+      val ix = union.zipWithIndex.toMap
+      val perQuery = Bm25QueryTable.map { case (qid, ts) =>
+        val contribs = ts.sorted.map(t => bm25ContribSql(ix(t)))
+          .mkString("\n         + ")
+        s"""  SELECT CAST($qid AS BIGINT) AS query_id, f.doc_id,
+           |         $contribs
+           |         AS score
+           |  FROM f, l""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""${bm25StatsSql("documents", union)},
          |s AS (
-         |  SELECT f.doc_id,
-         |         $contribs
-         |         AS score
-         |  FROM f, l),
+         |$perQuery),
          |r AS (
-         |  SELECT doc_id, score,
-         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY score DESC, doc_id) AS rank
          |  FROM s WHERE score > 0)
-         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
-         |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q301_indexed_dedup_retract" -> indexedDedupRetractOracle,
     "q297_index_time_travel" -> indexTimeTravelOracle,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,

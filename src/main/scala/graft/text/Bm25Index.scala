@@ -52,8 +52,15 @@ import graft.dedup.{IndexManifest, LinearHashIndex}
   */
 object Bm25Index {
 
+  /** `termName`/`docName`/`statsName` are the manifest index names —
+    * defaults are the historical ones; a cross-family pipeline
+    * committing several index families under ONE manifest prefixes
+    * them. */
   final case class Indexes(term: LinearHashIndex, doc: LinearHashIndex,
-                           stats: LinearHashIndex, manifest: IndexManifest)
+                           stats: LinearHashIndex, manifest: IndexManifest,
+                           termName: String = "term",
+                           docName: String = "doc",
+                           statsName: String = "stats")
 
   val TermSchema = "tk STRING, term STRING, doc_id BIGINT, tf BIGINT"
   val DocSchema = "doc_id BIGINT, dl BIGINT"
@@ -61,10 +68,6 @@ object Bm25Index {
 
   /** Posting shards per term (the tk sub-key fan-out). */
   val Shards = 16
-
-  private val TermIx = "term"
-  private val DocIx = "doc"
-  private val StatsIx = "stats"
 
   /** Crash-injection points for the commit-protocol specs (the
     * [[graft.dedup.IndexedDedup]] discipline): after the term-index
@@ -87,12 +90,14 @@ object Bm25Index {
       lit(-1L).as("doc_id"), lit(0L).as("tf"))
 
   def attach(spark: SparkSession, termRoot: String, docRoot: String,
-             statsRoot: String, manifestRoot: String, rowCap: Long): Indexes =
+             statsRoot: String, manifestRoot: String, rowCap: Long,
+             retain: Int = 2, namePrefix: String = ""): Indexes =
     Indexes(
       new LinearHashIndex(spark, termRoot, "tk", TermSchema, rowCap),
       new LinearHashIndex(spark, docRoot, "doc_id", DocSchema, rowCap),
       new LinearHashIndex(spark, statsRoot, "k", StatsSchema, rowCap),
-      new IndexManifest(spark, manifestRoot))
+      new IndexManifest(spark, manifestRoot, retain),
+      namePrefix + "term", namePrefix + "doc", namePrefix + "stats")
 
   /** Per-doc term frequencies + doc length from whitespace tokens (the
     * q92 tokenizer — [[TextAnalysis.tokens]]). */
@@ -107,10 +112,20 @@ object Bm25Index {
     * (batchSeq 0) makes them visible atomically. */
   def bootstrap(spark: SparkSession, docs: DataFrame, maxTermDf: Long,
                 termRoot: String, docRoot: String, statsRoot: String,
-                manifestRoot: String, rowCap: Long): Indexes = {
-    val idx = attach(spark, termRoot, docRoot, statsRoot, manifestRoot, rowCap)
+                manifestRoot: String, rowCap: Long, retain: Int = 2): Indexes = {
+    val idx = attach(spark, termRoot, docRoot, statsRoot, manifestRoot,
+      rowCap, retain)
     require(idx.manifest.read().isEmpty,
       s"Bm25Index: manifest $manifestRoot already committed")
+    idx.manifest.commit(0L, bootstrapStaged(spark, idx, docs, maxTermDf))
+    idx
+  }
+
+  /** Seed all three indexes and return the bucket sets to commit — the
+    * CALLER owns the manifest commit (cross-family pipelines). */
+  private[graft] def bootstrapStaged(spark: SparkSession, idx: Indexes,
+                                     docs: DataFrame,
+                                     maxTermDf: Long): Map[String, Set[String]] = {
     val dt = docTerms(docs).localCheckpoint(true)
     val hot0 = dt.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") > maxTermDf).select("term")
@@ -125,9 +140,7 @@ object Bm25Index {
       dls.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
         .select(lit("g").as("k"), col("n_docs"), col("total_dl")))
     unpersist(dt); unpersist(dls)
-    idx.manifest.commit(0L, Map(TermIx -> liveT, DocIx -> liveD,
-      StatsIx -> liveG))
-    idx
+    Map(idx.termName -> liveT, idx.docName -> liveD, idx.statsName -> liveG)
   }
 
   /** Extend the index with one micro-batch of NEW documents (one atomic
@@ -138,10 +151,28 @@ object Bm25Index {
                  batchSeq: Long, maxTermDf: Long): Unit = {
     val snap = idx.manifest.read().getOrElse(
       sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
-    if (snap.batchSeq >= batchSeq) return // committed replay: read-only
-    val liveT = snap.buckets(TermIx)
-    val liveD = snap.buckets(DocIx)
-    val liveG = snap.buckets(StatsIx)
+    stageMerge(spark, idx, batch, batchSeq, maxTermDf, snap).foreach { m =>
+      // THE commit point: all three indexes + the batch id flip
+      // together; gc keeps the retained-snapshot union (time travel
+      // stays readable)
+      idx.manifest.commit(batchSeq, m)
+      idx.term.gc(idx.manifest.retainedUnion(idx.termName))
+      idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
+      idx.stats.gc(idx.manifest.retainedUnion(idx.statsName))
+    }
+  }
+
+  /** [[mergeBatch]] with the manifest commit LEFT TO THE CALLER (None =
+    * committed replay, nothing to do). The caller must gc each index
+    * against `manifest.retainedUnion` after its commit lands. */
+  private[graft] def stageMerge(spark: SparkSession, idx: Indexes,
+                                batch: DataFrame, batchSeq: Long,
+                                maxTermDf: Long, snap: IndexManifest.State)
+      : Option[Map[String, Set[String]]] = {
+    if (snap.batchSeq >= batchSeq) return None // committed replay
+    val liveT = snap.buckets(idx.termName)
+    val liveD = snap.buckets(idx.docName)
+    val liveG = snap.buckets(idx.statsName)
     val bIds = batch.select("doc_id").distinct()
     val already = idx.doc.probe(bIds, liveD)
       .join(bIds, Seq("doc_id"), "left_semi").select("doc_id")
@@ -187,14 +218,109 @@ object Bm25Index {
         (col("total_dl") + col("ddl")).as("total_dl"))
     }
     testCrashBeforeManifestCommit()
-    // THE commit point: all three indexes + the batch id flip together;
-    // gc keeps the retained-snapshot union (time travel stays readable)
-    idx.manifest.commit(batchSeq, Map(TermIx -> newLiveT,
-      DocIx -> newLiveD, StatsIx -> newLiveG))
-    idx.term.gc(newLiveT ++ liveT)
-    idx.doc.gc(newLiveD ++ liveD)
-    idx.stats.gc(newLiveG ++ liveG)
     unpersist(nt); unpersist(newPerm); unpersist(newDl)
+    Some(Map(idx.termName -> newLiveT, idx.docName -> newLiveD,
+      idx.statsName -> newLiveG))
+  }
+
+  /** RETRACTION (VERDICT r12 #1): remove `retract`'s docs (doc_id,
+    * text) from the index under the same single-manifest commit.
+    * Postings of the retracted docs are deleted, their doc-length rows
+    * dropped, and the global stats row is decremented exactly. Because
+    * df is no longer monotone once docs can leave, df-cap tombstones
+    * touched by the retracted docs are RE-AUDITED: a tombstoned term
+    * whose df over the remaining corpus falls back ≤ maxTermDf is
+    * un-tombstoned by re-deriving its postings from `retained` (the
+    * remaining corpus — production's durable store); with
+    * `retained = None` the cap stays a one-way policy (no corpus
+    * re-scan). With the re-audit, the post-retract index is
+    * BIT-EQUIVALENT to one bootstrapped from scratch on the remaining
+    * corpus (Bm25IndexSpec proves per-index content equality), so
+    * every query result equals a one-shot scorer over the remaining
+    * corpus. Replay of a committed retract is a no-op (batchSeq gate);
+    * crash protocol as [[mergeBatch]]. */
+  def retractBatch(spark: SparkSession, idx: Indexes, retract: DataFrame,
+                   batchSeq: Long, maxTermDf: Long,
+                   retained: Option[DataFrame]): Unit = {
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
+    stageRetract(spark, idx, retract, batchSeq, maxTermDf, retained, snap)
+      .foreach { m =>
+        idx.manifest.commit(batchSeq, m)
+        idx.term.gc(idx.manifest.retainedUnion(idx.termName))
+        idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
+        idx.stats.gc(idx.manifest.retainedUnion(idx.statsName))
+      }
+  }
+
+  /** [[retractBatch]] with the commit left to the caller. */
+  private[graft] def stageRetract(spark: SparkSession, idx: Indexes,
+                                  retract: DataFrame, batchSeq: Long,
+                                  maxTermDf: Long,
+                                  retained: Option[DataFrame],
+                                  snap: IndexManifest.State)
+      : Option[Map[String, Set[String]]] = {
+    if (snap.batchSeq >= batchSeq) return None // committed replay
+    val liveT = snap.buckets(idx.termName)
+    val liveD = snap.buckets(idx.docName)
+    val liveG = snap.buckets(idx.statsName)
+    val rIds = retract.select("doc_id").distinct()
+    // docs actually indexed (retracting a non-member is a no-op), with
+    // their indexed lengths for the exact stats decrement
+    val present = idx.doc.probe(rIds, liveD)
+      .join(broadcast(rIds), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").localCheckpoint(true)
+    val presentIds = present.select("doc_id")
+    val rt = docTerms(retract)
+      .join(broadcast(presentIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val terms = rt.select("term").distinct()
+    val probeKeys = terms.crossJoin(
+        spark.range(Shards).select(col("id").cast("string").as("sh")))
+      .select(concat(col("term"), lit("#"), col("sh")).as("tk"))
+    val pm = idx.term.probe(probeKeys, liveT)
+      .join(broadcast(terms), Seq("term"))
+    val tombTouched = pm.where(col("doc_id") === -1L).select("term")
+      .localCheckpoint(true)
+    // tombstone re-audit over the REMAINING corpus, restricted to the
+    // touched tombstoned terms (only they can have lost df)
+    val restored = retained match {
+      case Some(rem) if !tombTouched.isEmpty => docTerms(rem)
+        .join(broadcast(tombTouched), Seq("term"))
+        .localCheckpoint(true)
+      case _ => rt.limit(0).localCheckpoint(true)
+    }
+    val unTomb = restored.groupBy("term").agg(count(lit(1)).as("dfr"))
+      .where(col("dfr") <= maxTermDf).select("term")
+      .localCheckpoint(true)
+    val restoredLive = restored
+      .join(broadcast(unTomb), Seq("term"), "left_semi")
+      .select(tkCol(col("term"), col("doc_id")).as("tk"),
+        col("term"), col("doc_id"), col("tf"))
+    val newLiveT = idx.term.rewrite(probeKeys, liveT) { old =>
+      // drop the retracted docs' postings and the un-tombstoned
+      // tombstone rows (a tombstoned term has ONLY its tombstone row),
+      // then restore the re-derived posting lists
+      old.join(broadcast(presentIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(unTomb), Seq("term"), "left_anti")
+        .unionByName(restoredLive)
+    }
+    testCrashBetweenIndexWrites()
+    val newLiveD = idx.doc.rewrite(presentIds, liveD) { old =>
+      old.join(broadcast(presentIds), Seq("doc_id"), "left_anti")
+    }
+    val dec = present.agg(count(lit(1)).as("dn"),
+      coalesce(sum("dl"), lit(0L)).as("ddl"))
+    val gKeys = idx.stats.allRows(liveG).select("k") // 1 row
+    val newLiveG = idx.stats.rewrite(gKeys, liveG) { old =>
+      old.crossJoin(broadcast(dec)).select(col("k"),
+        (col("n_docs") - col("dn")).as("n_docs"),
+        (col("total_dl") - col("ddl")).as("total_dl"))
+    }
+    testCrashBeforeManifestCommit()
+    Seq(present, rt, tombTouched, restored, unTomb).foreach(unpersist)
+    Some(Map(idx.termName -> newLiveT, idx.docName -> newLiveD,
+      idx.statsName -> newLiveG))
   }
 
   /** Top-k docs for the fixed `terms` against the committed snapshot —
@@ -214,14 +340,14 @@ object Bm25Index {
     val probeKeys = terms.flatMap(t => (0 until Shards).map(s => s"$t#$s"))
       .toDF("tk")
     val termsDf = terms.toDF("term")
-    val pm = idx.term.probe(probeKeys, snap.buckets(TermIx))
+    val pm = idx.term.probe(probeKeys, snap.buckets(idx.termName))
       .join(broadcast(termsDf), Seq("term"))
     val posts = pm.where(col("doc_id") >= 0L).localCheckpoint(true)
     val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
     val matched = posts.select("doc_id").distinct()
-    val dls = idx.doc.probe(matched, snap.buckets(DocIx))
+    val dls = idx.doc.probe(matched, snap.buckets(idx.docName))
       .join(matched, Seq("doc_id"), "left_semi")
-    val g = idx.stats.probe(Seq("g").toDF("k"), snap.buckets(StatsIx))
+    val g = idx.stats.probe(Seq("g").toDF("k"), snap.buckets(idx.statsName))
       .where(col("k") === "g")
     val contrib = Retrieval.bm25Term(col("tf"), col("df"), col("dl"),
       col("n_docs"), col("avgdl"))
@@ -246,6 +372,68 @@ object Bm25Index {
       .select("rank", "doc_id", "score")
       .localCheckpoint(true)
     unpersist(posts)
+    out
+  }
+
+  /** Top-k docs for a TABLE of queries in ONE pass over the index
+    * (VERDICT r12 #3 — the production retrieval tier scores a query
+    * workload, not one driver-literal term list). `queries` holds
+    * (query_id BIGINT, term STRING) pairs; the probe reads the UNION of
+    * all queries' terms' posting shards ONCE (IO ∝ |distinct terms|·B
+    * buckets + matched doc-length buckets + 1 stats bucket — never the
+    * corpus or the query count), scores every (query, doc) pair with
+    * [[Retrieval.bm25Term]]'s exact node tree, and ranks per query with
+    * the partial WindowGroupLimit.
+    *
+    * Float determinism without per-query pivot columns: each (query,
+    * doc)'s term contributions are folded LEFT-ASSOC IN TERM-SORTED
+    * ORDER (`array_sort` on (term, contrib) structs — term sets are
+    * distinct per query, so the order is total). An absent term adds
+    * exact 0.0 in the replayed SQL, which is IEEE-identity on the
+    * strictly-positive contributions — so the result hash-matches a
+    * one-shot scorer that sums the query's full term list in
+    * alphabetical order (the q92/q300 contract, generalized to
+    * variable term sets). Output: (query_id, rank, doc_id, score). */
+  def queryTable(spark: SparkSession, idx: Indexes, queries: DataFrame,
+                 k: Int): DataFrame = {
+    import spark.implicits._
+    val snap = idx.manifest.read().getOrElse(
+      sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
+    val q = queries.select(col("query_id").cast("long").as("query_id"),
+      col("term")).distinct().localCheckpoint(true)
+    val terms = q.select("term").distinct()
+    val probeKeys = terms.crossJoin(
+        spark.range(Shards).select(col("id").cast("string").as("sh")))
+      .select(concat(col("term"), lit("#"), col("sh")).as("tk"))
+    val pm = idx.term.probe(probeKeys, snap.buckets(idx.termName))
+      .join(broadcast(terms), Seq("term"))
+    val posts = pm.where(col("doc_id") >= 0L).localCheckpoint(true)
+    val dfT = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = posts.select("doc_id").distinct()
+    val dls = idx.doc.probe(matched, snap.buckets(idx.docName))
+      .join(matched, Seq("doc_id"), "left_semi")
+    val g = idx.stats.probe(Seq("g").toDF("k"), snap.buckets(idx.statsName))
+      .where(col("k") === "g")
+    val contrib = Retrieval.bm25Term(col("tf"), col("df"), col("dl"),
+      col("n_docs"), col("avgdl"))
+    val rows = posts.join(broadcast(dfT), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+      .withColumn("contrib", contrib)
+      .join(broadcast(q), Seq("term")) // fan out to the queries using t
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("doc_id").asc)
+    val out = rows.groupBy("query_id", "doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("contrib"))))
+        .as("cs"))
+      .withColumn("score", aggregate(col("cs"), lit(0.0),
+        (acc, x) => acc + x.getField("contrib")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+      .localCheckpoint(true)
+    unpersist(posts); unpersist(q)
     out
   }
 }
