@@ -439,7 +439,8 @@ object SimilarityQueries extends QueryPack {
     // before the rebuild swaps the directory under the lazy plan
     def phaseRow(phase: String, cs: Seq[(Int, Array[Double])])
         : (String, Long, Long, Long, Long, Long) = {
-      val census = spark.read.parquet(idxDir).groupBy("cell")
+      val census = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
+        .groupBy("cell")
         .agg(count(lit(1)).as("n"))
         .agg(sum("n").as("n_rows"), count(lit(1)).as("n_cells"),
           max("n").as("max_cell_n"), min("n").as("min_cell_n"))

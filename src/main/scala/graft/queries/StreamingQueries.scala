@@ -1161,6 +1161,87 @@ object StreamingQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, String, String, String)]()
 
+  /** q304: CROSS-FAMILY SINGLE-MANIFEST COMMIT (VERDICT r12 #4) — the
+    * curation pipeline ships dedup verdicts AND a searchable BM25 index
+    * for the SAME corpus, so "kept ⟺ searchable" must flip atomically:
+    * [[graft.curation.CuratedIndexes]] stages both families' rewrites
+    * (dedup shingle+doc, bm25 term+doc+stats) and publishes all five
+    * bucket sets + the batch id in ONE manifest rename per batch
+    * (Round13OpsSpec crash-injects BETWEEN the families). The query
+    * runs bootstrap (doc_id % 5 sample) + two merge batches + a
+    * TAKEDOWN batch retracting the original docs with doc_id % 10 = 0
+    * (both families re-audit tombstones against the retained corpus in
+    * the same commit), then scores the fixed 6-term BM25 query against
+    * the final snapshot, with the global stats row and manifest
+    * position as census columns. The oracle replays the two dedup
+    * batches incrementally, deletes the retracted ids, and computes
+    * one-shot BM25 + the stats from first principles over the
+    * remaining kept corpus — a doc indexed despite being dropped, a
+    * retained posting of a taken-down doc, or a stats drift all
+    * hash-fail.
+    *
+    * Scale shape: per batch exactly the q283 + q300 probe/rewrite
+    * costs plus ONE manifest rename — the atomicity is free; gc keeps
+    * the retained-snapshot union across all five indexes. */
+  private def curatedIndexCommit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.curation.CuratedIndexes
+    import graft.text.Bm25Index
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 5 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = sample.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    val snap6 = curatedSnapByDir.computeIfAbsent(dir, _ => {
+      val ds = Seq("si", "di", "t", "d", "g", "m").map(s =>
+        MlQueries.tempDirDeletedOnExit(s"graft_cur_snap_${s}_"))
+      CuratedIndexes.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+        maxTermDf = 65536L, ds(0), ds(1), ds(2), ds(3), ds(4), ds(5),
+        rowCap = 65536L)
+      ds
+    })
+    val work = Seq("si", "di", "t", "d", "g", "m").map(s =>
+      MlQueries.tempDirDeletedOnExit(s"graft_cur_${s}_"))
+    snap6.zip(work).foreach { case (s, w) => copyDirContents(spark, s, w) }
+    val idx = CuratedIndexes.attach(spark, work(0), work(1), work(2),
+      work(3), work(4), work(5), rowCap = 65536L)
+    val v1 = CuratedIndexes.processBatch(spark, idx, b1, 1L, k = 3,
+      threshold = 0.3, maxShingleDf = 20, maxTermDf = 65536L)
+    val kept1 = b1.join(v1.where(col("status") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val v2 = CuratedIndexes.processBatch(spark, idx, b2, 2L, k = 3,
+      threshold = 0.3, maxShingleDf = 20, maxTermDf = 65536L)
+    val kept2 = b2.join(v2.where(col("status") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val retractDocs = sample.where(col("doc_id") % 10 === 0)
+    val retained = sample
+      .join(retractDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(kept1).unionByName(kept2)
+    CuratedIndexes.retractBatch(spark, idx, retractDocs, 3L, k = 3,
+      maxShingleDf = 20, maxTermDf = 65536L, retained = Some(retained))
+    val mf = idx.dedup.manifest.read().get
+    import spark.implicits._
+    val g = idx.bm25.stats.probe(Seq("g").toDF("k"),
+        mf.buckets(idx.bm25.statsName))
+      .where(col("k") === "g").head()
+    val out = Bm25Index.query(spark, idx.bm25, Bm25Terms, k = 10)
+      .withColumn("n_index_docs", lit(g.getLong(1)))
+      .withColumn("total_dl", lit(g.getLong(2)))
+      .withColumn("manifest_version", lit(mf.version))
+      .withColumn("batch_seq", lit(mf.batchSeq))
+      .orderBy("rank")
+      .localCheckpoint(true)
+    Seq(v1, v2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    out
+  }
+
+  private val curatedSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** The q303 query workload: id → term set ('shuffle' is absent from
     * the corpus vocabulary — the missing-term path). */
   private[queries] val Bm25QueryTable: Seq[(Long, Seq[String])] = Seq(
@@ -1175,6 +1256,7 @@ object StreamingQueries extends QueryPack {
     "q301_indexed_dedup_retract" -> indexedDedupRetract,
     "q302_bm25_index_retract" -> bm25IndexRetract,
     "q303_bm25_query_table_topk" -> bm25QueryTableTopK,
+    "q304_curated_index_commit" -> curatedIndexCommit,
     "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
@@ -1327,6 +1409,75 @@ object StreamingQueries extends QueryPack {
     * against keep1. The id-threshold status rules are exact membership
     * tests here: batch 1's non-drop endpoints are precisely the
     * original ids (< 10⁶) and batch 2's are precisely keep1 (< 4·10⁶). */
+  /** q304 oracle: two incremental-dedup batch replays on the doc_id % 5
+    * sample build the kept corpus, the retracted originals are deleted,
+    * and one-shot BM25 + the exact global stats are computed over what
+    * remains — the corpus the five-index single-manifest pipeline must
+    * end up serving. */
+  private def curatedIndexCommitOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    val contribs = Bm25Terms.indices.map(bm25ContribSql)
+      .mkString("\n         + ")
+    s"""WITH RECURSIVE docs5 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM docs5
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM docs5 WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 4000000 AS doc_id, $revText AS text
+       |  FROM docs5 WHERE doc_id % 30 = 0),
+       |u1 AS (SELECT doc_id, text FROM docs5
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |keep1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM docs5
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |u2 AS (SELECT doc_id, text FROM keep1
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 4000000L)},
+       |v2 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 4000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id),
+       |remk AS MATERIALIZED (
+       |  SELECT doc_id, text FROM keep1
+       |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+       |  UNION ALL
+       |  SELECT b2.doc_id, b2.text FROM b2 JOIN v2 USING (doc_id)
+       |  WHERE v2.status = 'kept'),
+       |${bm25StatsSql("remk", Bm25Terms)},
+       |s AS (
+       |  SELECT f.doc_id,
+       |         $contribs
+       |         AS score
+       |  FROM f, l),
+       |r AS (
+       |  SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM s WHERE score > 0)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score,
+       |       l.n_docs AS n_index_docs, l.sum_dl AS total_dl,
+       |       CAST(4 AS BIGINT) AS manifest_version,
+       |       CAST(3 AS BIGINT) AS batch_seq
+       |FROM r, l WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** q301 oracle: batch-1 incremental-dedup replay on the doc_id % 6
     * sample, DELETE the retracted originals from the keep set, derive
     * the post-retract censuses from first principles over the remaining
@@ -1599,8 +1750,9 @@ object StreamingQueries extends QueryPack {
        |                           / (CAST(sum_dl AS DOUBLE) / n_docs))))
        |  ELSE 0.0 END)""".stripMargin
 
-  /** The per-doc tf + global stats CTE prefix (d, f, l) for a one-shot
-    * global BM25 replay over `corpus` with the given term list. */
+  /** The per-doc tf + global stats CTE chain (d, f, l) for a one-shot
+    * global BM25 replay over `corpus` with the given term list — no
+    * leading WITH, so callers can splice it after their own CTEs. */
   private def bm25StatsSql(corpus: String, terms: Seq[String]): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i"
@@ -1608,7 +1760,7 @@ object StreamingQueries extends QueryPack {
     val dfs = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
     ).mkString(",\n         ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM $corpus),
        |f AS (
@@ -1627,7 +1779,7 @@ object StreamingQueries extends QueryPack {
   private def bm25GlobalOracle(corpus: String, terms: Seq[String],
                                k: Int): String = {
     val contribs = terms.indices.map(bm25ContribSql).mkString("\n         + ")
-    s"""${bm25StatsSql(corpus, terms)},
+    s"""WITH ${bm25StatsSql(corpus, terms)},
        |s AS (
        |  SELECT f.doc_id,
        |         $contribs
@@ -1667,7 +1819,7 @@ object StreamingQueries extends QueryPack {
            |         AS score
            |  FROM f, l""".stripMargin
       }.mkString("\n  UNION ALL\n")
-      s"""${bm25StatsSql("documents", union)},
+      s"""WITH ${bm25StatsSql("documents", union)},
          |s AS (
          |$perQuery),
          |r AS (
@@ -1679,6 +1831,7 @@ object StreamingQueries extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "q301_indexed_dedup_retract" -> indexedDedupRetractOracle,
+    "q304_curated_index_commit" -> curatedIndexCommitOracle,
     "q297_index_time_travel" -> indexTimeTravelOracle,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,

@@ -32,6 +32,31 @@ import org.apache.spark.sql.functions._
   * exact L2 inside the probed rows. */
 object IvfIndex {
 
+  /** Manifest index name for the committed-generation layout. */
+  private val IvfIx = "ivf"
+
+  /** Crash-injection point for the rebuild commit-protocol spec: after
+    * the new generation is fully written, before the manifest rename.
+    * Production never sets this. */
+  private[graft] var testCrashBeforeRebuildCommit: () => Unit = () => ()
+
+  private def manifestOf(spark: SparkSession, root: String) =
+    new graft.dedup.IndexManifest(spark, s"$root/_mf")
+
+  /** The directory holding the CURRENT committed cell-partitioned data
+    * (VERDICT r12 #6): before the first [[rebuild]] the index
+    * self-describes at the root (per-batch merges are latest-wins
+    * idempotent, so in-place merge + replay converges without a commit
+    * protocol); each rebuild writes a FRESH `_G<version>` generation
+    * directory and flips readers to it with one single-file manifest
+    * rename — a crash mid-rebuild can no longer leave a half-swapped
+    * index. All readers and merges resolve through this. */
+  def dataDir(spark: SparkSession, root: String): String =
+    manifestOf(spark, root).read() match {
+      case Some(st) => s"$root/${st.buckets(IvfIx).head}"
+      case None => root
+    }
+
   /** Assign one batch against frozen centroids and merge it into the
     * cell-partitioned index. Touched-cell read-back only; latest-wins
     * by (version, id) — replay-idempotent. With `encodeWith`, the SAME
@@ -40,10 +65,11 @@ object IvfIndex {
     * and persists the codes in the index rows — the compressed leg
     * [[probeAdc]] scores without decoding floats. */
   def mergeBatch(batch: DataFrame, id: String, vec: String,
-                 centroids: Seq[(Int, Array[Double])], sinkDir: String,
+                 centroids: Seq[(Int, Array[Double])], sinkDir0: String,
                  batchSeq: Long,
                  encodeWith: Option[Pq.Codebooks] = None): Unit = {
     val spark = batch.sparkSession
+    val sinkDir = dataDir(spark, sinkDir0)
     val assigned0 = batch
       .select(col(id), col(vec))
       .withColumn("cell", Clustering.assignCell(col(vec), centroids))
@@ -88,11 +114,12 @@ object IvfIndex {
     * broadcast-shortlist rows — [[Pq.ivfAdcTopK]]'s arithmetic
     * bit-for-bit, just sourced from the index instead of a per-run
     * encode (the q283/q274 oracle-identity discipline). */
-  def probeAdc(spark: SparkSession, sinkDir: String, queries: DataFrame,
+  def probeAdc(spark: SparkSession, sinkDir0: String, queries: DataFrame,
                id: String, vec: String, centroids: Seq[(Int, Array[Double])],
                cb: Pq.Codebooks, nProbe: Int, shortlist: Int,
                k: Int): DataFrame = {
     import spark.implicits._
+    val sinkDir = dataDir(spark, sinkDir0)
     val coarse = centroids.sortBy(_._1)
     val qRows = queries
       .select(col(id).cast("long").as("query_id"),
@@ -134,30 +161,58 @@ object IvfIndex {
     * probes; the caller owns persisting them (they are k×dim scalars —
     * codebook-sized, not data-sized). One full-index read + one
     * cells×dim aggregation + one full-index write: the monthly-job cost
-    * shape, never the per-batch path. */
-  def rebuild(spark: SparkSession, sinkDir: String, id: String, vec: String)
+    * shape, never the per-batch path.
+    *
+    * COMMIT PROTOCOL (VERDICT r12 #6 — the last index mutation outside
+    * a manifest commit): the reassigned rows land in a FRESH
+    * `_G<version>` generation directory under the root (underscore
+    * prefix: partition discovery over the pre-manifest root layout
+    * ignores it, so a crash leftover can never corrupt readers); they
+    * resolving the previous generation (or the pre-manifest root
+    * layout) until ONE manifest rename flips [[dataDir]] — a crash
+    * anywhere mid-rebuild leaves the index fully readable and the
+    * deterministic retry overwrites the same fresh directory. gc after
+    * the commit keeps the manifest's retained generations (time travel
+    * over full index states, same contract as the linear-hash
+    * families). */
+  def rebuild(spark: SparkSession, root: String, id: String, vec: String)
       : Seq[(Int, Array[Double])] = {
-    val cur = spark.read.parquet(sinkDir)
+    val mf = manifestOf(spark, root)
+    val cur = spark.read.parquet(dataDir(spark, root))
     val refit = Clustering.fixedPointCentroids(cur, "cell", vec)
+    val nextVer = mf.read().map(_.version).getOrElse(0L) + 1
+    val gen = s"_G$nextVer"
+    val genPath = new org.apache.hadoop.fs.Path(root, gen)
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed attempt's leftover generation is overwritten whole
+    if (fs.exists(genPath)) fs.delete(genPath, true)
     val reassigned = cur
       .select(col(id), col(vec), col("__ver"))
       .withColumn("cell", Clustering.assignCell(col(vec), refit))
       // one task per cell -> one file per cell directory (compaction)
       .repartition(math.max(1, refit.size), col("cell"))
-      .localCheckpoint(true) // break the read->overwrite cycle on sinkDir
-    // static overwrite truncates the whole table: stale cell dirs from
-    // the pre-rebuild assignment disappear even if the cell set shrank
-    try reassigned.write.mode("overwrite").partitionBy("cell").parquet(sinkDir)
-    finally org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(reassigned)
+    reassigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(genPath.toString)
+    testCrashBeforeRebuildCommit()
+    // THE commit point: readers flip to the new generation atomically
+    mf.commit(nextVer, Map(IvfIx -> Set(gen)))
+    // gc: keep the retained generations + the manifest dir; the
+    // pre-manifest root `cell=` layout dies after the first commit
+    val keep = mf.retainedUnion(IvfIx) + "_mf"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    fs.listStatus(rootPath).foreach { s =>
+      if (!keep(s.getPath.getName)) fs.delete(s.getPath, true)
+    }
     refit
   }
 
   /** Top-k exact-L2 neighbors from the persisted index, probing each
     * query's nProbe nearest cells; the scan is partition-pruned to the
     * probed cell union. */
-  def probe(spark: SparkSession, sinkDir: String, queries: DataFrame,
+  def probe(spark: SparkSession, sinkDir0: String, queries: DataFrame,
             id: String, vec: String, centroids: Seq[(Int, Array[Double])],
             nProbe: Int, k: Int): DataFrame = {
+    val sinkDir = dataDir(spark, sinkDir0)
     val sorted = centroids.sortBy(_._1)
     val cellDists = array(sorted.map { case (i, ctr) =>
       val ctrLit = array(ctr.toIndexedSeq.map(lit): _*)

@@ -49,7 +49,8 @@ class Round12OpsSpec extends AnyFunSuite {
       }
     } finally spark.conf.set(aqeKey, aqePrev)
     def filesPerCell(): Map[String, Int] =
-      new java.io.File(idxDir).listFiles.filter(_.getName.startsWith("cell="))
+      new java.io.File(IvfIndex.dataDir(spark, idxDir)).listFiles
+        .filter(_.getName.startsWith("cell="))
         .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
         .toMap
     val before = filesPerCell()
@@ -63,8 +64,8 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(after.nonEmpty && after.values.forall(_ == 1),
       s"rebuild left multi-file cells: $after")
     // membership preserved bit-exactly
-    val idsAfter = spark.read.parquet(idxDir).select("vec_id")
-      .as[Long].collect().sorted.toSeq
+    val idsAfter = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
+      .select("vec_id").as[Long].collect().sorted.toSeq
     assert(idsAfter == idsBefore, "rebuild lost or duplicated rows")
     // the Lloyd step actually moved the codebook
     val seedMap = seeds.toMap
@@ -73,7 +74,7 @@ class Round12OpsSpec extends AnyFunSuite {
     }, "refit centroids identical to seeds — the mean update was a no-op")
     // the persisted cell column equals a direct reassignment under the
     // refit centroids (the index is consistent with its own codebook)
-    val stored = spark.read.parquet(idxDir)
+    val stored = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
     val mismatch = stored
       .withColumn("expect", Clustering.assignCell(col("embedding"), refit))
       .where(col("cell") =!= col("expect")).count()
@@ -450,11 +451,13 @@ class Round12OpsSpec extends AnyFunSuite {
     def est(g: ((Long, Long, Long, Long)) => Long): (Long, Long) =
       (pairs.count(p => p._4 == 1L && g(p) == 1L).toLong,
         pairs.count(p => p._4 == 0L && g(p) == 1L).toLong)
+    // DOUBLE-cast factors multiplied as doubles — the engine's (and
+    // oracle's) overflow-safe form
     def w(ma: Long, ua: Long): (Long, Long) = (
-      math.round(math.log(((ma + 1) * (nu + 2)).toDouble /
-        ((ua + 1) * (nm + 2)).toDouble) * 1e6),
-      math.round(math.log(((nm - ma + 1) * (nu + 2)).toDouble /
-        ((nu - ua + 1) * (nm + 2)).toDouble) * 1e6))
+      math.round(math.log(((ma + 1).toDouble * (nu + 2).toDouble) /
+        ((ua + 1).toDouble * (nm + 2).toDouble)) * 1e6),
+      math.round(math.log(((nm - ma + 1).toDouble * (nu + 2).toDouble) /
+        ((nu - ua + 1).toDouble * (nm + 2).toDouble)) * 1e6))
     val (maN, uaN) = est(_._1); val (waN, wdN) = w(maN, uaN)
     val (maS, uaS) = est(_._2); val (waS, wdS) = w(maS, uaS)
     val (maB, uaB) = est(_._3); val (waB, wdB) = w(maB, uaB)
@@ -466,9 +469,11 @@ class Round12OpsSpec extends AnyFunSuite {
     val fn = pairs.count(p => score(p) <= 0 && p._4 == 1L).toLong
     val got = SparkEntry.queries("q298_fellegi_sunter_linkage")(spark, tmp)
       .collect()(0)
-    val expect = org.apache.spark.sql.Row(nPairs, nm, waN, wdN, waS, wdS,
-      waB, wdB, tp, fp, fn, 1000000L * tp / (tp + fp), 1000000L * tp / nm,
-      1000000L * nm / 24L)
+    // the fixture's blocks are far under the 64-row cap, so the capped
+    // pair count equals the uncapped census
+    val expect = org.apache.spark.sql.Row(nPairs, nPairs, nm, waN, wdN,
+      waS, wdS, waB, wdB, tp, fp, fn, 1000000L * tp / (tp + fp),
+      1000000L * tp / nm, 1000000L * nm / 24L)
     assert(got == expect, s"got $got\nexpect $expect")
     assert(nu > 0 && fn + tp == nm, "fixture too clean to test anything")
     // agreement weights positive, disagreement negative — the FS

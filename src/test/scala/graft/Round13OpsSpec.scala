@@ -300,6 +300,144 @@ class Round13OpsSpec extends AnyFunSuite {
       s"queryTable IO tracked the corpus: $r1 -> $r2 records")
   }
 
+  // ------------------------------------------------ cross-family commit
+
+  private def curatedBoot(docs: DataFrame) = {
+    import graft.curation.CuratedIndexes
+    CuratedIndexes.bootstrap(spark, docs, k = 2, maxShingleDf = 2,
+      maxTermDf = 64L, tmp("r13c_si_"), tmp("r13c_di_"), tmp("r13c_t_"),
+      tmp("r13c_d_"), tmp("r13c_g_"), tmp("r13c_m_"), rowCap = 64L)
+  }
+
+  private def curatedState(idx: graft.curation.CuratedIndexes.Indexes) =
+    (dedupState(idx.dedup), bm25State(idx.bm25))
+
+  test("CuratedIndexes: kept <=> searchable — the BM25 doc set equals " +
+    "the dedup keep-set after every batch, dup batches index nothing") {
+    import graft.curation.CuratedIndexes
+    val idx = curatedBoot(mkDocs(DedupKeep))
+    // one exact dup of keep doc 4 (drops) + one new doc (kept)
+    val b = mkDocs(Seq(21L -> "v w x y", 22L -> "m1 m2 m3"))
+    val v = CuratedIndexes.processBatch(spark, idx, b, 1L, k = 2,
+      threshold = 0.3, maxShingleDf = 2, maxTermDf = 64L)
+      .as[(Long, String, Long)].collect()
+      .map { case (d, s, r) => (d, (s, r)) }.toMap
+    assert(v(21L)._1 == "dup_of_keep" && v(22L)._1 == "kept")
+    val st = idx.dedup.manifest.read().get
+    val dedupDocs = idx.dedup.doc.allRows(st.buckets(idx.dedup.docName))
+      .select("doc_id").as[Long].collect().toSet
+    val bm25Docs = idx.bm25.doc.allRows(st.buckets(idx.bm25.docName))
+      .select("doc_id").as[Long].collect().toSet
+    assert(dedupDocs == bm25Docs,
+      s"kept<=>searchable broken: dedup=$dedupDocs bm25=$bm25Docs")
+    assert(bm25Docs == DedupKeep.map(_._1).toSet + 22L)
+    // cross-family retraction under the same single commit
+    CuratedIndexes.retractBatch(spark, idx,
+      mkDocs(Seq(22L -> "m1 m2 m3")), 2L, k = 2, maxShingleDf = 2,
+      maxTermDf = 64L, retained = Some(mkDocs(DedupKeep)))
+    val st2 = idx.dedup.manifest.read().get
+    assert(st2.batchSeq == 2L)
+    val after = idx.bm25.doc.allRows(st2.buckets(idx.bm25.docName))
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == DedupKeep.map(_._1).toSet,
+      "retraction must leave both families on the remaining corpus")
+  }
+
+  test("CuratedIndexes: crash BETWEEN the families' staged rewrites — " +
+    "readers of BOTH families hold the pre-batch snapshot, replay " +
+    "converges bit-identically and re-emits the same verdicts") {
+    import graft.curation.CuratedIndexes
+    val b = mkDocs(Seq(21L -> "v w x y", 22L -> "m1 m2 m3"))
+    def run(i: graft.curation.CuratedIndexes.Indexes) =
+      CuratedIndexes.processBatch(spark, i, b, 1L, k = 2,
+        threshold = 0.3, maxShingleDf = 2, maxTermDf = 64L)
+        .as[(Long, String, Long)].collect().toSet
+    val control = curatedBoot(mkDocs(DedupKeep))
+    val ctrlVerdicts = run(control)
+    val ctrl = curatedState(control)
+    val crashed = curatedBoot(mkDocs(DedupKeep))
+    val pre = curatedState(crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    CuratedIndexes.testCrashBetweenFamilies = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] { run(crashed); () }
+    } finally CuratedIndexes.testCrashBetweenFamilies = () => ()
+    assert(curatedState(crashed) == pre,
+      "a crash between families leaked into the committed snapshot")
+    assert(run(crashed) == ctrlVerdicts,
+      "post-crash replay verdicts differ from the uncrashed control")
+    assert(curatedState(crashed) == ctrl,
+      "post-crash replay state differs from the uncrashed control")
+    // a replay of the COMMITTED batch is read-only and changes nothing
+    assert(run(crashed) == ctrlVerdicts)
+    assert(curatedState(crashed) == ctrl)
+    assert(crashed.dedup.manifest.read().get.batchSeq == 1L)
+  }
+
+  // ------------------------------------------------ IVF rebuild commit
+
+  test("IvfIndex.rebuild: crash AFTER the new generation is written, " +
+    "BEFORE the manifest rename — readers stay on the old layout, the " +
+    "retry converges; a second rebuild flips generations and gc keeps " +
+    "the retained ones") {
+    import graft.similarity.{Clustering, IvfIndex}
+    def vec(i: Int): Array[Float] =
+      Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat)
+    val emb = (1 to 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val seeds = Clustering.seedCentroids(emb, "vec_id", "embedding", 4)
+    def build(): String = {
+      val d = tmp("r13ivf_")
+      (0 until 2).foreach { i =>
+        IvfIndex.mergeBatch(emb.where(pmod(col("vec_id"), lit(2)) === i),
+          "vec_id", "embedding", seeds, d, i + 1L)
+      }
+      d
+    }
+    def ids(dir: String): Seq[(Int, Long)] =
+      spark.read.parquet(IvfIndex.dataDir(spark, dir))
+        .select("cell", "vec_id").as[(Int, Long)].collect().sorted.toSeq
+    val control = build()
+    val ctrlRefit = IvfIndex.rebuild(spark, control, "vec_id", "embedding")
+    val ctrlRows = ids(control)
+
+    val crashed = build()
+    val pre = ids(crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    IvfIndex.testCrashBeforeRebuildCommit = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] {
+        IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
+      }
+    } finally IvfIndex.testCrashBeforeRebuildCommit = () => ()
+    // no manifest landed: readers still resolve the pre-rebuild layout
+    assert(IvfIndex.dataDir(spark, crashed) == crashed,
+      "a crashed rebuild flipped readers to the half-committed generation")
+    assert(ids(crashed) == pre, "pre-rebuild reads changed after the crash")
+    // the retry overwrites the leftover generation and converges
+    val refit2 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
+    assert(IvfIndex.dataDir(spark, crashed) == s"$crashed/_G1")
+    assert(ids(crashed) == ctrlRows,
+      "post-crash rebuild content differs from the uncrashed control")
+    assert(refit2.map(_._1) == ctrlRefit.map(_._1) &&
+      refit2.zip(ctrlRefit).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b)
+      }, "post-crash refit centroids differ from the control")
+    // second rebuild: generation flips, previous retained, root cells gone
+    val refit3 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
+    assert(IvfIndex.dataDir(spark, crashed) == s"$crashed/_G2")
+    val names = new java.io.File(crashed).listFiles.map(_.getName).toSet
+    assert(names.contains("_G1") && names.contains("_G2"),
+      s"retained generation collected early: $names")
+    assert(!names.exists(_.startsWith("cell=")),
+      s"pre-manifest root layout survives gc: $names")
+    // probes answer through the committed generation
+    val got = IvfIndex.probe(spark, crashed,
+        emb.where(col("vec_id") === 17), "vec_id", "embedding",
+        refit3, nProbe = 2, k = 1).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("vec_id") == 17L)
+  }
+
   // ------------------------------------------------ retention
 
   test("IndexManifest retain=3: the oldest retained version stays " +
