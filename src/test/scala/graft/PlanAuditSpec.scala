@@ -782,10 +782,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(3000))
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    // permitted BNLs: the 1-row weight frame onto pairs and the 1-row
-    // n_cust frame onto the census (the domain-bounded stitch
-    // convention) — nothing else
-    assert(bnl <= 2, s"expected <=2 single-row stitches, got $bnl:\n" +
+    // permitted BNLs: the 1-row weight frame onto pairs, the 1-row
+    // n_cust frame, and the 1-row n_pairs_precap cap-pressure census
+    // (r13 block cap) onto the final row — the domain-bounded stitch
+    // convention; nothing else
+    assert(bnl <= 3, s"expected <=3 single-row stitches, got $bnl:\n" +
       plan.take(3000))
   }
 
