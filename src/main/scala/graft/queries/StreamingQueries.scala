@@ -1040,6 +1040,40 @@ object StreamingQueries extends QueryPack {
     * remaining-corpus work is the tombstone re-audit restricted to
     * touched tombstoned shingles. The censuses are audit reads, not
     * the per-batch path. */
+  /** q305: IVF INDEX ROW DELETION (VERDICT r12 #1, similarity family —
+    * the third index family gets takedown semantics): three merge
+    * batches build the q285 index, then
+    * [[graft.similarity.IvfIndex.deleteBatch]] removes every vec_id
+    * divisible by 7 — touched cells located by the SAME assignment
+    * arithmetic as inserts/probes, read back, anti-joined, dynamic-
+    * partition-overwritten, with cells emptied by the deletion dropped
+    * outright. Probes then run over the post-delete index; the oracle
+    * replays q285's one-shot pipeline with the index side restricted
+    * to the undeleted rows (seeds/queries full-corpus — centroids
+    * pre-date the deletion and queries are external vectors), so a
+    * leaked row, a lost survivor, or a stale emptied cell hash-fails.
+    *
+    * Scale shape: delete IO = the deleted rows' cells only (read +
+    * rewrite), bounded by the batch's cell fan-out — never the index. */
+  private def ivfIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Clustering, IvfIndex}
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val idxDir = MlQueries.tempDirDeletedOnExit("graft_ivfdel_")
+    (0 until 3).foreach { i =>
+      IvfIndex.mergeBatch(
+        emb.select("vec_id", "embedding")
+          .where(pmod(col("vec_id"), lit(3)) === i),
+        "vec_id", "embedding", centroids, idxDir, batchSeq = i + 1L)
+    }
+    IvfIndex.deleteBatch(
+      emb.select("vec_id", "embedding").where(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", centroids, idxDir)
+    IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", centroids, nProbe = 4, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private val retractSnapByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -1271,6 +1305,7 @@ object StreamingQueries extends QueryPack {
     "q302_bm25_index_retract" -> bm25IndexRetract,
     "q303_bm25_query_table_topk" -> bm25QueryTableTopK,
     "q304_curated_index_commit" -> curatedIndexCommit,
+    "q305_ivf_index_delete" -> ivfIndexDelete,
     "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftAudit,
@@ -1380,8 +1415,14 @@ object StreamingQueries extends QueryPack {
     * to — seed centroids (first 16 by vec_id), argmin assignment, the
     * same ‖c‖²−2·q·c probe ranking (top 4 cells per query), exact-L2
     * top-5 within probed cells. */
-  private def streamingIvfIndexOracle: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+  private def streamingIvfIndexOracle: String = ivfProbeOracle("TRUE")
+
+  /** The q285 one-shot IVF replay, with a candidate predicate so q305
+    * can restrict the INDEX side to the undeleted rows (seeds and the
+    * query set stay full-corpus — centroids were fit before the
+    * deletion, and queries are external vectors). */
+  private def ivfProbeOracle(candWhere: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
       |cc AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
       |         dv
@@ -1409,7 +1450,8 @@ object StreamingQueries extends QueryPack {
       |                   for i in range(1, 65)]) AS l2
       |  FROM ca JOIN probe pr ON pr.cell = ca.cell
       |  JOIN v x ON x.vec_id = ca.vec_id
-      |  JOIN v q ON q.vec_id = pr.query_id),
+      |  JOIN v q ON q.vec_id = pr.query_id
+      |  WHERE $candWhere),
       |ranked AS (
       |  SELECT query_id, vec_id, l2,
       |         row_number() OVER (PARTITION BY query_id
@@ -1846,6 +1888,9 @@ object StreamingQueries extends QueryPack {
     },
     "q301_indexed_dedup_retract" -> indexedDedupRetractOracle,
     "q304_curated_index_commit" -> curatedIndexCommitOracle,
+    // q285's one-shot replay with the index side restricted to the
+    // undeleted rows — delete(batch) == build without those rows
+    "q305_ivf_index_delete" -> ivfProbeOracle("x.vec_id % 7 != 0"),
     "q297_index_time_travel" -> indexTimeTravelOracle,
     "q293_indexed_dedup_drift_audit" -> indexedDedupDriftOracle,
     "q274_streaming_inc_dedup" -> streamingIncDedupOracle,

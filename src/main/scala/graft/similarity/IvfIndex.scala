@@ -101,6 +101,59 @@ object IvfIndex {
     }
   }
 
+  /** ROW DELETION (VERDICT r12 #1, similarity family — takedown/GDPR):
+    * remove `batch`'s ids from the index. The batch carries the
+    * vectors, so the touched cells fall out of the SAME assignment
+    * arithmetic inserts and probes use (pass the centroids the live
+    * generation was written under — the refit set after a rebuild,
+    * exactly like probes); the delete then reads ONLY those cells,
+    * anti-joins the ids out, and dynamic-partition-overwrites them. A
+    * cell emptied by the deletion gets no partition in the overwrite,
+    * so its stale directory is dropped explicitly — probes of a
+    * vanished cell read nothing. Deletion is IDEMPOTENT (replaying
+    * removes nothing more) and commutes with merges on other ids, the
+    * same convergence argument as [[mergeBatch]]; the post-delete
+    * index is content-equal to one built without the deleted rows
+    * (Round13OpsSpec pins it, codes column included). */
+  def deleteBatch(batch: DataFrame, id: String, vec: String,
+                  centroids: Seq[(Int, Array[Double])],
+                  root: String): Unit = {
+    val spark = batch.sparkSession
+    val sinkDir = dataDir(spark, root)
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) ||
+      !fs.listStatus(path).exists(_.getPath.getName.startsWith("cell=")))
+      return // nothing indexed
+    val assigned = batch.select(col(id), col(vec))
+      .withColumn("cell", Clustering.assignCell(col(vec), centroids))
+    val cells = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)) // bounded by nCells, never batch size
+    if (cells.isEmpty) return
+    val ids = assigned.select(col(id)).distinct()
+    val kept = spark.read.parquet(sinkDir)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(ids, Seq(id), "left_anti")
+      .localCheckpoint() // break the read -> overwrite cycle
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try kept.write.mode("overwrite").partitionBy("cell").parquet(sinkDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    // cells the deletion emptied were absent from the overwrite: drop
+    // their stale directories (idempotent — a replay sees no cell dir)
+    val keptCells = kept.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(kept)
+    for (c <- cells if !keptCells.contains(c)) {
+      val d = new org.apache.hadoop.fs.Path(sinkDir, s"cell=$c")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+  }
+
   /** ADC top-k over a PERSISTED coded index (rows written with
     * `mergeBatch(..., encodeWith = Some(cb))`): per query the nProbe
     * nearest cells are ranked driver-side and the scan partition-prunes

@@ -438,6 +438,55 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getAs[Long]("vec_id") == 17L)
   }
 
+  // ------------------------------------------------ IVF row deletion
+
+  test("IvfIndex.deleteBatch == build without the deleted rows: " +
+    "survivors intact (codes included), emptied cells dropped, replay " +
+    "idempotent, probes cannot find deleted ids") {
+    import graft.similarity.{Clustering, IvfIndex, Pq}
+    def vec(i: Int): Array[Float] =
+      Array(i.toFloat, (i % 5).toFloat, (i % 3).toFloat, (i % 2).toFloat)
+    val emb = (1 to 48).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val seeds = Clustering.seedCentroids(emb, "vec_id", "embedding", 6)
+    val cb = Pq.fit(emb, "vec_id", "embedding", m = 2, sub = 2, k = 4)
+    def build(src: DataFrame): String = {
+      val d = tmp("r13del_")
+      (0 until 2).foreach { i =>
+        IvfIndex.mergeBatch(src.where(pmod(col("vec_id"), lit(2)) === i),
+          "vec_id", "embedding", seeds, d, i + 1L, encodeWith = Some(cb))
+      }
+      d
+    }
+    def rows(dir: String): Set[(Int, Long, Seq[Int])] =
+      spark.read.parquet(IvfIndex.dataDir(spark, dir))
+        .select(col("cell"), col("vec_id"),
+          col("codes").cast("array<int>"))
+        .as[(Int, Long, Seq[Int])].collect().toSet
+    val idx = build(emb)
+    val del = emb.where(col("vec_id") % 4 === 0)
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx)
+    val want = rows(build(emb.where(col("vec_id") % 4 =!= 0)))
+    assert(rows(idx) == want,
+      "delete(batch) must equal an index built without the deleted rows")
+    // idempotent replay
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx)
+    assert(rows(idx) == want, "replayed delete mutated the index")
+    // deleting EVERYTHING drops every emptied cell directory
+    IvfIndex.deleteBatch(emb, "vec_id", "embedding", seeds, idx)
+    val left = new java.io.File(IvfIndex.dataDir(spark, idx)).listFiles
+      .count(_.getName.startsWith("cell="))
+    assert(left == 0, s"emptied cells must drop their directories: $left")
+    // probes over a partially-deleted index never return deleted ids
+    val idx2 = build(emb)
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx2)
+    val got = IvfIndex.probe(spark, idx2, emb.where(col("vec_id") <= 8),
+        "vec_id", "embedding", seeds, nProbe = 6, k = 48)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % 4 != 0),
+      s"probe returned deleted ids: ${got.filter(_ % 4 == 0)}")
+  }
+
   // ------------------------------------------------ retention
 
   test("IndexManifest retain=3: the oldest retained version stays " +
