@@ -374,6 +374,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(crashed.dedup.manifest.read().get.batchSeq == 1L)
   }
 
+  test("CuratedIndexes: crash BETWEEN the families during a RETRACTION " +
+    "— both hold the pre-takedown snapshot, the retry converges") {
+    import graft.curation.CuratedIndexes
+    val retract = mkDocs(Seq(2L -> "h h r s"))
+    val retained = mkDocs(DedupKeep.filterNot(_._1 == 2L))
+    def doRetract(i: graft.curation.CuratedIndexes.Indexes): Unit =
+      CuratedIndexes.retractBatch(spark, i, retract, 1L, k = 2,
+        maxShingleDf = 2, maxTermDf = 64L, retained = Some(retained))
+    val control = curatedBoot(mkDocs(DedupKeep))
+    doRetract(control)
+    val ctrl = curatedState(control)
+    val crashed = curatedBoot(mkDocs(DedupKeep))
+    val pre = curatedState(crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    CuratedIndexes.testCrashBetweenFamilies = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] { doRetract(crashed) }
+    } finally CuratedIndexes.testCrashBetweenFamilies = () => ()
+    assert(curatedState(crashed) == pre,
+      "a crashed cross-family retract leaked into the committed snapshot")
+    doRetract(crashed)
+    assert(curatedState(crashed) == ctrl,
+      "post-crash retract replay differs from the uncrashed control")
+    // the committed retract replays as a no-op
+    doRetract(crashed)
+    assert(curatedState(crashed) == ctrl)
+    assert(crashed.dedup.manifest.read().get.batchSeq == 1L)
+  }
+
   // ------------------------------------------------ IVF rebuild commit
 
   test("IvfIndex.rebuild: crash AFTER the new generation is written, " +
