@@ -382,8 +382,15 @@ object IndexedDedup {
           .localCheckpoint(true)
       case _ => rEx.select("s", "doc_id").limit(0).localCheckpoint(true)
     }
-    val unTomb = restored.groupBy("s").agg(count(lit(1)).as("dfr"))
-      .where(col("dfr") <= maxShingleDf).select("s")
+    // un-tombstone = touched tombstoned shingles whose remaining-corpus
+    // df fell back <= cap, INCLUDING df = 0 (every containing doc
+    // retracted — no restored row, so the restored groups alone would
+    // keep the tombstone a fresh bootstrap wouldn't have; ADVICE r13)
+    val overCap = restored.groupBy("s").agg(count(lit(1)).as("dfr"))
+      .where(col("dfr") > maxShingleDf).select("s")
+    val unTomb = (if (retained.isDefined)
+        tombTouched.join(broadcast(overCap), Seq("s"), "left_anti")
+      else tombTouched.limit(0)) // one-way cap policy: never un-tombstone
       .localCheckpoint(true)
     val restoredLive = restored
       .join(broadcast(unTomb), Seq("s"), "left_semi")

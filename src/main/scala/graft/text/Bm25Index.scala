@@ -290,8 +290,17 @@ object Bm25Index {
         .localCheckpoint(true)
       case _ => rt.limit(0).localCheckpoint(true)
     }
-    val unTomb = restored.groupBy("term").agg(count(lit(1)).as("dfr"))
-      .where(col("dfr") <= maxTermDf).select("term")
+    // un-tombstone = touched tombstoned terms whose remaining-corpus df
+    // fell back <= cap, INCLUDING df = 0 (every containing doc
+    // retracted — such a term has NO restored row at all, so deriving
+    // unTomb from the restored groups alone would keep its tombstone
+    // forever and silently suppress the term; ADVICE r13). Anti-join
+    // the touched set against the still-over-cap terms instead.
+    val overCap = restored.groupBy("term").agg(count(lit(1)).as("dfr"))
+      .where(col("dfr") > maxTermDf).select("term")
+    val unTomb = (if (retained.isDefined)
+        tombTouched.join(broadcast(overCap), Seq("term"), "left_anti")
+      else tombTouched.limit(0)) // one-way cap policy: never un-tombstone
       .localCheckpoint(true)
     val restoredLive = restored
       .join(broadcast(unTomb), Seq("term"), "left_semi")
