@@ -392,9 +392,9 @@ object SimilarityQueries extends QueryPack {
     * against 16 frozen seed centroids — per-batch files accrete per
     * cell), then [[graft.similarity.IvfIndex.rebuild]] refits the
     * centroids with ONE exact fixed-point Lloyd mean-update over the
-    * current membership, reassigns every row, and swaps the index in
-    * place with per-cell compaction (one file per cell directory —
-    * pinned in Round12OpsSpec). The output is the DRIFT AUDIT the
+    * current membership, reassigns every row, and flips the whole
+    * layout with ONE manifest commit, compacted per cell (one file per
+    * cell directory — pinned in Round12OpsSpec). The output is the DRIFT AUDIT the
     * verdict asked for: per phase (before/after) the cell-balance
     * census (n_cells, max/min members) and probe recall hits against
     * the exact float top-5 — every number replayed by the oracle (seed
@@ -439,7 +439,7 @@ object SimilarityQueries extends QueryPack {
     // before the rebuild swaps the directory under the lazy plan
     def phaseRow(phase: String, cs: Seq[(Int, Array[Double])])
         : (String, Long, Long, Long, Long, Long) = {
-      val census = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
+      val census = IvfIndex.readIndex(spark, idxDir)
         .groupBy("cell")
         .agg(count(lit(1)).as("n"))
         .agg(sum("n").as("n_rows"), count(lit(1)).as("n_cells"),
@@ -454,7 +454,8 @@ object SimilarityQueries extends QueryPack {
         r.getLong(4))
     }
     val before = phaseRow("before", seeds)
-    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding")
+    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding",
+      batchSeq = 4L)
     val after = phaseRow("after", refit)
     org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(truth)
     import spark.implicits._

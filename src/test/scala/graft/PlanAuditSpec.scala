@@ -748,8 +748,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rep verdict join regressed to a shuffle")
   }
 
-  test("q285 probe: the IVF index scan is partition-pruned to the " +
-    "probed cells and the query side broadcasts") {
+  test("q285 probe: the IVF index scan reads only the probed cells' " +
+    "live generation dirs and the query side broadcasts") {
     import org.apache.spark.sql.functions._
     import graft.similarity.{Clustering, IvfIndex}
     val emb = graft.tables.Tables.embeddings(spark, dir)
@@ -758,13 +758,21 @@ class PlanAuditSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_ivfplan_").toString
     IvfIndex.mergeBatch(emb.select("vec_id", "embedding"), "vec_id",
       "embedding", centroids, idxDir, 1L)
-    val p = IvfIndex.probe(spark, idxDir, emb.where(col("vec_id") < 10),
-        "vec_id", "embedding", centroids, nProbe = 4, k = 5)
-      .queryExecution.executedPlan.toString()
-    assert(p.contains("PartitionFilters") && p.contains("cell"),
-      p.take(1500))
+    val probed = IvfIndex.probe(spark, idxDir,
+      emb.where(col("vec_id") === 3), "vec_id", "embedding", centroids,
+      nProbe = 2, k = 5)
+    val p = probed.queryExecution.executedPlan.toString()
     assert(p.contains("BroadcastHashJoin"),
       "query-side scoring join stopped broadcasting")
+    // manifest-resolved read pruning: 2 probed cells => at most 2 cell
+    // generation dirs in the scan, out of the 16 live ones
+    val dirs = probed.inputFiles.filter(_.contains(idxDir)).map(f =>
+      new java.io.File(f).getParentFile.getName).toSet
+    assert(dirs.nonEmpty && dirs.size <= 2
+      && dirs.forall(_.matches("c\\d+G\\d+")),
+      s"probe read outside the probed cells: $dirs")
+    assert(IvfIndex.liveDirs(spark, idxDir).size > 2,
+      "fixture too degenerate to prove pruning")
   }
 
   test("q298 linkage: the blocked candidate join is a HASH join on the " +

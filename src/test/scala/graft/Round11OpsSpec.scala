@@ -246,12 +246,19 @@ class Round11OpsSpec extends AnyFunSuite {
       && r.getAs[Int]("rank") == 1).head
     assert(self2.getAs[Long]("vec_id") == 2L
       && self2.getAs[Double]("l2") == 0.0, s"batch-3 vector not indexed")
-    // partition pruning: the scan carries cell PartitionFilters
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell#")
-      || plan.contains("PartitionFilters: [isnotnull(cell#")
-      || plan.contains("cell#") && plan.contains("PartitionFilters"),
-      s"probe scan is not partition-pruned:\n${plan.take(2000)}")
+    // read pruning: a 1-query nProbe=1 probe reads exactly ONE cell's
+    // live generation directory — the manifest-resolved equivalent of
+    // partition pruning (unprobed cells are never even listed)
+    val one = IvfIndex.probe(spark, idxDir,
+      emb.where(col("vec_id") === 2), "vec_id", "embedding", centroids,
+      nProbe = 1, k = 5)
+    one.collect()
+    val oneDirs = one.inputFiles.filter(_.contains(idxDir)).map(f =>
+      new java.io.File(f).getParentFile.getName).toSet
+    assert(oneDirs.size == 1 && oneDirs.head.matches("c\\d+G\\d+"),
+      s"nProbe=1 probe must read exactly one cell generation: $oneDirs")
+    assert(IvfIndex.liveDirs(spark, idxDir).size > 1,
+      "fixture degenerated to a single live cell — pruning unproven")
     // recall@5 vs brute-force L2 over the full corpus (self included,
     // both sides) — sub-exhaustive 4/16 probe, measured floor
     val qv = queries.select(col("vec_id").as("query_id"),
@@ -274,7 +281,7 @@ class Round11OpsSpec extends AnyFunSuite {
       s"recall@5 collapsed: $hits/$truth")
     // replay idempotence: re-merge batch 2 with its original batchSeq
     def snapshot(): Set[String] =
-      spark.read.parquet(idxDir).select("cell", "vec_id")
+      IvfIndex.readIndex(spark, idxDir).select("cell", "vec_id")
         .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").toSet
     val s0 = snapshot()
     IvfIndex.mergeBatch(batches(1), "vec_id", "embedding", centroids,

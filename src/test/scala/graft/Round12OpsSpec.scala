@@ -19,9 +19,10 @@ class Round12OpsSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------- q292
-  test("q292/IvfIndex.rebuild: per-batch merges accrete files, rebuild " +
-    "compacts to one file per cell, preserves membership exactly, moves " +
-    "the centroids, and probes stay exact through the refit set") {
+  test("q292/IvfIndex.rebuild: per-batch merges keep one file per cell " +
+    "generation (protocol-level compaction), rebuild preserves " +
+    "membership exactly, moves the centroids, and probes stay exact " +
+    "through the refit set") {
     import graft.similarity.{Clustering, IvfIndex}
     // two separated clusters; the 16 lowest ids all sit in cluster A, so
     // the seed cells carve A finely while B piles up — the drift shape
@@ -35,36 +36,33 @@ class Round12OpsSpec extends AnyFunSuite {
     val seeds = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
     val idxDir =
       java.nio.file.Files.createTempDirectory("graft_ivfreb_sp_").toString
-    // AQE would coalesce this tiny fixture's merge shuffles to one
-    // partition and mask the very accretion the rebuild exists to fix —
-    // at real scale every merge writes a file per task per cell
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      (0 until 3).foreach { i =>
-        IvfIndex.mergeBatch(emb.where(pmod(col("vec_id"), lit(3)) === i)
-            .repartition(8),
-          "vec_id", "embedding", seeds, idxDir, i + 1L)
-      }
-    } finally spark.conf.set(aqeKey, aqePrev)
+    // deliberately wide input partitioning: the staged write must still
+    // land each touched cell as ONE file (the r13 in-place layout
+    // accreted a file per task per cell per batch; the r14 protocol's
+    // per-cell generation rewrite compacts continuously)
+    (0 until 3).foreach { i =>
+      IvfIndex.mergeBatch(emb.where(pmod(col("vec_id"), lit(3)) === i)
+          .repartition(8),
+        "vec_id", "embedding", seeds, idxDir, i + 1L)
+    }
     def filesPerCell(): Map[String, Int] =
-      new java.io.File(IvfIndex.dataDir(spark, idxDir)).listFiles
-        .filter(_.getName.startsWith("cell="))
-        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
-        .toMap
+      IvfIndex.liveDirs(spark, idxDir).toSeq.map { d =>
+        d -> new java.io.File(idxDir, d).listFiles
+          .count(_.getName.endsWith(".parquet"))
+      }.toMap
     val before = filesPerCell()
-    assert(before.values.exists(_ > 1),
-      s"fixture never accreted multiple files per cell: $before")
-    val idsBefore = spark.read.parquet(idxDir).select("vec_id")
+    assert(before.nonEmpty && before.values.forall(_ == 1),
+      s"per-batch merges must keep one file per cell generation: $before")
+    val idsBefore = IvfIndex.readIndex(spark, idxDir).select("vec_id")
       .as[Long].collect().sorted.toSeq
-    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding")
+    val refit = IvfIndex.rebuild(spark, idxDir, "vec_id", "embedding",
+      batchSeq = 4L)
     // compaction: exactly one parquet file per surviving cell directory
     val after = filesPerCell()
     assert(after.nonEmpty && after.values.forall(_ == 1),
       s"rebuild left multi-file cells: $after")
     // membership preserved bit-exactly
-    val idsAfter = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
+    val idsAfter = IvfIndex.readIndex(spark, idxDir)
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(idsAfter == idsBefore, "rebuild lost or duplicated rows")
     // the Lloyd step actually moved the codebook
@@ -74,7 +72,7 @@ class Round12OpsSpec extends AnyFunSuite {
     }, "refit centroids identical to seeds — the mean update was a no-op")
     // the persisted cell column equals a direct reassignment under the
     // refit centroids (the index is consistent with its own codebook)
-    val stored = spark.read.parquet(IvfIndex.dataDir(spark, idxDir))
+    val stored = IvfIndex.readIndex(spark, idxDir)
     val mismatch = stored
       .withColumn("expect", Clustering.assignCell(col("embedding"), refit))
       .where(col("cell") =!= col("expect")).count()

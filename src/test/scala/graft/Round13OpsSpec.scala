@@ -424,42 +424,48 @@ class Round13OpsSpec extends AnyFunSuite {
       d
     }
     def ids(dir: String): Seq[(Int, Long)] =
-      spark.read.parquet(IvfIndex.dataDir(spark, dir))
+      IvfIndex.readIndex(spark, dir)
         .select("cell", "vec_id").as[(Int, Long)].collect().sorted.toSeq
     val control = build()
-    val ctrlRefit = IvfIndex.rebuild(spark, control, "vec_id", "embedding")
+    val ctrlRefit = IvfIndex.rebuild(spark, control, "vec_id", "embedding",
+      batchSeq = 3L)
     val ctrlRows = ids(control)
 
     val crashed = build()
     val pre = ids(crashed)
+    val preDirs = IvfIndex.liveDirs(spark, crashed)
     final class InjectedCrash extends RuntimeException("injected")
-    IvfIndex.testCrashBeforeRebuildCommit = () => throw new InjectedCrash
+    IvfIndex.testCrashBeforeCommit = () => throw new InjectedCrash
     try {
       intercept[InjectedCrash] {
-        IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
+        IvfIndex.rebuild(spark, crashed, "vec_id", "embedding", batchSeq = 3L)
       }
-    } finally IvfIndex.testCrashBeforeRebuildCommit = () => ()
+    } finally IvfIndex.testCrashBeforeCommit = () => ()
     // no manifest landed: readers still resolve the pre-rebuild layout
-    assert(IvfIndex.dataDir(spark, crashed) == crashed,
+    assert(IvfIndex.liveDirs(spark, crashed) == preDirs,
       "a crashed rebuild flipped readers to the half-committed generation")
     assert(ids(crashed) == pre, "pre-rebuild reads changed after the crash")
     // the retry overwrites the leftover generation and converges
-    val refit2 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
-    assert(IvfIndex.dataDir(spark, crashed) == s"$crashed/_G1")
+    val refit2 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding",
+      batchSeq = 3L)
+    assert(IvfIndex.liveDirs(spark, crashed).forall(_.endsWith("G3")),
+      "retry must flip readers to the rebuilt generation")
     assert(ids(crashed) == ctrlRows,
       "post-crash rebuild content differs from the uncrashed control")
     assert(refit2.map(_._1) == ctrlRefit.map(_._1) &&
       refit2.zip(ctrlRefit).forall { case ((_, a), (_, b)) =>
         java.util.Arrays.equals(a, b)
       }, "post-crash refit centroids differ from the control")
-    // second rebuild: generation flips, previous retained, root cells gone
-    val refit3 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding")
-    assert(IvfIndex.dataDir(spark, crashed) == s"$crashed/_G2")
+    // second rebuild: generation flips, the previous one stays readable
+    // under retain=2, the merge batches' generations are collected
+    val refit3 = IvfIndex.rebuild(spark, crashed, "vec_id", "embedding",
+      batchSeq = 4L)
+    assert(IvfIndex.liveDirs(spark, crashed).forall(_.endsWith("G4")))
     val names = new java.io.File(crashed).listFiles.map(_.getName).toSet
-    assert(names.contains("_G1") && names.contains("_G2"),
+    assert(names.exists(_.endsWith("G3")) && names.exists(_.endsWith("G4")),
       s"retained generation collected early: $names")
-    assert(!names.exists(_.startsWith("cell=")),
-      s"pre-manifest root layout survives gc: $names")
+    assert(!names.exists(n => n.endsWith("G1") || n.endsWith("G2")),
+      s"aged-out merge generations survive gc: $names")
     // probes answer through the committed generation
     val got = IvfIndex.probe(spark, crashed,
         emb.where(col("vec_id") === 17), "vec_id", "embedding",
@@ -488,27 +494,33 @@ class Round13OpsSpec extends AnyFunSuite {
       d
     }
     def rows(dir: String): Set[(Int, Long, Seq[Int])] =
-      spark.read.parquet(IvfIndex.dataDir(spark, dir))
+      IvfIndex.readIndex(spark, dir)
         .select(col("cell"), col("vec_id"),
           col("codes").cast("array<int>"))
         .as[(Int, Long, Seq[Int])].collect().toSet
     val idx = build(emb)
     val del = emb.where(col("vec_id") % 4 === 0)
-    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx)
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx,
+      batchSeq = 3L)
     val want = rows(build(emb.where(col("vec_id") % 4 =!= 0)))
     assert(rows(idx) == want,
       "delete(batch) must equal an index built without the deleted rows")
-    // idempotent replay
-    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx)
+    // replay of the committed delete is a no-op (batchSeq gate)
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx,
+      batchSeq = 3L)
     assert(rows(idx) == want, "replayed delete mutated the index")
-    // deleting EVERYTHING drops every emptied cell directory
-    IvfIndex.deleteBatch(emb, "vec_id", "embedding", seeds, idx)
-    val left = new java.io.File(IvfIndex.dataDir(spark, idx)).listFiles
-      .count(_.getName.startsWith("cell="))
-    assert(left == 0, s"emptied cells must drop their directories: $left")
+    // deleting EVERYTHING empties the committed cell set; probes of the
+    // empty index return no rows
+    IvfIndex.deleteBatch(emb, "vec_id", "embedding", seeds, idx,
+      batchSeq = 4L)
+    assert(IvfIndex.liveDirs(spark, idx).isEmpty,
+      "emptied cells must leave the committed bucket set")
+    assert(IvfIndex.probe(spark, idx, emb.where(col("vec_id") <= 8),
+      "vec_id", "embedding", seeds, nProbe = 6, k = 48).count() == 0L)
     // probes over a partially-deleted index never return deleted ids
     val idx2 = build(emb)
-    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx2)
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, idx2,
+      batchSeq = 3L)
     val got = IvfIndex.probe(spark, idx2, emb.where(col("vec_id") <= 8),
         "vec_id", "embedding", seeds, nProbe = 6, k = 48)
       .select("vec_id").as[Long].collect().toSet

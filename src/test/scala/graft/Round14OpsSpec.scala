@@ -130,6 +130,98 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------- IVF per-batch commit protocol
+
+  /** VERDICT r13 #1: merge and delete batches now stage fresh per-cell
+    * generations and flip in one manifest rename — crash-injected in
+    * BOTH paths, readers must hold the pre-batch snapshot throughout
+    * and the deterministic retry must converge bit-identically. */
+  private def ivfFixture() = {
+    import graft.similarity.Clustering
+    def vec(i: Int): Array[Float] =
+      Array(i.toFloat, (i % 5).toFloat, (i % 3).toFloat)
+    val emb = (1 to 48).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    (emb, Clustering.seedCentroids(emb, "vec_id", "embedding", 6))
+  }
+
+  private def ivfRows(root: String): Set[(Int, Long, Long)] = {
+    import graft.similarity.IvfIndex
+    IvfIndex.readIndex(spark, root)
+      .select(col("cell"), col("vec_id"), col("__ver"))
+      .as[(Int, Long, Long)].collect().toSet
+  }
+
+  test("IvfIndex.mergeBatch: crash AFTER staging BEFORE the manifest " +
+    "rename — readers hold the pre-batch snapshot, the retry converges " +
+    "bit-identically to an uncrashed control") {
+    import graft.similarity.IvfIndex
+    val (emb, seeds) = ivfFixture()
+    val b1 = emb.where(col("vec_id") % 2 === 1)
+    val b2 = emb.where(col("vec_id") % 2 === 0)
+    val control = tmp("r14ivm_c_")
+    IvfIndex.mergeBatch(b1, "vec_id", "embedding", seeds, control, 1L)
+    IvfIndex.mergeBatch(b2, "vec_id", "embedding", seeds, control, 2L)
+    val ctrl = ivfRows(control)
+    val crashed = tmp("r14ivm_x_")
+    IvfIndex.mergeBatch(b1, "vec_id", "embedding", seeds, crashed, 1L)
+    val pre = ivfRows(crashed)
+    val preDirs = IvfIndex.liveDirs(spark, crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    IvfIndex.testCrashBeforeCommit = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] {
+        IvfIndex.mergeBatch(b2, "vec_id", "embedding", seeds, crashed, 2L)
+      }
+    } finally IvfIndex.testCrashBeforeCommit = () => ()
+    assert(IvfIndex.liveDirs(spark, crashed) == preDirs
+      && ivfRows(crashed) == pre,
+      "a crashed merge leaked into the committed snapshot")
+    IvfIndex.mergeBatch(b2, "vec_id", "embedding", seeds, crashed, 2L)
+    assert(ivfRows(crashed) == ctrl,
+      "post-crash merge replay differs from the uncrashed control")
+    // a replay of the now-committed batch is a no-op
+    IvfIndex.mergeBatch(b2, "vec_id", "embedding", seeds, crashed, 2L)
+    assert(ivfRows(crashed) == ctrl, "committed replay mutated the index")
+  }
+
+  test("IvfIndex.deleteBatch: crash BEFORE the manifest rename — a " +
+    "takedown is never half-visible; the retry converges and deleted " +
+    "ids stay probe-invisible") {
+    import graft.similarity.IvfIndex
+    val (emb, seeds) = ivfFixture()
+    def build(): String = {
+      val d = tmp("r14ivd_")
+      IvfIndex.mergeBatch(emb, "vec_id", "embedding", seeds, d, 1L)
+      d
+    }
+    val del = emb.where(col("vec_id") % 4 === 0)
+    val control = build()
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, control, 2L)
+    val ctrl = ivfRows(control)
+    val crashed = build()
+    val pre = ivfRows(crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    IvfIndex.testCrashBeforeCommit = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] {
+        IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, crashed, 2L)
+      }
+    } finally IvfIndex.testCrashBeforeCommit = () => ()
+    // the pre-takedown snapshot is COMPLETE — not a torn half-delete
+    assert(ivfRows(crashed) == pre,
+      "a crashed delete left a half-applied takedown visible")
+    IvfIndex.deleteBatch(del, "vec_id", "embedding", seeds, crashed, 2L)
+    assert(ivfRows(crashed) == ctrl,
+      "post-crash delete replay differs from the uncrashed control")
+    val got = IvfIndex.probe(spark, crashed,
+        emb.where(col("vec_id") <= 8), "vec_id", "embedding", seeds,
+        nProbe = 6, k = 48)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % 4 != 0),
+      s"probe returned deleted ids: ${got.filter(_ % 4 == 0)}")
+  }
+
   test("IndexManifest CAS commit: a stale writer's expectedVersion " +
     "throws, publishes nothing, and readers keep the winner's snapshot") {
     val mf = new IndexManifest(spark, tmp("r14cas_"))
