@@ -1292,6 +1292,99 @@ object StreamingQueries extends QueryPack {
   private val curatedSnapByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** q306: ANN FAMILY IN THE CROSS-FAMILY COMMIT (VERDICT r13 #2) —
+    * the curation invariant at full strength is "kept ⟺ searchable ⟺
+    * ANN-retrievable": [[graft.curation.CuratedIndexes]] now stages
+    * the kept docs' VECTORS into an IVF index (per-cell generations,
+    * the r14 commit protocol) alongside the five text-index bucket
+    * sets, and ONE manifest rename publishes all seven per batch —
+    * merges AND the takedown, whose retractVecs locate the touched
+    * cells by the same assignment arithmetic as the inserts. The
+    * fixture is q304's (doc_id % 5 sample, two merge batches, a
+    * takedown of the % 10 originals) with each doc's vector looked up
+    * in the embedding store at vec_id = doc_id % 1e6 (batch copies
+    * share their original's vector; docs without an embedding row are
+    * searchable but not vector-retrievable — the honest production
+    * shape). Output: exact-L2 top-5 per external query vector over the
+    * final committed ANN family, plus the index-row census. The oracle
+    * replays the two dedup batches, deletes the retracted ids, joins
+    * the remaining kept corpus to the embedding store, and re-derives
+    * seed centroids, assignment, the 4/16 sub-exhaustive probe, and
+    * the L2 ranking in SQL (q285's replay over q304's kept set) — a
+    * vector of a dropped doc, a missing kept vector, or a
+    * half-applied takedown all hash-fail.
+    *
+    * Scale shape: per batch the q283 + q300 probe/rewrite costs plus
+    * the IVF touched-cell rewrites plus ONE rename; the ANN feed rides
+    * the batch as a broadcast semi-join on the kept ids — no
+    * cross-family re-read. */
+  private def curatedAnnCommit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.curation.CuratedIndexes
+    import graft.similarity.Clustering
+    val emb = Tables.embeddings(spark, dir)
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 5 === 0)
+    def vecsOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), (col("doc_id") % 1000000L).as("__vid"))
+        .join(emb.select(col("vec_id").as("__vid"), col("embedding")),
+          Seq("__vid"))
+        .select("doc_id", "embedding")
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val b2 = sample.where(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), rev.as("text"))
+    def annOf(root: String) = Some(CuratedIndexes.Ann(root, centroids))
+    val snap7 = curatedAnnSnapByDir.computeIfAbsent(dir, _ => {
+      val ds = Seq("si", "di", "t", "d", "g", "m", "a").map(s =>
+        MlQueries.tempDirDeletedOnExit(s"graft_cura_snap_${s}_"))
+      CuratedIndexes.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+        maxTermDf = 65536L, ds(0), ds(1), ds(2), ds(3), ds(4), ds(5),
+        rowCap = 65536L, ann = annOf(ds(6)),
+        annVecs = Some(vecsOf(sample)))
+      ds
+    })
+    val work = Seq("si", "di", "t", "d", "g", "m", "a").map(s =>
+      MlQueries.tempDirDeletedOnExit(s"graft_cura_${s}_"))
+    snap7.zip(work).foreach { case (s, w) => copyDirContents(spark, s, w) }
+    val idx = CuratedIndexes.attach(spark, work(0), work(1), work(2),
+      work(3), work(4), work(5), rowCap = 65536L, ann = annOf(work(6)))
+    val v1 = CuratedIndexes.processBatch(spark, idx, b1, 1L, k = 3,
+      threshold = 0.3, maxShingleDf = 20, maxTermDf = 65536L,
+      annVecs = Some(vecsOf(b1)))
+    val v2 = CuratedIndexes.processBatch(spark, idx, b2, 2L, k = 3,
+      threshold = 0.3, maxShingleDf = 20, maxTermDf = 65536L,
+      annVecs = Some(vecsOf(b2)))
+    val kept1 = b1.join(v1.where(col("status") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val kept2 = b2.join(v2.where(col("status") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val retractDocs = sample.where(col("doc_id") % 10 === 0)
+    val retained = sample
+      .join(retractDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(kept1).unionByName(kept2)
+    CuratedIndexes.retractBatch(spark, idx, retractDocs, 3L, k = 3,
+      maxShingleDf = 20, maxTermDf = 65536L, retained = Some(retained),
+      retractVecs = Some(vecsOf(retractDocs)))
+    val nAnn = CuratedIndexes.readAnn(spark, idx).count()
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val out = CuratedIndexes.probeAnn(spark, idx, queries, nProbe = 4, k = 5)
+      .withColumnRenamed("vec_id", "doc_id")
+      .withColumn("n_ann_rows", lit(nAnn))
+      .orderBy("query_id", "rank")
+      .localCheckpoint(true)
+    Seq(v1, v2).foreach(
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint)
+    out
+  }
+
+  private val curatedAnnSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   /** The q303 query workload: id → term set ('shuffle' is absent from
     * the corpus vocabulary — the missing-term path). */
   private[queries] val Bm25QueryTable: Seq[(Long, Seq[String])] = Seq(
@@ -1307,6 +1400,7 @@ object StreamingQueries extends QueryPack {
     "q302_bm25_index_retract" -> bm25IndexRetract,
     "q303_bm25_query_table_topk" -> bm25QueryTableTopK,
     "q304_curated_index_commit" -> curatedIndexCommit,
+    "q306_curated_ann_commit" -> curatedAnnCommit,
     "q305_ivf_index_delete" -> ivfIndexDelete,
     "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
@@ -1534,6 +1628,98 @@ object StreamingQueries extends QueryPack {
        |       CAST(4 AS BIGINT) AS manifest_version,
        |       CAST(3 AS BIGINT) AS batch_seq
        |FROM r, l WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  /** q306 oracle: q304's two-batch dedup replay + takedown DELETE
+    * builds the remaining kept corpus, the embedding store joins in at
+    * vec_id = doc_id % 1e6, and the q285 IVF replay (seed centroids,
+    * argmin assignment, 4/16 probe, exact-L2 top-5) runs over exactly
+    * those vectors — what the committed ANN family must serve. */
+  private def curatedAnnCommitOracle: String = {
+    val revText = """array_to_string(list_reverse(
+                    |           regexp_split_to_array(trim(text), '\s+')), ' ')""".stripMargin
+    s"""WITH RECURSIVE docs5 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |b1 AS MATERIALIZED (
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM docs5
+       |  WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $revText
+       |  FROM docs5 WHERE doc_id % 15 = 0),
+       |b2 AS MATERIALIZED (
+       |  SELECT doc_id + 4000000 AS doc_id, $revText AS text
+       |  FROM docs5 WHERE doc_id % 30 = 0),
+       |u1 AS (SELECT doc_id, text FROM docs5
+       |       UNION ALL SELECT doc_id, text FROM b1),
+       |${incDedupBatchSql(1, "u1", 1000000L)},
+       |v1 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab1.label IS NULL OR lab1.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab1.label < 1000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b1 d LEFT JOIN lab1 ON lab1.node = d.doc_id),
+       |keep1 AS MATERIALIZED (
+       |  SELECT doc_id, text FROM docs5
+       |  UNION ALL
+       |  SELECT b1.doc_id, b1.text FROM b1 JOIN v1 USING (doc_id)
+       |  WHERE v1.status = 'kept'),
+       |u2 AS (SELECT doc_id, text FROM keep1
+       |       UNION ALL SELECT doc_id, text FROM b2),
+       |${incDedupBatchSql(2, "u2", 4000000L)},
+       |v2 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         CASE WHEN lab2.label IS NULL OR lab2.label = d.doc_id
+       |                THEN 'kept'
+       |              WHEN lab2.label < 4000000 THEN 'dup_of_keep'
+       |              ELSE 'dup_in_drop' END AS status
+       |  FROM b2 d LEFT JOIN lab2 ON lab2.node = d.doc_id),
+       |remk AS MATERIALIZED (
+       |  SELECT doc_id, text FROM keep1
+       |  WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+       |  UNION ALL
+       |  SELECT b2.doc_id, b2.text FROM b2 JOIN v2 USING (doc_id)
+       |  WHERE v2.status = 'kept'),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |cc AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         dv
+       |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 16)),
+       |idxv AS MATERIALIZED (
+       |  SELECT r.doc_id, v.dv
+       |  FROM remk r JOIN v ON v.vec_id = r.doc_id % 1000000),
+       |ca AS (
+       |  SELECT doc_id, cell FROM (
+       |    SELECT x.doc_id, c.cell,
+       |           row_number() OVER (PARTITION BY x.doc_id ORDER BY
+       |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+       |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+       |             c.cell) AS rn
+       |    FROM idxv x CROSS JOIN cc c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+       |             - list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+       |             c.cell) AS rn
+       |    FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN cc c)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pr.query_id, x.doc_id,
+       |         list_sum([(q.dv[i]-x.dv[i])*(q.dv[i]-x.dv[i])
+       |                   for i in range(1, 65)]) AS l2
+       |  FROM ca JOIN probe pr ON pr.cell = ca.cell
+       |  JOIN idxv x ON x.doc_id = ca.doc_id
+       |  JOIN v q ON q.vec_id = pr.query_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, l2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY l2, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, l2,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM idxv) AS n_ann_rows
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** q301 oracle: batch-1 incremental-dedup replay on the doc_id % 6
@@ -1890,6 +2076,7 @@ object StreamingQueries extends QueryPack {
     },
     "q301_indexed_dedup_retract" -> indexedDedupRetractOracle,
     "q304_curated_index_commit" -> curatedIndexCommitOracle,
+    "q306_curated_ann_commit" -> curatedAnnCommitOracle,
     // q285's one-shot replay with the index side restricted to the
     // undeleted rows — delete(batch) == build without those rows
     "q305_ivf_index_delete" -> ivfProbeOracle("x.vec_id % 7 != 0"),

@@ -274,7 +274,7 @@ object IvfIndex {
   /** Read the snapshot's rows, optionally restricted to `cells`; None
     * when no listed directory matches (empty index / all probed cells
     * empty). */
-  private def readWith(spark: SparkSession, root: String,
+  private[graft] def readWith(spark: SparkSession, root: String,
                        snap: IndexManifest.State, name: String,
                        cells: Option[Set[Int]]): Option[DataFrame] = {
     val live = liveMap(Some(snap), name)

@@ -222,6 +222,128 @@ class Round14OpsSpec extends AnyFunSuite {
       s"probe returned deleted ids: ${got.filter(_ % 4 == 0)}")
   }
 
+  // ---------------------------------------- ANN family in the curated commit
+
+  /** Docs 1–4; only 1–3 and the new docs 21/22 have embedding rows (the
+    * store-subset shape: kept-but-unembedded docs are searchable, not
+    * vector-retrievable). */
+  private val CurKeep = Seq(
+    1L -> "a b c d", 2L -> "e f g h", 3L -> "i j k l", 4L -> "m n o p")
+
+  private def curVec(i: Long): Array[Float] =
+    Array(i.toFloat, (i % 3).toFloat, 1.0f)
+
+  private def curVecs(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, curVec(i))).toDF("doc_id", "embedding")
+
+  private def curatedAnnBoot() = {
+    import graft.curation.CuratedIndexes
+    val embedded = CurKeep.map(_._1).filter(_ <= 3L)
+    val seeds = graft.similarity.Clustering.seedCentroids(
+      curVecs(embedded), "doc_id", "embedding", 2)
+    CuratedIndexes.bootstrap(spark, mkDocs(CurKeep), k = 2,
+      maxShingleDf = 4, maxTermDf = 64L, tmp("r14c_si_"), tmp("r14c_di_"),
+      tmp("r14c_t_"), tmp("r14c_d_"), tmp("r14c_g_"), tmp("r14c_m_"),
+      rowCap = 64L, ann = Some(CuratedIndexes.Ann(tmp("r14c_a_"), seeds)),
+      annVecs = Some(curVecs(embedded)))
+  }
+
+  private def annDocs(idx: graft.curation.CuratedIndexes.Indexes): Set[Long] =
+    graft.curation.CuratedIndexes.readAnn(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+
+  private def curState(idx: graft.curation.CuratedIndexes.Indexes) = {
+    val st = idx.dedup.manifest.read().get
+    (idx.dedup.doc.allRows(st.buckets(idx.dedup.docName))
+        .select("doc_id").as[Long].collect().toSet,
+      idx.bm25.doc.allRows(st.buckets(idx.bm25.docName))
+        .select("doc_id").as[Long].collect().toSet,
+      annDocs(idx))
+  }
+
+  test("CuratedIndexes + ANN: kept AND embedded <=> ANN-retrievable " +
+    "after every batch; the takedown removes vectors in the SAME " +
+    "commit; an unembedded kept doc is searchable but not retrievable") {
+    import graft.curation.CuratedIndexes
+    val idx = curatedAnnBoot()
+    assert(annDocs(idx) == Set(1L, 2L, 3L),
+      "bootstrap must index exactly the embedded corpus docs")
+    // 21 = exact dup of doc 4 (drops, vector must NOT enter); 22 = new
+    val b = mkDocs(Seq(21L -> "m n o p", 22L -> "q r s t"))
+    val v = CuratedIndexes.processBatch(spark, idx, b, 1L, k = 2,
+      threshold = 0.3, maxShingleDf = 4, maxTermDf = 64L,
+      annVecs = Some(curVecs(Seq(21L, 22L))))
+      .as[(Long, String, Long)].collect()
+      .map { case (d, s, _) => d -> s }.toMap
+    assert(v(21L) == "dup_of_keep" && v(22L) == "kept")
+    val (dd, bd, ad) = curState(idx)
+    assert(dd == bd && bd == Set(1L, 2L, 3L, 4L, 22L))
+    assert(ad == Set(1L, 2L, 3L, 22L),
+      s"ANN must hold exactly kept AND embedded: $ad")
+    // probe sees the new vector; the dropped dup's vector is absent
+    val hits = CuratedIndexes.probeAnn(spark, idx,
+        curVecs(Seq(22L)), nProbe = 2, k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(22L) && !hits.contains(21L))
+    // takedown of doc 2: keep-set, search index and vectors flip in ONE
+    // commit
+    CuratedIndexes.retractBatch(spark, idx, mkDocs(Seq(2L -> "e f g h")),
+      2L, k = 2, maxShingleDf = 4, maxTermDf = 64L,
+      retained = Some(mkDocs(CurKeep.filterNot(_._1 == 2L)
+        ++ Seq(22L -> "q r s t"))),
+      retractVecs = Some(curVecs(Seq(2L))))
+    val (dd2, bd2, ad2) = curState(idx)
+    assert(dd2 == bd2 && bd2 == Set(1L, 3L, 4L, 22L))
+    assert(ad2 == Set(1L, 3L, 22L),
+      s"takedown must drop the vector in the same commit: $ad2")
+  }
+
+  private def curatedAnnCrashCase(mergePath: Boolean): Unit = {
+    import graft.curation.CuratedIndexes
+    val b = mkDocs(Seq(22L -> "q r s t"))
+    def step(i: CuratedIndexes.Indexes): Unit =
+      if (mergePath) {
+        CuratedIndexes.processBatch(spark, i, b, 1L, k = 2,
+          threshold = 0.3, maxShingleDf = 4, maxTermDf = 64L,
+          annVecs = Some(curVecs(Seq(22L)))).collect()
+        ()
+      } else
+        CuratedIndexes.retractBatch(spark, i, mkDocs(Seq(2L -> "e f g h")),
+          1L, k = 2, maxShingleDf = 4, maxTermDf = 64L,
+          retained = Some(mkDocs(CurKeep.filterNot(_._1 == 2L))),
+          retractVecs = Some(curVecs(Seq(2L))))
+    val control = curatedAnnBoot()
+    step(control)
+    val ctrl = curState(control)
+    val crashed = curatedAnnBoot()
+    val pre = curState(crashed)
+    final class InjectedCrash extends RuntimeException("injected")
+    CuratedIndexes.testCrashBeforeAnnFamily = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] { step(crashed) }
+    } finally CuratedIndexes.testCrashBeforeAnnFamily = () => ()
+    assert(curState(crashed) == pre,
+      "a crash before the ann family leaked into the committed snapshot")
+    step(crashed)
+    assert(curState(crashed) == ctrl,
+      "post-crash replay differs from the uncrashed control")
+    // committed replay: no-op across all three families
+    step(crashed)
+    assert(curState(crashed) == ctrl)
+    assert(crashed.dedup.manifest.read().get.batchSeq == 1L)
+  }
+
+  test("CuratedIndexes + ANN: crash AFTER bm25 staging BEFORE the ann " +
+    "staging (merge path) — all three families hold the pre-batch " +
+    "snapshot, the retry converges") {
+    curatedAnnCrashCase(mergePath = true)
+  }
+
+  test("CuratedIndexes + ANN: crash before the ann staging during a " +
+    "RETRACTION — a takedown is all-or-nothing across all families") {
+    curatedAnnCrashCase(mergePath = false)
+  }
+
   test("IndexManifest CAS commit: a stale writer's expectedVersion " +
     "throws, publishes nothing, and readers keep the winner's snapshot") {
     val mf = new IndexManifest(spark, tmp("r14cas_"))
