@@ -1079,6 +1079,138 @@ object StreamingQueries extends QueryPack {
   private val retractSnapByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** q308: STREAMING TAKEDOWN (VERDICT r13 #4) — q301 retracts in batch
+    * mode; the production shape is a takedown STREAM interleaved with
+    * merge batches through ONE foreachBatch pipeline. The q301 batch
+    * sequence (merge b1 → retract the % 10 originals → merge b2, the
+    * re-admission batch) arrives as op-typed micro-batches ("M"/"D")
+    * over one file stream: a merge batch runs
+    * [[graft.dedup.IndexedDedup.processBatch]] and upserts its kept
+    * docs into the durable corpus store
+    * ([[graft.streaming.Pipelines.mergeIntoParquetWithDeletes]] — the
+    * CDC sink with tombstones); a takedown batch derives the retained
+    * corpus from that store (post-takedown keep set, feeding the
+    * tombstone re-audit), runs
+    * [[graft.dedup.IndexedDedup.retractBatch]], then tombstones the
+    * ids out of the store in the same foreachBatch. batchSeq ordering
+    * rides the stream's batch ids; every step is replay-idempotent
+    * (manifest gate, latest-wins sinks), so a restart anywhere —
+    * including between a merge commit and the retract commit —
+    * converges (Round14OpsSpec kills and replays the sequence). The
+    * post-retract censuses are read via manifest TIME TRAVEL (version
+    * current−1 — the snapshot between the takedown and b2), and the
+    * output is q301's exact shape, so the oracle IS q301's replay:
+    * streamed-interleaved final state ≡ the batch-mode sequence,
+    * which is the claim.
+    *
+    * Scale shape: per batch exactly q301's probe/rewrite costs + one
+    * touched-bucket store merge; the stream adds no global work. */
+  private def streamingTakedown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.IndexedDedup
+    val sample = Tables.documents(spark, dir).select("doc_id", "text")
+      .where(col("doc_id") % 6 === 0)
+    val rev = concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))
+    val b1 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(sample.where(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), rev.as("text")))
+    val retractDocs = sample.where(col("doc_id") % 10 === 0)
+    val b2 = sample.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    // q301's session-cached bootstrap snapshot (same sample + params),
+    // cloned to fresh working dirs per run
+    val snap3 = retractSnapByDir.computeIfAbsent(dir, _ => {
+      val ds = Seq("si", "di", "mf").map(s =>
+        MlQueries.tempDirDeletedOnExit(s"graft_xrt_snap_${s}_"))
+      IndexedDedup.bootstrap(spark, sample, k = 3, maxShingleDf = 20,
+        ds(0), ds(1), ds(2), rowCap = 65536L)
+      ds
+    })
+    val work = Seq("si", "di", "mf").map(s =>
+      MlQueries.tempDirDeletedOnExit(s"graft_stk_${s}_"))
+    snap3.zip(work).foreach { case (s, w) => copyDirContents(spark, s, w) }
+    val idx = IndexedDedup.attach(spark, work(0), work(1), work(2),
+      rowCap = 65536L)
+    val outDir = MlQueries.tempDirDeletedOnExit("graft_stk_out_")
+    val keepDir = MlQueries.tempDirDeletedOnExit("graft_stk_keep_")
+    // seed the durable corpus store with the bootstrap corpus
+    Pipelines.mergeIntoParquetWithDeletes(
+      sample.withColumn("rev", lit(0L)).withColumn("op", lit("")),
+      keepDir, key = "doc_id", version = "rev", tiebreak = "doc_id",
+      opCol = "op", nBuckets = 16)
+    val typed = Seq(
+      b1.withColumn("op", lit("M")),
+      retractDocs.withColumn("op", lit("D")),
+      b2.withColumn("op", lit("M")))
+    val watch = stageBatches("graft_stk_", typed)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, op STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .option("checkpointLocation",
+          MlQueries.tempDirDeletedOnExit("graft_stk_ckpt_"))
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val sp = batch.sparkSession
+          val seq = id + 1
+          val isTakedown = batch.where(col("op") === "D").limit(1)
+            .count() > 0 // batches are op-homogeneous by construction
+          val docs = batch.select("doc_id", "text")
+          if (isTakedown) {
+            val retained = Pipelines.readWithDeletes(sp, keepDir, "op")
+              .select("doc_id", "text")
+              .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+              .localCheckpoint(true)
+            IndexedDedup.retractBatch(sp, idx, docs, seq, k = 3,
+              maxShingleDf = 20, retained = Some(retained))
+            Pipelines.mergeIntoParquetWithDeletes(
+              docs.withColumn("rev", lit(seq)).withColumn("op", lit("D")),
+              keepDir, key = "doc_id", version = "rev",
+              tiebreak = "doc_id", opCol = "op", nBuckets = 16)
+            org.apache.spark.sql.graft.Bridge
+              .unpersistLocalCheckpoint(retained)
+          } else {
+            val verdicts = IndexedDedup.processBatch(sp, idx, docs, seq,
+              k = 3, threshold = 0.3, maxShingleDf = 20)
+            Pipelines.mergeIntoParquet(
+              verdicts.withColumn("batch_seq", lit(seq)), outDir,
+              key = "doc_id", version = "batch_seq", tiebreak = "doc_id",
+              nBuckets = 16)
+            Pipelines.mergeIntoParquetWithDeletes(
+              docs.join(verdicts.where(col("status") === "kept"),
+                  Seq("doc_id"), "left_semi")
+                .withColumn("rev", lit(seq)).withColumn("op", lit("")),
+              keepDir, key = "doc_id", version = "rev",
+              tiebreak = "doc_id", opCol = "op", nBuckets = 16)
+            org.apache.spark.sql.graft.Bridge
+              .unpersistLocalCheckpoint(verdicts)
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // post-retract censuses via manifest TIME TRAVEL: the retained
+    // snapshot between the takedown commit and b2's
+    val cur = idx.manifest.read().get
+    val post = idx.manifest.read(cur.version - 1).getOrElse(
+      sys.error("q308: post-retract snapshot aged out of retention"))
+    val d = idx.doc.allRows(post.buckets(idx.docName))
+      .agg(count(lit(1)), sum("doc_id")).head()
+    val s = idx.shingle.allRows(post.buckets(idx.shingleName))
+      .agg(sum(when(col("doc_id") >= 0L, 1L).otherwise(0L)),
+        sum(when(col("doc_id") === -1L, 1L).otherwise(0L))).head()
+    spark.read.parquet(outDir)
+      .where(col("batch_seq") === 3L)
+      .select(col("doc_id"), col("status"), col("rep_id"))
+      .withColumn("n_index_docs", lit(d.getLong(0)))
+      .withColumn("doc_id_checksum", lit(d.getLong(1)))
+      .withColumn("n_postings", lit(s.getLong(0)))
+      .withColumn("n_tombstones", lit(s.getLong(1)))
+      .orderBy("doc_id")
+  }
+
   private def indexedDedupRetract(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.IndexedDedup
     val sample = Tables.documents(spark, dir).select("doc_id", "text")
@@ -1210,6 +1342,81 @@ object StreamingQueries extends QueryPack {
   private val bm25FullSnapByDir =
     new java.util.concurrent.ConcurrentHashMap[String,
       (String, String, String, String)]()
+
+  /** q307: HYBRID RETRIEVAL OVER THE PERSISTED TIER (VERDICT r13 #3) —
+    * production RAG scores BM25 ∪ ANN and fuses; both persisted indexes
+    * exist (q300/q303's linear-hash BM25, q285's manifest-committed
+    * IVF) and this query composes them over the same corpus snapshot:
+    * the lexical leg is [[graft.text.Bm25Index.queryTable]] top-10 for
+    * the six-query workload (probe IO ∝ |workload terms|·16 shards —
+    * never the corpus), the semantic leg is
+    * [[graft.similarity.IvfIndex.probe]] top-10 for each query's
+    * vector (query_id 10+i ↦ embedding store vector i; scan reads the
+    * probed 4/16 cells' live generation dirs only), and the fusion is
+    * the INTEGER-exact reciprocal-rank pattern (q250's discipline:
+    * RRF(d) = Σ_legs ⌊10⁶/(60+rank)⌋, truncating `div` ≡ DuckDB `//`) —
+    * no float score mixing across engines, a doc outside a leg's
+    * top-10 contributes exact 0 from that leg. Both indexes are
+    * session-cached full-corpus bootstraps (the q283/q300 snapshot
+    * discipline); the query itself runs read-only probes.
+    *
+    * Scale shape: each leg's IO is its index's audited probe bound
+    * (posting shards + doc buckets + 1 stats bucket; nProbe/nCells
+    * cell dirs); the fusion full-outer-joins two ≤10-row-per-query
+    * frames — corpus-size-independent end to end. */
+  private def persistedHybridRag(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Clustering, IvfIndex}
+    import graft.text.Bm25Index
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, dir)
+    // lexical leg: q303's session-cached full-corpus BM25 index
+    val (t, d, g, m) = bm25FullSnapByDir.computeIfAbsent(dir, _ => {
+      val t0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_t_")
+      val d0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_d_")
+      val g0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_g_")
+      val m0 = MlQueries.tempDirDeletedOnExit("graft_bm25f_m_")
+      Bm25Index.bootstrap(spark, docs, maxTermDf = 65536L, t0, d0, g0, m0,
+        rowCap = 65536L)
+      (t0, d0, g0, m0)
+    })
+    val bmIdx = Bm25Index.attach(spark, t, d, g, m, rowCap = 65536L)
+    val workload = Bm25QueryTable.flatMap { case (qid, ts) =>
+      ts.map((qid, _))
+    }.toDF("query_id", "term")
+    val lex = Bm25Index.queryTable(spark, bmIdx, workload, k = 10)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank_lex"))
+    // semantic leg: session-cached manifest-committed IVF index
+    val centroids = Clustering.seedCentroids(emb, "vec_id", "embedding", 16)
+    val ivfRoot = ivfFullSnapByDir.computeIfAbsent(dir, _ => {
+      val r = MlQueries.tempDirDeletedOnExit("graft_ivff_")
+      IvfIndex.mergeBatch(emb.select("vec_id", "embedding"), "vec_id",
+        "embedding", centroids, r, batchSeq = 1L)
+      r
+    })
+    val qVecs = emb.where(col("vec_id") < 6)
+      .select((col("vec_id") + 10L).as("vec_id"), col("embedding"))
+    val sem = IvfIndex.probe(spark, ivfRoot, qVecs, "vec_id", "embedding",
+        centroids, nProbe = 4, k = 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("rank_sem"))
+    // integer-exact RRF fusion (the q250 discipline, per query)
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_sem)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("rrf_micro"), asc("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .where(col("fused_rank") <= 10)
+      .select("query_id", "fused_rank", "doc_id", "rrf_micro",
+        "rank_lex", "rank_sem")
+      .orderBy("query_id", "fused_rank")
+  }
+
+  private val ivfFullSnapByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q304: CROSS-FAMILY SINGLE-MANIFEST COMMIT (VERDICT r12 #4) — the
     * curation pipeline ships dedup verdicts AND a searchable BM25 index
@@ -1401,6 +1608,8 @@ object StreamingQueries extends QueryPack {
     "q303_bm25_query_table_topk" -> bm25QueryTableTopK,
     "q304_curated_index_commit" -> curatedIndexCommit,
     "q306_curated_ann_commit" -> curatedAnnCommit,
+    "q307_persisted_hybrid_rag" -> persistedHybridRag,
+    "q308_streaming_takedown" -> streamingTakedown,
     "q305_ivf_index_delete" -> ivfIndexDelete,
     "q300_persisted_bm25_topk" -> persistedBm25TopK,
     "q297_index_time_travel" -> indexTimeTravel,
@@ -1628,6 +1837,90 @@ object StreamingQueries extends QueryPack {
        |       CAST(4 AS BIGINT) AS manifest_version,
        |       CAST(3 AS BIGINT) AS batch_seq
        |FROM r, l WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  /** q307 oracle: the lexical leg is q303's per-query global BM25
+    * replay (term-sorted contributions, exact-0.0 absent terms, top-10
+    * with the score>0 gate); the semantic leg is q285's IVF probe
+    * replay with query vectors 0–5 mapped to query ids 10–15; the
+    * fusion is pure integer arithmetic over the two rank columns
+    * (`//` ≡ Spark `div` on positives), so no float ever crosses the
+    * engine boundary. */
+  private def persistedHybridRagOracle: String = {
+    val union = Bm25QueryTable.flatMap(_._2).distinct.sorted
+    val ix = union.zipWithIndex.toMap
+    val perQuery = Bm25QueryTable.map { case (qid, ts) =>
+      val contribs = ts.sorted.map(t => bm25ContribSql(ix(t)))
+        .mkString("\n         + ")
+      s"""  SELECT CAST($qid AS BIGINT) AS query_id, f.doc_id,
+         |         $contribs
+         |         AS score
+         |  FROM f, l""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${bm25StatsSql("documents", union)},
+       |s AS (
+       |$perQuery),
+       |lex AS (
+       |  SELECT query_id, doc_id, rank_lex FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY score DESC, doc_id) AS rank_lex
+       |    FROM s WHERE score > 0) WHERE rank_lex <= 10),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+       |cc AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         dv
+       |  FROM (SELECT vec_id, dv FROM v ORDER BY vec_id LIMIT 16)),
+       |ca AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+       |             - list_sum([x.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+       |             c.cell) AS rn
+       |    FROM v x CROSS JOIN cc c) WHERE rn = 1),
+       |qv AS (SELECT vec_id + 10 AS query_id, dv FROM v WHERE vec_id < 6),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             list_sum([c.dv[i]*c.dv[i] for i in range(1, 65)])
+       |             - list_sum([q.dv[i]*c.dv[i] for i in range(1, 65)])*2,
+       |             c.cell) AS rn
+       |    FROM qv q CROSS JOIN cc c)
+       |  WHERE rn <= 4),
+       |scored AS (
+       |  SELECT pr.query_id, x.vec_id AS doc_id,
+       |         list_sum([(q.dv[i]-x.dv[i])*(q.dv[i]-x.dv[i])
+       |                   for i in range(1, 65)]) AS l2
+       |  FROM ca JOIN probe pr ON pr.cell = ca.cell
+       |  JOIN v x ON x.vec_id = ca.vec_id
+       |  JOIN qv q ON q.query_id = pr.query_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, rank_sem FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY l2, doc_id) AS rank_sem
+       |    FROM scored) WHERE rank_sem <= 10),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, m.query_id) AS query_id,
+       |         coalesce(l.doc_id, m.doc_id) AS doc_id,
+       |         l.rank_lex, m.rank_sem,
+       |         coalesce(1000000 // (60 + l.rank_lex), 0)
+       |           + coalesce(1000000 // (60 + m.rank_sem), 0) AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN sem m
+       |    ON l.query_id = m.query_id AND l.doc_id = m.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, rank_lex, rank_sem, rrf_micro,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+       |  FROM fused)
+       |SELECT query_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+       |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |       CAST(rank_lex AS BIGINT) AS rank_lex,
+       |       CAST(rank_sem AS BIGINT) AS rank_sem
+       |FROM ranked WHERE fused_rank <= 10
+       |ORDER BY query_id, fused_rank""".stripMargin
   }
 
   /** q306 oracle: q304's two-batch dedup replay + takedown DELETE
@@ -2075,8 +2368,13 @@ object StreamingQueries extends QueryPack {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "q301_indexed_dedup_retract" -> indexedDedupRetractOracle,
+    // the streamed-interleaved pipeline's final state equals the
+    // batch-mode merge/retract/merge sequence — the oracle is
+    // LITERALLY q301's replay, which is the claim
+    "q308_streaming_takedown" -> indexedDedupRetractOracle,
     "q304_curated_index_commit" -> curatedIndexCommitOracle,
     "q306_curated_ann_commit" -> curatedAnnCommitOracle,
+    "q307_persisted_hybrid_rag" -> persistedHybridRagOracle,
     // q285's one-shot replay with the index side restricted to the
     // undeleted rows — delete(batch) == build without those rows
     "q305_ivf_index_delete" -> ivfProbeOracle("x.vec_id % 7 != 0"),

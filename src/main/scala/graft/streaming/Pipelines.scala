@@ -157,6 +157,57 @@ object Pipelines {
     }
   }
 
+  /** CDC apply WITH TOMBSTONES — [[mergeIntoParquet]] for a feed whose
+    * batches carry an op column ("D" = delete, anything else = upsert).
+    * The tombstone rows are PERSISTED in the snapshot (latest-wins on
+    * the key keeps the newest row, delete or upsert), so a stale upsert
+    * arriving in ANY later batch — not just the same one — cannot
+    * resurrect a deleted key: its version loses to the stored
+    * tombstone's. Readers exclude tombstones with [[readWithDeletes]]
+    * (`op != "D"`); re-admission at a HIGHER version replaces the
+    * tombstone. Tombstone rows accrete until a compaction pass drops
+    * them (the lifecycle job every CDC log store runs) — they are
+    * key-sized, not document-sized, rows. Same touched-bucket cost
+    * shape and replay idempotence as the upsert-only form. */
+  def mergeIntoParquetWithDeletes(batch: DataFrame, sinkDir: String,
+                                  key: String, version: String,
+                                  tiebreak: String, opCol: String,
+                                  nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val bucketed = batch
+      // a NULL op (feeds often mark only deletes) must read as an upsert
+      .withColumn(opCol, coalesce(col(opCol), lit("")))
+      .withColumn("__bkt", pmod(hash(col(key)), lit(nBuckets)).cast("int"))
+    val affected = bucketed.select("__bkt").distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sinkExists = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.startsWith("__bkt="))
+    val base =
+      if (!sinkExists) bucketed.limit(0)
+      else spark.read.parquet(sinkDir)
+        .where(col("__bkt").isin(affected.toIndexedSeq: _*))
+    val merged = graft.ops.Merge.upsertLatest(base, bucketed, key,
+      version, tiebreak).localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("__bkt").parquet(sinkDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(merged)
+  }
+
+  /** The live view of a [[mergeIntoParquetWithDeletes]] snapshot:
+    * tombstoned keys excluded. */
+  def readWithDeletes(spark: org.apache.spark.sql.SparkSession,
+                      sinkDir: String, opCol: String): DataFrame =
+    spark.read.parquet(sinkDir).where(col(opCol) =!= "D")
+
   /** Per-key high-watermark state (T5): the distributed, fault-tolerant
     * form of the reference's `last_timestamps` dict (`fetch_stock.py:43,
     * 57,64`) — emits only rows strictly newer than the key's max seen

@@ -344,6 +344,153 @@ class Round14OpsSpec extends AnyFunSuite {
     curatedAnnCrashCase(mergePath = false)
   }
 
+  // ---------------------------------------- q307 hybrid fusion
+
+  test("q307: RRF fusion is integer-exact and consistent — rrf_micro " +
+    "equals the floor-div recompute from the carried leg ranks, " +
+    "fused_rank follows (rrf_micro desc, doc_id), legs stay k-bounded, " +
+    "and at least one doc fuses BOTH legs") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q307_persisted_hybrid_rag")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    def rr(r: org.apache.spark.sql.Row, f: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getLong(r.fieldIndex(f)))
+    rows.foreach { r =>
+      val want = rr(r, "rank_lex").fold(0L)(x => 1000000L / (60L + x)) +
+        rr(r, "rank_sem").fold(0L)(x => 1000000L / (60L + x))
+      assert(r.getLong(r.fieldIndex("rrf_micro")) == want,
+        s"rrf arithmetic drifted: $r")
+      rr(r, "rank_lex").foreach(x => assert(x >= 1 && x <= 10))
+      rr(r, "rank_sem").foreach(x => assert(x >= 1 && x <= 10))
+    }
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (10L to 15L).toSet, s"workload ids: ${byQ.keySet}")
+    byQ.values.foreach { qr =>
+      val sorted = qr.sortBy(_.getLong(qr.head.fieldIndex("fused_rank")))
+      assert(sorted.map(_.getLong(sorted.head.fieldIndex("fused_rank")))
+        .toSeq == (1L to sorted.length).toSeq)
+      // fused order follows (rrf desc, doc_id asc)
+      val keys = sorted.map(r => (-r.getLong(r.fieldIndex("rrf_micro")),
+        r.getLong(r.fieldIndex("doc_id")))).toSeq
+      assert(keys == keys.sorted, s"fused order broken: $keys")
+      assert(sorted.length <= 10)
+    }
+    assert(rows.exists(r => rr(r, "rank_lex").isDefined
+      && rr(r, "rank_sem").isDefined),
+      "fixture never fused both legs on one doc — fusion untested")
+    assert(rows.exists(r => rr(r, "rank_lex").isEmpty
+      != rr(r, "rank_sem").isEmpty),
+      "fixture never exercised the single-leg contribution path")
+  }
+
+  // ---------------------------------------- CDC delete sink (q308's store)
+
+  test("mergeIntoParquetWithDeletes: a key whose newest version is D " +
+    "leaves the snapshot, a stale replayed upsert cannot resurrect it, " +
+    "tombstones persist across batches, re-admission at a higher rev " +
+    "returns") {
+    import graft.streaming.Pipelines
+    val sink = tmp("r14cdc_")
+    def rows(ids: Seq[Long], rv: Long, op: String): DataFrame =
+      ids.map(i => (i, s"t$i", rv, op)).toDF("doc_id", "text", "rev", "op")
+    def snap(): Set[(Long, Long)] =
+      Pipelines.readWithDeletes(spark, sink, "op").select("doc_id", "rev")
+        .as[(Long, Long)].collect().toSet
+    def put(df: DataFrame): Unit =
+      Pipelines.mergeIntoParquetWithDeletes(df, sink, "doc_id", "rev",
+        "doc_id", "op", nBuckets = 4)
+    put(rows(Seq(1L, 2L, 3L, 4L), 1L, ""))
+    assert(snap() == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    put(rows(Seq(2L), 2L, "D"))
+    assert(snap() == Set((1L, 1L), (3L, 1L), (4L, 1L)), "delete leaked")
+    // a stale upsert (rev 1) replayed AFTER the delete must not
+    // resurrect the key — latest-wins keeps the tombstone's verdict
+    put(rows(Seq(2L), 1L, ""))
+    assert(snap() == Set((1L, 1L), (3L, 1L), (4L, 1L)),
+      "stale upsert resurrected a deleted key")
+    // replaying the delete is a no-op
+    put(rows(Seq(2L), 2L, "D"))
+    assert(snap() == Set((1L, 1L), (3L, 1L), (4L, 1L)))
+    // deleting everything empties the LIVE view (tombstones persist
+    // until compaction — they are what blocks late resurrections)
+    put(rows(Seq(1L, 3L, 4L), 3L, "D"))
+    assert(snap().isEmpty)
+    // re-admission at a higher rev replaces the tombstone
+    put(rows(Seq(2L), 4L, ""))
+    assert(snap() == Set((2L, 4L)))
+  }
+
+  // ---------------------------------------- q308 restart-replay
+
+  test("streaming takedown: the interleaved merge/retract/merge batch " +
+    "sequence survives a restart AFTER the merge commit and a crash " +
+    "BEFORE the retract commit — every replay converges to the " +
+    "uncrashed control across index AND corpus store") {
+    import graft.dedup.IndexedDedup
+    import graft.streaming.Pipelines
+    val keep = mkDocs(CurKeep)
+    val b1 = mkDocs(Seq(21L -> "q r s t", 22L -> "a b c d")) // 22 dups doc 1
+    val retract = mkDocs(Seq(2L -> "e f g h"))
+    val b2 = mkDocs(Seq(32L -> "e f g h")) // re-admission of taken-down text
+    def mkPipe() = {
+      val idx = IndexedDedup.bootstrap(spark, keep, k = 2, maxShingleDf = 4,
+        tmp("r14s_s_"), tmp("r14s_d_"), tmp("r14s_m_"), rowCap = 64L)
+      val store = tmp("r14s_k_")
+      Pipelines.mergeIntoParquetWithDeletes(
+        keep.withColumn("rev", lit(0L)).withColumn("op", lit("")),
+        store, "doc_id", "rev", "doc_id", "op", nBuckets = 4)
+      (idx, store)
+    }
+    def merge(idx: IndexedDedup.Indexes, store: String, b: DataFrame,
+              seq: Long): Unit = {
+      val v = IndexedDedup.processBatch(spark, idx, b, seq, k = 2,
+        threshold = 0.3, maxShingleDf = 4)
+      Pipelines.mergeIntoParquetWithDeletes(
+        b.join(v.where(col("status") === "kept"), Seq("doc_id"), "left_semi")
+          .withColumn("rev", lit(seq)).withColumn("op", lit("")),
+        store, "doc_id", "rev", "doc_id", "op", nBuckets = 4)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(v)
+    }
+    def takedown(idx: IndexedDedup.Indexes, store: String,
+                 seq: Long): Unit = {
+      val retained = Pipelines.readWithDeletes(spark, store, "op")
+        .select("doc_id", "text")
+        .join(retract.select("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      IndexedDedup.retractBatch(spark, idx, retract, seq, k = 2,
+        maxShingleDf = 4, retained = Some(retained))
+      Pipelines.mergeIntoParquetWithDeletes(
+        retract.withColumn("rev", lit(seq)).withColumn("op", lit("D")),
+        store, "doc_id", "rev", "doc_id", "op", nBuckets = 4)
+      org.apache.spark.sql.graft.Bridge.unpersistLocalCheckpoint(retained)
+    }
+    def state(idx: IndexedDedup.Indexes, store: String) =
+      (dedupState(idx), Pipelines.readWithDeletes(spark, store, "op")
+        .select("doc_id").as[Long].collect().toSet)
+    val (ci, cs) = mkPipe()
+    merge(ci, cs, b1, 1L); takedown(ci, cs, 2L); merge(ci, cs, b2, 3L)
+    val ctrl = state(ci, cs)
+    assert(ctrl._2 == Set(1L, 3L, 4L, 21L, 32L),
+      s"fixture store shape: ${ctrl._2}") // 22 dup-dropped, 2 taken down
+    val (xi, xs) = mkPipe()
+    merge(xi, xs, b1, 1L)
+    // restart AFTER the merge commit: the stream redelivers batch 1
+    merge(xi, xs, b1, 1L)
+    // crash BEFORE the retract commit, then restart-replay
+    final class InjectedCrash extends RuntimeException("injected")
+    IndexedDedup.testCrashBeforeManifestCommit = () => throw new InjectedCrash
+    try {
+      intercept[InjectedCrash] { takedown(xi, xs, 2L) }
+    } finally IndexedDedup.testCrashBeforeManifestCommit = () => ()
+    takedown(xi, xs, 2L)
+    // and a second redelivery of the now-committed takedown
+    takedown(xi, xs, 2L)
+    merge(xi, xs, b2, 3L)
+    assert(state(xi, xs) == ctrl,
+      "restarted/replayed interleaved sequence diverged from the control")
+  }
+
   test("IndexManifest CAS commit: a stale writer's expectedVersion " +
     "throws, publishes nothing, and readers keep the winner's snapshot") {
     val mf = new IndexManifest(spark, tmp("r14cas_"))
