@@ -122,14 +122,14 @@ object CuratedIndexes {
                    annVecs: Option[DataFrame] = None): DataFrame = {
     require(idx.ann.isDefined == annVecs.isDefined,
       "CuratedIndexes: ann handle and annVecs come together")
+    val snap = idx.dedup.manifest.read().getOrElse(
+      sys.error("CuratedIndexes: bootstrap first"))
     val (verdicts, stagedDedup) = IndexedDedup.stageBatch(spark, idx.dedup,
-      batch, batchSeq, k, threshold, maxShingleDf)
+      batch, batchSeq, k, threshold, maxShingleDf, snapshot = Some(snap))
     stagedDedup.foreach { md =>
       val keptIds = verdicts.where(col("status") === "kept").select("doc_id")
       val kept = batch.join(keptIds, Seq("doc_id"), "left_semi")
       testCrashBetweenFamilies()
-      val snap = idx.bm25.manifest.read().getOrElse(
-        sys.error("CuratedIndexes: manifest vanished mid-batch"))
       val mb = Bm25Index.stageMerge(spark, idx.bm25, kept, batchSeq,
         maxTermDf, snap).getOrElse(
         sys.error("CuratedIndexes: dedup staged but bm25 saw the batch " +
@@ -142,8 +142,10 @@ object CuratedIndexes {
           sys.error("CuratedIndexes: dedup staged but ann saw the batch " +
             "as committed — manifest batchSeq out of sync"))
       }.toMap
-      // THE commit point: every family + the batch id flip together
-      idx.dedup.manifest.commit(batchSeq, md ++ mb ++ ma)
+      // THE commit point: every family + the batch id flip together,
+      // CAS'd against the one snapshot all families staged from
+      idx.dedup.manifest.commit(batchSeq, md ++ mb ++ ma,
+        expectedVersion = Some(snap.version))
       gcAll(spark, idx)
     }
     verdicts
@@ -175,7 +177,8 @@ object CuratedIndexes {
       a.name -> IvfIndex.stageDelete(retractVecs.get, "doc_id", a.vec,
         a.centroids, a.root, batchSeq, Some(snap), a.name).get
     }.toMap
-    idx.dedup.manifest.commit(batchSeq, md ++ mb ++ ma)
+    idx.dedup.manifest.commit(batchSeq, md ++ mb ++ ma,
+      expectedVersion = Some(snap.version))
     gcAll(spark, idx)
   }
 

@@ -138,11 +138,17 @@ object IndexedDedup {
                    batchSeq: Long, k: Int, threshold: Double,
                    maxShingleDf: Int,
                    asOf: Option[IndexManifest.State] = None): DataFrame = {
+    val snap0 = idx.manifest.read().getOrElse(
+      sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}"))
     val (verdicts, staged) = stageBatch(spark, idx, batch, batchSeq, k,
-      threshold, maxShingleDf, asOf)
+      threshold, maxShingleDf, asOf, snapshot = Some(snap0))
     staged.foreach { m =>
-      // THE commit point: both indexes + the batch id flip together
-      idx.manifest.commit(batchSeq, m)
+      // THE commit point: both indexes + the batch id flip together.
+      // CAS against the staged-from version (VERDICT r13 #5): a zombie
+      // writer that lost the single-writer contract — the manifest
+      // moved since it staged — throws here and publishes nothing.
+      idx.manifest.commit(batchSeq, m,
+        expectedVersion = Some(snap0.version))
       // gc keeps the union of the retained snapshots, so manifest time
       // travel to every retained version stays readable
       idx.shingle.gc(idx.manifest.retainedUnion(idx.shingleName))
@@ -160,9 +166,13 @@ object IndexedDedup {
   private[graft] def stageBatch(spark: SparkSession, idx: Indexes,
                                 batch: DataFrame, batchSeq: Long, k: Int,
                                 threshold: Double, maxShingleDf: Int,
-                                asOf: Option[IndexManifest.State] = None)
+                                asOf: Option[IndexManifest.State] = None,
+                                snapshot: Option[IndexManifest.State] = None)
       : (DataFrame, Option[Map[String, Set[String]]]) = {
-    val snap = asOf.getOrElse(idx.manifest.read().getOrElse(
+    // `snapshot` = the committed state the CALLER already read (so its
+    // CAS commit is against exactly the version staged from); `asOf`
+    // still wins — a time-travel read is always read-only
+    val snap = asOf.orElse(snapshot).getOrElse(idx.manifest.read().getOrElse(
       sys.error(s"IndexedDedup: no committed manifest at ${idx.manifest.root}")))
     val liveS = snap.buckets(idx.shingleName)
     val liveD = snap.buckets(idx.docName)
@@ -343,7 +353,7 @@ object IndexedDedup {
     if (snap.batchSeq >= batchSeq) return // committed replay: no-op
     stageRetract(spark, idx, retract, batchSeq, k, maxShingleDf, retained,
       snap).foreach { m =>
-      idx.manifest.commit(batchSeq, m)
+      idx.manifest.commit(batchSeq, m, expectedVersion = Some(snap.version))
       idx.shingle.gc(idx.manifest.retainedUnion(idx.shingleName))
       idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
     }

@@ -153,9 +153,10 @@ object Bm25Index {
       sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
     stageMerge(spark, idx, batch, batchSeq, maxTermDf, snap).foreach { m =>
       // THE commit point: all three indexes + the batch id flip
-      // together; gc keeps the retained-snapshot union (time travel
-      // stays readable)
-      idx.manifest.commit(batchSeq, m)
+      // together, CAS'd against the staged-from version (a zombie
+      // writer publishes nothing); gc keeps the retained-snapshot
+      // union (time travel stays readable)
+      idx.manifest.commit(batchSeq, m, expectedVersion = Some(snap.version))
       idx.term.gc(idx.manifest.retainedUnion(idx.termName))
       idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
       idx.stats.gc(idx.manifest.retainedUnion(idx.statsName))
@@ -246,7 +247,8 @@ object Bm25Index {
       sys.error(s"Bm25Index: no committed manifest at ${idx.manifest.root}"))
     stageRetract(spark, idx, retract, batchSeq, maxTermDf, retained, snap)
       .foreach { m =>
-        idx.manifest.commit(batchSeq, m)
+        idx.manifest.commit(batchSeq, m,
+          expectedVersion = Some(snap.version))
         idx.term.gc(idx.manifest.retainedUnion(idx.termName))
         idx.doc.gc(idx.manifest.retainedUnion(idx.docName))
         idx.stats.gc(idx.manifest.retainedUnion(idx.statsName))

@@ -491,6 +491,36 @@ class Round14OpsSpec extends AnyFunSuite {
       "restarted/replayed interleaved sequence diverged from the control")
   }
 
+  test("IndexedDedup: a zombie writer whose manifest moved mid-batch " +
+    "is rejected by the CAS commit — the winner's batch survives, the " +
+    "zombie publishes nothing") {
+    val idx = dedupBoot(mkDocs(CurKeep)) // version 1
+    val winner = mkDocs(Seq(41L -> "w1 w2 w3"))
+    val zombie = mkDocs(Seq(51L -> "z1 z2 z3"))
+    // the winner's commit lands while the zombie sits between staging
+    // and its manifest rename — simulated inside the crash hook
+    IndexedDedup.testCrashBeforeManifestCommit = () => {
+      IndexedDedup.testCrashBeforeManifestCommit = () => ()
+      IndexedDedup.processBatch(spark, idx, winner, 2L, k = 2,
+        threshold = 0.3, maxShingleDf = 4).collect()
+      ()
+    }
+    try {
+      intercept[IllegalStateException] {
+        IndexedDedup.processBatch(spark, idx, zombie, 2L, k = 2,
+          threshold = 0.3, maxShingleDf = 4).collect()
+      }
+    } finally IndexedDedup.testCrashBeforeManifestCommit = () => ()
+    val st = idx.manifest.read().get
+    assert(st.version == 2L && st.batchSeq == 2L)
+    val docs = idx.doc.allRows(st.buckets(idx.docName))
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs.contains(41L) && !docs.contains(51L),
+      s"zombie leaked into the committed snapshot: $docs")
+    // without the CAS the zombie would have committed version 3 with
+    // bucket sets that never saw the winner's batch — doc 41 LOST
+  }
+
   test("IndexManifest CAS commit: a stale writer's expectedVersion " +
     "throws, publishes nothing, and readers keep the winner's snapshot") {
     val mf = new IndexManifest(spark, tmp("r14cas_"))
